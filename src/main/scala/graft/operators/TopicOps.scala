@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Topics
+
+/** The reference's record-routing operators (merge-all / purge-all / ask /
+  * print / DLQ), re-expressed as declarative DataFrame combinators.
+  *
+  * Design notes for 100 TB:
+  *   - Every producer-side operator ("what records get written where") is a
+  *     single-pass narrow projection: one parquet/Kafka scan, zero shuffle.
+  *     A record that fans out to several produced records (merge = copy to
+  *     destination + tombstone to source, reference MergeAll.kt:34) is
+  *     expressed as explode(array(...)) so Catalyst plans ONE scan instead
+  *     of a union of two scans over the same source.
+  *   - Compaction is the only shuffling operator: one hash aggregate keyed
+  *     (topic, partition, key) with map-side partial aggregation
+  *     (max_by(struct, offset)), not a row_number window (which would sort
+  *     entire shuffle partitions). AQE handles hot keys.
+  *
+  * Produced-record schema: (topic, partition, key, value, src_offset, kind)
+  * where kind ∈ {merge, purge}. Offsets are assigned by the log on write,
+  * so produced records carry provenance (src_offset) instead.
+  */
+object TopicOps {
+
+  import Topics.isTombstone
+
+  /** merge-all (reference commands/MergeAll.kt:34): every live source record
+    * is produced to `dest` and tombstoned in its source topic+partition.
+    * Tombstones are skipped unless `mergeTombstones` (MergeAll.kt:40), and
+    * are never re-purged (Pipeline.kt:95).
+    */
+  def mergeAll(src: DataFrame, dest: String, mergeTombstones: Boolean = false): DataFrame =
+    produced(src,
+      mergeRow = when(!isTombstone(col("value")) || lit(mergeTombstones),
+        producedRecord(lit(dest), col("value"), "merge")),
+      purgeRow = when(!isTombstone(col("value")), tombstone))
+
+  /** purge-all (reference commands/PurgeAll.kt:24): a tombstone for every
+    * live record, written back to the record's own topic+partition.
+    */
+  def purgeAll(src: DataFrame): DataFrame =
+    produced(src,
+      mergeRow = when(lit(false), tombstone),
+      purgeRow = when(!isTombstone(col("value")), tombstone))
+
+  /** ask (reference commands/Ask.kt:44): per-record 3-way routing. The
+    * reference's interactive ActionSource becomes a deterministic `action`
+    * Column evaluating to 'merge' | 'purge' | 'skip' — at scale the decision
+    * is a rule, not a human. Tombstones skip the decision entirely unless
+    * `mergeTombstones` (Ask.kt:47).
+    */
+  def route(src: DataFrame, action: Column, dest: String,
+            mergeTombstones: Boolean = false): DataFrame = {
+    val live = !isTombstone(col("value")) || lit(mergeTombstones)
+    produced(src,
+      mergeRow = when(live && action === "merge",
+        producedRecord(lit(dest), col("value"), "merge")),
+      purgeRow = when(!isTombstone(col("value")) && (action === "merge" || action === "purge"),
+        tombstone))
+  }
+
+  /** The reference's end-of-run counters (Ask.kt:85: "N merged, N purged,
+    * N skipped") as an aggregate over the same action rule.
+    */
+  def routeStats(src: DataFrame, action: Column): DataFrame =
+    src.filter(!isTombstone(col("value")))
+      .groupBy(action.as("action")).agg(count(lit(1)).as("records"))
+
+  /** Log-compaction read view (the query semantics the reference's tombstone
+    * contract exists for, Pipeline.kt:93): latest record per key wins; a
+    * latest-record tombstone deletes the key.
+    */
+  def compact(src: DataFrame): DataFrame =
+    src.groupBy(col("topic"), col("partition"), col("key"))
+      .agg(max(col("offset")).as("offset"),
+        max_by(struct(col("value"), col("ts")), col("offset")).as("latest"))
+      .select(col("topic"), col("partition"), col("key"), col("offset"),
+        col("latest.value").as("value"), col("latest.ts").as("ts"))
+      .filter(!isTombstone(col("value")))
+
+  /** Decode-failure / validation routing — the DLQ workflow the reference is
+    * built for (README overview; decode failure in MixedValue.kt:30 aborts
+    * the reference pipeline, here it routes). `error` evaluates to a reason
+    * string or null for valid records; tombstones are pass-through valid.
+    */
+  def dlqSplit(src: DataFrame, error: Column): DataFrame =
+    src.withColumn("error",
+      when(isTombstone(col("value")), lit(null).cast("string")).otherwise(error))
+      .withColumn("sink", when(col("error").isNotNull, lit("dlq")).otherwise(lit("clean")))
+
+  /** MixedValue dual view (MixedValue.kt:13): raw untouched bytes + decoded
+    * fields side by side. `decoded` maps the value column to decoded cols.
+    */
+  def serdeView(src: DataFrame, decoded: Map[String, Column]): DataFrame =
+    decoded.foldLeft(src) { case (df, (name, c)) => df.withColumn(name, c) }
+
+  /** Per-batch offset bookkeeping (Pipeline.kt:44: highest polled offset per
+    * TopicPartition is what gets committed).
+    */
+  def committedOffsets(src: DataFrame, group: String): DataFrame =
+    src.groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("committed_offset"), count(lit(1)).as("records"))
+      .withColumn("group", lit(group))
+
+  /** Topic scan statistics (Print.kt counters generalized). */
+  def stats(src: DataFrame): DataFrame =
+    src.groupBy(col("topic"), col("partition")).agg(
+      count(lit(1)).as("records"),
+      count(when(isTombstone(col("value")), 1)).as("tombstones"),
+      min(col("offset")).as("min_offset"),
+      max(col("offset")).as("max_offset"),
+      countDistinct(col("key")).as("distinct_keys"))
+
+  // ---- internals ------------------------------------------------------
+
+  private def tombstone: Column =
+    producedRecord(col("topic"), lit(null).cast("string"), "purge")
+
+  private def producedRecord(destTopic: Column, value: Column, kind: String): Column =
+    struct(
+      destTopic.as("topic"), col("partition").as("partition"),
+      col("key").as("key"), value.as("value"),
+      col("offset").as("src_offset"), lit(kind).as("kind"))
+
+  /** One scan, zero shuffle: each source record explodes into 0..2 produced
+    * records.
+    */
+  private def produced(src: DataFrame, mergeRow: Column, purgeRow: Column): DataFrame =
+    src.select(explode(filter(array(mergeRow, purgeRow), _.isNotNull)).as("rec"))
+      .select(col("rec.*"))
+}

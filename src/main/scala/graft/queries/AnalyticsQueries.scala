@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** SURVEY.md §2b — the analytics core (bench headliners).
+  *
+  * Money/measure aggregates go through DECIMAL(12,2): decimal addition is
+  * exact and associative, so results are bit-identical under any Spark
+  * partitioning AND match DuckDB exactly; the final cast back to DOUBLE
+  * keeps the output schema engine-neutral.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val one = lit(1).cast(DecimalType(12, 2))
+
+  private def decSumDouble(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** SQL fragment mirroring [[decSumDouble]]. */
+  private def sqlDecSum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(12,2))) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1: one scan, hash aggregate with map-side partial agg.
+    "q1_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSumDouble(col("l_quantity")).as("sum_qty"),
+          decSumDouble(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3: selective dim filter broadcast into the fact join.
+    "q3_join" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-ish: 5-way star join, every dim broadcast, one fact shuffle.
+    "q5_join" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders").filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Window top-k: single shuffle on the group key, no global sort.
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // Tumbling-window throughput (batch twin of stream_window).
+    "events_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    // Gap-based sessionization (30 min) via window lag + running sum.
+    "events_sessionize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      e.withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          decSumDouble(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }))
+
+  private val Revenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDecSum("l_quantity")} AS sum_qty,
+         |  ${sqlDecSum("l_extendedprice")} AS sum_base_price,
+         |  $Revenue AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         |    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $Revenue AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      s"""SELECT n_name, $Revenue AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "events_window" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         |  COUNT(*) AS n_events, ${sqlDecSum("\"value\"")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour, event_type""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |  FROM events),
+         |flags AS (
+         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flags)
+         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  ${sqlDecSum("\"value\"")} AS total_value
+         |FROM sess GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin)
+}

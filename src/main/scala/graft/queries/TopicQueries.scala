@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopicOps
+import graft.sources.Topics
+
+/** SURVEY.md §2a — the reference's own operator surface, bound to the
+  * `events` topic view with deterministic rules, plus the DuckDB oracle SQL
+  * for each. The topic-view mapping (SURVEY.md §3) is mirrored exactly in
+  * the `TopicCte` used by every oracle.
+  */
+object TopicQueries {
+
+  /** Decoded payload field (reference MixedValue decode step): props is
+    * `{"k": <int>}`; extraction via regexp keeps both engines identical.
+    */
+  private def kField: Column =
+    regexp_extract(col("value"), "\"k\": (\\d+)", 1).cast("int")
+
+  private val KFieldSql =
+    """TRY_CAST(regexp_extract("value", '"k": (\d+)', 1) AS INT)"""
+
+  /** Ask-command action rule (stand-in for the interactive ActionSource):
+    * merge small-k records, purge large-k, skip the middle band.
+    */
+  private def actionRule: Column =
+    when(kField < 30, "merge").when(kField >= 70, "purge").otherwise("skip")
+
+  private val ActionRuleSql =
+    s"""CASE WHEN $KFieldSql < 30 THEN 'merge'
+       |     WHEN $KFieldSql >= 70 THEN 'purge'
+       |     ELSE 'skip' END""".stripMargin
+
+  /** DLQ validation rule: decoded k must exist and be <= 90. */
+  private def dlqError: Column =
+    when(kField.isNull, "decode_failure").when(kField > 90, "out_of_range")
+
+  /** The SURVEY.md §3 events→topic mapping as a DuckDB CTE. */
+  val TopicCte: String =
+    """WITH topic AS (
+      |  SELECT 'events' AS topic,
+      |         CAST(user_id % 8 AS INT) AS "partition",
+      |         event_id AS "offset",
+      |         CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS "key",
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS "value"
+      |  FROM events
+      |)""".stripMargin
+
+  private val ProducedCols =
+    """topic, "partition", "key", "value", "offset" AS src_offset"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topic_print" -> ((s, dir) =>
+      Topics.events(s, dir)
+        .select(col("partition"), col("offset"), col("ts"), col("key"), col("value"))
+        .orderBy(col("offset"))),
+    "topic_stats" -> ((s, dir) =>
+      TopicOps.stats(Topics.events(s, dir)).orderBy(col("partition"))),
+    "topic_merge_all" -> ((s, dir) =>
+      TopicOps.mergeAll(Topics.events(s, dir), "events.v2")
+        .orderBy(col("src_offset"), col("kind"))),
+    "topic_merge_tombstones" -> ((s, dir) =>
+      TopicOps.mergeAll(Topics.events(s, dir), "events.v2", mergeTombstones = true)
+        .orderBy(col("src_offset"), col("kind"))),
+    "topic_purge_all" -> ((s, dir) =>
+      TopicOps.purgeAll(Topics.events(s, dir)).orderBy(col("src_offset"))),
+    "topic_ask_route" -> ((s, dir) =>
+      TopicOps.route(Topics.events(s, dir), actionRule, "events.v2")
+        .orderBy(col("src_offset"), col("kind"))),
+    "topic_route_stats" -> ((s, dir) =>
+      TopicOps.routeStats(Topics.events(s, dir), actionRule).orderBy(col("action"))),
+    "topic_compact" -> ((s, dir) =>
+      TopicOps.compact(Topics.events(s, dir))
+        .orderBy(col("partition"), col("key"))),
+    "topic_dlq" -> ((s, dir) =>
+      TopicOps.dlqSplit(Topics.events(s, dir), dlqError)
+        .select(col("sink"), col("error"), col("partition"), col("offset"),
+          col("key"), col("value"))
+        .orderBy(col("offset"))),
+    "topic_serde" -> ((s, dir) =>
+      TopicOps.serdeView(Topics.events(s, dir),
+        Map("k_decoded" -> kField, "raw_len" -> octet_length(col("raw")),
+          "raw_hex" -> hex(col("raw"))))
+        .select(col("offset"), col("key"), col("value"), col("raw_hex"),
+          col("k_decoded"), col("raw_len"))
+        .orderBy(col("offset"))),
+    "topic_offsets" -> ((s, dir) =>
+      TopicOps.committedOffsets(Topics.events(s, dir), "graft")
+        .orderBy(col("partition"))))
+
+  def oracles: Map[String, String] = Map(
+    "topic_print" ->
+      s"""$TopicCte
+         |SELECT "partition", "offset", ts, "key", "value"
+         |FROM topic ORDER BY "offset"""".stripMargin,
+    "topic_stats" ->
+      s"""$TopicCte
+         |SELECT topic, "partition", COUNT(*) AS records,
+         |       COUNT(*) FILTER ("value" IS NULL) AS tombstones,
+         |       MIN("offset") AS min_offset, MAX("offset") AS max_offset,
+         |       COUNT(DISTINCT "key") AS distinct_keys
+         |FROM topic GROUP BY topic, "partition" ORDER BY "partition"""".stripMargin,
+    "topic_merge_all" ->
+      s"""$TopicCte, live AS (SELECT * FROM topic WHERE "value" IS NOT NULL)
+         |SELECT * FROM (
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind FROM live
+         |  UNION ALL
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge' FROM live
+         |) ORDER BY src_offset, kind""".stripMargin,
+    "topic_merge_tombstones" ->
+      s"""$TopicCte
+         |SELECT * FROM (
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind FROM topic
+         |  UNION ALL
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge'
+         |  FROM topic WHERE "value" IS NOT NULL
+         |) ORDER BY src_offset, kind""".stripMargin,
+    "topic_purge_all" ->
+      s"""$TopicCte
+         |SELECT topic, "partition", "key", CAST(NULL AS VARCHAR) AS "value",
+         |       "offset" AS src_offset, 'purge' AS kind
+         |FROM topic WHERE "value" IS NOT NULL ORDER BY src_offset""".stripMargin,
+    "topic_ask_route" ->
+      s"""$TopicCte, live AS (
+         |  SELECT *, $ActionRuleSql AS action FROM topic WHERE "value" IS NOT NULL)
+         |SELECT * FROM (
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind
+         |  FROM live WHERE action = 'merge'
+         |  UNION ALL
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge'
+         |  FROM live WHERE action IN ('merge', 'purge')
+         |) ORDER BY src_offset, kind""".stripMargin,
+    "topic_route_stats" ->
+      s"""$TopicCte
+         |SELECT $ActionRuleSql AS action, COUNT(*) AS records
+         |FROM topic WHERE "value" IS NOT NULL
+         |GROUP BY 1 ORDER BY action""".stripMargin,
+    "topic_compact" ->
+      s"""$TopicCte
+         |SELECT topic, "partition", "key", "offset", "value", ts FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY topic, "partition", "key" ORDER BY "offset" DESC) AS rn
+         |  FROM topic)
+         |WHERE rn = 1 AND "value" IS NOT NULL
+         |ORDER BY "partition", "key"""".stripMargin,
+    "topic_dlq" ->
+      s"""$TopicCte, decoded AS (
+         |  SELECT *, CASE WHEN "value" IS NULL THEN NULL
+         |                 WHEN $KFieldSql IS NULL THEN 'decode_failure'
+         |                 WHEN $KFieldSql > 90 THEN 'out_of_range' END AS error
+         |  FROM topic)
+         |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
+         |       error, "partition", "offset", "key", "value"
+         |FROM decoded ORDER BY "offset"""".stripMargin,
+    "topic_serde" ->
+      s"""$TopicCte
+         |SELECT "offset", "key", "value", upper(hex(encode("value"))) AS raw_hex,
+         |       $KFieldSql AS k_decoded,
+         |       octet_length(encode("value")) AS raw_len
+         |FROM topic ORDER BY "offset"""".stripMargin,
+    "topic_offsets" ->
+      s"""$TopicCte
+         |SELECT topic, "partition", MAX("offset") AS committed_offset,
+         |       COUNT(*) AS records, 'graft' AS "group"
+         |FROM topic GROUP BY topic, "partition" ORDER BY "partition"""".stripMargin)
+}

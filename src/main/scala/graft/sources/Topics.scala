@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's data model re-expressed for Spark.
+  *
+  * A Kafka topic at rest is a keyed record log; the canonical record view is
+  *   (topic, partition, offset, ts, key, value, raw)
+  * mirroring the reference's `ConsumerRecord<MixedValue?, MixedValue?>`
+  * (reference: src/main/kotlin/com/flyeralarm/kafkamp/MixedValue.kt:13).
+  * `value == null` is a tombstone (reference: Pipeline.kt:93); `raw` is the
+  * untouched byte payload the reference always writes back
+  * (MixedValue.kt:88 — decode is for display/routing only).
+  *
+  * The `events` test table maps to topic "events" deterministically
+  * (SURVEY.md §3): key = user_id, partition = user_id % 8,
+  * offset = event_id, value = props JSON, and records with
+  * event_type = 'error' carry a null value (tombstones).
+  */
+object Topics {
+  val NumPartitions = 8
+
+  /** Batch view of the `events` table as a topic record log. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    asTopic(Tables.load(spark, dir, "events"))
+
+  /** Pure projection (no shuffle) — applies identically to a streaming df. */
+  def asTopic(events: DataFrame): DataFrame =
+    events.select(
+      lit("events").as("topic"),
+      (col("user_id") % NumPartitions).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts"),
+      col("user_id").cast("string").as("key"),
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(col("props")).as("value"))
+      .withColumn("raw", encode(col("value"), "UTF-8"))
+
+  /** Tombstone predicate (Pipeline.kt:93: `record.value() == null`). */
+  def isTombstone(value: Column): Column = value.isNull
+}
