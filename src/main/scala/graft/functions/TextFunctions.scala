@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline ops.
+  *
+  * Everything here is built from codegen'd built-in functions and
+  * higher-order functions (no Scala UDFs) so the hot path stays inside
+  * whole-stage codegen AND the exact same integer arithmetic can be
+  * replicated in the DuckDB oracle SQL (see PipelineQueries fragments).
+  */
+object TextFunctions {
+
+  /** Modulus for the polynomial rolling hash; fits h*31+cp in a long. */
+  val HashMod = 1000000007L
+
+  /** Lowercased whitespace tokens. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Polynomial rolling hash over codepoints: h = (h*31 + cp) mod 1e9+7.
+    * Left fold — deterministic, order-fixed, identical in Spark (aggregate),
+    * DuckDB (list_reduce) and JVM Scala (Multimodal.polyhashStr).
+    */
+  def polyhash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (h, cp) => (h * 31L + cp) % HashMod)
+
+  /** Distinct word n-gram shingles. Guarded: Spark's sequence(1, 0) counts
+    * DOWN, so short docs must short-circuit to an empty array explicitly.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
+    array_distinct(when(size(ws) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** Count of tokens (a pre-split words array) contained in `list`. */
+  def stopwordHits(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list)))
+
+  /** MinHash signature entry j: min over shingle hashes of (a*h + b) mod p.
+    * p = 2^31-1 keeps a*h inside a long.
+    */
+  val MinhashP = 2147483647L
+
+  def minhash(shingleHashes: Column, a: Long, b: Long): Column =
+    array_min(transform(shingleHashes, h => (h * a + b) % MinhashP))
+
+  /** 32-bit SimHash over token hashes: bit i is set when more than half the
+    * tokens have bit i set in their hash.
+    */
+  def simhash32(tokenHashes: Column): Column =
+    (0 until 32).map { i =>
+      val votes = aggregate(tokenHashes, lit(0L),
+        (s, h) => s + shiftright(h, i).bitwiseAND(1L))
+      when(votes * 2 > size(tokenHashes), lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §2c).
+  *
+  * All near-dup operators follow the same scale shape: candidate
+  * generation via a high-cardinality band/bucket key (never a raw corpus
+  * self-join), then exact verification on candidates only. At 100 TB the
+  * candidate join shuffles on the band key whose per-bucket population is
+  * tiny; the quadratic blow-up is confined inside buckets.
+  *
+  * Everything is built from codegen'd built-ins/HOFs with integer
+  * arithmetic (polyhash mod 1e9+7), so results are bit-identical across
+  * partitionings and engines — see the matching DuckDB oracle SQL in
+  * [[graft.queries.PipelineQueries]].
+  */
+object Dedup {
+
+  /** MinHash universal-hash params (h*a+b mod 2^31-1), Knuth/Numerical
+    * Recipes multipliers; mirrored literally in the oracle SQL.
+    */
+  val MinhashK = 16
+  val minhashA: Seq[Long] = (0 until MinhashK).map(j => ((j + 1) * 2654435761L) % MinhashP match {
+    case 0L => 1L
+    case a  => a
+  })
+  val minhashB: Seq[Long] = (0 until MinhashK).map(j => ((j + 1) * 1013904223L) % MinhashP)
+
+  /** (doc_id, hs: array<long> distinct shingle hashes, n_sh) — the shared
+    * input of every text near-dup operator. One narrow projection, no
+    * shuffle; computed per-partition at scan time.
+    */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      transform(shingles(col("text"), n), s => polyhash(s)).as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+
+  /** Exact dedup: one hash aggregate on the content digest (map-side
+    * combine; AQE splits skewed digests, which only occur under heavy
+    * duplication — exactly when splitting pays off).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index: explode →
+    * self-join on shingle hash → per-pair intersection count. The join key
+    * (shingle hash) has ~|vocab|^n cardinality so buckets stay small; this
+    * is the exact baseline the LSH variants are verified against.
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val ex = shingleHashes(docs).select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val a = ex.alias("a")
+    val b = ex.alias("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup: k=16 signature in 4 bands of 4 rows; candidate
+    * pairs share at least one band; exact Jaccard (on the full shingle
+    * hash sets) verifies candidates. Bands are the scale path — the join
+    * key is (band_id, band_val) and the verify join touches candidates
+    * only.
+    */
+  def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
+    val rows = MinhashK / bands
+    val hashes = shingleHashes(docs)
+    val sig = hashes.select(
+      col("doc_id") +: col("hs") +:
+        (0 until MinhashK).map(j => minhash(col("hs"), minhashA(j), minhashB(j)).as(s"s$j")): _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { bd =>
+        struct(lit(bd).as("band_id"),
+          concat_ws(",", (0 until rows).map(r => col(s"s${bd * rows + r}")): _*).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+    val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 32-bit shingle-hash simhash, banded into 4 bytes;
+    * pairs sharing a byte-band are verified by Hamming distance ≤ tau.
+    * Shingle (not word) hashes keep signatures well-spread even when the
+    * corpus shares one small vocabulary.
+    */
+  def simhashPairs(docs: DataFrame, tau: Int = 3, bands: Int = 4): DataFrame = {
+    val sims = shingleHashes(docs).filter(size(col("hs")) > 0)
+      .select(col("doc_id"), simhash32(col("hs")).as("sim"))
+    val banded = sims.select(col("doc_id"), col("sim"),
+      explode(array((0 until bands).map { bd =>
+        struct(lit(bd).as("band_id"),
+          shiftright(col("sim"), 8 * bd).bitwiseAND(255L).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sim"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(max(col("a.sim")).as("sim_a"), max(col("b.sim")).as("sim_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= tau)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Multimodal-column plumbing (SURVEY.md §2c): media payloads ride as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract runs batched per partition.
+  *
+  * The decode step itself is a clearly-marked deterministic STUB (the
+  * image/audio codecs aren't in this container); everything around it —
+  * schema, binary column handling, batched `mapPartitions` shape (the
+  * Scala twin of `mapInPandas`), partitioning — is real and tested.
+  */
+object Multimodal {
+
+  /** A media payload: raw bytes + routing metadata. */
+  case class MediaBlob(doc_id: Long, format: String, blob: Array[Byte])
+
+  /** Stubbed "decoded" features derived deterministically from the bytes. */
+  case class MediaFeatures(
+      doc_id: Long,
+      format: String,
+      size_bytes: Long,
+      checksum: Long,
+      width: Long,
+      height: Long,
+      feature: Array[Float])
+
+  /** JVM twin of [[TextFunctions.polyhash]] over raw bytes (docs here are
+    * UTF-8 ASCII, so byte codes == codepoints and the two agree).
+    */
+  def polyhashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % TextFunctions.HashMod
+      i += 1
+    }
+    h
+  }
+
+  /** documents → (doc_id, format, blob, meta struct). The blob is the raw
+    * payload (UTF-8 bytes here); format fans out deterministically so the
+    * routing path is exercised.
+    */
+  def asBlobs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("format"),
+      encode(col("text"), "UTF-8").as("blob"))
+
+  /** Column-level metadata extraction — the SQL-expressible face of the
+    * pipeline (oracle-checked as `mm_meta`). Integer-only arithmetic.
+    */
+  def meta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("format",
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video"))
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+      .withColumn("size_bytes", octet_length(col("blob")).cast("long"))
+      .withColumn("checksum", TextFunctions.polyhash(col("text")))
+      .withColumn("width", lit(16L) + col("checksum") % 320L)
+      .withColumn("height", lit(16L) + expr("checksum DIV 320") % 200L)
+      .withColumn("n_frames",
+        when(col("format") === "video", lit(1L) + col("checksum") % 16L).cast("long"))
+      .withColumn("sample_rate",
+        when(col("format") === "audio", lit(8000L) + (col("checksum") % 4L) * 8000L).cast("long"))
+      .select("doc_id", "format", "size_bytes", "checksum", "width", "height",
+        "n_frames", "sample_rate")
+
+  /** STUB decoder: a real implementation would hand `batch` to a native
+    * codec (libjpeg/ffmpeg) in one call — that's why the iterator is
+    * batched. Here it derives a deterministic 8-float "feature" from the
+    * bytes so the plumbing is testable end to end.
+    */
+  private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val checksum = polyhashBytes(m.blob)
+      val feature = Array.tabulate(8)(i => ((checksum >> (4 * i)) & 0xff).toFloat / 255.0f)
+      MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
+        16L + checksum % 320L, 16L + (checksum / 320L) % 200L, feature)
+    }
+
+  /** Batched per-partition decode — the Scala analogue of `mapInPandas`:
+    * the executor iterates fixed-size batches so a native decoder gets
+    * amortized calls and bounded memory. Narrow (no shuffle); repartition
+    * upstream by `format` if codec affinity matters.
+    */
+  def decodeFeatures(spark: SparkSession, blobs: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeBatch)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators (SURVEY.md §2c): language ID, quality scoring,
+  * token counting, fingerprinting. All are narrow per-row projections —
+  * zero shuffle, linear scale — built from codegen'd built-ins and HOFs.
+  */
+object TextOps {
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (common closed-class words per language).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "he"))
+
+  /** Greedy argmax over per-language stopword hit counts; ties resolve in
+    * list order (en > es > de > fr > zh), mirrored by the oracle's CASE
+    * chain.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = docs.withColumn("w", words(col("text")))
+    val scored = ws.select(
+      col("doc_id") +: col("lang") +:
+        stopwords.map { case (l, list) => stopwordHits(col("w"), list).cast("long").as(s"s_$l") }: _*)
+    val langs = stopwords.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
+      val ge = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select(col("doc_id") +: col("lang") +: col("pred_lang") +:
+        langs.map(l => col(s"s_$l")): _*)
+  }
+
+  /** Length/uniqueness/stopword/alpha ratios and a fixed-weight quality
+    * score. Pure per-row arithmetic in a fixed operation order so the
+    * doubles are bit-identical to the oracle.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val en = stopwords.head._2
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("w", words(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("word_chars",
+        aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (s, x) => s + x))
+      .withColumn("stop_hits", stopwordHits(col("w"), en).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("avg_word_len", col("word_chars").cast("double") / col("n_words"))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+      .withColumn("alpha_ratio", col("alpha_chars").cast("double") / col("n_chars"))
+      .withColumn("quality",
+        lit(0.3) * col("uniq_ratio") + lit(0.3) * col("stop_ratio") + lit(0.4) * col("alpha_ratio"))
+      .select("doc_id", "n_chars", "n_words", "n_uniq", "avg_word_len",
+        "uniq_ratio", "stop_ratio", "alpha_ratio", "quality")
+  }
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("n_re_tokens",
+        size(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0))).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_re_tokens"))
+      .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars", "chars_per_token")
+
+  /** Whole-document polynomial hash plus the minimum 8-char-gram hash
+    * (winnowing-style). The char-gram pass is O(len·8) HOF work here; at
+    * 100 TB this is the one §2c op that would graduate to a custom codegen
+    * Expression with a true O(len) rolling hash.
+    */
+  def fingerprint(docs: DataFrame, gram: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      polyhash(col("text")).as("fingerprint"),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
+        i => polyhash(col("text").substr(i, lit(gram))))).as("min_gram_hash"),
+      length(col("text")).cast("long").as("n_chars"))
+}

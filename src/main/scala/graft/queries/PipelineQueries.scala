@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/** SURVEY.md §2c — the LLM-training-data pipeline ops over `documents` /
+  * `embeddings`, each paired with DuckDB oracle SQL that replays the same
+  * integer/float arithmetic (same constants, same fold order), developed
+  * and validated in tools/proto_pipeline.py.
+  */
+object PipelineQueries {
+
+  private val M = TextFunctions.HashMod
+  private val P = TextFunctions.MinhashP
+  import Dedup.{MinhashK, minhashA, minhashB}
+  import Similarity.{Dim, EmbBands, planes}
+
+  private val JaccardTau = 0.5
+  private val HammingTau = 3
+  private val CosTau = 0.4
+  private val MhBands = 4
+  private val ShBands = 4
+  private val TopK = 10
+
+  private def queryPred = col("vec_id") < 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents")).orderBy(col("content_hash"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), JaccardTau)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), HammingTau, ShBands)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingPairs(Tables.load(s, dir, "embeddings"), CosTau)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "sim_topk_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
+    "sim_topk_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
+    "text_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      TextOps.quality(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_tokens" -> ((s, dir) =>
+      TextOps.tokens(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.meta(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // Batched mapPartitions decode plumbing — not ANSI-SQL-expressible
+    // (driver rows-only check; exactness covered by MultimodalSpec).
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.asBlobs(Tables.load(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("format"), col("size_bytes"), col("checksum"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** polyhash fragment: left fold (h*31+cp) mod M over codepoints. */
+  private def poly(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), ch -> CAST(ascii(ch) AS BIGINT))), (h, cp) -> (h*31+cp) % $M)"""
+
+  /** Distinct 3-gram shingle hashes per doc, as in Dedup.shingleHashes. */
+  private val ShingleCte =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+       |          for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingles
+       |  FROM ws),
+       |hashes AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ${poly("s")}) AS hs,
+       |         CAST(len(shingles) AS BIGINT) AS n_sh
+       |  FROM sh)""".stripMargin
+
+  private def mhSig: String = (0 until MinhashK).map { j =>
+    s"list_min(list_transform(hs, h -> (h*${minhashA(j)}+${minhashB(j)}) % $P)) AS s$j"
+  }.mkString(", ")
+
+  private def mhBandKeys: String = (0 until MhBands).map { b =>
+    "concat_ws(',', " + (0 until MinhashK / MhBands).map(r => s"s${b * (MinhashK / MhBands) + r}").mkString(", ") + s") AS band$b"
+  }.mkString(", ")
+
+  private def bandList(n: Int): String = (0 until n).map(b => s"band$b").mkString(", ")
+
+  private def simhashExpr: String = (0 until 32).map { i =>
+    s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $i) & 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Normalized double vectors + norms, as in Similarity.vectors. */
+  private val NormCte =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      [x*x for x in CAST(embedding AS DOUBLE[])]), (s,x) -> s+x)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+
+  private def planeLit(p: Int): String =
+    "[" + planes(p).map(c => s"CAST($c AS DOUBLE)").mkString(", ") + "]"
+
+  private def bucketSql(band: Int): String =
+    (0 until 4).map { r =>
+      val p = band * 4 + r
+      s"(CASE WHEN ${dotSql("e", planeLit(p))} >= 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def embBuckets: String =
+    (0 until EmbBands).map(b => s"(${bucketSql(b)}) AS band$b").mkString(", ")
+
+  private def stopHitsSql(list: Seq[String]): String =
+    s"CAST(len(list_filter(w, x -> list_contains([${list.map(t => s"'$t'").mkString(", ")}], x))) AS BIGINT)"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (ShingleCte +
+      s"""
+         |, ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM hashes),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         max(a.n_sh) AS na, max(b.n_sh) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_minhash" -> (ShingleCte +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
+         |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_simhash" -> (ShingleCte +
+      s"""
+         |, sims AS (SELECT doc_id, $simhashExpr AS sim FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, sim, ${(0 until ShBands).map(b => s"((sim >> ${8 * b}) & 255) AS band$b").mkString(", ")} FROM sims),
+         |ex AS (SELECT doc_id, sim, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(ShBands)}))),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         max(a.sim) AS sim_a, max(b.sim) AS sim_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $HammingTau
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_embedding" -> (NormCte +
+      s"""
+         |, bk AS (SELECT vec_id, e, nrm, $embBuckets FROM v),
+         |ex AS (SELECT vec_id, band_id, band_val FROM bk
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(EmbBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.vec_id < b.vec_id),
+         |verify AS (
+         |  SELECT vec_a, vec_b, ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+         |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM verify WHERE cos >= $CosTau
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "sim_topk_bruteforce" -> (NormCte +
+      s"""
+         |, q AS (SELECT * FROM v WHERE vec_id < 8), c AS (SELECT * FROM v WHERE vec_id >= 8),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |         ${dotSql("q.e", "c.e")} / (q.nrm * c.nrm) AS cos
+         |  FROM q CROSS JOIN c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    "sim_topk_lsh" -> (NormCte +
+      s"""
+         |, bk AS (SELECT vec_id, e, nrm, $embBuckets FROM v),
+         |q AS (SELECT * FROM bk WHERE vec_id < 8), c AS (SELECT * FROM bk WHERE vec_id >= 8),
+         |ex_q AS (SELECT vec_id, band_id, band_val FROM q
+         |         UNPIVOT (band_val FOR band_id IN (${bandList(EmbBands)}))),
+         |ex_c AS (SELECT vec_id, band_id, band_val FROM c
+         |         UNPIVOT (band_val FOR band_id IN (${bandList(EmbBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+         |  FROM ex_q q JOIN ex_c c ON q.band_id = c.band_id AND q.band_val = c.band_val),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    "text_lang_id" -> {
+      val hits = TextOps.stopwords.map { case (l, list) => s"${stopHitsSql(list)} AS s_$l" }.mkString(", ")
+      val langs = TextOps.stopwords.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString("\n       ")
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |scores AS (SELECT doc_id, lang, $hits FROM ws)
+         |SELECT doc_id, lang,
+         |  CASE $cases
+         |       ELSE '${langs.last}' END AS pred_lang,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM scores ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (s, x) -> s + x) AS word_chars,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM ws)
+         |SELECT doc_id, n_chars, n_words, n_uniq,
+         |  CAST(word_chars AS DOUBLE)/n_words AS avg_word_len,
+         |  CAST(n_uniq AS DOUBLE)/n_words AS uniq_ratio,
+         |  CAST(stop_hits AS DOUBLE)/n_words AS stop_ratio,
+         |  CAST(alpha_chars AS DOUBLE)/n_chars AS alpha_ratio,
+         |  0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |    + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) AS DOUBLE)
+         |    / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, ${poly("text")} AS fingerprint,
+         |  list_min([${poly("substring(text, i, 8)")}
+         |            for i in generate_series(1, greatest(length(text)-7, 1))]) AS min_gram_hash,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_meta" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id,
+         |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+         |         ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+         |  FROM documents)
+         |SELECT doc_id, format, size_bytes, checksum,
+         |  CAST(16 + checksum % 320 AS BIGINT) AS width,
+         |  CAST(16 + (checksum // 320) % 200 AS BIGINT) AS height,
+         |  CASE WHEN format = 'video' THEN CAST(1 + checksum % 16 AS BIGINT) END AS n_frames,
+         |  CASE WHEN format = 'audio' THEN CAST(8000 + (checksum % 4) * 8000 AS BIGINT) END AS sample_rate
+         |FROM blobs ORDER BY doc_id""".stripMargin)
+}
