@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (codegen'd) Catalyst expressions for the text near-dup hot path.
+  *
+  * The HOF formulation (transform/aggregate lambdas) is interpreted — and
+  * worse, optimizer rules like InferFiltersFromGenerate inline whole alias
+  * trees into inferred filters, re-evaluating an inlined array expression
+  * once per element_at reference (measured: 100×+ blowup on the shingle
+  * pipeline). Fusing text→shingle-hashes into ONE expression makes every
+  * inlined copy a single cheap JVM call and keeps whole-stage codegen
+  * intact.
+  *
+  * Semantics are bit-identical to the HOF/DuckDB formulation (same
+  * polyhash fold, same 31-combine, same distinct-set) — the oracles in
+  * PipelineQueries replay them in SQL.
+  */
+object NativeHash {
+
+  /** Idempotent session-scoped registration; operators call this with the
+    * session they were handed, so it works under the driver's session too.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes", exprs => ShingleHashes3(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash32", exprs => SimHash32(exprs.head), "built-in")
+  }
+}
+
+/** text → distinct 3-gram shingle hashes (array<long>); the fused twin of
+  * TextFunctions.{words → polyhash per word → combineShingles3}.
+  */
+case class ShingleHashes3(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
+    copy(child = newChild)
+}
+
+/** shingle-hash array → 32-bit SimHash (long); fused twin of
+  * TextFunctions.simhash32's 32 bit-vote folds.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object ShingleHashImpl {
+  private val M = TextFunctions.HashMod
+
+  /** Mirrors split(lower(trim(text)), "\s+") → per-word polyhash →
+    * ((h1*31+h2) mod M * 31 + h3) mod M → first-occurrence distinct.
+    */
+  def compute(text: UTF8String): ArrayData = {
+    val words = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val n = words.length
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = words(i)
+      var h = 0L
+      var j = 0
+      while (j < w.length) {
+        h = (h * 31L + w.charAt(j).toLong) % M
+        j += 1
+      }
+      wh(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    i = 0
+    while (i < n - 2) {
+      seen.add((((wh(i) * 31L + wh(i + 1)) % M) * 31L + wh(i + 2)) % M)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object SimHashImpl {
+
+  /** Bit i set iff strictly more than half the hashes have bit i set. */
+  def compute(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (h >> b) & 1L
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) * 2 > n) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+}

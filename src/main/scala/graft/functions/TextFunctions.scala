@@ -39,6 +39,22 @@ object TextFunctions {
     array_distinct(when(size(ws) < n, array().cast("array<string>")).otherwise(grams))
   }
 
+  /** Distinct 3-gram shingle hashes from a pre-materialized word-hash array
+    * column: gram hash = ((h1*31+h2) mod M * 31 + h3) mod M — pure integer
+    * combine, no per-shingle string building or char folding.
+    *
+    * IMPORTANT: `wh` must be a bound attribute (its own projection), not an
+    * inline expression — interpreted HOF eval re-computes an inlined array
+    * for every element_at reference (observed 20×+ slowdown).
+    */
+  def combineShingles3(wh: Column): Column = {
+    val grams = transform(
+      sequence(lit(1), size(wh) - 2),
+      i => (((element_at(wh, i) * 31L + element_at(wh, i + 1)) % HashMod) * 31L
+        + element_at(wh, i + 2)) % HashMod)
+    array_distinct(when(size(wh) < 3, array().cast("array<long>")).otherwise(grams))
+  }
+
   /** Count of tokens (a pre-split words array) contained in `list`. */
   def stopwordHits(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(list)))

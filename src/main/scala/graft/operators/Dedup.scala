@@ -34,10 +34,11 @@ object Dedup {
     * input of every text near-dup operator. One narrow projection, no
     * shuffle; computed per-partition at scan time.
     */
-  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      transform(shingles(col("text"), n), s => polyhash(s)).as("hs"))
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("hs"))
       .withColumn("n_sh", size(col("hs")).cast("long"))
+  }
 
   /** Exact dedup: one hash aggregate on the content digest (map-side
     * combine; AQE splits skewed digests, which only occur under heavy
@@ -106,7 +107,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, tau: Int = 3, bands: Int = 4): DataFrame = {
     val sims = shingleHashes(docs).filter(size(col("hs")) > 0)
-      .select(col("doc_id"), simhash32(col("hs")).as("sim"))
+      .select(col("doc_id"), expr("graft_simhash32(hs)").as("sim"))
     val banded = sims.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band_id"),

@@ -74,18 +74,21 @@ object PipelineQueries {
   private def poly(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), ch -> CAST(ascii(ch) AS BIGINT))), (h, cp) -> (h*31+cp) % $M)"""
 
-  /** Distinct 3-gram shingle hashes per doc, as in Dedup.shingleHashes. */
+  /** Distinct 3-gram shingle hashes per doc, as in Dedup.shingleHashes:
+    * per-word polyhash combined with ((h1*31+h2) mod M * 31 + h3) mod M.
+    */
   private val ShingleCte =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
-       |          for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingles
-       |  FROM ws),
+       |whs AS (
+       |  SELECT doc_id, list_transform(w, s -> ${poly("s")}) AS wh FROM ws),
+       |hs0 AS (
+       |  SELECT doc_id,
+       |         list_distinct([(((wh[i]*31 + wh[i+1]) % $M) * 31 + wh[i+2]) % $M
+       |                        for i in generate_series(1, greatest(len(wh)-2, 0))]) AS hs
+       |  FROM whs),
        |hashes AS (
-       |  SELECT doc_id, list_transform(shingles, s -> ${poly("s")}) AS hs,
-       |         CAST(len(shingles) AS BIGINT) AS n_sh
-       |  FROM sh)""".stripMargin
+       |  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs0)""".stripMargin
 
   private def mhSig: String = (0 until MinhashK).map { j =>
     s"list_min(list_transform(hs, h -> (h*${minhashA(j)}+${minhashB(j)}) % $P)) AS s$j"

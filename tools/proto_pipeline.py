@@ -35,13 +35,15 @@ POLY = lambda s: (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
 SHINGLE_CTE = f"""
 WITH ws AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-sh AS (
-  SELECT doc_id, list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
-          for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingles
-  FROM ws),
+whs AS (
+  SELECT doc_id, list_transform(w, s -> {POLY('s')}) AS wh FROM ws),
+hs0 AS (
+  SELECT doc_id,
+         list_distinct([(((wh[i]*31 + wh[i+1]) % {M}) * 31 + wh[i+2]) % {M}
+                        for i in generate_series(1, greatest(len(wh)-2, 0))]) AS hs
+  FROM whs),
 hashes AS (
-  SELECT doc_id, list_transform(shingles, s -> {POLY('s')}) AS hs, len(shingles) AS n_sh
-  FROM sh)
+  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs0)
 """
 
 Q = {}
