@@ -12,11 +12,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TopicQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries
+    TopicQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    TopicQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles
+    TopicQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TopicStream
+
+/** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
+  * job (AvailableNow) to parquet and returns the result.
+  *
+  * stream_merge / stream_compact / stream_window reuse the batch
+  * operators on a stream, so their DuckDB oracles are the batch oracles
+  * verbatim — streaming correctness is gate-checked, not just
+  * rows-counted. stream_compact_updates is a changelog
+  * (flatMapGroupsWithState) with no SQL equivalent → rows-only + spec.
+  */
+object StreamQueries {
+
+  private def eventsPath(dir: String) = s"$dir/events.parquet"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_merge" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_merge", dir)
+      TopicStream.mergeAllStream(s, eventsPath(dir), "events.v2", out, ckpt)
+        .orderBy(col("src_offset"), col("kind"))
+    }),
+    "stream_compact" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_compact", dir)
+      TopicStream.compactStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("partition"), col("key"))
+    }),
+    "stream_window" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_window", dir)
+      TopicStream.windowStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "stream_compact_updates" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
+      TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("partition"), col("key"), col("batch_id"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "stream_merge" -> TopicQueries.oracles("topic_merge_all"),
+    "stream_compact" -> TopicQueries.oracles("topic_compact"),
+    "stream_window" -> AnalyticsQueries.oracles("events_window"))
+}

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.TopicOps
+import graft.sources.{Tables, Topics}
+
+/** Structured-Streaming twin of the batch topic operators (reference
+  * Pipeline.kt:29's poll loop → readStream; per-batch offset commit →
+  * checkpointing; transactional produce → exactly-once file sink).
+  *
+  * The produced-record operators are pure projections, so the SAME
+  * TopicOps combinators run on the stream — batch/stream parity is by
+  * construction, and the driver's DuckDB oracles for the batch ops apply
+  * verbatim to the streamed results.
+  *
+  * At 100 TB / real Kafka: swap the file source for `format("kafka")`;
+  * everything downstream is unchanged. Stateless ops stay narrow
+  * (zero-shuffle micro-batches); compaction state shuffles once on the
+  * group key and lives in the state store (RocksDB at scale).
+  */
+object TopicStream {
+
+  /** A topic record for typed stateful processing ([[compactUpdates]]). */
+  case class TopicRecord(
+      topic: String, partition: Int, offset: Long,
+      ts: java.sql.Timestamp, key: String, value: String)
+
+  /** Compaction changelog entry: one emit per key whose latest record
+    * advanced in the micro-batch; live=false ⇒ the key was tombstoned.
+    */
+  case class CompactUpdate(
+      topic: String, partition: Int, key: String,
+      offset: Long, value: String, live: Boolean)
+
+  /** Streaming `events` source with the same nanos-ts normalization as
+    * Tables.load. `maxFilesPerTrigger` bounds each micro-batch (specs split
+    * the input to force real multi-batch incremental state); basePath must
+    * be the parent dir because the test input is a single parquet file.
+    */
+  def eventsStream(spark: SparkSession, path: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val p = Paths.get(path)
+    // The file stream source needs a directory or glob; a literal file path
+    // is rejected. {name} is a single-file Hadoop glob.
+    val globbed =
+      if (Files.isDirectory(p)) path
+      else s"${p.getParent}/{${p.getFileName}}"
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val raw = withOpt.parquet(globbed)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+
+  /** Streaming topic view over the events parquet. */
+  def topicStream(spark: SparkSession, path: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    Topics.asTopic(eventsStream(spark, path, maxFilesPerTrigger))
+
+  /** Streaming merge-all: stateless append through the exactly-once file
+    * sink (offset log + file manifest in the checkpoint = the reference's
+    * sendOffsetsToTransaction).
+    */
+  def mergeAllStream(spark: SparkSession, eventsPath: String, dest: String,
+                     outDir: String, checkpointDir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val out = TopicOps.mergeAll(topicStream(spark, eventsPath, maxFilesPerTrigger), dest)
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Streaming compaction as a running aggregate (complete mode): each
+    * micro-batch rewrites the current compacted view — the log-compaction
+    * read surface. Incremental/changelog semantics live in
+    * [[compactUpdates]].
+    */
+  def compactStream(spark: SparkSession, eventsPath: String,
+                    outDir: String, checkpointDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    completeToParquet(spark,
+      TopicOps.compact(topicStream(spark, eventsPath, maxFilesPerTrigger)),
+      outDir, checkpointDir)
+
+  /** Streaming tumbling-window throughput (complete mode), the stream twin
+    * of the `events_window` batch query.
+    */
+  def windowStream(spark: SparkSession, eventsPath: String,
+                   outDir: String, checkpointDir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventsStream(spark, eventsPath, maxFilesPerTrigger)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    completeToParquet(spark, agg, outDir, checkpointDir)
+  }
+
+  /** Watermarked append-mode variant (the unbounded-stream shape: state is
+    * dropped once the watermark passes a window). With a finite replay the
+    * tail windows stay pending, so output ⊆ the batch result — asserted in
+    * the spec, not oracle-compared.
+    */
+  def windowStreamAppend(spark: SparkSession, eventsPath: String,
+                         outDir: String, checkpointDir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventsStream(spark, eventsPath, maxFilesPerTrigger)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Incremental compaction changelog via flatMapGroupsWithState: per-key
+    * latest-record state in the state store; a micro-batch emits a key only
+    * when its latest offset advances (live=false on tombstone). This is the
+    * stream-native form of the reference's tombstone contract
+    * (Pipeline.kt:93) — downstream consumers get an upsert/delete feed.
+    */
+  def compactUpdates(spark: SparkSession, topic: DataFrame): Dataset[CompactUpdate] = {
+    import spark.implicits._
+    topic
+      .select(col("topic"), col("partition"), col("offset"), col("ts"), col("key"), col("value"))
+      .as[TopicRecord]
+      .groupByKey(r => (r.topic, r.partition, r.key))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (String, Int, String), rows: Iterator[TopicRecord], state: GroupState[TopicRecord]) =>
+          val latestIn = rows.maxBy(_.offset)
+          val advanced = state.getOption.forall(_.offset < latestIn.offset)
+          if (advanced) {
+            state.update(latestIn)
+            Iterator.single(CompactUpdate(k._1, k._2, k._3,
+              latestIn.offset, latestIn.value, latestIn.value != null))
+          } else Iterator.empty
+      }
+  }
+
+  /** Runs [[compactUpdates]] to a parquet changelog (foreachBatch: update
+    * mode has no direct file sink) and returns it with batch provenance.
+    */
+  def compactUpdatesStream(spark: SparkSession, eventsPath: String,
+                           outDir: String, checkpointDir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val updates = compactUpdates(spark, topicStream(spark, eventsPath, maxFilesPerTrigger))
+    val q = updates.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Complete-mode aggregation → overwrite parquet per micro-batch; the
+    * final batch IS the full aggregate, so batch oracles apply verbatim.
+    */
+  private def completeToParquet(spark: SparkSession, agg: DataFrame,
+                                outDir: String, checkpointDir: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Fresh scratch area per (queryName, input) under the repo's target dir;
+    * wiped on entry so reruns don't resume stale checkpoints.
+    */
+  def scratchDirs(name: String, inputPath: String): (String, String) = {
+    val base = Paths.get(sys.props.getOrElse("graft.stream.scratch",
+      "/root/repo/target/stream-scratch"))
+    val leaf = base.resolve(s"$name-${math.abs(inputPath.hashCode).toString}")
+    deleteRecursively(leaf)
+    Files.createDirectories(leaf)
+    (leaf.resolve("out").toString, leaf.resolve("checkpoint").toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    }
+}
