@@ -15,10 +15,11 @@ import graft.sources.Topics
   *     destination + tombstone to source, reference MergeAll.kt:34) is
   *     expressed as explode(array(...)) so Catalyst plans ONE scan instead
   *     of a union of two scans over the same source.
-  *   - Compaction is the only shuffling operator: one hash aggregate keyed
+  *   - Compaction is the only shuffling operator: one aggregate keyed
   *     (topic, partition, key) with map-side partial aggregation
-  *     (max_by(struct, offset)), not a row_number window (which would sort
-  *     entire shuffle partitions). AQE handles hot keys.
+  *     (max_by(struct, offset) — sort-based since the buffer is a struct),
+  *     not a row_number window (which would sort entire shuffle
+  *     partitions). AQE handles hot keys. Asserted in PlanSpec.
   *
   * Produced-record schema: (topic, partition, key, value, src_offset, kind)
   * where kind ∈ {merge, purge}. Offsets are assigned by the log on write,

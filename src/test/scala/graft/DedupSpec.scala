@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ShingleHashImpl, TextFunctions}
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  test("native ShingleHashes3 expression matches the HOF formulation exactly") {
+    val viaHof = docs
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"), transform(col("w"), w => TextFunctions.polyhash(w)).as("wh"))
+      .select(col("doc_id"), TextFunctions.combineShingles3(col("wh")).as("hs"))
+    val viaNative = Dedup.shingleHashes(docs).select(col("doc_id"), col("hs"))
+    assert(viaHof.except(viaNative).count() === 0)
+    assert(viaNative.except(viaHof).count() === 0)
+  }
+
+  test("exact dedup partitions the corpus: keeper counts sum to corpus size") {
+    val out = Dedup.exact(docs).cache()
+    assert(out.agg(sum("n_copies")).head.getLong(0) === docs.count())
+    assert(out.filter(col("n_copies") < 1).count() === 0)
+    out.unpersist()
+  }
+
+  test("minhash LSH pairs are a subset of exact n-gram Jaccard pairs (verify step is exact)") {
+    val exact = Dedup.ngramJaccardPairs(docs).cache()
+    val lsh = Dedup.minhashPairs(docs).cache()
+    assert(lsh.except(exact).count() === 0)
+    // the planted near-dups (J≈0.99) are band-certain: recall is total here
+    val recall = lsh.count().toDouble / exact.count().max(1)
+    assert(recall >= 0.9, s"minhash recall $recall")
+    exact.unpersist(); lsh.unpersist()
+  }
+
+  test("near-dup pairs are canonical (doc_a < doc_b) and within threshold bounds") {
+    val p = Dedup.ngramJaccardPairs(docs).cache()
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() === 0)
+    p.unpersist()
+  }
+
+  test("simhash pairs of identical docs have hamming 0; all pairs within threshold") {
+    val p = Dedup.simhashPairs(docs).cache()
+    assert(p.filter(col("hamming") > 3).count() === 0)
+    p.unpersist()
+    // direct impl check: identical token multisets → identical simhash
+    val hs = ShingleHashImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c a b c d e f"))
+    val hs2 = ShingleHashImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c a b c d e f"))
+    assert(graft.functions.SimHashImpl.compute(hs) === graft.functions.SimHashImpl.compute(hs2))
+  }
+}

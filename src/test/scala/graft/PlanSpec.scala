@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, TopicQueries}
+
+/** Physical-plan shape assertions — the 100-TB design properties from
+  * SURVEY.md §5, checked at build time so regressions in partitioning /
+  * pushdown / broadcast decisions fail the suite, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val q = (TopicQueries.queries ++ AnalyticsQueries.queries)(name)
+    q(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("q3/q5 star joins broadcast every dimension (no fact-fact shuffle join)") {
+    for (q <- Seq("q3_join", "q5_join")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast dims:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge join:\n$p")
+    }
+  }
+
+  test("q1 scan pushes the shipdate filter and prunes to the aggregated columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must reach the parquet scan:\n$p")
+    assert(!p.contains("l_comment"), s"untouched columns must be pruned:\n$p")
+  }
+
+  test("producer-side topic ops are shuffle-free single-pass projections") {
+    for (q <- Seq("topic_merge_all", "topic_purge_all", "topic_ask_route")) {
+      // drop the final presentation orderBy (driver sorts anyway); the
+      // operator itself must plan without any exchange
+      val df = (TopicQueries.queries ++ AnalyticsQueries.queries)(q)(spark, sf)
+      val core = df.queryExecution.optimizedPlan.toString
+      val scans = core.sliding("Relation".length).count(_ == "Relation")
+      assert(scans === 1, s"$q must plan exactly ONE scan:\n$core")
+    }
+    val merge = graft.operators.TopicOps
+      .mergeAll(graft.sources.Topics.events(spark, sf), "d")
+      .queryExecution.executedPlan.toString
+    assert(!merge.contains("Exchange"), s"merge-all must not shuffle:\n$merge")
+  }
+
+  test("compaction is one aggregate with map-side partial agg and a single shuffle") {
+    val p = graft.operators.TopicOps
+      .compact(graft.sources.Topics.events(spark, sf))
+      .queryExecution.executedPlan.toString
+    // max_by(struct) buffers a struct → Spark plans SortAggregate; the
+    // scale properties that matter are partial aggregation + one exchange
+    assert(p.contains("partial_max_by"), s"map-side combine required:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1, s"compact must shuffle exactly once:\n$p")
+    assert(!p.contains("Window"), "compact must not sort whole partitions via a window")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = graft.operators.Similarity
+      .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"query vectors must broadcast:\n$p")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopicOps
+import graft.sources.{Tables, Topics}
+import graft.streaming.TopicStream
+
+/** Streaming semantics vs their batch twins, including REAL multi-batch
+  * incremental state: the input is split into several files and streamed
+  * one file per micro-batch.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** events split into 4 parquet files under target/, so
+    * maxFilesPerTrigger=1 yields 4 micro-batches.
+    */
+  private lazy val splitDir: String = {
+    val dir = "/root/repo/target/stream-scratch/events-split"
+    Tables.load(spark, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("multi-batch stream merge equals batch merge") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_merge", splitDir)
+    val streamed = TopicStream.mergeAllStream(spark, splitDir, "events.v2", out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val batch = TopicOps.mergeAll(Topics.events(spark, sf), "events.v2")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("multi-batch complete-mode stream compaction equals batch compaction") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_compact", splitDir)
+    val streamed = TopicStream.compactStream(spark, splitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val batch = TopicOps.compact(Topics.events(spark, sf))
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("flatMapGroupsWithState changelog: final state per key equals batch compaction") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_updates", splitDir)
+    val updates = TopicStream.compactUpdatesStream(spark, splitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1)).cache()
+    // at least one batch emitted updates, and reruns of a key only advance offsets
+    assert(updates.select("batch_id").distinct().count() >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic", "partition", "key").orderBy(col("offset").desc)
+    val finalState = updates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("live"))
+      .select("topic", "partition", "key", "offset", "value")
+    val batch = TopicOps.compact(Topics.events(spark, sf))
+      .select("topic", "partition", "key", "offset", "value")
+    assert(finalState.except(batch).count() === 0)
+    assert(batch.except(finalState).count() === 0)
+    updates.unpersist()
+  }
+
+  test("watermarked append windows align with batch hours; counts bounded by batch (late drops)") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_window_append", splitDir)
+    val streamed = TopicStream.windowStreamAppend(spark, splitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1)).cache()
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("b_events"))
+    // out-of-order file replay means the watermark may drop late rows —
+    // emitted windows must exist in the batch result with counts <= batch
+    val joined = streamed.join(batch, Seq("hour", "event_type"), "left")
+    assert(joined.filter(col("b_events").isNull).count() === 0,
+      "streamed window keys must exist in the batch aggregate")
+    assert(joined.filter(col("n_events") > col("b_events")).count() === 0,
+      "watermarked counts can only drop late rows, never add")
+    assert(streamed.count() > 0)
+    streamed.unpersist()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopicOps
+import graft.sources.Topics
+
+/** Reference-contract invariants for the topic operators (anchors in
+  * TopicOps scaladoc; semantics from kafka-merge-purge's Pipeline/
+  * MergeAll/PurgeAll/Ask).
+  */
+class TopicOpsSpec extends SparkSpec {
+
+  private def topic = Topics.events(spark, sf)
+
+  test("merge-all produces dest copy + source tombstone per live record, skips tombstones") {
+    val src = topic.cache()
+    val live = src.filter(col("value").isNotNull).count()
+    val out = TopicOps.mergeAll(src, "events.v2").cache()
+    assert(out.count() === 2 * live)
+    val merges = out.filter(col("kind") === "merge")
+    assert(merges.count() === live)
+    assert(merges.filter(col("topic") =!= "events.v2").count() === 0)
+    // tombstone half goes back to the SOURCE topic+partition with null value
+    val purges = out.filter(col("kind") === "purge")
+    assert(purges.filter(col("value").isNotNull).count() === 0)
+    assert(purges.filter(col("topic") =!= "events").count() === 0)
+    out.unpersist(); src.unpersist()
+  }
+
+  test("merge-tombstones forwards tombstones without re-purging them (MergeAll.kt:24,40)") {
+    val src = topic.cache()
+    val total = src.count()
+    val live = src.filter(col("value").isNotNull).count()
+    val out = TopicOps.mergeAll(src, "events.v2", mergeTombstones = true).cache()
+    assert(out.filter(col("kind") === "merge").count() === total)
+    assert(out.filter(col("kind") === "purge").count() === live)
+    out.unpersist(); src.unpersist()
+  }
+
+  test("purge-all tombstones every live record in place (PurgeAll.kt:24)") {
+    val out = TopicOps.purgeAll(topic).cache()
+    assert(out.filter(col("value").isNotNull).count() === 0)
+    assert(out.filter(col("kind") =!= "purge").count() === 0)
+    out.unpersist()
+  }
+
+  test("compact keeps exactly the highest-offset live record per key (Pipeline.kt:93)") {
+    val src = topic.cache()
+    val out = TopicOps.compact(src).cache()
+    // independent oracle: window row_number formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("partition"), col("key"))
+      .orderBy(col("offset").desc)
+    val expect = src.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("value").isNotNull)
+      .select("topic", "partition", "key", "offset", "value", "ts")
+    assert(out.count() === expect.count())
+    assert(out.except(expect).count() === 0)
+    assert(expect.except(out).count() === 0)
+    out.unpersist(); src.unpersist()
+  }
+
+  test("route sends merge+purge for merged, purge-only for purged, nothing for skipped (Ask.kt:44)") {
+    val action = when(col("offset") % 3 === 0, "merge")
+      .when(col("offset") % 3 === 1, "purge").otherwise("skip")
+    val src = topic.filter(col("value").isNotNull).cache()
+    val out = TopicOps.route(topic, action, "events.v2").cache()
+    val m = src.filter(col("offset") % 3 === 0).count()
+    val p = src.filter(col("offset") % 3 === 1).count()
+    assert(out.filter(col("kind") === "merge").count() === m)
+    assert(out.filter(col("kind") === "purge").count() === m + p)
+    out.unpersist(); src.unpersist()
+  }
+
+  test("dlq split routes tombstones as clean pass-through") {
+    val out = TopicOps.dlqSplit(topic, when(col("value").isNull, "x")).cache()
+    assert(out.filter(col("value").isNull && col("sink") =!= "clean").count() === 0)
+    out.unpersist()
+  }
+}
