@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run bench: headline batch queries on SPARK_GRAFT_SF_DIR, one
+  * JSON line on stdout. Results are fully materialized through the noop
+  * sink (count() would let Spark skip projected columns). Streaming
+  * queries are correctness surfaces (Verify), not throughput headliners —
+  * their checkpoint I/O would swamp the operator cost being measured.
+  */
 object Bench {
+  val headliners: Seq[String] = Seq(
+    "q1_agg", "q3_join", "q5_join", "topk_per_group",
+    "events_window", "events_sessionize",
+    "topic_merge_all", "topic_ask_route", "topic_compact", "topic_dlq",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_embedding", "sim_topk_bruteforce", "sim_topk_lsh",
+    "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,14 +27,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JVM/codegen/parquet-footer startup shouldn't be
+    // billed to whichever query happens to run first
+    try SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => }
+    val results = headliners.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -32,6 +32,9 @@ object NativeHash {
       "graft_shingle_hashes", exprs => ShingleHashes3(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash32", exprs => SimHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_min_gram_hash", exprs => MinGramHash(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int] else 8), "built-in")
   }
 }
 
@@ -69,6 +72,56 @@ case class SimHash32(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
+}
+
+/** text → minimum polyhash over all `gram`-char substrings, via a true
+  * O(len) rolling hash (winnowing-style fingerprint). Algebraically the
+  * same per-gram polyhash the DuckDB oracle recomputes gram-by-gram.
+  */
+case class MinGramHash(child: Expression, gram: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_min_gram_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinGramHashImpl.compute(input.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinGramHashImpl.compute($c, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinGramHash =
+    copy(child = newChild)
+}
+
+object MinGramHashImpl {
+  private val M = TextFunctions.HashMod
+
+  def compute(text: UTF8String, gram: Int): Long = {
+    val s = text.toString
+    val n = s.length
+    if (n <= gram) {
+      // single (possibly short) gram — matches substring(text, 1, gram)
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * 31L + s.charAt(i).toLong) % M; i += 1 }
+      return h
+    }
+    // 31^(gram-1) mod M, the weight of the outgoing char
+    var pow = 1L
+    var k = 0
+    while (k < gram - 1) { pow = (pow * 31L) % M; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < gram) { h = (h * 31L + s.charAt(i).toLong) % M; i += 1 }
+    var min = h
+    while (i < n) {
+      val out = (s.charAt(i - gram).toLong * pow) % M
+      h = (((h - out + M) % M) * 31L + s.charAt(i).toLong) % M
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
 }
 
 object ShingleHashImpl {

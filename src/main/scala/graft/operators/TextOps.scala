@@ -78,16 +78,16 @@ object TextOps {
       .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_re_tokens"))
       .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars", "chars_per_token")
 
-  /** Whole-document polynomial hash plus the minimum 8-char-gram hash
-    * (winnowing-style). The char-gram pass is O(len·8) HOF work here; at
-    * 100 TB this is the one §2c op that would graduate to a custom codegen
-    * Expression with a true O(len) rolling hash.
+  /** Whole-document polynomial hash plus the minimum `gram`-char hash via
+    * the native O(len) rolling-hash expression (winnowing-style); the
+    * DuckDB oracle recomputes each gram hash independently — algebraically
+    * identical.
     */
-  def fingerprint(docs: DataFrame, gram: Int = 8): DataFrame =
+  def fingerprint(docs: DataFrame, gram: Int = 8): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
     docs.select(col("doc_id"),
       polyhash(col("text")).as("fingerprint"),
-      array_min(transform(
-        sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
-        i => polyhash(col("text").substr(i, lit(gram))))).as("min_gram_hash"),
+      expr(s"graft_min_gram_hash(text, $gram)").as("min_gram_hash"),
       length(col("text")).cast("long").as("n_chars"))
+  }
 }
