@@ -98,6 +98,29 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // Anti join: orders with no shipped lineitem after a date — LeftAnti
+    // plans as a broadcast/shuffled hash anti join, no full materialization.
+    "orders_anti_join" -> ((s, dir) => {
+      val shipped = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(col("l_orderkey"))
+      Tables.load(s, dir, "orders")
+        .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), decSumDouble(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Hierarchical ROLLUP totals (event_type ⊃ hour) — one shuffle via
+    // Expand + hash aggregate; grouping id disambiguates subtotal rows.
+    "events_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .rollup(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"),
+          grouping_id(col("event_type"), col("hour")).cast("long").as("level"))
+        .orderBy(col("level"), col("event_type"), col("hour"))),
+
     // Gap-based sessionization (30 min) via window lag + running sum.
     "events_sessionize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -174,6 +197,23 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "orders_anti_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${sqlDecSum("o_totalprice")} AS total
+         |FROM orders o
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o.o_orderkey
+         |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "events_rollup" ->
+      s"""SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |  COUNT(*) AS n_events, ${sqlDecSum("\"value\"")} AS total_value,
+         |  CAST(GROUPING(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS level
+         |FROM events
+         |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
+         |ORDER BY level, event_type, hour""".stripMargin,
     "events_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",

@@ -34,6 +34,16 @@ object StreamQueries {
       TopicStream.windowStream(s, eventsPath(dir), out, ckpt)
         .orderBy(col("hour"), col("event_type"))
     }),
+    "stream_dlq" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_dlq", dir)
+      val (clean, dlq) = TopicStream.dlqStream(s, eventsPath(dir), TopicQueries.dlqError,
+        s"$out-clean", s"$out-dlq", ckpt)
+      clean.withColumn("sink", lit("clean"))
+        .unionByName(dlq.withColumn("sink", lit("dlq")))
+        .select(col("sink"), col("error"), col("partition"), col("offset"),
+          col("key"), col("value"))
+        .orderBy(col("offset"))
+    }),
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
@@ -43,5 +53,6 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     "stream_merge" -> TopicQueries.oracles("topic_merge_all"),
     "stream_compact" -> TopicQueries.oracles("topic_compact"),
-    "stream_window" -> AnalyticsQueries.oracles("events_window"))
+    "stream_window" -> AnalyticsQueries.oracles("events_window"),
+    "stream_dlq" -> TopicQueries.oracles("topic_dlq"))
 }

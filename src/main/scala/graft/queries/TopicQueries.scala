@@ -34,7 +34,7 @@ object TopicQueries {
        |     ELSE 'skip' END""".stripMargin
 
   /** DLQ validation rule: decoded k must exist and be <= 90. */
-  private def dlqError: Column =
+  private[queries] def dlqError: Column =
     when(kField.isNull, "decode_failure").when(kField > 90, "out_of_range")
 
   /** The SURVEY.md §3 events→topic mapping as a DuckDB CTE. */

@@ -180,6 +180,35 @@ object TopicStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming DLQ split with per-sink destinations — the reference's
+    * actual production shape (merge to dest, decode failures to the DLQ
+    * topic). One micro-batch, two sinks, atomically checkpointed together
+    * via foreachBatch (the Pipeline.kt transactional produce analogue).
+    */
+  def dlqStream(spark: SparkSession, eventsPath: String, error: org.apache.spark.sql.Column,
+                cleanDir: String, dlqDir: String, checkpointDir: String,
+                maxFilesPerTrigger: Option[Int] = None): (DataFrame, DataFrame) = {
+    deleteRecursively(Paths.get(cleanDir))
+    deleteRecursively(Paths.get(dlqDir))
+    val split = TopicOps.dlqSplit(topicStream(spark, eventsPath, maxFilesPerTrigger), error)
+    val q = split.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.filter(col("sink") === "clean").drop("sink")
+          .write.mode("append").parquet(cleanDir)
+        b.filter(col("sink") === "dlq").drop("sink")
+          .write.mode("append").parquet(dlqDir)
+        b.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(cleanDir), spark.read.parquet(dlqDir))
+  }
+
   /** Complete-mode aggregation → overwrite parquet per micro-batch; the
     * final batch IS the full aggregate, so batch oracles apply verbatim.
     */
