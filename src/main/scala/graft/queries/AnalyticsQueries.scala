@@ -121,6 +121,16 @@ object AnalyticsQueries {
           grouping_id(col("event_type"), col("hour")).cast("long").as("level"))
         .orderBy(col("level"), col("event_type"), col("hour"))),
 
+    // Native session-window operator (30-min gap): one shuffle on user_id,
+    // sessions merged by Spark's SessionWindow — the streaming-ready form.
+    "events_session_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Gap-based sessionization (30 min) via window lag + running sum.
     "events_sessionize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -197,6 +207,25 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    // session_window end = last event ts + gap
+    "events_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |  FROM events),
+         |flags AS (
+         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *, SUM(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flags)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events, ${sqlDecSum("\"value\"")} AS total_value
+         |FROM sess GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
     "orders_anti_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  ${sqlDecSum("o_totalprice")} AS total

@@ -227,6 +227,40 @@ object TopicStream {
     spark.read.parquet(outDir)
   }
 
+  /** Kafka wiring for production (the reference's native transport). The
+    * connector jar isn't in this container so these paths are untested
+    * here, but the operator chain is transport-agnostic: `value` maps to
+    * the Kafka value, `key` to the key, tombstone = null value —
+    * byte-for-byte the reference's producer contract (MixedValue.kt:88).
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topicPattern: String): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", topicPattern)
+      .option("startingOffsets", "earliest")
+      .load()
+    raw.select(
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("ts"),
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("value").as("raw"))
+  }
+
+  /** Produced records → Kafka: raw bytes written back untouched; a null
+    * value IS the tombstone (log-compaction contract).
+    */
+  def toKafka(produced: DataFrame, bootstrap: String, checkpointDir: String) =
+    produced.select(
+        col("topic"),
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpointDir)
+
   /** Fresh scratch area per (queryName, input) under the repo's target dir;
     * wiped on entry so reruns don't resume stale checkpoints.
     */
