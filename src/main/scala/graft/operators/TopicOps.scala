@@ -83,6 +83,25 @@ object TopicOps {
         col("latest.value").as("value"), col("latest.ts").as("ts"))
       .filter(!isTombstone(col("value")))
 
+  /** Skew-hardened compaction: when a handful of keys dominate (the
+    * log-compaction hot-key case AQE's skew handling doesn't cover —
+    * aggregation, not join), salt the first aggregate so a hot key spreads
+    * over `saltBuckets` reducers, then reduce the per-salt winners.
+    * max_by is associative, so the two-phase result is identical to
+    * [[compact]] (asserted in TopicOpsSpec).
+    */
+  def compactSalted(src: DataFrame, saltBuckets: Int = 16): DataFrame =
+    src.withColumn("salt", pmod(col("offset"), lit(saltBuckets)))
+      .groupBy(col("topic"), col("partition"), col("key"), col("salt"))
+      .agg(max(col("offset")).as("offset"),
+        max_by(struct(col("value"), col("ts")), col("offset")).as("latest"))
+      .groupBy(col("topic"), col("partition"), col("key"))
+      .agg(max(col("offset")).as("offset"),
+        max_by(col("latest"), col("offset")).as("latest"))
+      .select(col("topic"), col("partition"), col("key"), col("offset"),
+        col("latest.value").as("value"), col("latest.ts").as("ts"))
+      .filter(!isTombstone(col("value")))
+
   /** Decode-failure / validation routing — the DLQ workflow the reference is
     * built for (README overview; decode failure in MixedValue.kt:30 aborts
     * the reference pipeline, here it routes). `error` evaluates to a reason

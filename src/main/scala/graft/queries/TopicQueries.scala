@@ -75,6 +75,9 @@ object TopicQueries {
     "topic_compact" -> ((s, dir) =>
       TopicOps.compact(Topics.events(s, dir))
         .orderBy(col("partition"), col("key"))),
+    "topic_compact_salted" -> ((s, dir) =>
+      TopicOps.compactSalted(Topics.events(s, dir))
+        .orderBy(col("partition"), col("key"))),
     "topic_dlq" -> ((s, dir) =>
       TopicOps.dlqSplit(Topics.events(s, dir), dlqError)
         .select(col("sink"), col("error"), col("partition"), col("offset"),
@@ -139,6 +142,14 @@ object TopicQueries {
          |FROM topic WHERE "value" IS NOT NULL
          |GROUP BY 1 ORDER BY action""".stripMargin,
     "topic_compact" ->
+      s"""$TopicCte
+         |SELECT topic, "partition", "key", "offset", "value", ts FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY topic, "partition", "key" ORDER BY "offset" DESC) AS rn
+         |  FROM topic)
+         |WHERE rn = 1 AND "value" IS NOT NULL
+         |ORDER BY "partition", "key"""".stripMargin,
+    "topic_compact_salted" ->
       s"""$TopicCte
          |SELECT topic, "partition", "key", "offset", "value", ts FROM (
          |  SELECT *, row_number() OVER (

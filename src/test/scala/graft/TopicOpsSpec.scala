@@ -61,6 +61,15 @@ class TopicOpsSpec extends SparkSpec {
     out.unpersist(); src.unpersist()
   }
 
+  test("salted two-phase compaction equals plain compaction (hot-key skew path)") {
+    val src = topic.cache()
+    val plain = TopicOps.compact(src)
+    val salted = TopicOps.compactSalted(src, saltBuckets = 5)
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+    src.unpersist()
+  }
+
   test("route sends merge+purge for merged, purge-only for purged, nothing for skipped (Ask.kt:44)") {
     val action = when(col("offset") % 3 === 0, "merge")
       .when(col("offset") % 3 === 1, "purge").otherwise("skip")
