@@ -49,6 +49,55 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("nrm"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
 
+  /** IVF coarse quantizer: K deterministic centroids (LCG literals — the
+    * stand-in for offline k-means centroids a real deployment would fit
+    * and broadcast). centroid(c)(i) uses the same generator family as the
+    * LSH planes with an offset so the two codebooks differ.
+    */
+  val NCentroids = 16
+  val centroids: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NCentroids).map(c => (0 until Dim).map(i =>
+      (((1103515245L * ((c + 100) * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
+
+  private def centroidNorm(c: Int): Double =
+    math.sqrt(centroids(c).map(x => x * x).sum)
+
+  /** Array of cosine similarities to each centroid (fold order fixed). */
+  private def centroidCos: Column =
+    array((0 until NCentroids).map { c =>
+      planeDot(col("e"), centroids(c)) / (col("nrm") * lit(centroidNorm(c)))
+    }: _*)
+
+  /** IVF-bucketed ANN: corpus vectors live in their nearest-centroid
+    * bucket (argmax cosine, first-index tie-break); each query probes its
+    * top-`probes` centroid buckets and reranks candidates exactly. The
+    * candidate set is bounded by the probed buckets' population — the
+    * 100-TB path when sign-LSH recall is too blunt.
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 2): DataFrame = {
+    val v = vectors(emb)
+    val withCos = v.withColumn("cc", centroidCos)
+    val corpus = withCos.filter(!isQuery)
+      .withColumn("bucket", array_position(col("cc"), array_max(col("cc"))))
+      .select(col("vec_id").as("corpus_id"), col("bucket"))
+    val sorted = sort_array(col("cc"), asc = false)
+    val queries = withCos.filter(isQuery)
+      .withColumn("probe_bucket", explode(array(
+        (1 to probes).map(p => array_position(col("cc"), element_at(sorted, p))): _*)))
+      .select(col("vec_id").as("query_id"), col("probe_bucket").as("bucket"))
+    val cand = corpus.join(broadcast(queries), "bucket")
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+    val vq = v.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val vc = v.select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
+    val scored = cand.join(broadcast(vq), "query_id").join(vc, "corpus_id")
+      .withColumn("cos", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+  }
+
   /** Cosine near-dup pairs: banded-LSH candidates, exact cosine verify.
     * The candidate join keys on (band_id, band_val); the quadratic part is
     * confined to per-bucket populations.

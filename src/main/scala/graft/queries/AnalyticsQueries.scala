@@ -121,6 +121,19 @@ object AnalyticsQueries {
           grouping_id(col("event_type"), col("hour")).cast("long").as("level"))
         .orderBy(col("level"), col("event_type"), col("hour"))),
 
+    // Sketch-based approximate aggregates: HLL++ distinct + percentile
+    // sketch — mergeable partial states, the only viable shape for
+    // distincts/quantiles at 100 TB. Engine-specific sketches have no
+    // cross-engine oracle → rows-only gate + error-bound spec.
+    "events_approx" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+        .orderBy(col("event_type"))),
+
     // Native session-window operator (30-min gap): one shuffle on user_id,
     // sessions merged by Spark's SessionWindow — the streaming-ready form.
     "events_session_window" -> ((s, dir) =>

@@ -49,6 +49,9 @@ object PipelineQueries {
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    "sim_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "text_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_quality" -> ((s, dir) =>
@@ -230,6 +233,38 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
+
+    "sim_topk_ivf" -> {
+      import Similarity.{centroids, NCentroids}
+      def centroidLit(c: Int): String =
+        "[" + centroids(c).map(x => s"CAST($x AS DOUBLE)").mkString(", ") + "]"
+      def centroidNorm(c: Int): Double = math.sqrt(centroids(c).map(x => x * x).sum)
+      val ccList = (0 until NCentroids).map { c =>
+        s"${dotSql("e", centroidLit(c))} / (nrm * CAST(${centroidNorm(c)} AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+      NormCte +
+        s"""
+           |, cc AS (SELECT vec_id, e, nrm, $ccList AS cc FROM v),
+           |corpus AS (
+           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+           |  FROM cc WHERE vec_id >= 8),
+           |probes AS (
+           |  SELECT vec_id AS query_id,
+           |         unnest([list_position(cc, list_sort(cc, 'DESC')[1]),
+           |                 list_position(cc, list_sort(cc, 'DESC')[2])]) AS bucket
+           |  FROM cc WHERE vec_id < 8),
+           |cand AS (
+           |  SELECT DISTINCT query_id, corpus_id
+           |  FROM corpus JOIN probes USING (bucket)),
+           |scored AS (
+           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+           |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+           |  FROM scored)
+           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+           |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "text_lang_id" -> {
       val hits = TextOps.stopwords.map { case (l, list) => s"${stopHitsSql(list)} AS s_$l" }.mkString(", ")

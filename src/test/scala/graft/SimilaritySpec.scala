@@ -40,6 +40,20 @@ class SimilaritySpec extends SparkSpec {
     bf.unpersist(); lsh.unpersist()
   }
 
+  test("IVF top-k hits score identically to brute force; recall reported") {
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val ivf = Similarity.ivfTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id"), col("cos")).cache()
+    assert(ivf.except(bf).count() === 0)
+    val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id")).cache()
+    val recall = ivf.select("query_id", "corpus_id").intersect(bf10).count().toDouble / bf10.count()
+    info(f"IVF (16 centroids, 2 probes) top-10 recall vs brute force: $recall%.2f")
+    assert(recall > 0.05)
+    bf10.unpersist(); ivf.unpersist()
+  }
+
   test("embedding near-dup pairs verify exact cosine above threshold, canonical order") {
     val p = Similarity.embeddingPairs(emb, tau = 0.4).cache()
     assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)

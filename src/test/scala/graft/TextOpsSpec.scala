@@ -53,6 +53,18 @@ class TextOpsSpec extends SparkSpec {
     assert(decoded.except(meta).count() === 0)
   }
 
+  test("approximate aggregates stay within their error bounds vs exact") {
+    val events = Tables.load(spark, sf, "events")
+    val approx = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
+      .select("event_type", "approx_users")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val joined = approx.join(exact, "event_type")
+    val bad = joined.filter(
+      abs(col("approx_users") - col("exact_users")) > col("exact_users") * 0.1 + 1)
+    assert(bad.count() === 0, "HLL++ rsd=0.02 should stay well within 10%")
+  }
+
   test("multimodal features are 8-dim and normalized to [0,1]") {
     val d = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs)).cache()
     assert(d.filter(size(col("feature")) =!= 8).count() === 0)
