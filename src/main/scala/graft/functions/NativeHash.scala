@@ -35,6 +35,35 @@ object NativeHash {
     reg.createOrReplaceTempFunction(
       "graft_min_gram_hash", exprs => MinGramHash(exprs.head,
         if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int] else 8), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lang_scores", exprs => LangScores(exprs.head), "built-in")
+  }
+}
+
+/** Production registration path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * installs the native functions in every session of the cluster, so SQL
+  * users get them without any library call. Operators still call
+  * [[NativeHash.register]] defensively for ad-hoc sessions.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions.NativeHash", null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "distinct 3-gram shingle hashes of a text column"),
+      exprs => ShingleHashes3(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", "32-bit simhash of a long-array column"),
+      exprs => SimHash32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_min_gram_hash"),
+      info("graft_min_gram_hash", "minimum rolling polyhash over n-char grams"),
+      exprs => MinGramHash(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int] else 8)))
+    ext.injectFunction((FunctionIdentifier("graft_lang_scores"),
+      info("graft_lang_scores", "per-language stopword hit counts"),
+      exprs => LangScores(exprs.head)))
   }
 }
 
@@ -121,6 +150,48 @@ object MinGramHashImpl {
       i += 1
     }
     min
+  }
+}
+
+/** text → array of per-language stopword hit counts (one tokenize pass,
+  * all languages at once); fused twin of 5× TextFunctions.stopwordHits.
+  * The language table is TextFunctions.langStopwords.
+  */
+case class LangScores(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lang_scores"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangScoresImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangScoresImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
+object LangScoresImpl {
+  private val sets: Array[java.util.HashSet[String]] =
+    TextFunctions.langStopwords.map { case (_, list) =>
+      new java.util.HashSet[String](java.util.Arrays.asList(list: _*))
+    }.toArray
+
+  def compute(text: UTF8String): ArrayData = {
+    val words = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(w)) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
   }
 }
 

@@ -59,6 +59,16 @@ object TextFunctions {
   def stopwordHits(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(list)))
 
+  /** Per-language stopword lists for language ID (common closed-class
+    * words per language); the baked-in table of [[LangScores]].
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "he"))
+
   /** MinHash signature entry j: min over shingle hashes of (a*h + b) mod p.
     * p = 2^31-1 keeps a*h inside a long.
     */

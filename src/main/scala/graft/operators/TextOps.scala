@@ -11,25 +11,25 @@ import graft.functions.TextFunctions._
   */
 object TextOps {
 
-  /** Per-language stopword lists for the n-gram/stopword language-ID
-    * heuristic (common closed-class words per language).
+  /** Per-language stopword lists (canonical table in TextFunctions so the
+    * fused LangScores expression shares it).
     */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
-    "fr" -> Seq("le", "la", "de", "et", "est", "un", "que"),
-    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "he"))
+  val stopwords: Seq[(String, Seq[String])] = langStopwords
 
   /** Greedy argmax over per-language stopword hit counts; ties resolve in
     * list order (en > es > de > fr > zh), mirrored by the oracle's CASE
-    * chain.
+    * chain. Scores come from the fused native expression — one tokenize
+    * pass for all languages instead of 5 interpreted HOF filters.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val ws = docs.withColumn("w", words(col("text")))
-    val scored = ws.select(
-      col("doc_id") +: col("lang") +:
-        stopwords.map { case (l, list) => stopwordHits(col("w"), list).cast("long").as(s"s_$l") }: _*)
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), expr("graft_lang_scores(text)").as("scores"))
+      .select(
+        col("doc_id") +: col("lang") +:
+          stopwords.zipWithIndex.map { case ((l, _), i) =>
+            element_at(col("scores"), i + 1).as(s"s_$l")
+          }: _*)
     val langs = stopwords.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
       val ge = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
