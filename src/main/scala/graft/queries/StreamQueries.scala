@@ -44,6 +44,14 @@ object StreamQueries {
           col("key"), col("value"))
         .orderBy(col("offset"))
     }),
+    // Event-time sessionization changelog: sessions closed by in-batch
+    // gaps or watermark timeouts (open tail sessions withheld — no SQL
+    // oracle; equivalence asserted in StreamingSpec).
+    "stream_sessionize" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sessionize", dir)
+      TopicStream.sessionizeStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)

@@ -6,6 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.TimestampType
 import org.apache.spark.sql.types.LongType
 
 import graft.operators.TopicOps
@@ -220,6 +221,91 @@ object TopicStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** One user's event for sessionization. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** An open session's state (full-precision timestamps: the test data is
+    * microsecond-resolved and getTime-only bounds would drop sub-ms).
+    */
+  case class SessionAcc(start: java.sql.Timestamp, last: java.sql.Timestamp,
+                        n: Long, total: Double)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  /** A closed session. */
+  case class SessionOut(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Event-time sessionization with true streaming state: per-user open
+    * session in the state store, closed either by an in-batch gap or by an
+    * EventTimeTimeout once the watermark passes last-event + gap. Sessions
+    * still open when a finite replay ends are never emitted (output ⊆ the
+    * batch sessionization — asserted in the spec); on an unbounded stream
+    * the timeout drains every session, with state bounded by the number of
+    * concurrently-active users.
+    */
+  def sessionizeUpdates(spark: SparkSession, events: DataFrame,
+                        gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+            val closed = Seq.newBuilder[SessionOut]
+            var acc = state.getOption
+            sorted.foreach { e =>
+              acc match {
+                // gap rule on millis — identical to the batch oracle's
+                // unix_millis() comparison
+                case Some(a) if e.ts.getTime - a.last.getTime <= gapMs =>
+                  acc = Some(SessionAcc(a.start, e.ts, a.n + 1, a.total + e.value))
+                case Some(a) =>
+                  closed += SessionOut(user, a.start, a.last, a.n, a.total)
+                  acc = Some(SessionAcc(e.ts, e.ts, 1, e.value))
+                case None =>
+                  acc = Some(SessionAcc(e.ts, e.ts, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Runs [[sessionizeUpdates]] over the events stream to parquet. */
+  def sessionizeStream(spark: SparkSession, eventsPath: String,
+                       outDir: String, checkpointDir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val sessions = sessionizeUpdates(spark, eventsStream(spark, eventsPath, maxFilesPerTrigger))
+    val q = sessions.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
         ()
       }
       .start()

@@ -59,6 +59,39 @@ class StreamingSpec extends SparkSpec {
     updates.unpersist()
   }
 
+  /** events written as 4 sequential time-ordered files (ascending mtimes),
+    * so maxFilesPerTrigger=1 replays them oldest-first and the watermark
+    * advances monotonically — the realistic unbounded-stream shape.
+    */
+  private lazy val orderedSplitDir: String = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/repo/target/stream-scratch/events-ordered"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    val e = Tables.load(spark, sf, "events")
+      .withColumn("q", ntile(4).over(Window.orderBy("ts")))
+    for (q <- 1 to 4) {
+      e.filter(col("q") === q).drop("q").coalesce(1)
+        .write.mode("append").parquet(dir)
+      Thread.sleep(400)
+    }
+    dir
+  }
+
+  test("event-time sessionization: streamed sessions are exactly batch sessions that closed") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_sessionize", orderedSplitDir)
+    val streamed = TopicStream.sessionizeStream(spark, orderedSplitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1)).cache()
+    assert(streamed.count() > 0, "gap/timeout closures must emit sessions")
+    val batch = graft.queries.AnalyticsQueries.queries("events_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    val s = streamed.select("user_id", "session_start", "session_end", "n_events")
+    assert(s.except(batch).count() === 0,
+      "every streamed session must match a batch session exactly")
+    assert(s.count() <= batch.count())
+    streamed.unpersist()
+  }
+
   test("watermarked append windows align with batch hours; counts bounded by batch (late drops)") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_window_append", splitDir)
     val streamed = TopicStream.windowStreamAppend(spark, splitDir, out, ckpt,
