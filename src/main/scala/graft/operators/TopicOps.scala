@@ -140,6 +140,12 @@ object TopicOps {
   private def tombstone: Column =
     producedRecord(col("topic"), lit(null).cast("string"), "purge")
 
+  /** Note on `partition`: the reference's merge-produce omits the
+    * destination partition (MergeAll.kt:41 — Kafka assigns by key at
+    * write); purge-produce pins the SOURCE partition (Pipeline.kt:97).
+    * Produced records here carry the source partition as provenance for
+    * both kinds; a Kafka sink partitions by key, matching the reference.
+    */
   private def producedRecord(destTopic: Column, value: Column, kind: String): Column =
     struct(
       destTopic.as("topic"), col("partition").as("partition"),
