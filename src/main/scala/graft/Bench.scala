@@ -35,11 +35,18 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
     val results = headliners.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          true
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); false
+        }
+      // -1 = machine-readable failure sentinel (a fast crash must not be
+      // reported as a fast query)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -74,7 +74,10 @@ object Dedup {
   def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
     val rows = MinhashK / bands
     val hashes = shingleHashes(docs)
-    val sig = hashes.select(
+    // drop empty shingle sets BEFORE banding: their minhashes are all NULL
+    // and concat_ws would fold every short doc into one "" band bucket — a
+    // quadratic candidate blow-up of guaranteed-unverifiable pairs
+    val sig = hashes.filter(size(col("hs")) > 0).select(
       col("doc_id") +: col("hs") +:
         (0 until MinhashK).map(j => minhash(col("hs"), minhashA(j), minhashB(j)).as(s"s$j")): _*)
     val banded = sig.select(col("doc_id"),

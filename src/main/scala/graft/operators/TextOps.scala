@@ -55,7 +55,7 @@ object TextOps {
         aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (s, x) => s + x))
       .withColumn("stop_hits", stopwordHits(col("w"), en).cast("long"))
       .withColumn("alpha_chars",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
       .withColumn("avg_word_len", col("word_chars").cast("double") / col("n_words"))
       .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_words"))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))

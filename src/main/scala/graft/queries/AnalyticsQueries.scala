@@ -19,7 +19,10 @@ object AnalyticsQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   private val one = lit(1).cast(DecimalType(12, 2))
 
-  private def decSumDouble(c: Column): Column = sum(dec(c)).cast("double")
+  /** Shared with the streaming twins (stream_window) so the decimal-sum
+    * convention can't drift from the oracle generator sqlDecSum.
+    */
+  private[graft] def decSumDouble(c: Column): Column = sum(dec(c)).cast("double")
 
   /** SQL fragment mirroring [[decSumDouble]]. */
   private def sqlDecSum(expr: String): String =

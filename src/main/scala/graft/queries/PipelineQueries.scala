@@ -152,7 +152,7 @@ object PipelineQueries {
 
     "dedup_minhash" -> (ShingleCte +
       s"""
-         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes),
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
          |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
          |ex AS (SELECT doc_id, band_id, band_val FROM bands
          |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
@@ -293,7 +293,7 @@ object PipelineQueries {
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (s, x) -> s + x) AS word_chars,
          |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
-         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
          |  FROM ws)
          |SELECT doc_id, n_chars, n_words, n_uniq,
          |  CAST(word_chars AS DOUBLE)/n_words AS avg_word_len,

@@ -94,7 +94,13 @@ object TopicQueries {
       TopicOps.committedOffsets(Topics.events(s, dir), "graft")
         .orderBy(col("partition"))))
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = oraclesBase
+    // compactSalted is compact by construction — one oracle, one gate
+    base + ("topic_compact_salted" -> base("topic_compact"))
+  }
+
+  private def oraclesBase: Map[String, String] = Map(
     "topic_print" ->
       s"""$TopicCte
          |SELECT "partition", "offset", ts, "key", "value"
@@ -142,14 +148,6 @@ object TopicQueries {
          |FROM topic WHERE "value" IS NOT NULL
          |GROUP BY 1 ORDER BY action""".stripMargin,
     "topic_compact" ->
-      s"""$TopicCte
-         |SELECT topic, "partition", "key", "offset", "value", ts FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY topic, "partition", "key" ORDER BY "offset" DESC) AS rn
-         |  FROM topic)
-         |WHERE rn = 1 AND "value" IS NOT NULL
-         |ORDER BY "partition", "key"""".stripMargin,
-    "topic_compact_salted" ->
       s"""$TopicCte
          |SELECT topic, "partition", "key", "offset", "value", ts FROM (
          |  SELECT *, row_number() OVER (

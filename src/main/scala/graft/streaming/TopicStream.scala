@@ -107,7 +107,7 @@ object TopicStream {
     val agg = eventsStream(spark, eventsPath, maxFilesPerTrigger)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        graft.queries.AnalyticsQueries.decSumDouble(col("value")).as("total_value"))
     completeToParquet(spark, agg, outDir, checkpointDir)
   }
 
@@ -248,17 +248,23 @@ object TopicStream {
   /** Event-time sessionization with true streaming state: per-user open
     * session in the state store, closed either by an in-batch gap or by an
     * EventTimeTimeout once the watermark passes last-event + gap. Sessions
-    * still open when a finite replay ends are never emitted (output ⊆ the
-    * batch sessionization — asserted in the spec); on an unbounded stream
-    * the timeout drains every session, with state bounded by the number of
-    * concurrently-active users.
+    * still open when a finite replay ends are never emitted; on an
+    * unbounded stream the timeout drains every session, with state bounded
+    * by the number of concurrently-active users.
+    *
+    * Correctness contract (standard watermark semantics): emitted sessions
+    * match the batch sessionization exactly as long as event-time disorder
+    * is bounded by `watermarkDelay` — an event arriving later than that is
+    * dropped and its session may close early/split. Size the delay to the
+    * source's disorder bound (asserted with ordered replay in the spec).
     */
   def sessionizeUpdates(spark: SparkSession, events: DataFrame,
-                        gapMinutes: Int = 30): Dataset[SessionOut] = {
+                        gapMinutes: Int = 30,
+                        watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("ts"), col("value"))
       .as[UserEvent]
       .groupByKey(_.user_id)
