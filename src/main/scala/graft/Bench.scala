@@ -13,7 +13,7 @@ object Bench {
     "events_window", "events_sessionize", "events_session_window",
     "orders_anti_join", "events_rollup",
     "topic_merge_all", "topic_ask_route", "topic_compact", "topic_dlq",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "events_approx",
     "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta")

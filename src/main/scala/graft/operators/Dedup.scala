@@ -65,6 +65,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard (PPJoin-style) — the 100-TB form of
+    * [[ngramJaccardPairs]]: each doc indexes only its
+    * `n - ceil(tau*n) + 1` globally-rarest shingles (order: document
+    * frequency asc, hash asc). Two docs with Jaccard ≥ tau MUST share a
+    * prefix shingle (pigeonhole on the overlap bound), so no pair is
+    * lost, while the inverted index shrinks to the rare tail — hot
+    * (frequent) shingles never generate candidates. Exact verification
+    * runs on candidates only; output is identical to the full
+    * inverted-index operator (asserted in DedupSpec).
+    *
+    * tau is the rational tauNum/tauDen so the prefix bound is integer
+    * arithmetic, bit-identical in the DuckDB oracle.
+    *
+    * Crossover: at toy scale the df-ranking + per-candidate set
+    * intersection costs more than the full inverted join it avoids
+    * (sf0.1: 2.8× fewer candidates but ~2.5× slower). The filter wins
+    * when corpus size makes the quadratic candidate join the bottleneck —
+    * exactly the 100-TB regime this variant exists for.
+    */
+  def ngramJaccardPrefixPairs(docs: DataFrame,
+                              tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val tau = tauNum.toDouble / tauDen
+    val hashes = shingleHashes(docs)
+    val ex = hashes.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(w))
+      // prefix length = n - ceil(n*tau) + 1, all-integer
+      .filter(col("rk") <= expr(s"n_sh - (n_sh * $tauNum + ${tauDen - 1}) DIV $tauDen + 1"))
+      .select(col("doc_id"), col("h"))
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+    val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** MinHash+LSH near-dup: k=16 signature in 4 bands of 4 rows; candidate
     * pairs share at least one band; exact Jaccard (on the full shingle
     * hash sets) verifies candidates. Bands are the scale path — the join

@@ -34,6 +34,9 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), JaccardTau)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefixPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -148,6 +151,30 @@ object PipelineQueries {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_ngram_prefix" -> (ShingleCte +
+      s"""
+         |, ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM hashes),
+         |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+         |ranked AS (
+         |  SELECT doc_id, n_sh, h,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rk
+         |  FROM ex JOIN dfreq USING (h)),
+         |prefix AS (
+         |  SELECT doc_id, h FROM ranked
+         |  WHERE rk <= n_sh - (n_sh * 1 + 1) // 2 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
+         |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_minhash" -> (ShingleCte +

@@ -37,6 +37,13 @@ class DedupSpec extends SparkSpec {
     exact.unpersist(); lsh.unpersist()
   }
 
+  test("prefix-filtered Jaccard returns exactly the full inverted-index pairs (lossless filter)") {
+    val full = Dedup.ngramJaccardPairs(docs)
+    val pref = Dedup.ngramJaccardPrefixPairs(docs)
+    assert(pref.except(full).count() === 0)
+    assert(full.except(pref).count() === 0)
+  }
+
   test("near-dup pairs are canonical (doc_a < doc_b) and within threshold bounds") {
     val p = Dedup.ngramJaccardPairs(docs).cache()
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
