@@ -112,6 +112,17 @@ object TopicOps {
       when(isTombstone(col("value")), lit(null).cast("string")).otherwise(error))
       .withColumn("sink", when(col("error").isNotNull, lit("dlq")).otherwise(lit("clean")))
 
+  /** The reference's DEFAULT decode contract: a deserialization failure
+    * ABORTS the whole pipeline (MixedValue.kt:30's exception propagates
+    * out of the poll loop) — [[dlqSplit]] is the routing alternative.
+    * assert_true evaluates per row inside the filter, so the job fails
+    * fast on the first bad record of any partition.
+    */
+  def strictDecode(src: DataFrame, error: Column): DataFrame =
+    src.filter(assert_true(
+      isTombstone(col("value")) || error.isNull,
+      concat(lit("decode failure at offset "), col("offset"), lit(": "), error)).isNull)
+
   /** MixedValue dual view (MixedValue.kt:13): raw untouched bytes + decoded
     * fields side by side. `decoded` maps the value column to decoded cols.
     */

@@ -82,6 +82,17 @@ class TopicOpsSpec extends SparkSpec {
     out.unpersist(); src.unpersist()
   }
 
+  test("strict decode aborts the job on the first failure; passes clean data through") {
+    val clean = TopicOps.strictDecode(topic, lit(null).cast("string"))
+    assert(clean.count() === topic.count())
+    val failing = TopicOps.strictDecode(topic,
+      when(col("offset") % 100 === 7, "bad record"))
+    val e = intercept[Exception](failing.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("decode failure")), e.getMessage)
+  }
+
   test("dlq split routes tombstones as clean pass-through") {
     val out = TopicOps.dlqSplit(topic, when(col("value").isNull, "x")).cache()
     assert(out.filter(col("value").isNull && col("sink") =!= "clean").count() === 0)
