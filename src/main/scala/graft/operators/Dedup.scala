@@ -118,21 +118,30 @@ object Dedup {
     * key is (band_id, band_val) and the verify join touches candidates
     * only.
     */
-  def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
+  /** (doc_id, hs, band_id, band_val) — the exploded MinHash LSH band index
+    * of a (doc_id, hs) frame. Stateless projections only, so it applies
+    * identically to a streaming frame (DedupStream). Docs with empty
+    * shingle sets are dropped BEFORE banding: their minhashes are all NULL
+    * and concat_ws would fold every short doc into one "" band bucket — a
+    * quadratic candidate blow-up of guaranteed-unverifiable pairs.
+    */
+  def minhashBands(hashes: DataFrame, bands: Int = 4): DataFrame = {
     val rows = MinhashK / bands
-    val hashes = shingleHashes(docs)
-    // drop empty shingle sets BEFORE banding: their minhashes are all NULL
-    // and concat_ws would fold every short doc into one "" band bucket — a
-    // quadratic candidate blow-up of guaranteed-unverifiable pairs
     val sig = hashes.filter(size(col("hs")) > 0).select(
       col("doc_id") +: col("hs") +:
         (0 until MinhashK).map(j => minhash(col("hs"), minhashA(j), minhashB(j)).as(s"s$j")): _*)
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"), col("hs"),
       explode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band_id"),
           concat_ws(",", (0 until rows).map(r => col(s"s${bd * rows + r}")): _*).as("band_val"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+      .select(col("doc_id"), col("hs"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+  }
+
+  def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
+    val hashes = shingleHashes(docs)
+    val banded = minhashBands(hashes, bands).drop("hs")
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.TopicStream
+import graft.streaming.{DedupStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -44,6 +44,14 @@ object StreamQueries {
           col("key"), col("value"))
         .orderBy(col("offset"))
     }),
+    // Streaming set-similarity join: near-dup-on-ingest; self-ingest
+    // replay reproduces the batch MinHash pairs (batch oracle verbatim).
+    "stream_dedup_ingest" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_dedup_ingest", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      DedupStream.nearDupIngestStream(s, s"$dir/documents.parquet", out, ckpt)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // Event-time sessionization changelog: sessions closed by in-batch
     // gaps or watermark timeouts (open tail sessions withheld — no SQL
     // oracle; equivalence asserted in StreamingSpec).
@@ -62,5 +70,6 @@ object StreamQueries {
     "stream_merge" -> TopicQueries.oracles("topic_merge_all"),
     "stream_compact" -> TopicQueries.oracles("topic_compact"),
     "stream_window" -> AnalyticsQueries.oracles("events_window"),
-    "stream_dlq" -> TopicQueries.oracles("topic_dlq"))
+    "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
+    "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"))
 }

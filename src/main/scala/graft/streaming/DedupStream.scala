@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.Dedup
+
+/** Streaming set-similarity join: near-dup detection ON INGEST — the shape
+  * a training-data pipeline actually needs ("is this newly crawled doc a
+  * near-duplicate of anything in the corpus?").
+  *
+  * The incoming stream is shingled + MinHash-banded with the SAME
+  * stateless projections as the batch operator, then stream-static joined
+  * against the corpus band index; exact Jaccard verifies candidates. No
+  * streaming state at all — each micro-batch is a bounded probe of the
+  * (re-readable) corpus index, so this scales with the batch size, not
+  * the stream history. At 100 TB the corpus index lives partitioned by
+  * band_val; each probe shuffles only the micro-batch.
+  */
+object DedupStream {
+
+  /** Pairs (corpus doc, new doc, jaccard ≥ tau). `dedupeInBatch` distinct
+    * runs inside the sink (a new doc's exploded bands land in one
+    * micro-batch, so per-batch distinct is complete — no cross-batch
+    * state needed).
+    */
+  def nearDupIngest(corpusDocs: DataFrame, incoming: DataFrame,
+                    tau: Double = 0.5, bands: Int = 4): DataFrame = {
+    val corpusHashes = Dedup.shingleHashes(corpusDocs)
+    val corpusIndex = Dedup.minhashBands(corpusHashes, bands)
+      .select(col("doc_id").as("corpus_id"), col("band_id"), col("band_val"))
+    val corpusSets = corpusHashes
+      .select(col("doc_id").as("corpus_id"), col("hs").as("corpus_hs"))
+    val streamBands = Dedup.minhashBands(Dedup.shingleHashes(incoming), bands)
+      .select(col("doc_id").as("new_id"), col("hs").as("new_hs"),
+        col("band_id"), col("band_val"))
+    streamBands.join(corpusIndex, Seq("band_id", "band_val"))
+      .filter(col("corpus_id") < col("new_id"))
+      .join(corpusSets, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("corpus_hs"), col("new_hs"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("corpus_hs")) + size(col("new_hs")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("corpus_id").as("doc_a"), col("new_id").as("doc_b"), col("jaccard"))
+  }
+
+  /** Streams `docsPath` against the corpus at the same path (self-ingest:
+    * replaying the corpus through the ingest detector reproduces exactly
+    * the batch minhashPairs result — gate-checked with its oracle).
+    */
+  def nearDupIngestStream(spark: SparkSession, docsPath: String,
+                          outDir: String, checkpointDir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val corpus = spark.read.parquet(docsPath)
+    val schema = corpus.schema
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val p = Paths.get(docsPath)
+    val globbed =
+      if (java.nio.file.Files.isDirectory(p)) docsPath
+      else s"${p.getParent}/{${p.getFileName}}"
+    val incoming = withOpt.parquet(globbed)
+    val pairs = nearDupIngest(corpus, incoming)
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // multi-band hits duplicate within the batch; distinct here is
+        // complete because one doc's bands never span batches
+        batch.dropDuplicates("doc_a", "doc_b")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+}

@@ -92,6 +92,20 @@ class StreamingSpec extends SparkSpec {
     streamed.unpersist()
   }
 
+  test("streaming near-dup ingest over multi-batch replay equals batch MinHash pairs") {
+    val docsDir = "/root/repo/target/stream-scratch/docs-split"
+    Tables.load(spark, sf, "documents").repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_dedup_ingest", docsDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val streamed = graft.streaming.DedupStream.nearDupIngestStream(
+      spark, docsDir, out, ckpt, maxFilesPerTrigger = Some(1))
+      .select("doc_a", "doc_b", "jaccard")
+    val batch = graft.operators.Dedup.minhashPairs(Tables.load(spark, sf, "documents"))
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("watermarked append windows align with batch hours; counts bounded by batch (late drops)") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_window_append", splitDir)
     val streamed = TopicStream.windowStreamAppend(spark, splitDir, out, ckpt,
