@@ -62,8 +62,10 @@ object Similarity {
   private def centroidNorm(c: Int): Double =
     math.sqrt(centroids(c).map(x => x * x).sum)
 
-  /** Array of cosine similarities to each centroid (fold order fixed). */
-  private def centroidCos: Column =
+  /** Array of cosine similarities to each centroid (fold order fixed);
+    * shared with SimilarityStream so stream and batch bucket identically.
+    */
+  private[graft] def centroidCos: Column =
     array((0 until NCentroids).map { c =>
       planeDot(col("e"), centroids(c)) / (col("nrm") * lit(centroidNorm(c)))
     }: _*)

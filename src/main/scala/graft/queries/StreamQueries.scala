@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{DedupStream, TopicStream}
+import graft.streaming.{DedupStream, SimilarityStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -52,6 +52,14 @@ object StreamQueries {
       DedupStream.nearDupIngestStream(s, s"$dir/documents.parquet", out, ckpt)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // Streaming ANN serving: query vectors probe the static IVF index;
+    // replay reproduces sim_topk_ivf (batch oracle verbatim).
+    "stream_sim_ivf" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.ivfTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Event-time sessionization changelog: sessions closed by in-batch
     // gaps or watermark timeouts (open tail sessions withheld — no SQL
     // oracle; equivalence asserted in StreamingSpec).
@@ -71,5 +79,6 @@ object StreamQueries {
     "stream_compact" -> TopicQueries.oracles("topic_compact"),
     "stream_window" -> AnalyticsQueries.oracles("events_window"),
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
-    "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"))
+    "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
+    "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"))
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.Similarity
+
+/** Streaming ANN serving: query vectors arrive as a stream and probe the
+  * static IVF index — the online face of [[Similarity.ivfTopK]].
+  *
+  * The stream side is stateless (centroid-cosine projection + probe
+  * explode); candidates come from a stream-static join against the
+  * corpus bucket index, and the per-query top-k rerank runs inside each
+  * micro-batch (a query's candidates never span batches, so batch-local
+  * ranking is complete). At scale the corpus index is partitioned by
+  * bucket and each micro-batch shuffles only itself.
+  */
+object SimilarityStream {
+
+  /** Streams `embPath` as incoming queries (vec_id < 8, the same query
+    * set as the batch op) against the corpus at the same path — replay
+    * equals [[Similarity.ivfTopK]] exactly, gate-checked with its oracle.
+    */
+  def ivfTopKStream(spark: SparkSession, embPath: String,
+                    outDir: String, checkpointDir: String, k: Int = 10,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val corpus = spark.read.parquet(embPath)
+    val isQuery = col("vec_id") < 8
+
+    val corpusIndex = Similarity.vectors(corpus.filter(!isQuery))
+      .withColumn("cc", Similarity.centroidCos)
+      .withColumn("bucket", array_position(col("cc"), array_max(col("cc"))))
+      .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"), col("bucket"))
+
+    val schema = corpus.schema
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val p = Paths.get(embPath)
+    val globbed =
+      if (Files.isDirectory(p)) embPath else s"${p.getParent}/{${p.getFileName}}"
+    val incoming = withOpt.parquet(globbed).filter(isQuery)
+
+    val qv = Similarity.vectors(incoming).withColumn("cc", Similarity.centroidCos)
+    val sorted = sort_array(col("cc"), asc = false)
+    val probes = qv
+      .withColumn("bucket", explode(array(
+        (1 to 2).map(pr => array_position(col("cc"), element_at(sorted, pr))): _*)))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
+
+    val scored = probes.join(corpusIndex, "bucket")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+
+    val q = scored.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a query's candidates all land in its arrival batch → batch-local
+        // dedup + rerank is the complete per-query top-k
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+        batch.dropDuplicates("query_id", "corpus_id")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+}
