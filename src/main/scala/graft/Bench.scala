@@ -16,7 +16,8 @@ object Bench {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "events_approx",
-    "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta")
+    "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta",
+    "pipeline_clean_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -66,6 +66,25 @@ object TextOps {
         "uniq_ratio", "stop_ratio", "alpha_ratio", "quality")
   }
 
+  /** The end-to-end corpus-cleaning pipeline, composed as ONE declarative
+    * plan (Catalyst sees everything): quality-filter → exact dedup (keep
+    * the min-id copy) → near-dup removal (drop the higher-id doc of every
+    * Jaccard ≥ tau pair). The shape every training-data prep run takes;
+    * each stage is the operator verified on its own above.
+    */
+  def cleanCorpus(docs: DataFrame, minQuality: Double = 0.48,
+                  tau: Double = 0.5): DataFrame = {
+    val q = quality(docs).filter(col("quality") >= minQuality)
+      .select("doc_id", "quality")
+    val survivors = docs.join(q, "doc_id")
+    val keepers = Dedup.exact(survivors).select(col("keeper_id").as("doc_id"))
+    val afterExact = survivors.join(keepers, "doc_id")
+    val nearDupLosers = Dedup.ngramJaccardPairs(afterExact, tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+    afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "quality")
+  }
+
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 

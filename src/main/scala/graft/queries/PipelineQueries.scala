@@ -65,6 +65,8 @@ object PipelineQueries {
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
       Multimodal.meta(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      TextOps.cleanCorpus(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // Batched mapPartitions decode plumbing — not ANSI-SQL-expressible
     // (driver rows-only check; exactness covered by MultimodalSpec).
     "mm_decode" -> ((s, dir) =>
@@ -82,10 +84,11 @@ object PipelineQueries {
 
   /** Distinct 3-gram shingle hashes per doc, as in Dedup.shingleHashes:
     * per-word polyhash combined with ((h1*31+h2) mod M * 31 + h3) mod M.
+    * CTE body parameterized by source relation for composite pipelines.
     */
-  private val ShingleCte =
-    s"""WITH ws AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+  private def shingleCteBody(src: String): String =
+    s"""ws AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM $src),
        |whs AS (
        |  SELECT doc_id, list_transform(w, s -> ${poly("s")}) AS wh FROM ws),
        |hs0 AS (
@@ -95,6 +98,8 @@ object PipelineQueries {
        |  FROM whs),
        |hashes AS (
        |  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs0)""".stripMargin
+
+  private val ShingleCte = "WITH " + shingleCteBody("documents")
 
   private def mhSig: String = (0 until MinhashK).map { j =>
     s"list_min(list_transform(hs, h -> (h*${minhashA(j)}+${minhashB(j)}) % $P)) AS s$j"
@@ -292,6 +297,39 @@ object PipelineQueries {
            |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
            |ORDER BY query_id, rnk""".stripMargin
     },
+
+    "pipeline_clean_corpus" ->
+      s"""WITH wq AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM wq),
+         |survivors AS (
+         |  SELECT doc_id, text,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM m
+         |  WHERE 0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) >= 0.48),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM survivors GROUP BY md5(text)),
+         |after_exact AS (SELECT s.* FROM survivors s JOIN keepers USING (doc_id)),
+         |${shingleCteBody("after_exact")},
+         |ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM hashes),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         max(a.n_sh) AS na, max(b.n_sh) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
+         |SELECT doc_id, quality FROM after_exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" -> {
       val hits = TextOps.stopwords.map { case (l, list) => s"${stopHitsSql(list)} AS s_$l" }.mkString(", ")
