@@ -11,7 +11,7 @@ object Bench {
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
-    "orders_anti_join", "events_rollup",
+    "orders_anti_join", "events_rollup", "q18_large_orders",
     "topic_merge_all", "topic_ask_route", "topic_compact", "topic_dlq",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",

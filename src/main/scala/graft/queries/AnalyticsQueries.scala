@@ -124,6 +124,23 @@ object AnalyticsQueries {
           grouping_id(col("event_type"), col("hour")).cast("long").as("level"))
         .orderBy(col("level"), col("event_type"), col("hour"))),
 
+    // TPC-H Q18-ish: large-quantity orders via an aggregated semi-join —
+    // the inner aggregate (HAVING) filters before the enrichment joins.
+    "q18_large_orders" -> ((s, dir) => {
+      val bigOrders = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(decSumDouble(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      ord.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Sketch-based approximate aggregates: HLL++ distinct + percentile
     // sketch — mergeable partial states, the only viable shape for
     // distincts/quantiles at 100 TB. Engine-specific sketches have no
@@ -242,6 +259,17 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_events, ${sqlDecSum("\"value\"")} AS total_value
          |FROM sess GROUP BY user_id, session_seq
          |ORDER BY user_id, session_start""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlDecSum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDecSum("l_quantity")} > 150)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
     "orders_anti_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  ${sqlDecSum("o_totalprice")} AS total
