@@ -112,12 +112,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash+LSH near-dup: k=16 signature in 4 bands of 4 rows; candidate
-    * pairs share at least one band; exact Jaccard (on the full shingle
-    * hash sets) verifies candidates. Bands are the scale path — the join
-    * key is (band_id, band_val) and the verify join touches candidates
-    * only.
-    */
   /** (doc_id, hs, band_id, band_val) — the exploded MinHash LSH band index
     * of a (doc_id, hs) frame. Stateless projections only, so it applies
     * identically to a streaming frame (DedupStream). Docs with empty
@@ -139,6 +133,12 @@ object Dedup {
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
   }
 
+  /** MinHash+LSH near-dup: k=16 signature in 4 bands of 4 rows; candidate
+    * pairs share at least one band; exact Jaccard (on the full shingle
+    * hash sets) verifies candidates. Bands are the scale path — the join
+    * key is (band_id, band_val) and the verify join touches candidates
+    * only.
+    */
   def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
     val hashes = shingleHashes(docs)
     val banded = minhashBands(hashes, bands).drop("hs")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Paths
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -22,14 +22,27 @@ import graft.operators.Dedup
   */
 object DedupStream {
 
-  /** Pairs (corpus doc, new doc, jaccard ≥ tau). `dedupeInBatch` distinct
+  /** Pairs (corpus doc, new doc, jaccard ≥ tau). By default ANY distinct
+    * corpus doc can match (a new doc's id may be smaller than its
+    * duplicate's — detection must not depend on the id scheme);
+    * `pairFilter` tightens this for the self-ingest replay gate, where
+    * `corpus_id < new_id` emits each pair exactly once. Per-pair distinct
     * runs inside the sink (a new doc's exploded bands land in one
     * micro-batch, so per-batch distinct is complete — no cross-batch
     * state needed).
     */
   def nearDupIngest(corpusDocs: DataFrame, incoming: DataFrame,
-                    tau: Double = 0.5, bands: Int = 4): DataFrame = {
-    val corpusHashes = Dedup.shingleHashes(corpusDocs)
+                    tau: Double = 0.5, bands: Int = 4,
+                    pairFilter: Column = col("corpus_id") =!= col("new_id")): DataFrame =
+    nearDupIngestHashed(Dedup.shingleHashes(corpusDocs), incoming, tau, bands, pairFilter)
+
+  /** As [[nearDupIngest]] but over a pre-computed (possibly persisted)
+    * corpus shingle-hash frame — every micro-batch probes the index, so
+    * callers should cache it rather than re-hash the corpus per trigger.
+    */
+  def nearDupIngestHashed(corpusHashes: DataFrame, incoming: DataFrame,
+                          tau: Double = 0.5, bands: Int = 4,
+                          pairFilter: Column = col("corpus_id") =!= col("new_id")): DataFrame = {
     val corpusIndex = Dedup.minhashBands(corpusHashes, bands)
       .select(col("doc_id").as("corpus_id"), col("band_id"), col("band_val"))
     val corpusSets = corpusHashes
@@ -38,7 +51,7 @@ object DedupStream {
       .select(col("doc_id").as("new_id"), col("hs").as("new_hs"),
         col("band_id"), col("band_val"))
     streamBands.join(corpusIndex, Seq("band_id", "band_val"))
-      .filter(col("corpus_id") < col("new_id"))
+      .filter(pairFilter)
       .join(corpusSets, "corpus_id")
       .withColumn("inter", size(array_intersect(col("corpus_hs"), col("new_hs"))).cast("long"))
       .withColumn("jaccard",
@@ -55,29 +68,29 @@ object DedupStream {
   def nearDupIngestStream(spark: SparkSession, docsPath: String,
                           outDir: String, checkpointDir: String,
                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val corpus = spark.read.parquet(docsPath)
-    val schema = corpus.schema
-    val reader = spark.readStream.schema(schema)
-    val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    val p = Paths.get(docsPath)
-    val globbed =
-      if (java.nio.file.Files.isDirectory(p)) docsPath
-      else s"${p.getParent}/{${p.getFileName}}"
-    val incoming = withOpt.parquet(globbed)
-    val pairs = nearDupIngest(corpus, incoming)
-    val q = pairs.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // multi-band hits duplicate within the batch; distinct here is
-        // complete because one doc's bands never span batches
-        batch.dropDuplicates("doc_a", "doc_b")
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    java.nio.file.Files.createDirectories(Paths.get(outDir))
+    // the corpus index is probed by EVERY micro-batch — cache it instead
+    // of re-hashing the whole corpus per trigger
+    val corpusHashes = Dedup.shingleHashes(spark.read.parquet(docsPath)).persist()
+    try {
+      val incoming = TopicStream.fileStream(spark, docsPath, maxFilesPerTrigger)
+      val pairs = nearDupIngestHashed(corpusHashes, incoming,
+        pairFilter = col("corpus_id") < col("new_id"))
+      val q = pairs.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // multi-band hits duplicate within the batch; distinct here is
+          // complete because one doc's bands never span batches
+          batch.dropDuplicates("doc_a", "doc_b")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    } finally corpusHashes.unpersist()
   }
 }

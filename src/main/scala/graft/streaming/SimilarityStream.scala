@@ -28,51 +28,50 @@ object SimilarityStream {
   def ivfTopKStream(spark: SparkSession, embPath: String,
                     outDir: String, checkpointDir: String, k: Int = 10,
                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
     val isQuery = col("vec_id") < 8
 
+    // probed by every micro-batch — cache the bucketed corpus index
     val corpusIndex = Similarity.vectors(corpus.filter(!isQuery))
       .withColumn("cc", Similarity.centroidCos)
       .withColumn("bucket", array_position(col("cc"), array_max(col("cc"))))
       .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"), col("bucket"))
+      .persist()
+    try {
+      val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
 
-    val schema = corpus.schema
-    val reader = spark.readStream.schema(schema)
-    val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    val p = Paths.get(embPath)
-    val globbed =
-      if (Files.isDirectory(p)) embPath else s"${p.getParent}/{${p.getFileName}}"
-    val incoming = withOpt.parquet(globbed).filter(isQuery)
+      val qv = Similarity.vectors(incoming).withColumn("cc", Similarity.centroidCos)
+      val sorted = sort_array(col("cc"), asc = false)
+      val probes = qv
+        .withColumn("bucket", explode(array(
+          (1 to 2).map(pr => array_position(col("cc"), element_at(sorted, pr))): _*)))
+        .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
 
-    val qv = Similarity.vectors(incoming).withColumn("cc", Similarity.centroidCos)
-    val sorted = sort_array(col("cc"), asc = false)
-    val probes = qv
-      .withColumn("bucket", explode(array(
-        (1 to 2).map(pr => array_position(col("cc"), element_at(sorted, pr))): _*)))
-      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
+      val scored = probes.join(corpusIndex, "bucket")
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+        .select(col("query_id"), col("corpus_id"), col("cos"))
 
-    val scored = probes.join(corpusIndex, "bucket")
-      .withColumn("cos",
-        graft.functions.VectorFunctions.dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
-      .select(col("query_id"), col("corpus_id"), col("cos"))
-
-    val q = scored.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // a query's candidates all land in its arrival batch → batch-local
-        // dedup + rerank is the complete per-query top-k
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
-        batch.dropDuplicates("query_id", "corpus_id")
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= k)
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+      val q = scored.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // a query's candidates all land in its arrival batch → batch-local
+          // dedup + rerank is the complete per-query top-k
+          val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+          batch.dropDuplicates("query_id", "corpus_id")
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= k)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    } finally corpusIndex.unpersist()
   }
 
 }

@@ -40,24 +40,32 @@ object TopicStream {
       topic: String, partition: Int, key: String,
       offset: Long, value: String, live: Boolean)
 
-  /** Streaming `events` source with the same nanos-ts normalization as
-    * Tables.load. `maxFilesPerTrigger` bounds each micro-batch (specs split
-    * the input to force real multi-batch incremental state); basePath must
-    * be the parent dir because the test input is a single parquet file.
+  /** Parquet file-stream source with batch-inferred schema.
+    * `maxFilesPerTrigger` bounds each micro-batch (specs split the input
+    * to force real multi-batch incremental state). The file stream source
+    * rejects a literal file path, so a single file becomes the `{name}`
+    * Hadoop glob. Shared by every streaming reader (events, documents,
+    * embeddings).
     */
-  def eventsStream(spark: SparkSession, path: String,
-                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+  def fileStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val p = Paths.get(path)
-    // The file stream source needs a directory or glob; a literal file path
-    // is rejected. {name} is a single-file Hadoop glob.
     val globbed =
       if (Files.isDirectory(p)) path
       else s"${p.getParent}/{${p.getFileName}}"
     val reader = spark.readStream.schema(schema)
     val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    val raw = withOpt.parquet(globbed)
-    if (schema("ts").dataType == LongType)
+    withOpt.parquet(globbed)
+  }
+
+  /** Streaming `events` source with the same nanos-ts normalization as
+    * Tables.load.
+    */
+  def eventsStream(spark: SparkSession, path: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val raw = fileStream(spark, path, maxFilesPerTrigger)
+    if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw
   }
@@ -365,7 +373,7 @@ object TopicStream {
     (leaf.resolve("out").toString, leaf.resolve("checkpoint").toString)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[streaming] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }
