@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -37,6 +37,47 @@ object NativeHash {
         if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int] else 8), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_lang_scores", exprs => LangScores(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_intersect_size", exprs => IntersectSize(exprs.head, exprs(1)), "built-in")
+  }
+}
+
+/** |A ∩ B| for two long-array set columns — the near-dup verify kernel.
+  * The built-in size(array_intersect(a,b)) materializes the intersection
+  * array per pair in interpreted eval; this counts via one hash-set probe.
+  * Inputs are distinct-element sets (shingle hashes), so the count equals
+  * the oracle's len(list_intersect(a,b)).
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSizeImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectSizeImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSizeImpl {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    var count = 0L
+    val m = large.numElements()
+    i = 0
+    while (i < m) {
+      if (set.contains(large.getLong(i))) count += 1
+      i += 1
+    }
+    count
   }
 }
 

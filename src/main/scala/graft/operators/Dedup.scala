@@ -105,7 +105,7 @@ object Dedup {
     val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -152,7 +152,7 @@ object Dedup {
     val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= tau)

@@ -53,7 +53,7 @@ object DedupStream {
     streamBands.join(corpusIndex, Seq("band_id", "band_val"))
       .filter(pairFilter)
       .join(corpusSets, "corpus_id")
-      .withColumn("inter", size(array_intersect(col("corpus_hs"), col("new_hs"))).cast("long"))
+      .withColumn("inter", expr("graft_intersect_size(corpus_hs, new_hs)"))
       .withColumn("jaccard",
         col("inter").cast("double")
           / (size(col("corpus_hs")) + size(col("new_hs")) - col("inter")))
