@@ -27,9 +27,11 @@ object Similarity {
       (((1103515245L * (p * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
 
   /** (vec_id, e: array<double>, nrm) — shared normalized-view projection. */
-  def vectors(emb: DataFrame): DataFrame =
+  def vectors(emb: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(emb.sparkSession)
     emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
+  }
 
   private def bucketVal(band: Int): Column =
     (0 until 4).map { r =>
@@ -93,7 +95,7 @@ object Similarity {
     val vq = v.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
     val vc = v.select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
     val scored = cand.join(broadcast(vq), "query_id").join(vc, "corpus_id")
-      .withColumn("cos", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -117,7 +119,7 @@ object Similarity {
     val va = v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
     val vb = v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
     cand.join(va, "vec_a").join(vb, "vec_b")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .filter(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -133,7 +135,7 @@ object Similarity {
     val c = v.filter(!isQuery)
       .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -157,7 +159,7 @@ object Similarity {
     val vq = v.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
     val vc = v.select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
     val scored = cand.join(broadcast(vq), "query_id").join(vc, "corpus_id")
-      .withColumn("cos", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -51,7 +51,7 @@ object SimilarityStream {
 
       val scored = probes.join(corpusIndex, "bucket")
         .withColumn("cos",
-          graft.functions.VectorFunctions.dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+          expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
         .select(col("query_id"), col("corpus_id"), col("cos"))
 
       val q = scored.writeStream
