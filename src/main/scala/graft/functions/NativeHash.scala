@@ -41,6 +41,61 @@ object NativeHash {
       "graft_intersect_size", exprs => IntersectSize(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_text_stats", exprs => TextStats(exprs.head), "built-in")
+  }
+}
+
+/** text → [n_words, n_uniq, word_chars, stop_hits, alpha_chars] in one
+  * tokenize pass — the fused input of TextOps.quality (the HOF form runs
+  * a separate interpreted pass per statistic). Counting mirrors the
+  * words()/stopwordHits()/regexp formulations exactly (integer outputs,
+  * oracle unchanged).
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_text_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStatsImpl {
+  private val en = new java.util.HashSet[String](
+    java.util.Arrays.asList(TextFunctions.langStopwords.head._2: _*))
+
+  def compute(text: UTF8String): ArrayData = {
+    val raw = text.toString
+    val words = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val uniq = new java.util.HashSet[String](words.length * 2)
+    var wordChars = 0L
+    var stopHits = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      wordChars += w.length
+      uniq.add(w)
+      if (en.contains(w)) stopHits += 1
+      i += 1
+    }
+    // alpha count over lower(text), mirroring regexp_replace(lower, [^a-z])
+    var alpha = 0L
+    i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      val lc = Character.toLowerCase(c)
+      if (lc >= 'a' && lc <= 'z') alpha += 1
+      i += 1
+    }
+    new GenericArrayData(Array(words.length.toLong, uniq.size.toLong,
+      wordChars, stopHits, alpha))
   }
 }
 

@@ -45,17 +45,15 @@ object TextOps {
     * doubles are bit-identical to the oracle.
     */
   def quality(docs: DataFrame): DataFrame = {
-    val en = stopwords.head._2
+    graft.functions.NativeHash.register(docs.sparkSession)
     docs
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("w", words(col("text")))
-      .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-      .withColumn("word_chars",
-        aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (s, x) => s + x))
-      .withColumn("stop_hits", stopwordHits(col("w"), en).cast("long"))
-      .withColumn("alpha_chars",
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("st", expr("graft_text_stats(text)"))
+      .withColumn("n_words", element_at(col("st"), 1))
+      .withColumn("n_uniq", element_at(col("st"), 2))
+      .withColumn("word_chars", element_at(col("st"), 3))
+      .withColumn("stop_hits", element_at(col("st"), 4))
+      .withColumn("alpha_chars", element_at(col("st"), 5))
       .withColumn("avg_word_len", col("word_chars").cast("double") / col("n_words"))
       .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_words"))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
