@@ -51,8 +51,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline total is a pure runtime sum: -1 failure sentinels stay
+    // per-query but must not subtract from (or hide inside) the total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.count(_._2 < 0)
+    // silence any late log lines, then emit the one-line JSON contract
+    spark.sparkContext.setLogLevel("OFF")
+    System.err.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -23,34 +23,84 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeHash {
 
+  /** One builder per function — the single source of truth shared by the
+    * library path ([[register]]) and the cluster path ([[GraftExtensions]]),
+    * so the two surfaces can never drift (ADVICE round 1: GraftExtensions
+    * was missing the three newest kernels).
+    */
+  private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_shingle_hashes", "distinct 3-gram shingle hashes of a text column",
+      exprs => ShingleHashes3(exprs.head)),
+    ("graft_simhash32", "32-bit simhash of a long-array column",
+      exprs => SimHash32(exprs.head)),
+    ("graft_min_gram_hash", "minimum rolling polyhash over n-char grams",
+      exprs => MinGramHash(exprs.head,
+        if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
+    ("graft_lang_scores", "per-language stopword hit counts",
+      exprs => LangScores(exprs.head)),
+    ("graft_intersect_size", "|A ∩ B| of two long-array set columns",
+      exprs => IntersectSize(exprs.head, exprs(1))),
+    ("graft_dot", "dot product of two double-array columns, index-order fold",
+      exprs => DotProduct(exprs.head, exprs(1))),
+    ("graft_text_stats", "[n_words, n_uniq, word_chars, stop_hits, alpha_chars, re_tokens] in one pass",
+      exprs => TextStats(exprs.head)),
+    ("graft_norm", "L2 norm of a double-array column, index-order fold",
+      exprs => VecNorm(exprs.head)),
+    ("graft_plane_buckets", "sign-LSH band values against the constant hyperplane codebook",
+      exprs => PlaneBuckets(exprs.head)),
+    ("graft_ivf_bucket", "1-based nearest-centroid index by cosine (first-max tie-break)",
+      exprs => IvfBucket(exprs.head)),
+    ("graft_ivf_probes", "1-based positions of the top-N centroid cosines",
+      exprs => IvfProbes(exprs.head, if (exprs.length > 1) foldableGram(exprs(1)) else 2)))
+
+  /** Validates the integer parameter of parameterized kernels: must be a
+    * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column
+    * reference or a non-positive value is a clear AnalysisException, not a
+    * ClassCastException from eval(null)).
+    */
+  private def foldableGram(e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"graft kernel parameter must be a foldable integer literal, got: ${e.sql}")
+    val n = e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft kernel parameter must be integral, got: $other")
+    }
+    if (n < 1)
+      throw new IllegalArgumentException(s"graft kernel parameter must be >= 1, got: $n")
+    n
+  }
+
   /** Idempotent session-scoped registration; operators call this with the
     * session they were handed, so it works under the driver's session too.
+    * Skips when already registered — re-registering logs a "replaced a
+    * previously registered function" warning per call, which round 1
+    * measured contaminating the Bench JSON stdout contract.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_shingle_hashes", exprs => ShingleHashes3(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash32", exprs => SimHash32(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_min_gram_hash", exprs => MinGramHash(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int] else 8), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_lang_scores", exprs => LangScores(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_intersect_size", exprs => IntersectSize(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_text_stats", exprs => TextStats(exprs.head), "built-in")
+    val missing = builders.exists { case (name, _, _) =>
+      !reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    }
+    if (missing) builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
 
-/** text → [n_words, n_uniq, word_chars, stop_hits, alpha_chars] in one
-  * tokenize pass — the fused input of TextOps.quality (the HOF form runs
-  * a separate interpreted pass per statistic). Counting mirrors the
-  * words()/stopwordHits()/regexp formulations exactly (integer outputs,
-  * oracle unchanged).
+/** text → [n_words, n_uniq, word_chars, stop_hits, alpha_chars, re_tokens]
+  * in one pass — the fused input of TextOps.quality AND TextOps.tokens
+  * (the HOF form ran a separate interpreted pass per statistic; round 1
+  * measured text_tokens' two regexp_extract_all passes at 11× the fused
+  * quality cost). Counting mirrors the words()/stopwordHits()/regexp
+  * formulations exactly (integer outputs, oracles unchanged): re_tokens
+  * counts matches of `[a-z]+|[0-9]+|[^a-z0-9\s]` over lower(text) via a
+  * single linear scan (letter runs, digit runs, one token per other
+  * non-whitespace char — exactly what the alternation matches).
   */
 case class TextStats(child: Expression)
     extends UnaryExpression {
@@ -94,8 +144,30 @@ object TextStatsImpl {
       if (lc >= 'a' && lc <= 'z') alpha += 1
       i += 1
     }
+    // token count over lower(text): one linear scan equivalent to
+    // regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') —
+    // \s is ASCII [ \t\n\x0B\f\r] in both Java and RE2 (the oracle)
+    val low = text.toLowerCase().toString
+    var reTokens = 0L
+    i = 0
+    while (i < low.length) {
+      val c = low.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        reTokens += 1
+        i += 1
+        while (i < low.length && low.charAt(i) >= 'a' && low.charAt(i) <= 'z') i += 1
+      } else if (c >= '0' && c <= '9') {
+        reTokens += 1
+        i += 1
+        while (i < low.length && low.charAt(i) >= '0' && low.charAt(i) <= '9') i += 1
+      } else {
+        if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'))
+          reTokens += 1
+        i += 1
+      }
+    }
     new GenericArrayData(Array(words.length.toLong, uniq.size.toLong,
-      wordChars, stopHits, alpha))
+      wordChars, stopHits, alpha, reTokens))
   }
 }
 
@@ -181,21 +253,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def info(name: String, usage: String) =
-      new ExpressionInfo("graft.functions.NativeHash", null, name, usage, "")
-    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
-      info("graft_shingle_hashes", "distinct 3-gram shingle hashes of a text column"),
-      exprs => ShingleHashes3(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
-      info("graft_simhash32", "32-bit simhash of a long-array column"),
-      exprs => SimHash32(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_min_gram_hash"),
-      info("graft_min_gram_hash", "minimum rolling polyhash over n-char grams"),
-      exprs => MinGramHash(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int] else 8)))
-    ext.injectFunction((FunctionIdentifier("graft_lang_scores"),
-      info("graft_lang_scores", "per-language stopword hit counts"),
-      exprs => LangScores(exprs.head)))
+    NativeHash.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.NativeHash", null, name, usage, ""),
+        builder))
+    }
   }
 }
 

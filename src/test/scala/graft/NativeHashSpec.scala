@@ -41,6 +41,56 @@ class NativeHashSpec extends SparkSpec {
     assert(r2.getSeq[Long](3).forall(_ === 0L))
   }
 
+  test("vector kernels match their HOF twins row-by-row on real embeddings") {
+    import graft.functions.{Codebooks, VectorFunctions}
+    NativeHash.register(spark)
+    val v = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val hofNorm = VectorFunctions.norm(col("e"))
+    val hofBands = array((0 until Codebooks.EmbBands).map { b =>
+      (0 until 4).map { r =>
+        when(VectorFunctions.planeDot(col("e"), Codebooks.planes(b * 4 + r)) >= 0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val cnorm = Codebooks.centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val hofCc = array((0 until Codebooks.NCentroids).map { c =>
+      VectorFunctions.planeDot(col("e"), Codebooks.centroids(c)) / (hofNorm * lit(cnorm(c)))
+    }: _*)
+    val sorted = sort_array(hofCc, asc = false)
+    val rows = v.select(
+      expr("graft_norm(e)").as("kn"), hofNorm.as("hn"),
+      expr("graft_plane_buckets(e)").as("kb"), hofBands.as("hb"),
+      expr("graft_ivf_bucket(e)").cast("long").as("ki"),
+      array_position(hofCc, array_max(hofCc)).as("hi"),
+      expr("graft_ivf_probes(e, 2)").cast("array<long>").as("kp"),
+      array(array_position(hofCc, element_at(sorted, 1)),
+        array_position(hofCc, element_at(sorted, 2))).as("hp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // bit-identical norm
+      assert(r.getSeq[Int](2) === r.getSeq[Int](3))
+      assert(r.getLong(4) === r.getLong(5))
+      assert(r.getSeq[Long](6) === r.getSeq[Long](7))
+    }
+  }
+
+  test("vector kernels propagate null; parameter validation rejects bad gram args") {
+    NativeHash.register(spark)
+    val r = spark.sql(
+      """SELECT graft_norm(CAST(NULL AS ARRAY<DOUBLE>)),
+        |       graft_plane_buckets(CAST(NULL AS ARRAY<DOUBLE>)),
+        |       graft_ivf_bucket(CAST(NULL AS ARRAY<DOUBLE>)),
+        |       graft_ivf_probes(CAST(NULL AS ARRAY<DOUBLE>), 2)""".stripMargin).head
+    assert((0 to 3).forall(r.isNullAt))
+    // BIGINT literal parameter is accepted (round-1 ADVICE: it threw CCE)
+    val mg = spark.sql("SELECT graft_min_gram_hash('abcdefghij', CAST(8 AS BIGINT))").head
+    assert(!mg.isNullAt(0))
+    for (bad <- Seq("graft_min_gram_hash('abc', 0)", "graft_ivf_probes(array(1.0D), -1)"))
+      assertThrows[Exception](spark.sql(s"SELECT $bad").head)
+  }
+
   test("intersect-size and dot kernels match their HOF formulations") {
     val pairs = spark.sql(
       """SELECT array(1L,2L,3L,4L) AS a, array(3L,4L,5L) AS b,

@@ -62,4 +62,30 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("Broadcast"), s"query vectors must broadcast:\n$p")
   }
+
+  test("embedding-family plans run fused codebook kernels, no interpreted HOF folds") {
+    val kernels = Map(
+      "sim_topk_ivf" -> Seq("graft_ivf_bucket", "graft_ivf_probes"),
+      "sim_topk_lsh" -> Seq("graft_plane_buckets"),
+      "dedup_embedding" -> Seq("graft_plane_buckets"),
+      "sim_topk_bruteforce" -> Seq("graft_dot", "graft_norm"))
+    for ((q, ks) <- kernels) {
+      val p = graft.queries.PipelineQueries.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      ks.foreach(k => assert(p.contains(k), s"$q must use the $k kernel:\n$p"))
+      // the round-1 hazard: interpreted aggregate(zip_with(...)) plane dots
+      assert(!p.contains("aggregate(zip_with"),
+        s"$q must not score codebooks via interpreted HOF folds:\n$p")
+    }
+  }
+
+  test("brute-force rerank is two-phase: salted local top-k before the per-query window") {
+    val p = graft.operators.Similarity
+      .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8)
+      .queryExecution.executedPlan.toString
+    val windows = p.sliding("Window".length).count(_ == "Window")
+    assert(windows >= 2,
+      s"expected salted local + global window stages (single-reducer funnel otherwise):\n$p")
+  }
 }
