@@ -64,6 +64,23 @@ object TopicOps {
         tombstone))
   }
 
+  /** ask with an EXTERNAL action source (ActionSource.kt:9 — per-record
+    * decisions produced elsewhere): decisions arrive as a table keyed
+    * (topic, partition, offset) with an `action` column evaluating to
+    * 'merge' | 'purge' | 'skip'. Records without a decision row are
+    * skipped (an ActionSource that yields nothing routes nothing).
+    * The decision table is broadcast by default (human/service verdicts
+    * are small); pass broadcastDecisions=false to let Catalyst plan a
+    * shuffle join when decisions are fact-sized.
+    */
+  def routeWithDecisions(src: DataFrame, decisions: DataFrame, dest: String,
+                         mergeTombstones: Boolean = false,
+                         broadcastDecisions: Boolean = true): DataFrame = {
+    val d = if (broadcastDecisions) broadcast(decisions) else decisions
+    val withAction = src.join(d, Seq("topic", "partition", "offset"), "left")
+    route(withAction, coalesce(col("action"), lit("skip")), dest, mergeTombstones)
+  }
+
   /** The reference's end-of-run counters (Ask.kt:85: "N merged, N purged,
     * N skipped") as an aggregate over the same action rule.
     */
@@ -156,12 +173,19 @@ object TopicOps {
     * write); purge-produce pins the SOURCE partition (Pipeline.kt:97).
     * Produced records here carry the source partition as provenance for
     * both kinds; a Kafka sink partitions by key, matching the reference.
+    *
+    * Headers: merge copies round-trip the consumed record's headers
+    * untouched (Kafka DLQ convention; the reference's consume side is
+    * headers-aware, MixedValue.kt:41); purge tombstones are bare records
+    * with no headers, exactly the ProducerRecord(topic, partition, key,
+    * null) of Pipeline.kt:97.
     */
   private def producedRecord(destTopic: Column, value: Column, kind: String): Column =
     struct(
       destTopic.as("topic"), col("partition").as("partition"),
       col("key").as("key"), value.as("value"),
-      col("offset").as("src_offset"), lit(kind).as("kind"))
+      col("offset").as("src_offset"), lit(kind).as("kind"),
+      (if (kind == "merge") col("headers") else Topics.emptyHeaders).as("headers"))
 
   /** One scan, zero shuffle: each source record explodes into 0..2 produced
     * records.

@@ -22,6 +22,9 @@ object StreamQueries {
     "stream_merge" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_merge", dir)
       TopicStream.mergeAllStream(s, eventsPath(dir), "events.v2", out, ckpt)
+        .select(col("topic"), col("partition"), col("key"), col("value"),
+          col("src_offset"), col("kind"),
+          graft.sources.Topics.headersStr(col("headers")).as("headers_str"))
         .orderBy(col("src_offset"), col("kind"))
     }),
     "stream_compact" -> ((s, dir) => {

@@ -37,7 +37,11 @@ object TopicQueries {
   private[queries] def dlqError: Column =
     when(kField.isNull, "decode_failure").when(kField > 90, "out_of_range")
 
-  /** The SURVEY.md §3 events→topic mapping as a DuckDB CTE. */
+  /** The SURVEY.md §3 events→topic mapping as a DuckDB CTE. headers_str is
+    * the canonical "k=HEX;k=HEX" rendering of the record headers
+    * [("src", bytes(event_type)), ("seq", bytes(event_id))] — the nested
+    * list itself can't ride through the driver's sorted-row compare.
+    */
   val TopicCte: String =
     """WITH topic AS (
       |  SELECT 'events' AS topic,
@@ -45,33 +49,56 @@ object TopicQueries {
       |         event_id AS "offset",
       |         CAST(ts AS TIMESTAMP) AS ts,
       |         CAST(user_id AS VARCHAR) AS "key",
-      |         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS "value"
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS "value",
+      |         'src=' || upper(hex(encode(event_type))) ||
+      |           ';seq=' || upper(hex(encode(CAST(event_id AS VARCHAR)))) AS headers_str
       |  FROM events
       |)""".stripMargin
 
   private val ProducedCols =
     """topic, "partition", "key", "value", "offset" AS src_offset"""
 
+  /** Produced-record output with headers canonicalized for the compare:
+    * merge copies round-trip the source headers; purge tombstones are bare
+    * (empty header list renders as '').
+    */
+  private def producedOut(df: DataFrame): DataFrame =
+    df.select(col("topic"), col("partition"), col("key"), col("value"),
+      col("src_offset"), col("kind"),
+      Topics.headersStr(col("headers")).as("headers_str"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topic_print" -> ((s, dir) =>
       Topics.events(s, dir)
-        .select(col("partition"), col("offset"), col("ts"), col("key"), col("value"))
+        .select(col("partition"), col("offset"), col("ts"), col("key"), col("value"),
+          Topics.headersStr(col("headers")).as("headers_str"))
         .orderBy(col("offset"))),
     "topic_stats" -> ((s, dir) =>
       TopicOps.stats(Topics.events(s, dir)).orderBy(col("partition"))),
     "topic_merge_all" -> ((s, dir) =>
-      TopicOps.mergeAll(Topics.events(s, dir), "events.v2")
+      producedOut(TopicOps.mergeAll(Topics.events(s, dir), "events.v2"))
         .orderBy(col("src_offset"), col("kind"))),
     "topic_merge_tombstones" -> ((s, dir) =>
-      TopicOps.mergeAll(Topics.events(s, dir), "events.v2", mergeTombstones = true)
+      producedOut(TopicOps.mergeAll(Topics.events(s, dir), "events.v2", mergeTombstones = true))
         .orderBy(col("src_offset"), col("kind"))),
     "topic_purge_all" -> ((s, dir) =>
-      TopicOps.purgeAll(Topics.events(s, dir)).orderBy(col("src_offset"))),
+      producedOut(TopicOps.purgeAll(Topics.events(s, dir))).orderBy(col("src_offset"))),
     "topic_ask_route" -> ((s, dir) =>
-      TopicOps.route(Topics.events(s, dir), actionRule, "events.v2")
+      producedOut(TopicOps.route(Topics.events(s, dir), actionRule, "events.v2"))
         .orderBy(col("src_offset"), col("kind"))),
     "topic_route_stats" -> ((s, dir) =>
       TopicOps.routeStats(Topics.events(s, dir), actionRule).orderBy(col("action"))),
+    // ask with decisions computed elsewhere (ActionSource.kt:9): a
+    // decision table keyed (topic, partition, offset) joins onto the
+    // records; undecided records are skipped.
+    "topic_ask_table" -> ((s, dir) => {
+      val t = Topics.events(s, dir)
+      val decisions = t.filter(col("offset") % 3 === 0)
+        .select(col("topic"), col("partition"), col("offset"),
+          when(col("offset") % 2 === 0, "merge").otherwise("purge").as("action"))
+      producedOut(TopicOps.routeWithDecisions(t, decisions, "events.v2"))
+        .orderBy(col("src_offset"), col("kind"))
+    }),
     "topic_compact" -> ((s, dir) =>
       TopicOps.compact(Topics.events(s, dir))
         .orderBy(col("partition"), col("key"))),
@@ -100,7 +127,8 @@ object TopicQueries {
         Map("k_decoded" -> kField, "raw_len" -> octet_length(col("raw")),
           "raw_hex" -> hex(col("raw"))))
         .select(col("offset"), col("key"), col("value"), col("raw_hex"),
-          col("k_decoded"), col("raw_len"))
+          col("k_decoded"), col("raw_len"),
+          Topics.headersStr(col("headers")).as("headers_str"))
         .orderBy(col("offset"))),
     "topic_offsets" -> ((s, dir) =>
       TopicOps.committedOffsets(Topics.events(s, dir), "graft")
@@ -115,7 +143,7 @@ object TopicQueries {
   private def oraclesBase: Map[String, String] = Map(
     "topic_print" ->
       s"""$TopicCte
-         |SELECT "partition", "offset", ts, "key", "value"
+         |SELECT "partition", "offset", ts, "key", "value", headers_str
          |FROM topic ORDER BY "offset"""".stripMargin,
     "topic_stats" ->
       s"""$TopicCte
@@ -127,31 +155,31 @@ object TopicQueries {
     "topic_merge_all" ->
       s"""$TopicCte, live AS (SELECT * FROM topic WHERE "value" IS NOT NULL)
          |SELECT * FROM (
-         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind FROM live
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind, headers_str FROM live
          |  UNION ALL
-         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge' FROM live
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge', '' FROM live
          |) ORDER BY src_offset, kind""".stripMargin,
     "topic_merge_tombstones" ->
       s"""$TopicCte
          |SELECT * FROM (
-         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind FROM topic
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind, headers_str FROM topic
          |  UNION ALL
-         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge'
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge', ''
          |  FROM topic WHERE "value" IS NOT NULL
          |) ORDER BY src_offset, kind""".stripMargin,
     "topic_purge_all" ->
       s"""$TopicCte
          |SELECT topic, "partition", "key", CAST(NULL AS VARCHAR) AS "value",
-         |       "offset" AS src_offset, 'purge' AS kind
+         |       "offset" AS src_offset, 'purge' AS kind, '' AS headers_str
          |FROM topic WHERE "value" IS NOT NULL ORDER BY src_offset""".stripMargin,
     "topic_ask_route" ->
       s"""$TopicCte, live AS (
          |  SELECT *, $ActionRuleSql AS action FROM topic WHERE "value" IS NOT NULL)
          |SELECT * FROM (
-         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind, headers_str
          |  FROM live WHERE action = 'merge'
          |  UNION ALL
-         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge'
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge', ''
          |  FROM live WHERE action IN ('merge', 'purge')
          |) ORDER BY src_offset, kind""".stripMargin,
     "topic_route_stats" ->
@@ -176,6 +204,23 @@ object TopicQueries {
          |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
          |       error, "partition", "offset", "key", "value"
          |FROM decoded ORDER BY "offset"""".stripMargin,
+    "topic_ask_table" ->
+      s"""$TopicCte, decisions AS (
+         |  SELECT topic, "partition", "offset",
+         |         CASE WHEN "offset" % 2 = 0 THEN 'merge' ELSE 'purge' END AS action
+         |  FROM topic WHERE "offset" % 3 = 0),
+         |live AS (
+         |  SELECT t.*, COALESCE(d.action, 'skip') AS action
+         |  FROM topic t LEFT JOIN decisions d
+         |    USING (topic, "partition", "offset")
+         |  WHERE t."value" IS NOT NULL)
+         |SELECT * FROM (
+         |  SELECT 'events.v2' AS $ProducedCols, 'merge' AS kind, headers_str
+         |  FROM live WHERE action = 'merge'
+         |  UNION ALL
+         |  SELECT topic, "partition", "key", NULL AS "value", "offset", 'purge', ''
+         |  FROM live WHERE action IN ('merge', 'purge')
+         |) ORDER BY src_offset, kind""".stripMargin,
     "topic_strict_decode" ->
       s"""$TopicCte
          |SELECT "partition", "offset", "key", "value", $KFieldSql AS k_decoded
@@ -186,7 +231,7 @@ object TopicQueries {
       s"""$TopicCte
          |SELECT "offset", "key", "value", upper(hex(encode("value"))) AS raw_hex,
          |       $KFieldSql AS k_decoded,
-         |       octet_length(encode("value")) AS raw_len
+         |       octet_length(encode("value")) AS raw_len, headers_str
          |FROM topic ORDER BY "offset"""".stripMargin,
     "topic_offsets" ->
       s"""$TopicCte

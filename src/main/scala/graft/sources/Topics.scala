@@ -25,7 +25,14 @@ object Topics {
   def events(spark: SparkSession, dir: String): DataFrame =
     asTopic(Tables.load(spark, dir, "events"))
 
-  /** Pure projection (no shuffle) — applies identically to a streaming df. */
+  /** Pure projection (no shuffle) — applies identically to a streaming df.
+    *
+    * `headers` models Kafka's ordered, repeatable record headers
+    * (ConsumerRecord.headers(); the reference's deserializer is
+    * headers-aware, MixedValue.kt:41) as array<struct<k,v:binary>> —
+    * derived deterministically from the event so every oracle can replay
+    * them: [("src", bytes(event_type)), ("seq", bytes(event_id))].
+    */
   def asTopic(events: DataFrame): DataFrame =
     events.select(
       lit("events").as("topic"),
@@ -34,8 +41,26 @@ object Topics {
       col("ts"),
       col("user_id").cast("string").as("key"),
       when(col("event_type") === "error", lit(null).cast("string"))
-        .otherwise(col("props")).as("value"))
+        .otherwise(col("props")).as("value"),
+      array(
+        struct(lit("src").as("k"), encode(col("event_type"), "UTF-8").as("v")),
+        struct(lit("seq").as("k"), encode(col("event_id").cast("string"), "UTF-8").as("v")))
+        .as("headers"))
       .withColumn("raw", encode(col("value"), "UTF-8"))
+
+  /** Header list schema / the no-headers value (tombstones produced by
+    * purge are bare records, reference Pipeline.kt:97).
+    */
+  val HeadersType = "array<struct<k:string,v:binary>>"
+  def emptyHeaders: Column = array().cast(HeadersType)
+
+  /** Canonical display form "k1=HEX;k2=HEX" — order-preserving, so equal
+    * strings ⇔ equal header lists. The oracle-visible projection of the
+    * nested column (the driver's compare can't sort nested types).
+    */
+  def headersStr(h: Column): Column =
+    concat_ws(";", transform(h,
+      x => concat(x.getField("k"), lit("="), hex(x.getField("v")))))
 
   /** Tombstone predicate (Pipeline.kt:93: `record.value() == null`). */
   def isTombstone(value: Column): Column = value.isNull

@@ -38,6 +38,39 @@ class TopicOpsSpec extends SparkSpec {
     out.unpersist(); src.unpersist()
   }
 
+  test("decisions-table routing equals the same decision as an inline rule; undecided skip") {
+    val src = topic.cache()
+    val rule = when(col("offset") % 3 === 0,
+      when(col("offset") % 2 === 0, "merge").otherwise("purge")).otherwise("skip")
+    val decisions = src.filter(col("offset") % 3 === 0)
+      .select(col("topic"), col("partition"), col("offset"),
+        when(col("offset") % 2 === 0, "merge").otherwise("purge").as("action"))
+    val viaTable = TopicOps.routeWithDecisions(src, decisions, "events.v2")
+    val viaRule = TopicOps.route(src, rule, "events.v2")
+    assert(viaTable.except(viaRule).count() === 0)
+    assert(viaRule.except(viaTable).count() === 0)
+    src.unpersist()
+  }
+
+  test("headers round-trip bit-exact on merge copies; purge tombstones are bare records") {
+    val src = topic.cache()
+    val out = TopicOps.mergeAll(src, "events.v2").cache()
+    // merge rows carry the consumed record's header list untouched
+    val srcHeaders = src.filter(col("value").isNotNull)
+      .select(col("offset").as("src_offset"), col("headers"))
+    val mergeHeaders = out.filter(col("kind") === "merge")
+      .select(col("src_offset"), col("headers"))
+    assert(mergeHeaders.except(srcHeaders).count() === 0)
+    assert(srcHeaders.except(mergeHeaders).count() === 0)
+    // purge tombstones: ProducerRecord(topic, partition, key, null) — no headers
+    assert(out.filter(col("kind") === "purge")
+      .filter(size(col("headers")) =!= 0).count() === 0)
+    // header keys are ordered and repeatable: the view preserves list order
+    val first = src.select(col("headers").getItem(0).getField("k")).distinct().collect()
+    assert(first.map(_.getString(0)).toSeq === Seq("src"))
+    out.unpersist(); src.unpersist()
+  }
+
   test("purge-all tombstones every live record in place (PurgeAll.kt:24)") {
     val out = TopicOps.purgeAll(topic).cache()
     assert(out.filter(col("value").isNotNull).count() === 0)
