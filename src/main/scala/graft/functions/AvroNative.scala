@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import scala.util.control.NonFatal
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro value serde for the topic record model — the pluggable-serde
+  * surface of the reference (MixedValue.kt:30's delegate Deserializer;
+  * Factory.kt:103-110 wires KafkaAvroDeserializer behind CLI flags, and
+  * the README positions Avro DLQ work as the primary use).
+  *
+  * The container has no schema registry and no spark-avro module, so the
+  * codec is built directly on avro-core (on the classpath): a fixed
+  * writer-schema `GraftEvent` record, raw binary datum encoding (what a
+  * registry-backed deployment would carry after the 5-byte envelope).
+  * Both directions are single-JVM-call expressions; decode failure yields
+  * NULL so it can feed the strict (assert) or DLQ (route) paths exactly
+  * like the string serde's decode-error column.
+  */
+object AvroEventImpl {
+  val SchemaJson: String =
+    """{"type":"record","name":"GraftEvent","namespace":"graft","fields":[
+      |{"name":"event_type","type":"string"},
+      |{"name":"k","type":["null","int"],"default":null},
+      |{"name":"user_id","type":"long"}]}""".stripMargin
+
+  lazy val schema: Schema = new Schema.Parser().parse(SchemaJson)
+
+  val sparkType: StructType = StructType(Seq(
+    StructField("event_type", StringType, nullable = false),
+    StructField("k", IntegerType, nullable = true),
+    StructField("user_id", LongType, nullable = false)))
+
+  private val writer = ThreadLocal.withInitial[GenericDatumWriter[GenericRecord]](
+    () => new GenericDatumWriter[GenericRecord](schema))
+  private val reader = ThreadLocal.withInitial[GenericDatumReader[GenericRecord]](
+    () => new GenericDatumReader[GenericRecord](schema))
+
+  def encode(eventType: UTF8String, k: Any, userId: Long): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    rec.put("event_type", eventType.toString)
+    rec.put("k", if (k == null) null else k.asInstanceOf[java.lang.Integer])
+    rec.put("user_id", java.lang.Long.valueOf(userId))
+    val out = new ByteArrayOutputStream(32)
+    val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+    writer.get().write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** null ⇔ the bytes do not decode as a GraftEvent (truncated/corrupt) —
+    * the condition that aborts the reference pipeline by default and
+    * routes to the DLQ in the routing variant.
+    */
+  def decode(bytes: Array[Byte]): InternalRow =
+    try {
+      val dec = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, null)
+      val rec = reader.get().read(null, dec)
+      val k = rec.get("k")
+      InternalRow(
+        UTF8String.fromString(rec.get("event_type").toString),
+        if (k == null) null else k.asInstanceOf[java.lang.Integer],
+        rec.get("user_id").asInstanceOf[java.lang.Long])
+    } catch { case NonFatal(_) => null }
+}
+
+/** (event_type, k, user_id) → Avro binary datum. k is the nullable union
+  * branch, so null k encodes (it is data), while a null event_type/user_id
+  * nulls the result (they are required fields).
+  */
+case class AvroEncodeEvent(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val et = children(0).eval(input)
+    val uid = children(2).eval(input)
+    if (et == null || uid == null) return null
+    AvroEventImpl.encode(et.asInstanceOf[UTF8String],
+      children(1).eval(input), uid.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AvroEncodeEvent =
+    copy(children = newChildren)
+}
+
+/** Avro binary datum → struct<event_type,k,user_id>, null on decode
+  * failure. Deterministic, so whole-stage codegen's common-subexpression
+  * elimination folds the per-field GetStructField references into one
+  * decode call per row.
+  */
+case class AvroDecodeEvent(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = AvroEventImpl.sparkType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avro_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AvroEventImpl.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeEvent =
+    copy(child = newChild)
+}

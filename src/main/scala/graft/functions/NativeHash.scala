@@ -51,7 +51,11 @@ object NativeHash {
     ("graft_ivf_bucket", "1-based nearest-centroid index by cosine (first-max tie-break)",
       exprs => IvfBucket(exprs.head)),
     ("graft_ivf_probes", "1-based positions of the top-N centroid cosines",
-      exprs => IvfProbes(exprs.head, if (exprs.length > 1) foldableGram(exprs(1)) else 2)))
+      exprs => IvfProbes(exprs.head, if (exprs.length > 1) foldableGram(exprs(1)) else 2)),
+    ("graft_avro_encode", "encode (event_type, k, user_id) as an Avro GraftEvent binary datum",
+      exprs => AvroEncodeEvent(exprs)),
+    ("graft_avro_decode", "decode an Avro GraftEvent datum to a struct; null on failure",
+      exprs => AvroDecodeEvent(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

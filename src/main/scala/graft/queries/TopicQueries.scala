@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TopicOps
-import graft.sources.Topics
+import graft.sources.{Serdes, Tables, Topics}
 
 /** SURVEY.md §2a — the reference's own operator surface, bound to the
   * `events` topic view with deterministic rules, plus the DuckDB oracle SQL
@@ -132,7 +132,31 @@ object TopicQueries {
         .orderBy(col("offset"))),
     "topic_offsets" -> ((s, dir) =>
       TopicOps.committedOffsets(Topics.events(s, dir), "graft")
-        .orderBy(col("partition"))))
+        .orderBy(col("partition"))),
+    // Avro value serde (MixedValue.kt:30 delegate; Factory.kt:103 Avro
+    // wiring): encode→decode round-trip over the events payload — the
+    // decoded columns must equal the source columns the datum was built
+    // from, which is exactly what the oracle selects.
+    "topic_serde_avro" -> ((s, dir) => {
+      val t = Serdes.avroTopic(Tables.load(s, dir, "events"))
+      TopicOps.serdeView(t, Serdes.AvroEventSerde.decoded(col("raw")))
+        .select(col("offset"), col("key"),
+          col("event_type_dec"), col("k_dec"), col("user_id_dec"))
+        .orderBy(col("offset"))
+    }),
+    // Avro decode failure → DLQ routing: a deterministic subset of datums
+    // is truncated to one byte (never a valid GraftEvent), and the serde's
+    // error column routes them — the reference's abort-by-default twin
+    // (strict case in AvroSerdeSpec).
+    "topic_dlq_avro" -> ((s, dir) => {
+      val t = Serdes.avroTopic(Tables.load(s, dir, "events"))
+        .withColumn("raw", when(col("offset") % 97 === 0,
+          substring(col("raw"), 1, 1)).otherwise(col("raw")))
+      TopicOps.dlqSplit(t, Serdes.AvroEventSerde.error(col("raw")))
+        .select(col("sink"), col("error"), col("partition"), col("offset"), col("key"),
+          Serdes.AvroEventSerde.struct(col("raw")).getField("k").as("k_dec"))
+        .orderBy(col("offset"))
+    }))
 
   def oracles: Map[String, String] = {
     val base = oraclesBase
@@ -237,5 +261,21 @@ object TopicQueries {
       s"""$TopicCte
          |SELECT topic, "partition", MAX("offset") AS committed_offset,
          |       COUNT(*) AS records, 'graft' AS "group"
-         |FROM topic GROUP BY topic, "partition" ORDER BY "partition"""".stripMargin)
+         |FROM topic GROUP BY topic, "partition" ORDER BY "partition"""".stripMargin,
+    // Round-trip identity: decoded Avro columns == the source columns the
+    // datum was encoded from.
+    "topic_serde_avro" ->
+      """SELECT event_id AS "offset", CAST(user_id AS VARCHAR) AS "key",
+        |       event_type AS event_type_dec,
+        |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_dec,
+        |       user_id AS user_id_dec
+        |FROM events ORDER BY "offset"""".stripMargin,
+    "topic_dlq_avro" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN 'dlq' ELSE 'clean' END AS sink,
+        |       CASE WHEN event_id % 97 = 0 THEN 'avro_decode_failure' END AS error,
+        |       CAST(user_id % 8 AS INT) AS "partition",
+        |       event_id AS "offset", CAST(user_id AS VARCHAR) AS "key",
+        |       CASE WHEN event_id % 97 <> 0
+        |            THEN TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) END AS k_dec
+        |FROM events ORDER BY "offset"""".stripMargin)
 }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pluggable value serdes for the topic record model — the Spark face of
+  * the reference's delegate-deserializer seam (MixedValue.kt:30 wraps a
+  * pluggable Deserializer; Factory.kt:96-110 selects String vs Avro per
+  * CLI flag). A serde maps the raw bytes column to decoded view columns
+  * plus a decode-error column (null = decodable); the strict
+  * (TopicOps.strictDecode) and DLQ (TopicOps.dlqSplit) paths consume the
+  * error column, so every serde plugs into both failure modes unchanged.
+  */
+object Serdes {
+
+  trait ValueSerde {
+    /** Decoded display/routing columns derived from `raw`. */
+    def decoded(raw: Column): Map[String, Column]
+
+    /** null when the bytes decode; a reason string otherwise. */
+    def error(raw: Column): Column
+  }
+
+  /** Default serde (the reference's StringDeserializer): UTF-8 text whose
+    * payload carries a `"k": <int>` field.
+    */
+  object Utf8JsonSerde extends ValueSerde {
+    private def kOf(raw: Column): Column =
+      regexp_extract(decode(raw, "UTF-8"), "\"k\": (\\d+)", 1).cast("int")
+
+    override def decoded(raw: Column): Map[String, Column] =
+      Map("value_decoded" -> decode(raw, "UTF-8"), "k_decoded" -> kOf(raw))
+
+    override def error(raw: Column): Column =
+      when(kOf(raw).isNull, "decode_failure")
+  }
+
+  /** Avro serde (the reference's KafkaAvroDeserializer seam): raw bytes
+    * are a GraftEvent binary datum; decode failure (truncated/corrupt
+    * payload) yields null → abort under strictDecode, route under
+    * dlqSplit — exactly the DLQ workflow the reference README leads with.
+    */
+  object AvroEventSerde extends ValueSerde {
+    /** Resolves against the session-registered graft_avro_decode (callers
+      * go through a df whose source called NativeHash.register).
+      */
+    def struct(raw: Column): Column = call_function("graft_avro_decode", raw)
+
+    override def decoded(raw: Column): Map[String, Column] = {
+      val s = struct(raw)
+      Map("event_type_dec" -> s.getField("event_type"),
+        "k_dec" -> s.getField("k"),
+        "user_id_dec" -> s.getField("user_id"))
+    }
+
+    override def error(raw: Column): Column =
+      when(struct(raw).isNull, "avro_decode_failure")
+  }
+
+  /** The events table as a topic whose VALUE serde is Avro: raw bytes are
+    * the Avro-encoded (event_type, k, user_id) datum. `value` keeps the
+    * props string view (never null here — this topic models a schema'd
+    * payload stream, not the tombstone view), so dlqSplit/strictDecode
+    * compose unchanged.
+    */
+  def avroTopic(events: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(events.sparkSession)
+    events.select(
+      lit("events.avro").as("topic"),
+      (col("user_id") % Topics.NumPartitions).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts"),
+      col("user_id").cast("string").as("key"),
+      col("props").as("value"),
+      call_function("graft_avro_encode",
+        col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"),
+        col("user_id")).as("raw"))
+  }
+}
