@@ -84,18 +84,28 @@ case class PlaneBuckets(child: Expression) extends UnaryExpression {
   * ties) — the corpus-side IVF bucket. Mirrors
   * `array_position(cc, array_max(cc))` over
   * cc[c] = dot(e, centroid_c) / (norm(e) * centroidNorm_c) exactly,
-  * computing all 16 cosines in ONE JVM call instead of 16 interpreted
-  * HOF folds re-evaluated per array reference.
+  * computing all cosines in ONE JVM call instead of 16 interpreted
+  * HOF folds re-evaluated per array reference. The codebook defaults to
+  * the oracle-replayable LCG constants; a k-means-fitted codebook
+  * (Similarity.fitCentroids) plugs in through the same kernel — codegen
+  * carries it as a reference object, still one call per row.
   */
-case class IvfBucket(child: Expression) extends UnaryExpression {
+case class IvfBucket(child: Expression,
+                     cents: Array[Array[Double]] = Codebooks.centroidsArr,
+                     cnorms: Array[Double] = Codebooks.centroidNorms)
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_ivf_bucket"
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorNativeImpl.ivfBucket(input.asInstanceOf[ArrayData])
+    VectorNativeImpl.ivfBucket(input.asInstanceOf[ArrayData], cents, cnorms)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.ivfBucket($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("ivfNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorNativeImpl.ivfBucket($c, $cRef, $nRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): IvfBucket =
     copy(child = newChild)
@@ -106,16 +116,24 @@ case class IvfBucket(child: Expression) extends UnaryExpression {
   * mirrors `array_position(cc, element_at(sort_array(cc, desc), p))`
   * (and the oracle's list_position/list_sort) including its duplicate-
   * value behavior; downstream `distinct()` collapses repeats identically.
+  * Codebook pluggable exactly as in [[IvfBucket]].
   */
-case class IvfProbes(child: Expression, probes: Int) extends UnaryExpression {
+case class IvfProbes(child: Expression, probes: Int,
+                     cents: Array[Array[Double]] = Codebooks.centroidsArr,
+                     cnorms: Array[Double] = Codebooks.centroidNorms)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_ivf_probes"
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorNativeImpl.ivfProbes(input.asInstanceOf[ArrayData], probes)
+    VectorNativeImpl.ivfProbes(input.asInstanceOf[ArrayData], probes, cents, cnorms)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.ivfProbes($c, $probes)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("ivfNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorNativeImpl.ivfProbes($c, $probes, $cRef, $nRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): IvfProbes =
     copy(child = newChild)
@@ -157,18 +175,20 @@ object VectorNativeImpl {
   }
 
   /** All centroid cosines for one vector, in centroid order. */
-  private def centroidCos(e: ArrayData): Array[Double] = {
+  private def centroidCos(e: ArrayData, cents: Array[Array[Double]],
+                          cnorms: Array[Double]): Array[Double] = {
     val nrm = norm(e)
-    val cc = new Array[Double](NCentroids)
+    val cc = new Array[Double](cents.length)
     var c = 0
-    while (c < NCentroids) {
-      cc(c) = dot(e, centroidsArr(c)) / (nrm * centroidNorms(c))
+    while (c < cents.length) {
+      cc(c) = dot(e, cents(c)) / (nrm * cnorms(c))
       c += 1
     }
     cc
   }
 
-  def ivfBucket(e: ArrayData): Int = firstMaxPos(centroidCos(e))
+  def ivfBucket(e: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double]): Int =
+    firstMaxPos(centroidCos(e, cents, cnorms))
 
   /** 1-based first position of the max, with array_max's NaN-is-largest
     * ordering (java.lang.Double.compare), matching
@@ -184,8 +204,9 @@ object VectorNativeImpl {
     best + 1
   }
 
-  def ivfProbes(e: ArrayData, probes: Int): ArrayData = {
-    val cc = centroidCos(e)
+  def ivfProbes(e: ArrayData, probes: Int, cents: Array[Array[Double]],
+                cnorms: Array[Double]): ArrayData = {
+    val cc = centroidCos(e, cents, cnorms)
     val sorted = cc.clone()
     java.util.Arrays.sort(sorted) // ascending, NaN last — same total order
     val out = new Array[Int](probes)

@@ -55,6 +55,13 @@ object PipelineQueries {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // IVF over a k-means-fitted codebook (the offline fit a production
+    // deployment broadcasts). The fit's float means are partitioning-
+    // dependent, so there is no SQL oracle (rows-only check); recall and
+    // correctness-vs-bruteforce are asserted in SimilaritySpec.
+    "sim_topk_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "text_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_quality" -> ((s, dir) =>

@@ -54,6 +54,33 @@ class SimilaritySpec extends SparkSpec {
     bf10.unpersist(); ivf.unpersist()
   }
 
+  test("k-means IVF: fitted codebook beats the LCG codebook at 4 probes; sweep reported") {
+    val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id")).cache()
+    val n = bf10.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "corpus_id").intersect(bf10).count() / n
+    val lcg4 = recallOf(Similarity.ivfTopK(emb, isQuery, k = 10, probes = 4))
+    val km4 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10, probes = 4))
+    val km12 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10, probes = 12))
+    info(f"recall@10: lcg/4probe=$lcg4%.3f kmeans/4probe=$km4%.3f kmeans/12probe=$km12%.3f")
+    // the corpus is isotropic (no cluster structure), so no 16-centroid
+    // codebook reaches 0.9 recall at 2 probes; the fitted codebook must
+    // still dominate the arbitrary LCG codebook, and a 12/16-probe scan
+    // must be near-exhaustive
+    assert(km4 >= lcg4, s"fitted codebook ($km4) must beat LCG ($lcg4) at 4 probes")
+    assert(km12 >= 0.9, s"12-probe recall should be near-exhaustive, got $km12")
+    bf10.unpersist()
+  }
+
+  test("k-means IVF hits score identically to brute force (candidates are exact-ranked)") {
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val km = Similarity.ivfTopKFitted(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    assert(km.except(bf).count() === 0)
+  }
+
   test("embedding near-dup pairs verify exact cosine above threshold, canonical order") {
     val p = Similarity.embeddingPairs(emb, tau = 0.4).cache()
     assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
