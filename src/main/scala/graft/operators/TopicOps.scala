@@ -125,8 +125,19 @@ object TopicOps {
     * string or null for valid records; tombstones are pass-through valid.
     */
   def dlqSplit(src: DataFrame, error: Column): DataFrame =
+    dlqSplit(src, error, lit(null).cast("string"))
+
+  /** DLQ routing with a key-side decode check (Serdes.KeySerde.error):
+    * unlike value errors, a key error applies to tombstones too — the
+    * key must decode for every record (routing and compaction are keyed),
+    * while a null VALUE is a legitimate tombstone. Key errors win when
+    * both sides are corrupt (the reference fails on the key first:
+    * ConsumerRecord deserializes key before value).
+    */
+  def dlqSplit(src: DataFrame, error: Column, keyError: Column): DataFrame =
     src.withColumn("error",
-      when(isTombstone(col("value")), lit(null).cast("string")).otherwise(error))
+      coalesce(keyError,
+        when(isTombstone(col("value")), lit(null).cast("string")).otherwise(error)))
       .withColumn("sink", when(col("error").isNotNull, lit("dlq")).otherwise(lit("clean")))
 
   /** The reference's DEFAULT decode contract: a deserialization failure
@@ -136,9 +147,16 @@ object TopicOps {
     * fast on the first bad record of any partition.
     */
   def strictDecode(src: DataFrame, error: Column): DataFrame =
+    strictDecode(src, error, lit(null).cast("string"))
+
+  /** Strict decode with the key-side check: a corrupt key aborts even on
+    * a tombstone (same precedence as [[dlqSplit]]).
+    */
+  def strictDecode(src: DataFrame, error: Column, keyError: Column): DataFrame =
     src.filter(assert_true(
-      isTombstone(col("value")) || error.isNull,
-      concat(lit("decode failure at offset "), col("offset"), lit(": "), error)).isNull)
+      keyError.isNull && (isTombstone(col("value")) || error.isNull),
+      concat(lit("decode failure at offset "), col("offset"), lit(": "),
+        coalesce(keyError, error))).isNull)
 
   /** MixedValue dual view (MixedValue.kt:13): raw untouched bytes + decoded
     * fields side by side. `decoded` maps the value column to decoded cols.

@@ -130,6 +130,23 @@ object TopicQueries {
           col("k_decoded"), col("raw_len"),
           Topics.headersStr(col("headers")).as("headers_str"))
         .orderBy(col("offset"))),
+    // Key-side decode (Factory.kt:96-99 — keys get their OWN pluggable
+    // deserializer): the dual raw/decoded key view plus DLQ routing on
+    // key decode failure. A deterministic subset of key bytes is
+    // corrupted; corrupt keys route to the DLQ even on tombstones (the
+    // key must decode for every record), and key errors outrank value
+    // errors. The strict (abort) twin lives in TopicOpsSpec.
+    "topic_key_serde" -> ((s, dir) => {
+      val t = Topics.events(s, dir)
+        .withColumn("key_raw", when(col("offset") % 89 === 0,
+          encode(lit("x"), "UTF-8")).otherwise(col("key_raw")))
+      TopicOps.dlqSplit(t, dlqError, Serdes.Utf8LongKeySerde.error(col("key_raw")))
+        .select(col("sink"), col("error"), col("partition"), col("offset"),
+          hex(col("key_raw")).as("key_raw_hex"),
+          Serdes.Utf8LongKeySerde.keyDec(col("key_raw")).as("key_dec"),
+          col("value"))
+        .orderBy(col("offset"))
+    }),
     "topic_offsets" -> ((s, dir) =>
       TopicOps.committedOffsets(Topics.events(s, dir), "graft")
         .orderBy(col("partition"))),
@@ -257,6 +274,22 @@ object TopicQueries {
          |       $KFieldSql AS k_decoded,
          |       octet_length(encode("value")) AS raw_len, headers_str
          |FROM topic ORDER BY "offset"""".stripMargin,
+    "topic_key_serde" ->
+      s"""$TopicCte, keyed AS (
+         |  SELECT *, CASE WHEN "offset" % 89 = 0 THEN 'x' ELSE "key" END AS key_txt,
+         |         CASE WHEN "offset" % 89 = 0 THEN NULL
+         |              ELSE CAST("key" AS BIGINT) END AS key_dec
+         |  FROM topic),
+         |dec AS (
+         |  SELECT *, CASE WHEN key_dec IS NULL THEN 'key_decode_failure'
+         |                 WHEN "value" IS NULL THEN NULL
+         |                 WHEN $KFieldSql IS NULL THEN 'decode_failure'
+         |                 WHEN $KFieldSql > 90 THEN 'out_of_range' END AS error
+         |  FROM keyed)
+         |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
+         |       error, "partition", "offset",
+         |       upper(hex(encode(key_txt))) AS key_raw_hex, key_dec, "value"
+         |FROM dec ORDER BY "offset"""".stripMargin,
     "topic_offsets" ->
       s"""$TopicCte
          |SELECT topic, "partition", MAX("offset") AS committed_offset,

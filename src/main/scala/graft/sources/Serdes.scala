@@ -35,6 +35,39 @@ object Serdes {
       when(kOf(raw).isNull, "decode_failure")
   }
 
+  /** Key-side serde — the reference deserializes keys through their OWN
+    * pluggable delegate (Factory.kt:96-99 wires a key deserializer
+    * separate from the value's; both are MixedValue). Shape mirrors
+    * [[ValueSerde]] over the `key_raw` bytes; a null key (tombstone-style
+    * keyless record) is valid — only non-null bytes that fail to decode
+    * are errors, and a key error applies to EVERY record, tombstones
+    * included (routing/compaction need the key even when the value is
+    * null).
+    */
+  trait KeySerde {
+    def decoded(keyRaw: Column): Map[String, Column]
+
+    /** null when the key bytes decode (or are absent); a reason otherwise. */
+    def error(keyRaw: Column): Column
+  }
+
+  /** Default key serde (the reference's LongDeserializer analog): UTF-8
+    * digits decoding to a bigint user id. The rlike guard keeps the cast
+    * ANSI-safe — Spark 4 would throw on a bare cast of corrupt bytes.
+    */
+  object Utf8LongKeySerde extends KeySerde {
+    private def text(keyRaw: Column): Column = decode(keyRaw, "UTF-8")
+
+    def keyDec(keyRaw: Column): Column =
+      when(text(keyRaw).rlike("^-?\\d+$"), text(keyRaw).cast("bigint"))
+
+    override def decoded(keyRaw: Column): Map[String, Column] =
+      Map("key_dec" -> keyDec(keyRaw))
+
+    override def error(keyRaw: Column): Column =
+      when(keyRaw.isNotNull && keyDec(keyRaw).isNull, "key_decode_failure")
+  }
+
   /** Avro serde (the reference's KafkaAvroDeserializer seam): raw bytes
     * are a GraftEvent binary datum; decode failure (truncated/corrupt
     * payload) yields null → abort under strictDecode, route under
@@ -71,6 +104,7 @@ object Serdes {
       col("event_id").as("offset"),
       col("ts"),
       col("user_id").cast("string").as("key"),
+      encode(col("user_id").cast("string"), "UTF-8").as("key_raw"),
       col("props").as("value"),
       call_function("graft_avro_encode",
         col("event_type"),

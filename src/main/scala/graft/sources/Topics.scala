@@ -32,6 +32,13 @@ object Topics {
     * headers-aware, MixedValue.kt:41) as array<struct<k,v:binary>> —
     * derived deterministically from the event so every oracle can replay
     * them: [("src", bytes(event_type)), ("seq", bytes(event_id))].
+    *
+    * Keys are MixedValue too (the reference wires a key deserializer
+    * distinct from the value's, Factory.kt:96-99), so the view carries
+    * the untouched key bytes (`key_raw`) next to the decoded `key` —
+    * the same dual raw/decoded shape `raw` gives values. Key serdes
+    * (Serdes.KeySerde) decode key_raw; corrupt key bytes abort or route
+    * exactly like value decode failures.
     */
   def asTopic(events: DataFrame): DataFrame =
     events.select(
@@ -40,6 +47,7 @@ object Topics {
       col("event_id").as("offset"),
       col("ts"),
       col("user_id").cast("string").as("key"),
+      encode(col("user_id").cast("string"), "UTF-8").as("key_raw"),
       when(col("event_type") === "error", lit(null).cast("string"))
         .otherwise(col("props")).as("value"),
       array(

@@ -126,6 +126,26 @@ class TopicOpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("decode failure")), e.getMessage)
   }
 
+  test("key bytes round-trip: decode(key_raw) is the key; corrupt keys abort strict decode") {
+    val src = topic.cache()
+    // dual view invariant: key_raw is the untouched bytes of the decoded key
+    assert(src.filter(decode(col("key_raw"), "UTF-8") =!= col("key")).count() === 0)
+    // a corrupt key aborts even on tombstones (value-null records), unlike
+    // a value error — routing/compaction need the key on every record
+    val tombOffset = src.filter(col("value").isNull)
+      .agg(min(col("offset"))).head().getLong(0)
+    val corrupt = src.withColumn("key_raw",
+      when(col("offset") === tombOffset,
+        encode(lit("x"), "UTF-8")).otherwise(col("key_raw")))
+    val strict = TopicOps.strictDecode(corrupt, lit(null).cast("string"),
+      graft.sources.Serdes.Utf8LongKeySerde.error(col("key_raw")))
+    val e = intercept[Exception](strict.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("key_decode_failure")), e.getMessage)
+    src.unpersist()
+  }
+
   test("dlq split routes tombstones as clean pass-through") {
     val out = TopicOps.dlqSplit(topic, when(col("value").isNull, "x")).cache()
     assert(out.filter(col("value").isNull && col("sink") =!= "clean").count() === 0)
