@@ -134,7 +134,9 @@ object TextStatsImpl {
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      wordChars += w.length
+      // codepoint count — Spark length() and DuckDB length() both count
+      // codepoints, not UTF-16 units
+      wordChars += w.codePointCount(0, w.length)
       uniq.add(w)
       if (en.contains(w)) stopHits += 1
       i += 1
@@ -167,7 +169,9 @@ object TextStatsImpl {
       } else {
         if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'))
           reTokens += 1
-        i += 1
+        // [^a-z0-9\s] matches one CODEPOINT — a surrogate pair is one
+        // token, not two
+        i += Character.charCount(low.codePointAt(i))
       }
     }
     new GenericArrayData(Array(words.length.toLong, uniq.size.toLong,
@@ -323,14 +327,18 @@ case class MinGramHash(child: Expression, gram: Int)
 object MinGramHashImpl {
   private val M = TextFunctions.HashMod
 
+  /** Grams are windows of `gram` CODEPOINTS — the unit Spark's substring
+    * (UTF8String.substringSQL) and DuckDB's substring both count — so the
+    * kernel agrees with both on supplementary characters too.
+    */
   def compute(text: UTF8String, gram: Int): Long = {
-    val s = text.toString
-    val n = s.length
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
     if (n <= gram) {
       // single (possibly short) gram — matches substring(text, 1, gram)
       var h = 0L
       var i = 0
-      while (i < n) { h = (h * 31L + s.charAt(i).toLong) % M; i += 1 }
+      while (i < n) { h = (h * 31L + cps(i).toLong) % M; i += 1 }
       return h
     }
     // 31^(gram-1) mod M, the weight of the outgoing char
@@ -339,11 +347,11 @@ object MinGramHashImpl {
     while (k < gram - 1) { pow = (pow * 31L) % M; k += 1 }
     var h = 0L
     var i = 0
-    while (i < gram) { h = (h * 31L + s.charAt(i).toLong) % M; i += 1 }
+    while (i < gram) { h = (h * 31L + cps(i).toLong) % M; i += 1 }
     var min = h
     while (i < n) {
-      val out = (s.charAt(i - gram).toLong * pow) % M
-      h = (((h - out + M) % M) * 31L + s.charAt(i).toLong) % M
+      val out = (cps(i - gram).toLong * pow) % M
+      h = (((h - out + M) % M) * 31L + cps(i).toLong) % M
       if (h < min) min = h
       i += 1
     }
@@ -398,6 +406,10 @@ object ShingleHashImpl {
 
   /** Mirrors split(lower(trim(text)), "\s+") → per-word polyhash →
     * ((h1*31+h2) mod M * 31 + h3) mod M → first-occurrence distinct.
+    * The per-word fold iterates CODEPOINTS (not UTF-16 units), matching
+    * the HOF twin (split("") keeps surrogate pairs whole; ascii() yields
+    * the codepoint) and the DuckDB oracle — parity incl. supplementary
+    * characters is pinned in NativeHashSpec.
     */
   def compute(text: UTF8String): ArrayData = {
     val words = text.trim().toLowerCase().toString.split("\\s+", -1)
@@ -410,8 +422,9 @@ object ShingleHashImpl {
       var h = 0L
       var j = 0
       while (j < w.length) {
-        h = (h * 31L + w.charAt(j).toLong) % M
-        j += 1
+        val cp = w.codePointAt(j)
+        h = (h * 31L + cp.toLong) % M
+        j += Character.charCount(cp)
       }
       wh(i) = h
       i += 1

@@ -240,19 +240,24 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
-    // session_window end = last event ts + gap
+    // session_window end = last event ts + gap. Boundary convention BY
+    // CONSTRUCTION (round-2 ADVICE): Spark's session window is half-open
+    // [ts, ts+gap) over microsecond timestamps, so an event exactly `gap`
+    // after its predecessor starts a NEW session — hence epoch_us and >=
+    // at the boundary (the previous epoch_ms/strict-> form only agreed
+    // because the data never hit the boundary).
     "events_session_window" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
-         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
          |  FROM events),
          |flags AS (
-         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
-         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          |sess AS (
          |  SELECT *, SUM(new_sess) OVER (
-         |    PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         |    PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
          |  FROM flags)
          |SELECT user_id, MIN(ts) AS session_start,
          |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,

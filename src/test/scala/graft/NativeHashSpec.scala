@@ -41,6 +41,49 @@ class NativeHashSpec extends SparkSpec {
     assert(r2.getSeq[Long](3).forall(_ === 0L))
   }
 
+  test("text kernels fold codepoints: parity with HOF twins beyond ASCII (round-2 ADVICE)") {
+    NativeHash.register(spark)
+    // é (BMP non-ASCII), 😀 (supplementary — a surrogate pair in UTF-16),
+    // CJK ext B 𠀀; parity must hold per CODEPOINT, not per UTF-16 unit
+    val t = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'héllo wörld café naïve über résumé'),
+        |  (2L, 'a😀b c😀d e😀f g😀h'),
+        |  (3L, '𠀀𠀁𠀂 𠀃𠀄 mixed ascii tail here'),
+        |  (4L, 'plain ascii control row one two three')
+        |AS t(id, text)""".stripMargin)
+    import graft.functions.TextFunctions
+    val whHof = transform(TextFunctions.words(col("text")), w => TextFunctions.polyhash(w))
+    val rows = t.select(
+      expr("graft_shingle_hashes(text)").as("kh"),
+      TextFunctions.combineShingles3(whHof).as("hh"),
+      expr("graft_min_gram_hash(text, 4)").as("km"),
+      expr("graft_text_stats(text)").as("ks"),
+      array(size(TextFunctions.words(col("text"))).cast("long"),
+        aggregate(TextFunctions.words(col("text")), lit(0L),
+          (s, w) => s + length(w).cast("long"))).as("hs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), "shingle hashes must match HOF")
+      val ks = r.getSeq[Long](3)
+      val hs = r.getSeq[Long](4)
+      assert(ks.head === hs.head, "n_words")
+      assert(ks(2) === hs(1), "word_chars must count codepoints like length()")
+    }
+    // min-gram over supplementary text: windows are codepoint windows —
+    // recompute gram-by-gram via the HOF polyhash on substring (codepoint
+    // units in Spark substring) and compare
+    val s3 = "𠀀𠀁𠀂 𠀃𠀄 mixed ascii tail here"
+    val nCp = s3.codePointCount(0, s3.length)
+    val grams = spark.range(1).select(
+      (1 to (nCp - 3)).map(i =>
+        TextFunctions.polyhash(substring(lit(s3), i, 4)).as(s"g$i")): _*)
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val km3 = t.filter(col("id") === 3)
+      .select(expr("graft_min_gram_hash(text, 4)")).head.getLong(0)
+    assert(km3 === grams.min, "rolling min-gram must equal gram-by-gram HOF min")
+  }
+
   test("vector kernels match their HOF twins row-by-row on real embeddings") {
     import graft.functions.{Codebooks, VectorFunctions}
     NativeHash.register(spark)
