@@ -71,6 +71,16 @@ object StreamQueries {
       TopicStream.sessionizeStream(s, eventsPath(dir), out, ckpt)
         .orderBy(col("user_id"), col("session_start"))
     }),
+    // Stream-stream join: DLQ replay reconciliation — the dead-letter
+    // stream joined (watermarked, time-bounded) with a corrections
+    // stream keyed by the failed record's coordinates; emitted pairs =
+    // repaired records. Fix derivation is deterministic (even-offset
+    // failures, +10 min), so the oracle replays the join in SQL.
+    "stream_dlq_replay" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_dlq_replay", dir)
+      TopicStream.dlqReplayStream(s, eventsPath(dir), TopicQueries.dlqError, out, ckpt)
+        .orderBy(col("offset"))
+    }),
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
@@ -83,5 +93,17 @@ object StreamQueries {
     "stream_window" -> AnalyticsQueries.oracles("events_window"),
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
-    "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"))
+    "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
+    // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
+    // offsets), so the equi-join on (topic, partition, offset) reduces
+    // to that filter — which is exactly what makes the join verifiable.
+    "stream_dlq_replay" ->
+      s"""${TopicQueries.TopicCte}, dec AS (
+         |  SELECT *, CASE WHEN "value" IS NULL THEN NULL
+         |                 WHEN ${TopicQueries.KFieldSql} IS NULL THEN 'decode_failure'
+         |                 WHEN ${TopicQueries.KFieldSql} > 90 THEN 'out_of_range' END AS error
+         |  FROM topic)
+         |SELECT topic, "partition", "offset", "key", error, '{"k": 1}' AS fixed_value
+         |FROM dec WHERE error IS NOT NULL AND "offset" % 2 = 0
+         |ORDER BY "offset"""".stripMargin)
 }

@@ -19,7 +19,7 @@ object TopicQueries {
   private def kField: Column =
     regexp_extract(col("value"), "\"k\": (\\d+)", 1).cast("int")
 
-  private val KFieldSql =
+  private[queries] val KFieldSql =
     """TRY_CAST(regexp_extract("value", '"k": (\d+)', 1) AS INT)"""
 
   /** Ask-command action rule (stand-in for the interactive ActionSource):

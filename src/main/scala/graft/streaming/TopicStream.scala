@@ -218,6 +218,69 @@ object TopicStream {
     (spark.read.parquet(cleanDir), spark.read.parquet(dlqDir))
   }
 
+  /** DLQ replay reconciliation — a watermarked STREAM-STREAM join. The
+    * dead-letter stream meets a corrections stream (fixed records
+    * produced later, keyed by the failed record's (topic, partition,
+    * offset) — the coordinates the reference's DLQ workflow preserves)
+    * and emits each dead-lettered record paired with its fix.
+    *
+    * Scale shape: both watermarks plus the time-range join condition
+    * (fix within `horizon` of the failure) bound the join state — state
+    * per side is one horizon's worth of records, evicted as the
+    * watermark advances; without them a stream-stream join buffers its
+    * entire history. The join itself shuffles both sides on the equi-key
+    * exactly once (the same key a Kafka DLQ topic is already partitioned
+    * by).
+    */
+  def dlqReplayJoin(dlq: DataFrame, fixes: DataFrame,
+                    horizon: String = "1 hour"): DataFrame = {
+    val d = dlq
+      .select(col("topic"), col("partition"), col("offset"),
+        col("ts").as("dlq_ts"), col("key"), col("error"))
+      .withWatermark("dlq_ts", horizon)
+    val f = fixes
+      .select(col("topic").as("f_topic"), col("partition").as("f_partition"),
+        col("offset").as("f_offset"), col("fix_ts"), col("fixed_value"))
+      .withWatermark("fix_ts", horizon)
+    d.join(f,
+      col("topic") === col("f_topic") &&
+        col("partition") === col("f_partition") &&
+        col("offset") === col("f_offset") &&
+        col("fix_ts") >= col("dlq_ts") &&
+        col("fix_ts") <= col("dlq_ts") + expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(col("topic"), col("partition"), col("offset"), col("key"),
+        col("error"), col("fixed_value"))
+  }
+
+  /** Runs [[dlqReplayJoin]] over the events file stream: the DLQ side is
+    * the dlqSplit failure partition; the corrections side is derived
+    * deterministically (every even-offset failure gets a fix 10 minutes
+    * later) so the batch oracle can replay the reconciliation exactly.
+    */
+  def dlqReplayStream(spark: SparkSession, eventsPath: String,
+                      error: org.apache.spark.sql.Column,
+                      outDir: String, checkpointDir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val dlq = TopicOps.dlqSplit(topicStream(spark, eventsPath, maxFilesPerTrigger), error)
+      .filter(col("sink") === "dlq")
+    val fixes = TopicOps.dlqSplit(topicStream(spark, eventsPath, maxFilesPerTrigger), error)
+      .filter(col("sink") === "dlq" && col("offset") % 2 === 0)
+      .select(col("topic"), col("partition"), col("offset"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("fix_ts"),
+        lit("{\"k\": 1}").as("fixed_value"))
+    val q = dlqReplayJoin(dlq, fixes).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Complete-mode aggregation → overwrite parquet per micro-batch; the
     * final batch IS the full aggregate, so batch oracles apply verbatim.
     */

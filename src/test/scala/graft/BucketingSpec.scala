@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Bucketing, Tables}
+
+/** Co-located-join proof: a join of two tables bucketed on the join key
+  * (same bucket count) plans with ZERO Exchange nodes, while the same
+  * join over plain parquet shuffles both sides. Broadcast is disabled
+  * for the comparison so bucketing — not a broadcast — is what removes
+  * the shuffle (the fact-fact case broadcast can't help with).
+  */
+class BucketingSpec extends SparkSpec {
+
+  private def exchanges(p: String): Int =
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+
+  test("co-bucketed fact-fact join plans without any Exchange; results unchanged") {
+    val orders = Tables.load(spark, sf, "orders")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    Bucketing.writeBucketed(orders, "orders_b", 4, "o_orderkey")
+    Bucketing.writeBucketed(lineitem, "lineitem_b", 4, "l_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Bucketing.cobucketedJoin(spark, "orders_b", "lineitem_b",
+        "o_orderkey", "l_orderkey")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("l_quantity"))
+      val pb = bucketed.queryExecution.executedPlan.toString
+      assert(exchanges(pb) === 0,
+        s"co-bucketed join must not shuffle either side:\n$pb")
+
+      val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("l_quantity"))
+      val pp = plain.queryExecution.executedPlan.toString
+      assert(exchanges(pp) >= 2,
+        s"the unbucketed twin should shuffle both sides (else this spec proves nothing):\n$pp")
+
+      // layout must not change answers
+      assert(bucketed.except(plain).count() === 0)
+      assert(plain.except(bucketed).count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}

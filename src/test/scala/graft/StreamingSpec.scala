@@ -92,6 +92,24 @@ class StreamingSpec extends SparkSpec {
     streamed.unpersist()
   }
 
+  test("stream-stream DLQ replay join over ordered multi-batch replay equals batch reconciliation") {
+    val kField = regexp_extract(col("value"), "\"k\": (\\d+)", 1).cast("int")
+    val err = when(kField.isNull, "decode_failure").when(kField > 90, "out_of_range")
+    val (out, ckpt) = TopicStream.scratchDirs("spec_dlq_replay", orderedSplitDir)
+    val streamed = TopicStream.dlqReplayStream(spark, orderedSplitDir, err, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+      .select("topic", "partition", "offset", "key", "error", "fixed_value")
+    val batch = TopicOps.dlqSplit(Topics.events(spark, sf), err)
+      .filter(col("sink") === "dlq" && col("offset") % 2 === 0)
+      .select(col("topic"), col("partition"), col("offset"), col("key"),
+        col("error"), lit("{\"k\": 1}").as("fixed_value"))
+    // ordered replay + 10-min fix lag well inside the 1-hour watermark
+    // horizon ⇒ no drops: the join must reconcile every fixed failure
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming near-dup ingest over multi-batch replay equals batch MinHash pairs") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split"
     Tables.load(spark, sf, "documents").repartition(4)
