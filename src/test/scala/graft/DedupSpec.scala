@@ -37,6 +37,29 @@ class DedupSpec extends SparkSpec {
     exact.unpersist(); lsh.unpersist()
   }
 
+  test("minhash band sweep: recall rises as bands narrow (more, shorter bands); all exact-verified") {
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .select("doc_a", "doc_b").cache()
+    val n = exact.count().toDouble.max(1)
+    // k=16 fixed: 2 bands × 8 rows (collision prob s^8 per band — strict),
+    // 4×4 (the default), 8×2 (loose). LSH theory: fewer rows per band ⇒
+    // higher per-band collision probability ⇒ recall is monotone in bands.
+    val recalls = Seq(2, 4, 8).map { bands =>
+      val r = Dedup.minhashPairs(docs, bands = bands)
+        .select("doc_a", "doc_b").intersect(exact).count() / n
+      bands -> r
+    }
+    info(recalls.map { case (b, r) => f"bands=$b recall=$r%.3f" }.mkString("  "))
+    recalls.sliding(2).foreach { case Seq((b1, r1), (b2, r2)) =>
+      assert(r2 >= r1, s"recall must not drop when bands go $b1 -> $b2 ($r1 -> $r2)")
+    }
+    // every configuration stays exact-verified: candidates are a subset
+    // of the exact pairs regardless of banding
+    val loose = Dedup.minhashPairs(docs, bands = 8).select("doc_a", "doc_b")
+    assert(loose.except(exact).count() === 0)
+    exact.unpersist()
+  }
+
   test("prefix-filtered Jaccard returns exactly the full inverted-index pairs (lossless filter)") {
     val full = Dedup.ngramJaccardPairs(docs)
     val pref = Dedup.ngramJaccardPrefixPairs(docs)
