@@ -102,6 +102,73 @@ object TextOps {
       .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars", "chars_per_token")
   }
 
+  /** Token-budget packing: assign each document to a training pack of
+    * ≤ `budget` tokens (first-fit in doc_id order; a doc whose exclusive
+    * running total crosses a pack boundary starts the next pack, so a
+    * pack can overflow by at most one document — the standard streaming
+    * approximation). Packing is per-SHARD: the cumulative sum runs inside
+    * `doc_id % shards`, so the sort is shard-local and shards are the
+    * parallelism unit — at 100 TB shard by input split and the window
+    * never sees more than one shard's documents. All-integer arithmetic
+    * (token counts from the fused TextStats kernel), bit-identical to the
+    * oracle.
+    */
+  def tokenPack(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", element_at(expr("graft_text_stats(text)"), 6))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
+      .select("doc_id", "shard", "pack_id", "n_tokens", "cum")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
+    * distinct 3-gram shingles with the evaluation set — the standard
+    * train/eval n-gram overlap check. The benchmark's distinct shingle set
+    * is broadcast (eval sets are small by definition); the corpus side is
+    * one narrow explode + broadcast semi-join + per-doc count, so cost is
+    * linear in corpus shingles and never pairs documents.
+    */
+  def decontaminate(docs: DataFrame, isBench: Column, minShared: Long = 2): DataFrame = {
+    val hashes = Dedup.shingleHashes(docs)
+    val benchSh = hashes.filter(isBench).select(explode(col("hs")).as("h")).distinct()
+    val corpus = hashes.filter(!isBench)
+    val overlap = corpus.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(benchSh), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select("doc_id", "n_sh")
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minShared)
+  }
+
+  /** Per-language top-q quality selection: keep the best ceil(n·q) docs of
+    * each language by (quality desc, doc_id) — the stratified curation
+    * step after scoring. q is the rational qNum/qDen so the cut is
+    * integer-exact (a float percentile threshold would interpolate
+    * differently across engines). This is the exact reference form: the
+    * rank window sorts each stratum, fine up to one stratum per executor
+    * worth of data; the 100-TB path computes an approximate per-stratum
+    * threshold (percentile_approx sketch, mergeable) and broadcast-filters
+    * on it — same selection modulo boundary ties.
+    */
+  def qualityTopQ(docs: DataFrame, qNum: Int = 1, qDen: Int = 2): DataFrame = {
+    val scored = quality(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .filter(col("rk") <= expr(s"(n_lang * $qNum + ${qDen - 1}) DIV $qDen"))
+      .select("doc_id", "lang", "quality", "rk")
+  }
+
   /** Whole-document polynomial hash plus the minimum `gram`-char hash via
     * the native O(len) rolling-hash expression (winnowing-style); the
     * DuckDB oracle recomputes each gram hash independently — algebraically

@@ -74,6 +74,14 @@ object PipelineQueries {
       Multimodal.meta(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    "pipeline_token_pack" -> ((s, dir) =>
+      TextOps.tokenPack(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // benchmark set = every 97th doc (deterministic eval sample)
+    "pipeline_decontaminate" -> ((s, dir) =>
+      TextOps.decontaminate(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id"))),
+    "pipeline_quality_topq" -> ((s, dir) =>
+      TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // Batched mapPartitions decode plumbing — not ANSI-SQL-expressible
     // (driver rows-only check; exactness covered by MultimodalSpec).
     "mm_decode" -> ((s, dir) =>
@@ -336,6 +344,52 @@ object PipelineQueries {
          |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
          |SELECT doc_id, quality FROM after_exact
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_token_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, SUM(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+         |       n_tokens, CAST(cum AS BIGINT) AS cum
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipeline_decontaminate" -> (ShingleCte +
+      s"""
+         |, bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashes WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, unnest(hs) AS h FROM hashes WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (h) GROUP BY doc_id)
+         |SELECT h.doc_id, h.n_sh, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |       COALESCE(o.n_overlap, 0) >= 2 AS contaminated
+         |FROM hashes h LEFT JOIN ov o USING (doc_id) WHERE h.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin),
+
+    "pipeline_quality_topq" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM ws),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM m),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM scored)
+         |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= (n_lang * 1 + 1) // 2
          |ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" -> {

@@ -44,6 +44,63 @@ class TextOpsSpec extends SparkSpec {
     assert(f1.filter(col("min_gram_hash") < 0).count() === 0)
   }
 
+  test("token packing: packs fill to budget, overflow by at most the boundary doc") {
+    val budget = 2048L
+    val packed = TextOps.tokenPack(docs, budget).cache()
+    assert(packed.count() === docs.count(), "every doc lands in exactly one pack")
+    // exclusive running total within the pack stays under budget — the
+    // pack can only overflow by its final (boundary) document
+    assert(packed.filter(
+      expr(s"(cum - n_tokens) - pack_id * $budget") >= budget).count() === 0)
+    // cum really is the shard-local inclusive running total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    assert(packed.withColumn("cum2", sum(col("n_tokens")).over(w))
+      .filter(col("cum") =!= col("cum2")).count() === 0)
+    // pack ids are dense non-negative per shard
+    assert(packed.filter(col("pack_id") < 0).count() === 0)
+    packed.unpersist()
+  }
+
+  test("decontamination: benchmark excluded, overlap bounded by doc shingles, flag matches rule") {
+    val isBench = col("doc_id") % 97 === 0
+    val out = TextOps.decontaminate(docs, isBench, minShared = 2).cache()
+    assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
+    assert(out.count() === docs.filter(col("doc_id") % 97 =!= 0).count())
+    assert(out.filter(col("n_overlap") > col("n_sh")).count() === 0)
+    assert(out.filter(col("contaminated") =!= (col("n_overlap") >= 2)).count() === 0)
+    // an exact copy of a benchmark doc must be flagged (plant one)
+    val benchText = docs.filter(isBench).select("text").head.getString(0)
+    val planted = docs.unionByName(
+      spark.range(1).select(lit(990001L).as("doc_id"), lit(benchText).as("text"),
+        lit("en").as("lang"), lit("planted").as("source"),
+        length(lit(benchText)).cast("long").as("n_chars")))
+    val flagged = TextOps.decontaminate(planted, isBench, minShared = 2)
+      .filter(col("doc_id") === 990001L).head
+    assert(flagged.getAs[Boolean]("contaminated"),
+      "verbatim benchmark copy must be contaminated")
+    out.unpersist()
+  }
+
+  test("top-q quality: keeps exactly ceil(n/2) per language, all at or above every dropped score") {
+    val kept = TextOps.qualityTopQ(docs).cache()
+    val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val keptCounts = kept.groupBy("lang").agg(count(lit(1)).as("k"))
+    val bad = perLang.join(keptCounts, "lang")
+      .filter(col("k") =!= expr("(n * 1 + 1) DIV 2"))
+    assert(bad.count() === 0, "kept count must be ceil(n*q) per language")
+    val all = TextOps.quality(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = kept.groupBy("lang").agg(min("quality").as("min_kept"))
+    val maxDrop = dropped.groupBy("lang").agg(max("quality").as("max_drop"))
+    assert(minKept.join(maxDrop, "lang")
+      .filter(col("max_drop") > col("min_kept")).count() === 0,
+      "no dropped doc may outscore a kept doc in its language")
+    kept.unpersist()
+  }
+
   test("multimodal decode stub: mapPartitions features agree with the column-level meta") {
     val meta = Multimodal.meta(docs)
       .select("doc_id", "checksum", "size_bytes", "width", "height")
