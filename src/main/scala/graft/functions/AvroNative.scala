@@ -79,8 +79,30 @@ object AvroEventImpl {
   */
 case class AvroEncodeEvent(children: Seq[Expression])
     extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
+  override def prettyName: String = "graft_avro_encode"
+
+  /** Clean analysis-time errors: wrong arity would otherwise die with
+    * IndexOutOfBoundsException and a mistyped k with a per-row
+    * ClassCastException on the executor.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length != 3)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_avro_encode expects (event_type string, k int, user_id bigint); got ${children.length} arguments")
+    else if (children(0).dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"event_type must be string, got ${children(0).dataType.sql}")
+    else if (children(1).dataType != IntegerType && children(1).dataType != NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"k must be int (nullable union branch), got ${children(1).dataType.sql}")
+    else if (children(2).dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"user_id must be bigint, got ${children(2).dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def eval(input: InternalRow): Any = {
     val et = children(0).eval(input)
@@ -102,9 +124,16 @@ case class AvroEncodeEvent(children: Seq[Expression])
   */
 case class AvroDecodeEvent(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   override def dataType: DataType = AvroEventImpl.sparkType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_avro_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_avro_decode expects a binary datum, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     AvroEventImpl.decode(input.asInstanceOf[Array[Byte]])

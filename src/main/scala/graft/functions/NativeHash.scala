@@ -127,7 +127,7 @@ object TextStatsImpl {
 
   def compute(text: UTF8String): ArrayData = {
     val raw = text.toString
-    val words = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
     val uniq = new java.util.HashSet[String](words.length * 2)
     var wordChars = 0L
     var stopHits = 0L
@@ -151,8 +151,11 @@ object TextStatsImpl {
       i += 1
     }
     // token count over lower(text): one linear scan equivalent to
-    // regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') —
-    // \s is ASCII [ \t\n\x0B\f\r] in both Java and RE2 (the oracle)
+    // regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') in
+    // the ORACLE's dialect — RE2 \s is [ \t\n\f\r] WITHOUT vertical tab
+    // (Java \s includes \x0B, RE2 does not; the oracle is the contract,
+    // so U+000B counts as a token and the word splits above use the
+    // same explicit class)
     val low = text.toLowerCase().toString
     var reTokens = 0L
     i = 0
@@ -167,7 +170,7 @@ object TextStatsImpl {
         i += 1
         while (i < low.length && low.charAt(i) >= '0' && low.charAt(i) <= '9') i += 1
       } else {
-        if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'))
+        if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'))
           reTokens += 1
         // [^a-z0-9\s] matches one CODEPOINT — a surrogate pair is one
         // token, not two
@@ -385,7 +388,7 @@ object LangScoresImpl {
     }.toArray
 
   def compute(text: UTF8String): ArrayData = {
-    val words = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
     val counts = new Array[Long](sets.length)
     var i = 0
     while (i < words.length) {
@@ -412,7 +415,7 @@ object ShingleHashImpl {
     * characters is pinned in NativeHashSpec.
     */
   def compute(text: UTF8String): ArrayData = {
-    val words = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
     val n = words.length
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     val wh = new Array[Long](n)

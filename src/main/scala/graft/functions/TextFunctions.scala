@@ -15,8 +15,12 @@ object TextFunctions {
   /** Modulus for the polynomial rolling hash; fits h*31+cp in a long. */
   val HashMod = 1000000007L
 
-  /** Lowercased whitespace tokens. */
-  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Lowercased whitespace tokens. The split class is RE2's \s spelled
+    * out — [ \t\n\f\r], WITHOUT vertical tab — because the DuckDB oracle
+    * (RE2) is the semantics contract and Java's \s would also swallow
+    * U+000B. Kernels use the identical class.
+    */
+  def words(text: Column): Column = split(lower(trim(text)), "[ \\t\\n\\f\\r]+")
 
   /** Polynomial rolling hash over codepoints: h = (h*31 + cp) mod 1e9+7.
     * Left fold — deterministic, order-fixed, identical in Spark (aggregate),

@@ -122,6 +122,13 @@ case class IvfProbes(child: Expression, probes: Int,
                      cents: Array[Array[Double]] = Codebooks.centroidsArr,
                      cnorms: Array[Double] = Codebooks.centroidNorms)
     extends UnaryExpression {
+  // clear analysis-time error instead of an executor-side
+  // ArrayIndexOutOfBoundsException when asked for more probes than the
+  // codebook has centroids
+  if (probes > cents.length)
+    throw new IllegalArgumentException(
+      s"graft_ivf_probes: probes=$probes exceeds the codebook size ${cents.length}")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_ivf_probes"
 
@@ -190,15 +197,25 @@ object VectorNativeImpl {
   def ivfBucket(e: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double]): Int =
     firstMaxPos(centroidCos(e, cents, cnorms))
 
+  /** Spark SQL's double ordering (SQLOrderingUtil.compareDoubles): IEEE
+    * comparisons first — so -0.0 == 0.0, unlike java.lang.Double.compare —
+    * falling back to Double.compare only for NaN (largest). This is the
+    * ordering array_max/array_position use; the kernel must match it
+    * exactly or bucket assignment diverges from the HOF twin on rows whose
+    * cosines contain both signed zeros.
+    */
+  private def sqlCompare(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+    else java.lang.Double.compare(x, y)
+
   /** 1-based first position of the max, with array_max's NaN-is-largest
-    * ordering (java.lang.Double.compare), matching
-    * array_position(cc, array_max(cc)).
+    * ordering, matching array_position(cc, array_max(cc)).
     */
   private def firstMaxPos(cc: Array[Double]): Int = {
     var best = 0
     var i = 1
     while (i < cc.length) {
-      if (java.lang.Double.compare(cc(i), cc(best)) > 0) best = i
+      if (sqlCompare(cc(i), cc(best)) > 0) best = i
       i += 1
     }
     best + 1
@@ -214,7 +231,7 @@ object VectorNativeImpl {
     while (p < probes) {
       val v = sorted(sorted.length - 1 - p) // p-th largest
       var i = 0
-      while (i < cc.length && java.lang.Double.compare(cc(i), v) != 0) i += 1
+      while (i < cc.length && sqlCompare(cc(i), v) != 0) i += 1
       out(p) = i + 1
       p += 1
     }

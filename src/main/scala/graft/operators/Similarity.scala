@@ -120,9 +120,11 @@ object Similarity {
     * (k × Dim) — small by construction; collecting a MODEL, not data.
     */
   def fitCentroids(emb: DataFrame, k: Int = NCentroids, iters: Int = 3): Array[Array[Double]] = {
+    require(k >= 1 && k <= Codebooks.centroids.length,
+      s"k=$k out of range: the LCG seed codebook provides 1..${Codebooks.centroids.length} centroids")
     val v = vectors(emb).persist()
     try {
-      var cents = Codebooks.centroids.map(c => normalize(c.toArray)).toArray
+      var cents = Codebooks.centroids.take(k).map(c => normalize(c.toArray)).toArray
       for (_ <- 0 until iters) {
         val cc = array(cents.toIndexedSeq.map(cn =>
           call_function("graft_dot", col("e"), typedlit(cn.toSeq)) / col("nrm")): _*)

@@ -98,7 +98,11 @@ object TextOps {
       .withColumn("n_ws_tokens", element_at(col("st"), 1))
       .withColumn("n_re_tokens", element_at(col("st"), 6))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_re_tokens"))
+      // null, not a division: empty/whitespace-only text has zero tokens,
+      // and the engines disagree on double x/0 (IEEE inf vs error)
+      .withColumn("chars_per_token",
+        when(col("n_re_tokens") > 0,
+          col("n_chars").cast("double") / col("n_re_tokens")))
       .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars", "chars_per_token")
   }
 
@@ -136,13 +140,15 @@ object TextOps {
   def decontaminate(docs: DataFrame, isBench: Column, minShared: Long = 2): DataFrame = {
     val hashes = Dedup.shingleHashes(docs)
     val benchSh = hashes.filter(isBench).select(explode(col("hs")).as("h")).distinct()
-    val corpus = hashes.filter(!isBench)
-    val overlap = corpus.select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(benchSh), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    corpus.select("doc_id", "n_sh")
-      .join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("hit", lit(1))
+    // ONE corpus pass: explode_outer keeps sub-3-word docs (n_sh = 0),
+    // the left join marks benchmark shingles, and since hs is a distinct
+    // set, count(h) IS n_sh — no second scan to recover per-doc counts
+    hashes.filter(!isBench)
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .join(broadcast(benchSh), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("h")).as("n_sh"), count(col("hit")).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minShared)
   }
 

@@ -76,7 +76,14 @@ object TopicOps {
   def routeWithDecisions(src: DataFrame, decisions: DataFrame, dest: String,
                          mergeTombstones: Boolean = false,
                          broadcastDecisions: Boolean = true): DataFrame = {
-    val d = if (broadcastDecisions) broadcast(decisions) else decisions
+    // the reference's ActionSource yields exactly ONE decision per record;
+    // an amended/duplicated decision row must not fan the record out into
+    // two produced sets, so conflicting rows resolve deterministically to
+    // the strongest action (merge < purge < skip, conveniently alphabetical)
+    val oneDecision = decisions
+      .groupBy(col("topic"), col("partition"), col("offset"))
+      .agg(min(col("action")).as("action"))
+    val d = if (broadcastDecisions) broadcast(oneDecision) else oneDecision
     val withAction = src.join(d, Seq("topic", "partition", "offset"), "left")
     route(withAction, coalesce(col("action"), lit("skip")), dest, mergeTombstones)
   }

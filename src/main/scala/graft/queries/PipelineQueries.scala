@@ -435,8 +435,9 @@ object PipelineQueries {
          |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(length(text) AS DOUBLE)
-         |    / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS chars_per_token
+         |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) > 0
+         |       THEN CAST(length(text) AS DOUBLE)
+         |            / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) END AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->

@@ -53,13 +53,17 @@ object Serdes {
 
   /** Default key serde (the reference's LongDeserializer analog): UTF-8
     * digits decoding to a bigint user id. The rlike guard keeps the cast
-    * ANSI-safe — Spark 4 would throw on a bare cast of corrupt bytes.
+    * ANSI-safe — Spark 4 would throw on a bare cast of corrupt bytes —
+    * and is length-bounded to 18 digits (always inside Long range): a
+    * 20-digit numeric key would pass an unbounded digit regex and then
+    * OVERFLOW the ANSI cast, crashing the very DLQ path that exists to
+    * route bad keys. Longer numerics are decode failures.
     */
   object Utf8LongKeySerde extends KeySerde {
     private def text(keyRaw: Column): Column = decode(keyRaw, "UTF-8")
 
     def keyDec(keyRaw: Column): Column =
-      when(text(keyRaw).rlike("^-?\\d+$"), text(keyRaw).cast("bigint"))
+      when(text(keyRaw).rlike("^-?\\d{1,18}$"), text(keyRaw).cast("bigint"))
 
     override def decoded(keyRaw: Column): Map[String, Column] =
       Map("key_dec" -> keyDec(keyRaw))

@@ -130,7 +130,11 @@ class NativeHashSpec extends SparkSpec {
     // BIGINT literal parameter is accepted (round-1 ADVICE: it threw CCE)
     val mg = spark.sql("SELECT graft_min_gram_hash('abcdefghij', CAST(8 AS BIGINT))").head
     assert(!mg.isNullAt(0))
-    for (bad <- Seq("graft_min_gram_hash('abc', 0)", "graft_ivf_probes(array(1.0D), -1)"))
+    for (bad <- Seq("graft_min_gram_hash('abc', 0)", "graft_ivf_probes(array(1.0D), -1)",
+        // clear errors, not executor-side AIOOBE/CCE: more probes than
+        // centroids, wrong avro arity, mistyped avro k argument
+        "graft_ivf_probes(array(1.0D), 17)", "graft_avro_encode('a', 1)",
+        "graft_avro_encode('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT))"))
       assertThrows[Exception](spark.sql(s"SELECT $bad").head)
   }
 

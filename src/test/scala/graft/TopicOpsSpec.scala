@@ -49,6 +49,12 @@ class TopicOpsSpec extends SparkSpec {
     val viaRule = TopicOps.route(src, rule, "events.v2")
     assert(viaTable.except(viaRule).count() === 0)
     assert(viaRule.except(viaTable).count() === 0)
+    // an amended decision (duplicate key, weaker action) must not fan the
+    // record out twice — the strongest action wins deterministically
+    val amended = decisions.unionByName(decisions.withColumn("action", lit("skip")))
+    val viaDup = TopicOps.routeWithDecisions(src, amended, "events.v2")
+    assert(viaDup.count() === viaRule.count())
+    assert(viaDup.except(viaRule).count() === 0)
     src.unpersist()
   }
 
@@ -143,6 +149,14 @@ class TopicOpsSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("key_decode_failure")), e.getMessage)
+    // an out-of-Long-range numeric key is a decode FAILURE, not an ANSI
+    // cast overflow crash in the very path meant to route bad keys
+    val over = encode(lit("99999999999999999999"), "UTF-8")
+    val r = spark.range(1).select(
+      graft.sources.Serdes.Utf8LongKeySerde.keyDec(over).as("kd"),
+      graft.sources.Serdes.Utf8LongKeySerde.error(over).as("err")).head
+    assert(r.isNullAt(0))
+    assert(r.getString(1) === "key_decode_failure")
     src.unpersist()
   }
 
