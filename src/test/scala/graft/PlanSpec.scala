@@ -79,6 +79,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark set; token packing shuffles once per shard") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val d = graft.operators.TextOps.decontaminate(docs, col("doc_id") % 97 === 0)
+      .queryExecution.executedPlan.toString
+    assert(d.contains("BroadcastHashJoin"), s"benchmark shingles must broadcast:\n$d")
+    assert(!d.contains("SortMergeJoin"), s"the corpus side must never shuffle for the join:\n$d")
+    val t = graft.operators.TextOps.tokenPack(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = t.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1, s"packing must shuffle exactly once (on shard):\n$t")
+  }
+
   test("brute-force rerank is two-phase: salted local top-k before the per-query window") {
     val p = graft.operators.Similarity
       .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
