@@ -175,6 +175,25 @@ object TextOps {
       .select("doc_id", "lang", "quality", "rk")
   }
 
+  /** The 100-TB form of [[qualityTopQ]]: a mergeable percentile sketch
+    * computes each stratum's approximate quality cutoff in one aggregate
+    * (no per-stratum sort, state bounded by sketch accuracy), and the
+    * corpus is filtered by a broadcast of the 5-row threshold table —
+    * fully shuffle-bounded regardless of stratum size. Selection differs
+    * from the exact form only near the cutoff (sketch error); the spec
+    * bounds the symmetric difference.
+    */
+  def qualityTopQApprox(docs: DataFrame, q: Double = 0.5,
+                        accuracy: Int = 10000): DataFrame = {
+    val scored = quality(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val cuts = scored.groupBy("lang")
+      .agg(percentile_approx(col("quality"), lit(1.0 - q), lit(accuracy)).as("cutoff"))
+    scored.join(broadcast(cuts), "lang")
+      .filter(col("quality") >= col("cutoff"))
+      .select("doc_id", "lang", "quality", "cutoff")
+  }
+
   /** Whole-document polynomial hash plus the minimum `gram`-char hash via
     * the native O(len) rolling-hash expression (winnowing-style); the
     * DuckDB oracle recomputes each gram hash independently — algebraically

@@ -82,6 +82,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
     "pipeline_quality_topq" -> ((s, dir) =>
       TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // sketch-thresholded 100-TB form: engine-specific percentile sketch
+    // ⇒ rows-only gate; agreement with the exact rank form is bounded in
+    // TextOpsSpec.
+    "pipeline_quality_topq_approx" -> ((s, dir) =>
+      TextOps.qualityTopQApprox(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // Batched mapPartitions decode plumbing — not ANSI-SQL-expressible
     // (driver rows-only check; exactness covered by MultimodalSpec).
     "mm_decode" -> ((s, dir) =>

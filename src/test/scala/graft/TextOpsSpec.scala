@@ -101,6 +101,16 @@ class TextOpsSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("approx top-q (sketch threshold + broadcast filter) tracks the exact rank selection") {
+    val exact = TextOps.qualityTopQ(docs).select("doc_id").cache()
+    val approx = TextOps.qualityTopQApprox(docs).select("doc_id").cache()
+    val diff = exact.except(approx).count() + approx.except(exact).count()
+    // the sketch can only disagree in a narrow band around each cutoff
+    assert(diff <= (0.05 * docs.count()).toLong,
+      s"approx selection should differ from exact only near cutoffs, diff=$diff")
+    exact.unpersist(); approx.unpersist()
+  }
+
   test("multimodal decode stub: mapPartitions features agree with the column-level meta") {
     val meta = Multimodal.meta(docs)
       .select("doc_id", "checksum", "size_bytes", "width", "height")
