@@ -44,7 +44,16 @@ object TextOps {
     * score. Pure per-row arithmetic in a fixed operation order so the
     * doubles are bit-identical to the oracle.
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame): DataFrame =
+    qualityCols(docs)
+      .select("doc_id", "n_chars", "n_words", "n_uniq", "avg_word_len",
+        "uniq_ratio", "stop_ratio", "alpha_ratio", "quality")
+
+  /** [[quality]]'s column set APPENDED to the input (text and any other
+    * columns ride along) — the form streaming pipelines need, since a
+    * stream can't self-join the metrics back onto the text.
+    */
+  def qualityCols(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
     docs
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -60,8 +69,20 @@ object TextOps {
       .withColumn("alpha_ratio", col("alpha_chars").cast("double") / col("n_chars"))
       .withColumn("quality",
         lit(0.3) * col("uniq_ratio") + lit(0.3) * col("stop_ratio") + lit(0.4) * col("alpha_ratio"))
-      .select("doc_id", "n_chars", "n_words", "n_uniq", "avg_word_len",
-        "uniq_ratio", "stop_ratio", "alpha_ratio", "quality")
+      .drop("st")
+  }
+
+  /** The first two stages of [[cleanCorpus]] — quality filter, then exact
+    * dedup keeping the min-id copy — exposed because the streaming twin
+    * ([[graft.streaming.DedupStream.cleanIngestStream]]) probes exactly
+    * this survivor set as its static near-dup index.
+    */
+  def qualityExactSurvivors(docs: DataFrame, minQuality: Double = 0.48): DataFrame = {
+    val q = quality(docs).filter(col("quality") >= minQuality)
+      .select("doc_id", "quality")
+    val survivors = docs.join(q, "doc_id")
+    val keepers = Dedup.exact(survivors).select(col("keeper_id").as("doc_id"))
+    survivors.join(keepers, "doc_id")
   }
 
   /** The end-to-end corpus-cleaning pipeline, composed as ONE declarative
@@ -72,11 +93,7 @@ object TextOps {
     */
   def cleanCorpus(docs: DataFrame, minQuality: Double = 0.48,
                   tau: Double = 0.5): DataFrame = {
-    val q = quality(docs).filter(col("quality") >= minQuality)
-      .select("doc_id", "quality")
-    val survivors = docs.join(q, "doc_id")
-    val keepers = Dedup.exact(survivors).select(col("keeper_id").as("doc_id"))
-    val afterExact = survivors.join(keepers, "doc_id")
+    val afterExact = qualityExactSurvivors(docs, minQuality)
     val nearDupLosers = Dedup.ngramJaccardPairs(afterExact, tau)
       .select(col("doc_b").as("doc_id")).distinct()
     afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")

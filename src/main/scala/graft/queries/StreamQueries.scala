@@ -63,6 +63,14 @@ object StreamQueries {
       SimilarityStream.ivfTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // Streaming twin of the flagship cleaning pipeline: quality filter +
+    // stateful exact dedup + exact near-dup probe per batch; replay
+    // reproduces batch cleanCorpus (its oracle verbatim).
+    "stream_clean_ingest" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_clean_ingest", dir)
+      DedupStream.cleanIngestStream(s, s"$dir/documents.parquet", out, ckpt)
+        .orderBy(col("doc_id"))
+    }),
     // Event-time sessionization changelog: sessions closed by in-batch
     // gaps or watermark timeouts (open tail sessions withheld — no SQL
     // oracle; equivalence asserted in StreamingSpec).
@@ -94,6 +102,7 @@ object StreamQueries {
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
+    "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
     // offsets), so the equi-join on (topic, partition, offset) reduces
     // to that filter — which is exactly what makes the join verifiable.

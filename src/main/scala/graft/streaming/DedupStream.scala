@@ -61,6 +61,84 @@ object DedupStream {
       .select(col("corpus_id").as("doc_a"), col("new_id").as("doc_b"), col("jaccard"))
   }
 
+  /** Streaming twin of the FLAGSHIP pipeline (TextOps.cleanCorpus):
+    * corpus cleaning ON INGEST. Per micro-batch: (1) quality scoring +
+    * filter — stateless projections; (2) exact dedup via streaming
+    * `dropDuplicates(content_hash)` — real cross-batch state, one entry
+    * per distinct content hash (at 100 TB bound it with
+    * dropDuplicatesWithinWatermark if ingest-time dedup horizon is
+    * acceptable); (3) near-dup removal — each batch probes the STATIC
+    * quality+exact survivor index (banded MinHash, the nearDupIngest
+    * shape) and drops any doc matching a lower-id survivor.
+    *
+    * Replay parity (spec + the batch pipeline_clean_corpus oracle
+    * verbatim): stages 1 and 3 are arrival-order independent (the probe
+    * filters on ids, not arrival), so multi-batch replay in ANY file
+    * order reproduces batch cleanCorpus; only stage 2 needs id-ordered
+    * arrival when the corpus contains exact duplicate texts (first
+    * arrival wins in-stream vs min-id in batch).
+    */
+  def cleanIngestStream(spark: SparkSession, docsPath: String,
+                        outDir: String, checkpointDir: String,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        minQuality: Double = 0.48, tau: Double = 0.5): DataFrame = {
+    import graft.operators.TextOps
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    java.nio.file.Files.createDirectories(Paths.get(outDir))
+    val afterExact = TextOps.qualityExactSurvivors(spark.read.parquet(docsPath), minQuality)
+    val corpusHashes = Dedup.shingleHashes(afterExact).persist()
+    try {
+      val incoming = TopicStream.fileStream(spark, docsPath, maxFilesPerTrigger)
+      val deduped = TextOps.qualityCols(incoming)
+        .filter(col("quality") >= minQuality)
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .dropDuplicates("content_hash")
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          // EXACT inverted-index probe, not the banded one: the batch
+          // pipeline removes every Jaccard >= tau pair, and a lossy
+          // candidate stage here would keep docs the batch drops
+          val losers = exactJaccardProbe(corpusHashes, Dedup.shingleHashes(b), tau)
+            .select(col("doc_b").as("doc_id")).distinct()
+          b.join(losers, Seq("doc_id"), "left_anti")
+            .select("doc_id", "quality")
+            .write.mode("append").parquet(outDir)
+          b.unpersist()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    } finally { corpusHashes.unpersist(); () }
+  }
+
+  /** Exact Jaccard pairs between an incoming (doc_id, hs, n_sh) frame and
+    * a corpus hash frame, `corpus_id < new_id` — the inverted-index
+    * formulation of Dedup.ngramJaccardPairs restricted to cross pairs,
+    * same integer/double arithmetic. Shuffles on the shingle hash whose
+    * bucket sizes are vocabulary-bounded; cost scales with the BATCH, not
+    * the corpus.
+    */
+  def exactJaccardProbe(corpusHashes: DataFrame, incomingHashes: DataFrame,
+                        tau: Double = 0.5): DataFrame = {
+    val corpusEx = corpusHashes
+      .select(col("doc_id").as("corpus_id"), col("n_sh").as("na"), explode(col("hs")).as("h"))
+    val newEx = incomingHashes
+      .select(col("doc_id").as("new_id"), col("n_sh").as("nb"), explode(col("hs")).as("h"))
+    newEx.join(corpusEx, "h")
+      .filter(col("corpus_id") < col("new_id"))
+      .groupBy(col("corpus_id").as("doc_a"), col("new_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Streams `docsPath` against the corpus at the same path (self-ingest:
     * replaying the corpus through the ingest detector reproduces exactly
     * the batch minhashPairs result — gate-checked with its oracle).

@@ -124,6 +124,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming clean-corpus ingest over multi-batch replay equals batch cleanCorpus") {
+    val docsDir = "/root/repo/target/stream-scratch/docs-split"
+    Tables.load(spark, sf, "documents").repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_clean_ingest", docsDir)
+    val streamed = graft.streaming.DedupStream.cleanIngestStream(
+      spark, docsDir, out, ckpt, maxFilesPerTrigger = Some(1))
+    val batch = graft.operators.TextOps.cleanCorpus(Tables.load(spark, sf, "documents"))
+    // quality filter and the id-based exact probe are arrival-order
+    // independent, so even the unordered 4-file replay must match batch
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("watermarked append windows align with batch hours; counts bounded by batch (late drops)") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_window_append", splitDir)
     val streamed = TopicStream.windowStreamAppend(spark, splitDir, out, ckpt,
