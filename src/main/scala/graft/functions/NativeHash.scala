@@ -266,7 +266,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     NativeHash.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.NativeHash", null, name, usage, ""),
+        new ExpressionInfo("graft.functions.NativeHash", null, name, usage,
+          "", "", "", "", "", "", "built-in"),
         builder))
     }
   }

@@ -22,7 +22,7 @@ class DedupSpec extends SparkSpec {
 
   test("exact dedup partitions the corpus: keeper counts sum to corpus size") {
     val out = Dedup.exact(docs).cache()
-    assert(out.agg(sum("n_copies")).head.getLong(0) === docs.count())
+    assert(out.agg(sum("n_copies")).head().getLong(0) === docs.count())
     assert(out.filter(col("n_copies") < 1).count() === 0)
     out.unpersist()
   }

@@ -33,9 +33,9 @@ class NativeHashSpec extends SparkSpec {
       expr("graft_min_gram_hash(text, 8)").as("mg"),
       expr("graft_lang_scores(text)").as("ls"),
       expr("graft_text_stats(text)").as("ts"))
-    val r4 = out.filter(col("id") === 4).head
+    val r4 = out.filter(col("id") === 4).head()
     assert((1 to 4).forall(r4.isNullAt))
-    val r2 = out.filter(col("id") === 2).head
+    val r2 = out.filter(col("id") === 2).head()
     assert(r2.getLong(1) === 0L) // empty shingle set -> all-zero votes
     assert(r2.getLong(2) === 0L) // polyhash('') = 0
     assert(r2.getSeq[Long](3).forall(_ === 0L))
@@ -78,9 +78,9 @@ class NativeHashSpec extends SparkSpec {
     val grams = spark.range(1).select(
       (1 to (nCp - 3)).map(i =>
         TextFunctions.polyhash(substring(lit(s3), i, 4)).as(s"g$i")): _*)
-      .head.toSeq.map(_.asInstanceOf[Long])
+      .head().toSeq.map(_.asInstanceOf[Long])
     val km3 = t.filter(col("id") === 3)
-      .select(expr("graft_min_gram_hash(text, 4)")).head.getLong(0)
+      .select(expr("graft_min_gram_hash(text, 4)")).head().getLong(0)
     assert(km3 === grams.min, "rolling min-gram must equal gram-by-gram HOF min")
   }
 
@@ -125,17 +125,17 @@ class NativeHashSpec extends SparkSpec {
       """SELECT graft_norm(CAST(NULL AS ARRAY<DOUBLE>)),
         |       graft_plane_buckets(CAST(NULL AS ARRAY<DOUBLE>)),
         |       graft_ivf_bucket(CAST(NULL AS ARRAY<DOUBLE>)),
-        |       graft_ivf_probes(CAST(NULL AS ARRAY<DOUBLE>), 2)""".stripMargin).head
+        |       graft_ivf_probes(CAST(NULL AS ARRAY<DOUBLE>), 2)""".stripMargin).head()
     assert((0 to 3).forall(r.isNullAt))
     // BIGINT literal parameter is accepted (round-1 ADVICE: it threw CCE)
-    val mg = spark.sql("SELECT graft_min_gram_hash('abcdefghij', CAST(8 AS BIGINT))").head
+    val mg = spark.sql("SELECT graft_min_gram_hash('abcdefghij', CAST(8 AS BIGINT))").head()
     assert(!mg.isNullAt(0))
     for (bad <- Seq("graft_min_gram_hash('abc', 0)", "graft_ivf_probes(array(1.0D), -1)",
         // clear errors, not executor-side AIOOBE/CCE: more probes than
         // centroids, wrong avro arity, mistyped avro k argument
         "graft_ivf_probes(array(1.0D), 17)", "graft_avro_encode('a', 1)",
         "graft_avro_encode('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT))"))
-      assertThrows[Exception](spark.sql(s"SELECT $bad").head)
+      assertThrows[Exception](spark.sql(s"SELECT $bad").head())
   }
 
   test("intersect-size and dot kernels match their HOF formulations") {
@@ -147,7 +147,7 @@ class NativeHashSpec extends SparkSpec {
       expr("graft_intersect_size(a, b)"),
       size(array_intersect(col("a"), col("b"))).cast("long"),
       expr("graft_dot(x, y)"),
-      aggregate(zip_with(col("x"), col("y"), (p, q) => p * q), lit(0.0), (s, v) => s + v)).head
+      aggregate(zip_with(col("x"), col("y"), (p, q) => p * q), lit(0.0), (s, v) => s + v)).head()
     assert(r.getLong(0) === r.getLong(1))
     assert(r.getDouble(2) === r.getDouble(3))
   }

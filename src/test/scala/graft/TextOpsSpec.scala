@@ -71,13 +71,13 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("n_overlap") > col("n_sh")).count() === 0)
     assert(out.filter(col("contaminated") =!= (col("n_overlap") >= 2)).count() === 0)
     // an exact copy of a benchmark doc must be flagged (plant one)
-    val benchText = docs.filter(isBench).select("text").head.getString(0)
+    val benchText = docs.filter(isBench).select("text").head().getString(0)
     val planted = docs.unionByName(
       spark.range(1).select(lit(990001L).as("doc_id"), lit(benchText).as("text"),
         lit("en").as("lang"), lit("planted").as("source"),
         length(lit(benchText)).cast("long").as("n_chars")))
     val flagged = TextOps.decontaminate(planted, isBench, minShared = 2)
-      .filter(col("doc_id") === 990001L).head
+      .filter(col("doc_id") === 990001L).head()
     assert(flagged.getAs[Boolean]("contaminated"),
       "verbatim benchmark copy must be contaminated")
     out.unpersist()

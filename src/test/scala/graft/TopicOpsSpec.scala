@@ -154,7 +154,7 @@ class TopicOpsSpec extends SparkSpec {
     val over = encode(lit("99999999999999999999"), "UTF-8")
     val r = spark.range(1).select(
       graft.sources.Serdes.Utf8LongKeySerde.keyDec(over).as("kd"),
-      graft.sources.Serdes.Utf8LongKeySerde.error(over).as("err")).head
+      graft.sources.Serdes.Utf8LongKeySerde.error(over).as("err")).head()
     assert(r.isNullAt(0))
     assert(r.getString(1) === "key_decode_failure")
     src.unpersist()
