@@ -211,6 +211,20 @@ object TextOps {
       .select("doc_id", "lang", "quality", "cutoff")
   }
 
+  /** Deterministic data-mixture sampling: downsample each source to its
+    * configured rate using a CONTENT-HASH coin — `polyhash(text) mod
+    * denom < rate`. Deterministic (reruns and engines agree exactly, so
+    * it's oracle-checkable unlike rand()-based sampling), stable (a
+    * duplicated doc draws the same coin everywhere), and stateless (a
+    * broadcast of the rates table + a narrow filter; nothing shuffles).
+    * `rates` is (source, rate_pct in [0, denom]).
+    */
+  def mixtureSample(docs: DataFrame, rates: DataFrame, denom: Int = 100): DataFrame =
+    docs.join(broadcast(rates), "source")
+      .withColumn("coin", pmod(polyhash(col("text")), lit(denom.toLong)))
+      .filter(col("coin") < col("rate_pct"))
+      .select("doc_id", "source", "lang", "coin", "rate_pct")
+
   /** Whole-document polynomial hash plus the minimum `gram`-char hash via
     * the native O(len) rolling-hash expression (winnowing-style); the
     * DuckDB oracle recomputes each gram hash independently — algebraically

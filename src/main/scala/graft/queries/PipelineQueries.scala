@@ -82,6 +82,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
     "pipeline_quality_topq" -> ((s, dir) =>
       TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // data-mixture sampling with a deterministic rate rule per source
+    // (20 + 7*srcnum mod 80 percent) — the content-hash coin makes the
+    // "random" sample exactly replayable by the oracle.
+    "pipeline_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rates = docs.select("source").distinct()
+        .withColumn("rate_pct",
+          (lit(20) + pmod(coalesce(
+            when(col("source").rlike("\\d"),
+              regexp_extract(col("source"), "(\\d+)", 1).cast("int")),
+            lit(0)) * 7, lit(80))).cast("int"))
+      TextOps.mixtureSample(docs, rates).orderBy(col("doc_id"))
+    }),
     // sketch-thresholded 100-TB form: engine-specific percentile sketch
     // ⇒ rows-only gate; agreement with the exact rank form is bounded in
     // TextOpsSpec.
@@ -373,6 +386,18 @@ object PipelineQueries {
          |       COALESCE(o.n_overlap, 0) >= 2 AS contaminated
          |FROM hashes h LEFT JOIN ov o USING (doc_id) WHERE h.doc_id % 97 <> 0
          |ORDER BY doc_id""".stripMargin),
+
+    "pipeline_mixture" ->
+      s"""WITH rates AS (
+         |  SELECT DISTINCT source,
+         |         CAST(20 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT), 0) * 7) % 80 AS INT) AS rate_pct
+         |  FROM documents),
+         |coins AS (
+         |  SELECT doc_id, source, lang, ${poly("text")} % 100 AS coin FROM documents)
+         |SELECT c.doc_id, c.source, c.lang, CAST(c.coin AS BIGINT) AS coin, r.rate_pct
+         |FROM coins c JOIN rates r USING (source)
+         |WHERE c.coin < r.rate_pct
+         |ORDER BY c.doc_id""".stripMargin,
 
     "pipeline_quality_topq" ->
       s"""WITH ws AS (

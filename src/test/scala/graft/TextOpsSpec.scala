@@ -101,6 +101,19 @@ class TextOpsSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("mixture sampling is deterministic, coin-bounded, and tracks the configured rate") {
+    val rates = docs.select("source").distinct().withColumn("rate_pct", lit(40))
+    val s1 = TextOps.mixtureSample(docs, rates).cache()
+    val s2 = TextOps.mixtureSample(docs, rates)
+    // content-hash coin: exact rerun determinism, no rand() anywhere
+    assert(s1.except(s2).count() === 0)
+    assert(s2.except(s1).count() === 0)
+    assert(s1.filter(col("coin") >= col("rate_pct")).count() === 0)
+    val frac = s1.count().toDouble / docs.count()
+    assert(frac > 0.25 && frac < 0.55, s"40% target, kept fraction $frac")
+    s1.unpersist()
+  }
+
   test("approx top-q (sketch threshold + broadcast filter) tracks the exact rank selection") {
     val exact = TextOps.qualityTopQ(docs).select("doc_id").cache()
     val approx = TextOps.qualityTopQApprox(docs).select("doc_id").cache()
