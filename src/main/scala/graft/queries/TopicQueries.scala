@@ -15,9 +15,12 @@ object TopicQueries {
 
   /** Decoded payload field (reference MixedValue decode step): props is
     * `{"k": <int>}`; extraction via regexp keeps both engines identical.
+    * try_cast, not cast: regexp_extract yields "" on no-match, and an ANSI
+    * cast of "" would crash the decode path instead of yielding the null
+    * that routes to 'decode_failure' (mirrors the oracle's TRY_CAST).
     */
   private def kField: Column =
-    regexp_extract(col("value"), "\"k\": (\\d+)", 1).cast("int")
+    regexp_extract(col("value"), "\"k\": (\\d+)", 1).try_cast("int")
 
   private[queries] val KFieldSql =
     """TRY_CAST(regexp_extract("value", '"k": (\d+)', 1) AS INT)"""

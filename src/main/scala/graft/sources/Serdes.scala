@@ -21,15 +21,31 @@ object Serdes {
     def error(raw: Column): Column
   }
 
+  /** Binary→string via CAST, which wraps the bytes unvalidated
+    * (UTF8String.fromBytes) — unlike decode(_, 'UTF-8'), which in Spark 4
+    * (spark.sql.legacy.codingErrorAction=false) THROWS
+    * MALFORMED_CHARACTER_CODING on genuinely non-UTF-8 bytes, crashing the
+    * very DLQ path that exists to route them. Serdes must never throw on
+    * bad bytes: validity is checked explicitly with is_valid_utf8 so
+    * corrupt payloads become a routable error value.
+    */
+  private def utf8Lenient(bytes: Column): Column = bytes.cast("string")
+
   /** Default serde (the reference's StringDeserializer): UTF-8 text whose
-    * payload carries a `"k": <int>` field.
+    * payload carries a `"k": <int>` field. Non-UTF-8 bytes and payloads
+    * without a well-formed k are both 'decode_failure' (the try_cast keeps
+    * the no-match empty string from throwing under ANSI).
     */
   object Utf8JsonSerde extends ValueSerde {
+    private def text(raw: Column): Column = utf8Lenient(raw)
+
     private def kOf(raw: Column): Column =
-      regexp_extract(decode(raw, "UTF-8"), "\"k\": (\\d+)", 1).cast("int")
+      when(is_valid_utf8(text(raw)),
+        regexp_extract(text(raw), "\"k\": (\\d+)", 1)).try_cast("int")
 
     override def decoded(raw: Column): Map[String, Column] =
-      Map("value_decoded" -> decode(raw, "UTF-8"), "k_decoded" -> kOf(raw))
+      Map("value_decoded" -> when(is_valid_utf8(text(raw)), text(raw)),
+        "k_decoded" -> kOf(raw))
 
     override def error(raw: Column): Column =
       when(kOf(raw).isNull, "decode_failure")
@@ -60,10 +76,11 @@ object Serdes {
     * route bad keys. Longer numerics are decode failures.
     */
   object Utf8LongKeySerde extends KeySerde {
-    private def text(keyRaw: Column): Column = decode(keyRaw, "UTF-8")
+    private def text(keyRaw: Column): Column = utf8Lenient(keyRaw)
 
     def keyDec(keyRaw: Column): Column =
-      when(text(keyRaw).rlike("^-?\\d{1,18}$"), text(keyRaw).cast("bigint"))
+      when(is_valid_utf8(text(keyRaw)) && text(keyRaw).rlike("^-?\\d{1,18}$"),
+        text(keyRaw).cast("bigint"))
 
     override def decoded(keyRaw: Column): Map[String, Column] =
       Map("key_dec" -> keyDec(keyRaw))
