@@ -33,6 +33,8 @@ object NativeHash {
       exprs => ShingleHashes3(exprs.head)),
     ("graft_simhash32", "32-bit simhash of a long-array column",
       exprs => SimHash32(exprs.head)),
+    ("graft_simhash60", "60-bit universal-hash simhash of a long-array column",
+      exprs => SimHash60(exprs.head)),
     ("graft_min_gram_hash", "minimum rolling polyhash over n-char grams",
       exprs => MinGramHash(exprs.head,
         if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
@@ -444,6 +446,71 @@ object ShingleHashImpl {
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** shingle-hash array → 60-bit SimHash (long). Shingle hashes are mod
+  * 1e9+7 (~30 bits of entropy), so a wider signature cannot vote on the
+  * raw bits — bit i's vote is instead the PARITY of an independent
+  * universal hash (h·Aᵢ+Bᵢ) mod 2³¹-1, one ±1 hash per signature bit
+  * (the classic Charikar construction). 60 bits (not 64) keeps the
+  * packed signature NON-NEGATIVE, so `>>`/`&` banding arithmetic is
+  * sign-free and identical in Spark and the DuckDB oracle. Banded as
+  * 4 × 15-bit bands (32,768 values per band) by Dedup.simhashPairs —
+  * the round-3 VERDICT #6 fix for the 1,024-total-bucket scale killer.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60Impl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60Impl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60Impl {
+  val Bits = 60
+  private val P = TextFunctions.MinhashP
+
+  /** Universal-hash multipliers/offsets per signature bit — same LCG
+    * family as the MinHash params, mirrored literally in the oracle SQL
+    * (Dedup.simhashBitA/B expose them for interpolation).
+    */
+  val A: Array[Long] = Array.tabulate(Bits) { i =>
+    ((i + 1) * 2654435761L) % P match { case 0L => 1L; case a => a }
+  }
+  val B: Array[Long] = Array.tabulate(Bits)(i => ((i + 1) * 1013904223L) % P)
+
+  /** Bit i set iff strictly more than half the hashes have odd
+    * (h·Aᵢ+Bᵢ) mod p — h < 2³⁰ and Aᵢ < 2³¹ keep the product inside a
+    * long, the same reason the MinHash params use p = 2³¹-1.
+    */
+  def compute(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Long](Bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < Bits) {
+        votes(b) += ((h * A(b) + B(b)) % P) & 1L
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < Bits) {
+      if (votes(b) * 2 > n) sim |= 1L << b
+      b += 1
+    }
+    sim
   }
 }
 

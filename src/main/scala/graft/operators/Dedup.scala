@@ -159,18 +159,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup: 32-bit shingle-hash simhash, banded into 4 bytes;
-    * pairs sharing a byte-band are verified by Hamming distance ≤ tau.
-    * Shingle (not word) hashes keep signatures well-spread even when the
-    * corpus shares one small vocabulary.
+  /** SimHash signature width and per-bit universal-hash params (shared
+    * with the oracle SQL, see [[graft.functions.SimHash60Impl]]).
     */
-  def simhashPairs(docs: DataFrame, tau: Int = 3, bands: Int = 4): DataFrame = {
+  val SimhashBits: Int = graft.functions.SimHash60Impl.Bits
+  def simhashBitA: Seq[Long] = graft.functions.SimHash60Impl.A.toSeq
+  def simhashBitB: Seq[Long] = graft.functions.SimHash60Impl.B.toSeq
+
+  /** SimHash near-dup: 60-bit universal-hash simhash, banded into
+    * `bands` equal bit-slices (default 4 × 15 bits = 32,768 values per
+    * band — band cardinality is the scale knob, round-3 VERDICT #6: the
+    * old 4 × 8-bit banding had 1,024 TOTAL buckets, so per-bucket
+    * population — and the quadratic in-bucket pair join — grew linearly
+    * with the corpus). Pairs sharing a band are verified by Hamming
+    * distance ≤ tau. Shingle (not word) hashes keep signatures
+    * well-spread even when the corpus shares one small vocabulary.
+    */
+  def simhashPairs(docs: DataFrame, tau: Int = 6, bands: Int = 4): DataFrame = {
+    val bits = SimhashBits / bands
+    val mask = (1L << bits) - 1
     val sims = shingleHashes(docs).filter(size(col("hs")) > 0)
-      .select(col("doc_id"), expr("graft_simhash32(hs)").as("sim"))
+      .select(col("doc_id"), expr("graft_simhash60(hs)").as("sim"))
     val banded = sims.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band_id"),
-          shiftright(col("sim"), 8 * bd).bitwiseAND(255L).as("band_val"))
+          shiftright(col("sim"), bits * bd).bitwiseAND(mask).as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("sim"), col("band.band_id").as("band_id"),
         col("band.band_val").as("band_val"))

@@ -45,9 +45,10 @@ object Similarity {
       posexplode(expr("graft_plane_buckets(e)")).as(Seq("band_id", "band_val")))
 
   /** Per-query exact top-k over pre-scored candidates: one window shuffled
-    * on query_id. Candidate sets here are bounded (LSH/IVF bucket
-    * populations, micro-batch size), so a single phase is the right plan;
-    * the unbounded exact baseline uses [[rerankTopKTwoPhase]].
+    * on query_id. ONLY correct when the candidate set per query is bounded
+    * by construction (a micro-batch, a capped probe list) — every
+    * corpus-growing candidate set must use [[rerankTopKTwoPhase]]
+    * (round-3 VERDICT #3; batch ANN paths all do now).
     */
   private[graft] def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
@@ -90,13 +91,31 @@ object Similarity {
   /** IVF-bucketed ANN: corpus vectors live in their nearest-centroid
     * bucket (argmax cosine, first-index tie-break); each query probes its
     * top-`probes` centroid buckets and reranks candidates exactly. The
-    * candidate set is bounded by the probed buckets' population — the
-    * 100-TB path when sign-LSH recall is too blunt.
+    * candidate set is the probed buckets' population ≈ probes·N/nlist —
+    * the 100-TB path when sign-LSH recall is too blunt. `nlist` is the
+    * scale knob (round-3 VERDICT #6: a fixed 16-centroid codebook makes
+    * probed population N/8 — linear in the corpus): size it ~ √N so
+    * probe cost (nlist dots/row) and per-bucket rerank population
+    * (N/nlist) balance; the default 64 ≈ √N at the bench scale.
     */
-  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 2): DataFrame = {
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 8,
+              nlist: Int = NCentroids): DataFrame = {
     val v = vectors(emb)
-    ivfPlan(v, isQuery, k,
-      expr("graft_ivf_bucket(e)"), expr(s"graft_ivf_probes(e, $probes)"))
+    if (nlist == NCentroids)
+      ivfPlan(v, isQuery, k,
+        expr("graft_ivf_bucket(e)"), expr(s"graft_ivf_probes(e, $probes)"))
+    else {
+      val cents = Codebooks.centroidsFor(nlist).map(_.toArray).toArray
+      val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val reg = emb.sparkSession.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(s"graft_ivf_bucket_$nlist",
+        exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms), "built-in")
+      reg.createOrReplaceTempFunction(s"graft_ivf_probes_$nlist",
+        exprs => graft.functions.IvfProbes(exprs.head, probes, cents, cnorms), "built-in")
+      ivfPlan(v, isQuery, k,
+        call_function(s"graft_ivf_bucket_$nlist", col("e")),
+        call_function(s"graft_ivf_probes_$nlist", col("e")))
+    }
   }
 
   private def ivfPlan(v: DataFrame, isQuery: Column, k: Int,
@@ -108,7 +127,9 @@ object Similarity {
     val cand = corpus.join(broadcast(queries), "bucket")
       .select(col("query_id"), col("corpus_id"))
       .distinct()
-    rerankTopK(scoreCandidates(cand, v), k)
+    // candidates ≈ probes·N/nlist per query — grows with the corpus, so
+    // the two-phase (salted) rerank is mandatory (round-3 VERDICT #3)
+    rerankTopKTwoPhase(scoreCandidates(cand, v), k)
   }
 
   /** Spherical k-means over the corpus (the offline codebook fit a real
@@ -161,7 +182,7 @@ object Similarity {
     * but no 16-centroid codebook reaches 0.9 recall under ~12 probes.
     */
   def ivfTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
-                    probes: Int = 2, iters: Int = 3): DataFrame = {
+                    probes: Int = 8, iters: Int = 3): DataFrame = {
     val cents = fitCentroids(emb, NCentroids, iters)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val reg = emb.sparkSession.sessionState.functionRegistry
@@ -226,6 +247,8 @@ object Similarity {
     val cand = c.join(broadcast(q), Seq("band_id", "band_val"))
       .select(col("query_id"), col("corpus_id"))
       .distinct()
-    rerankTopK(scoreCandidates(cand, v), k)
+    // same-bucket population is ~N/2^PlanesPerBand per band — grows with
+    // the corpus, so the two-phase rerank applies here too (VERDICT #3)
+    rerankTopKTwoPhase(scoreCandidates(cand, v), k)
   }
 }

@@ -17,13 +17,16 @@ object PipelineQueries {
   private val M = TextFunctions.HashMod
   private val P = TextFunctions.MinhashP
   import Dedup.{MinhashK, minhashA, minhashB}
-  import Similarity.{Dim, EmbBands, planes}
+  import Similarity.Dim
+  import graft.functions.Codebooks.{EmbBands, PlanesPerBand, NPlanes, NCentroids}
 
   private val JaccardTau = 0.5
-  private val HammingTau = 3
+  private val HammingTau = 6
   private val CosTau = 0.4
   private val MhBands = 4
   private val ShBands = 4
+  private val ShBits = Dedup.SimhashBits / ShBands // 15-bit band values
+  private val Probes = 8
   private val TopK = 10
 
   private def queryPred = col("vec_id") < 8
@@ -144,8 +147,13 @@ object PipelineQueries {
 
   private def bandList(n: Int): String = (0 until n).map(b => s"band$b").mkString(", ")
 
-  private def simhashExpr: String = (0 until 32).map { i =>
-    s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $i) & 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+  /** 60-bit universal-hash simhash (SimHash60Impl): bit i votes on the
+    * parity of (h·Aᵢ+Bᵢ) mod 2³¹-1 — shingle hashes carry only ~30 bits,
+    * so raw bit votes can't fill a wide signature. 60 bits keep the
+    * packed BIGINT non-negative (sign-free shifts in both engines).
+    */
+  private def simhashExpr: String = (0 until Dedup.SimhashBits).map { i =>
+    s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (((h*${Dedup.simhashBitA(i)}+${Dedup.simhashBitB(i)}) % $P) & 1))) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
 
   /** Normalized double vectors + norms, as in Similarity.vectors. */
@@ -159,17 +167,22 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
 
-  private def planeLit(p: Int): String =
-    "[" + planes(p).map(c => s"CAST($c AS DOUBLE)").mkString(", ") + "]"
-
-  private def bucketSql(band: Int): String =
-    (0 until 4).map { r =>
-      val p = band * 4 + r
-      s"(CASE WHEN ${dotSql("e", planeLit(p))} >= 0 THEN ${1 << r} ELSE 0 END)"
-    }.mkString(" + ")
-
-  private def embBuckets: String =
-    (0 until EmbBands).map(b => s"(${bucketSql(b)}) AS band$b").mkString(", ")
+  /** Sign-LSH band index, with the hyperplane codebook GENERATED in SQL
+    * from the same LCG formula as Codebooks.planes — the oracle scales to
+    * any bands × planes without inlining thousands of literals. Yields
+    * `bands(vec_id, band_id, band_val)` in long form; dot products fold
+    * in index order (list_reduce), matching the fused kernel exactly.
+    */
+  private def planesCte: String =
+    s"""pl AS (
+       |  SELECT p, [CAST((((1103515245*(p*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+       |             for i in generate_series(0, ${Dim - 1})] AS pv
+       |  FROM generate_series(0, ${NPlanes - 1}) AS t(p)),
+       |pb AS (
+       |  SELECT vec_id, p // $PlanesPerBand AS band_id,
+       |         CASE WHEN ${dotSql("e", "pv")} >= 0 THEN (1 << (p % $PlanesPerBand)) ELSE 0 END AS bit
+       |  FROM v CROSS JOIN pl),
+       |bands AS (SELECT vec_id, band_id, SUM(bit) AS band_val FROM pb GROUP BY 1, 2)""".stripMargin
 
   private def stopHitsSql(list: Seq[String]): String =
     s"CAST(len(list_filter(w, x -> list_contains([${list.map(t => s"'$t'").mkString(", ")}], x))) AS BIGINT)"
@@ -238,7 +251,7 @@ object PipelineQueries {
     "dedup_simhash" -> (ShingleCte +
       s"""
          |, sims AS (SELECT doc_id, $simhashExpr AS sim FROM hashes WHERE len(hs) > 0),
-         |bands AS (SELECT doc_id, sim, ${(0 until ShBands).map(b => s"((sim >> ${8 * b}) & 255) AS band$b").mkString(", ")} FROM sims),
+         |bands AS (SELECT doc_id, sim, ${(0 until ShBands).map(b => s"((sim >> ${ShBits * b}) & ${(1L << ShBits) - 1}) AS band$b").mkString(", ")} FROM sims),
          |ex AS (SELECT doc_id, sim, band_id, band_val FROM bands
          |       UNPIVOT (band_val FOR band_id IN (${bandList(ShBands)}))),
          |cand AS (
@@ -253,13 +266,11 @@ object PipelineQueries {
 
     "dedup_embedding" -> (NormCte +
       s"""
-         |, bk AS (SELECT vec_id, e, nrm, $embBuckets FROM v),
-         |ex AS (SELECT vec_id, band_id, band_val FROM bk
-         |       UNPIVOT (band_val FOR band_id IN (${bandList(EmbBands)}))),
+         |, $planesCte,
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |                      AND a.vec_id < b.vec_id),
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                            AND a.vec_id < b.vec_id),
          |verify AS (
          |  SELECT vec_a, vec_b, ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
          |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
@@ -281,12 +292,9 @@ object PipelineQueries {
 
     "sim_topk_lsh" -> (NormCte +
       s"""
-         |, bk AS (SELECT vec_id, e, nrm, $embBuckets FROM v),
-         |q AS (SELECT * FROM bk WHERE vec_id < 8), c AS (SELECT * FROM bk WHERE vec_id >= 8),
-         |ex_q AS (SELECT vec_id, band_id, band_val FROM q
-         |         UNPIVOT (band_val FOR band_id IN (${bandList(EmbBands)}))),
-         |ex_c AS (SELECT vec_id, band_id, band_val FROM c
-         |         UNPIVOT (band_val FOR band_id IN (${bandList(EmbBands)}))),
+         |, $planesCte,
+         |ex_q AS (SELECT * FROM bands WHERE vec_id < 8),
+         |ex_c AS (SELECT * FROM bands WHERE vec_id >= 8),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
          |  FROM ex_q q JOIN ex_c c ON q.band_id = c.band_id AND q.band_val = c.band_val),
@@ -299,37 +307,38 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
 
-    "sim_topk_ivf" -> {
-      import Similarity.{centroids, NCentroids}
-      def centroidLit(c: Int): String =
-        "[" + centroids(c).map(x => s"CAST($x AS DOUBLE)").mkString(", ") + "]"
-      def centroidNorm(c: Int): Double = math.sqrt(centroids(c).map(x => x * x).sum)
-      val ccList = (0 until NCentroids).map { c =>
-        s"${dotSql("e", centroidLit(c))} / (nrm * CAST(${centroidNorm(c)} AS DOUBLE))"
-      }.mkString("[", ", ", "]")
-      NormCte +
-        s"""
-           |, cc AS (SELECT vec_id, e, nrm, $ccList AS cc FROM v),
-           |corpus AS (
-           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
-           |  FROM cc WHERE vec_id >= 8),
-           |probes AS (
-           |  SELECT vec_id AS query_id,
-           |         unnest([list_position(cc, list_sort(cc, 'DESC')[1]),
-           |                 list_position(cc, list_sort(cc, 'DESC')[2])]) AS bucket
-           |  FROM cc WHERE vec_id < 8),
-           |cand AS (
-           |  SELECT DISTINCT query_id, corpus_id
-           |  FROM corpus JOIN probes USING (bucket)),
-           |scored AS (
-           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
-           |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
-           |  FROM scored)
-           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
-           |ORDER BY query_id, rnk""".stripMargin
-    },
+    // IVF with the nlist=64 codebook GENERATED in SQL (same LCG formula
+    // as Codebooks.centroidsFor) and the default 8-probe query — probe
+    // fraction 8/64 mirrors the kernel defaults exactly.
+    "sim_topk_ivf" -> (NormCte +
+      s"""
+         |, cent AS (
+         |  SELECT c, [CAST((((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+         |             for i in generate_series(0, ${Dim - 1})] AS cv
+         |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
+         |cn AS (SELECT c, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cent),
+         |ccs AS (
+         |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
+         |  FROM v CROSS JOIN cn GROUP BY vec_id),
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM ccs WHERE vec_id >= 8),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $Probes)]) AS bucket
+         |  FROM ccs WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
 
     "pipeline_clean_corpus" ->
       s"""WITH wq AS (

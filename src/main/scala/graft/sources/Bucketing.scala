@@ -37,11 +37,15 @@ object Bucketing {
 
   /** Co-located equi-join of two bucketed tables on their bucket key.
     * Plain `join` — the zero-shuffle plan falls out of the matching
-    * bucket partitionings, not special code.
+    * bucket partitionings, not special code. Join columns are resolved
+    * off each side's DataFrame, so the most common co-bucketed layout —
+    * the SAME key name on both sides (one dimension key everywhere) —
+    * doesn't raise AMBIGUOUS_REFERENCE.
     */
   def cobucketedJoin(spark: SparkSession, left: String, right: String,
                      leftKey: String, rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -27,7 +27,8 @@ object SimilarityStream {
     */
   def ivfTopKStream(spark: SparkSession, embPath: String,
                     outDir: String, checkpointDir: String, k: Int = 10,
-                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    probes: Int = 8): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
@@ -44,7 +45,7 @@ object SimilarityStream {
       val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
 
       val probes = Similarity.vectors(incoming)
-        .withColumn("bucket", explode(expr("graft_ivf_probes(e, 2)")))
+        .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
         .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
 
       val scored = probes.join(corpusIndex, "bucket")

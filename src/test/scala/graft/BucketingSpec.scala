@@ -46,4 +46,32 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("co-bucketed join works when both sides share the SAME key name") {
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumnRenamed("o_orderkey", "orderkey")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "orderkey")
+    Bucketing.writeBucketed(orders, "orders_sk", 4, "orderkey")
+    Bucketing.writeBucketed(lineitem, "lineitem_sk", 4, "orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // ADVICE round 2 #3: col(leftKey) === col(rightKey) raised
+      // AMBIGUOUS_REFERENCE here — the most common co-bucketed layout
+      val joined = Bucketing.cobucketedJoin(spark, "orders_sk", "lineitem_sk",
+        "orderkey", "orderkey")
+      val pj = joined.queryExecution.executedPlan.toString
+      assert(exchanges(pj) === 0,
+        s"same-name co-bucketed join must not shuffle either side:\n$pj")
+      val expected = Tables.load(spark, sf, "orders")
+        .join(Tables.load(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_sk")
+      spark.sql("DROP TABLE IF EXISTS lineitem_sk")
+    }
+  }
 }

@@ -76,13 +76,36 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs of identical docs have hamming 0; all pairs within threshold") {
     val p = Dedup.simhashPairs(docs).cache()
-    assert(p.filter(col("hamming") > 3).count() === 0)
+    assert(p.filter(col("hamming") > 6).count() === 0)
     p.unpersist()
-    // direct impl check: identical token multisets → identical simhash
+    // direct impl check: identical token multisets → identical simhash,
+    // and the 60-bit signature stays non-negative (sign-free banding)
     val hs = ShingleHashImpl.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c a b c d e f"))
     val hs2 = ShingleHashImpl.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c a b c d e f"))
+    val s60 = graft.functions.SimHash60Impl.compute(hs)
+    assert(s60 === graft.functions.SimHash60Impl.compute(hs2))
+    assert(s60 >= 0L && s60 < (1L << 60))
     assert(graft.functions.SimHashImpl.compute(hs) === graft.functions.SimHashImpl.compute(hs2))
+  }
+
+  test("simhash/embedding band cardinality: per-bucket candidate load is measured " +
+      "and bounded (round-3 VERDICT #6)") {
+    // simhash: 4 bands × 15 bits = 32,768 values per band; with ~N docs
+    // per band the worst bucket must hold a tiny fraction of the corpus
+    // (the old 8-bit bands held N/256 per bucket → quadratic pair growth)
+    val sims = Dedup.shingleHashes(docs).filter(size(col("hs")) > 0)
+      .select(col("doc_id"), expr("graft_simhash60(hs)").as("sim"))
+    val n = sims.count().toDouble
+    val worst = sims
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sim"), 15 * b).bitwiseAND(32767L).as("band_val"))): _*)).as("band"))
+      .groupBy("band.band_id", "band.band_val").count()
+      .agg(max("count")).head().getLong(0)
+    info(f"simhash: n=$n%.0f worst bucket=$worst")
+    assert(worst <= math.max(4, n * 0.2).toLong,
+      s"a 15-bit simhash band bucket holds $worst of $n docs — banding is not spreading")
   }
 }

@@ -91,8 +91,9 @@ class NativeHashSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val hofNorm = VectorFunctions.norm(col("e"))
     val hofBands = array((0 until Codebooks.EmbBands).map { b =>
-      (0 until 4).map { r =>
-        when(VectorFunctions.planeDot(col("e"), Codebooks.planes(b * 4 + r)) >= 0,
+      (0 until Codebooks.PlanesPerBand).map { r =>
+        when(VectorFunctions.planeDot(col("e"),
+          Codebooks.planes(b * Codebooks.PlanesPerBand + r)) >= 0,
           lit(1 << r)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
@@ -133,9 +134,27 @@ class NativeHashSpec extends SparkSpec {
     for (bad <- Seq("graft_min_gram_hash('abc', 0)", "graft_ivf_probes(array(1.0D), -1)",
         // clear errors, not executor-side AIOOBE/CCE: more probes than
         // centroids, wrong avro arity, mistyped avro k argument
-        "graft_ivf_probes(array(1.0D), 17)", "graft_avro_encode('a', 1)",
+        s"graft_ivf_probes(array(1.0D), ${graft.functions.Codebooks.NCentroids + 1})",
+        "graft_avro_encode('a', 1)",
         "graft_avro_encode('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT))"))
       assertThrows[Exception](spark.sql(s"SELECT $bad").head())
+  }
+
+  test("codebook kernels reject dimension-mismatched embeddings loudly (round-3 ADVICE)") {
+    import graft.functions.Codebooks
+    NativeHash.register(spark)
+    // a 63-dim vector must NOT silently truncate to a plausible-but-wrong
+    // bucket — the HOF twin yields null on zip_with length mismatch
+    val dims = Codebooks.Dim - 1
+    val short = (1 to dims).map(i => s"CAST(0.$i AS DOUBLE)").mkString("array(", ", ", ")")
+    for (kernel <- Seq(s"graft_plane_buckets($short)", s"graft_ivf_bucket($short)",
+        s"graft_ivf_probes($short, 2)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $kernel").head())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("codebook")),
+        s"expected a clear dimension-mismatch error for $kernel, got: $e")
+    }
   }
 
   test("intersect-size and dot kernels match their HOF formulations") {

@@ -139,6 +139,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("clean-corpus ingest keeps the batch keeper of exact-dup pairs even when the " +
+      "higher-id copy arrives FIRST (round-3 VERDICT #1)") {
+    // the stock corpus has no exact duplicate texts, so doctor one in:
+    // every 10th doc gets a byte-identical copy with a HIGHER doc_id, and
+    // the copies are streamed in the FIRST file (descending-id replay) —
+    // the arrival order that lost BOTH copies before the fix
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "source", "lang")
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val doctored = docs.unionByName(copies)
+    val docsDir = "/root/repo/target/stream-scratch/docs-dup-ordered"
+    val fs = new java.io.File(docsDir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    copies.coalesce(1).write.mode("append").parquet(docsDir)
+    Thread.sleep(400) // ascending mtimes ⇒ copies replay before originals
+    docs.coalesce(1).write.mode("append").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_clean_ingest_dup", docsDir)
+    val streamed = graft.streaming.DedupStream.cleanIngestStream(
+      spark, docsDir, out, ckpt, maxFilesPerTrigger = Some(1))
+    val batch = graft.operators.TextOps.cleanCorpus(doctored)
+    assert(batch.filter(col("doc_id") >= 1000000L).count() === 0,
+      "batch keeps the min-id copy, so no doctored copy may survive it")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("watermarked append windows align with batch hours; counts bounded by batch (late drops)") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_window_append", splitDir)
     val streamed = TopicStream.windowStreamAppend(spark, splitDir, out, ckpt,
