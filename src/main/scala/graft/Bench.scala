@@ -18,8 +18,8 @@ object Bench {
     "dedup_embedding", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_kmeans",
     "events_approx",
     "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta",
-    "pipeline_clean_corpus", "pipeline_token_pack", "pipeline_decontaminate",
-    "pipeline_quality_topq", "pipeline_mixture")
+    "pipeline_clean_corpus", "pipeline_clean_corpus_minhash", "pipeline_token_pack",
+    "pipeline_decontaminate", "pipeline_quality_topq", "pipeline_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

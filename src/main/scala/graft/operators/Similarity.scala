@@ -178,8 +178,9 @@ object Similarity {
     * JVM call per row — session-registered since the codebook is a
     * runtime value), then run the identical bucket/probe/rerank plan.
     * Recall-vs-probes is characterized in SimilaritySpec; on this
-    * isotropic corpus k-means beats the LCG codebook at low probe counts
-    * but no 16-centroid codebook reaches 0.9 recall under ~12 probes.
+    * isotropic corpus the fitted codebook beats the LCG codebook at every
+    * probe count (measured at sf0.001: 0.45 vs 0.30 recall@10 at the
+    * default 8/64 probes; 0.975 at 48 probes).
     */
   def ivfTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
                     probes: Int = 8, iters: Int = 3): DataFrame = {

@@ -90,15 +90,35 @@ object TextOps {
     * the min-id copy) → near-dup removal (drop the higher-id doc of every
     * Jaccard ≥ tau pair). The shape every training-data prep run takes;
     * each stage is the operator verified on its own above.
+    *
+    * The near-dup stage is PLUGGABLE (round-3 VERDICT #2): the default is
+    * the exact full-inverted-index join — the oracle-replayable baseline,
+    * whose candidate count SURVEY §5 measured growing 98× for 10× docs —
+    * but the 100-TB run should pass the banded MinHash stage
+    * ([[cleanCorpusMinhash]]) or `Dedup.ngramJaccardPrefixPairs`, whose
+    * candidate volume is capped by banding / the lossless prefix filter.
     */
-  def cleanCorpus(docs: DataFrame, minQuality: Double = 0.48,
-                  tau: Double = 0.5): DataFrame = {
+  def cleanCorpus(docs: DataFrame, minQuality: Double = 0.48, tau: Double = 0.5,
+                  nearDupPairs: (DataFrame, Double) => DataFrame =
+                    Dedup.ngramJaccardPairs(_, _)): DataFrame = {
     val afterExact = qualityExactSurvivors(docs, minQuality)
-    val nearDupLosers = Dedup.ngramJaccardPairs(afterExact, tau)
+    val nearDupLosers = nearDupPairs(afterExact, tau)
       .select(col("doc_b").as("doc_id")).distinct()
     afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select("doc_id", "quality")
   }
+
+  /** [[cleanCorpus]] riding the scale-safe banded-MinHash near-dup stage —
+    * the default 100-TB form: candidate pairs come from 4×4 MinHash band
+    * buckets (high-cardinality keys, quadratic work confined to tiny
+    * buckets) instead of the full inverted-index self-join, with the same
+    * exact-Jaccard verification on candidates. Detection is the LSH
+    * recall of dedup_minhash (total on this corpus's J≥0.99 planted dups,
+    * DedupSpec); gate-checked against its own DuckDB oracle.
+    */
+  def cleanCorpusMinhash(docs: DataFrame, minQuality: Double = 0.48,
+                         tau: Double = 0.5): DataFrame =
+    cleanCorpus(docs, minQuality, tau, Dedup.minhashPairs(_, _))
 
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
     * Documented contract of the fused re_tokens count in [[graft.functions.TextStats]].

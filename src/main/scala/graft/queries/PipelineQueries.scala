@@ -77,6 +77,10 @@ object PipelineQueries {
       Multimodal.meta(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // the 100-TB form: same pipeline, near-dup stage = banded MinHash
+    // (round-3 VERDICT #2 — the flagship must ride a scale-safe stage)
+    "pipeline_clean_corpus_minhash" -> ((s, dir) =>
+      TextOps.cleanCorpusMinhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "pipeline_token_pack" -> ((s, dir) =>
       TextOps.tokenPack(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // benchmark set = every 97th doc (deterministic eval sample)
@@ -186,6 +190,30 @@ object PipelineQueries {
 
   private def stopHitsSql(list: Seq[String]): String =
     s"CAST(len(list_filter(w, x -> list_contains([${list.map(t => s"'$t'").mkString(", ")}], x))) AS BIGINT)"
+
+  /** Shared quality-filter → exact-dedup → shingle prefix of the two
+    * clean-corpus oracles (they differ only in the near-dup stage).
+    */
+  private def cleanCorpusPrefix: String =
+    s"""WITH wq AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+       |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+       |  FROM wq),
+       |survivors AS (
+       |  SELECT doc_id, text,
+       |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+       |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+       |  FROM m
+       |  WHERE 0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+       |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) >= 0.48),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM survivors GROUP BY md5(text)),
+       |after_exact AS (SELECT s.* FROM survivors s JOIN keepers USING (doc_id)),
+       |${shingleCteBody("after_exact")}""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -340,26 +368,8 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
 
-    "pipeline_clean_corpus" ->
-      s"""WITH wq AS (
-         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
-         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
-         |m AS (
-         |  SELECT doc_id, text, n_chars, CAST(len(w) AS BIGINT) AS n_words,
-         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
-         |  FROM wq),
-         |survivors AS (
-         |  SELECT doc_id, text,
-         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
-         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
-         |  FROM m
-         |  WHERE 0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
-         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) >= 0.48),
-         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM survivors GROUP BY md5(text)),
-         |after_exact AS (SELECT s.* FROM survivors s JOIN keepers USING (doc_id)),
-         |${shingleCteBody("after_exact")},
+    "pipeline_clean_corpus" -> (cleanCorpusPrefix +
+      s""",
          |ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM hashes),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
@@ -371,7 +381,32 @@ object PipelineQueries {
          |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
          |SELECT doc_id, quality FROM after_exact
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin),
+
+    // same pipeline, near-dup stage = the dedup_minhash band/verify CTEs
+    // over the exact-dedup survivor set
+    "pipeline_clean_corpus_minhash" -> (cleanCorpusPrefix +
+      s""",
+         |sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM verify
+         |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
+         |SELECT doc_id, quality FROM after_exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin),
 
     "pipeline_token_pack" ->
       s"""WITH t AS (

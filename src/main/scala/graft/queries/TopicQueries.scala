@@ -135,14 +135,19 @@ object TopicQueries {
         .orderBy(col("offset"))),
     // Key-side decode (Factory.kt:96-99 — keys get their OWN pluggable
     // deserializer): the dual raw/decoded key view plus DLQ routing on
-    // key decode failure. A deterministic subset of key bytes is
-    // corrupted; corrupt keys route to the DLQ even on tombstones (the
-    // key must decode for every record), and key errors outrank value
-    // errors. The strict (abort) twin lives in TopicOpsSpec.
+    // key decode failure. Two deterministic corruption arms: offset%83
+    // gets GENUINELY non-UTF-8 bytes (0xFFFE — exercises the lenient
+    // cast + is_valid_utf8 path end-to-end, round-3 VERDICT #3), offset
+    // %89 gets valid-UTF-8-but-non-numeric text. Corrupt keys route to
+    // the DLQ even on tombstones (the key must decode for every record),
+    // and key errors outrank value errors. The strict (abort) twin lives
+    // in TopicOpsSpec.
     "topic_key_serde" -> ((s, dir) => {
       val t = Topics.events(s, dir)
-        .withColumn("key_raw", when(col("offset") % 89 === 0,
-          encode(lit("x"), "UTF-8")).otherwise(col("key_raw")))
+        .withColumn("key_raw",
+          when(col("offset") % 83 === 0, unhex(lit("FFFE")))
+            .when(col("offset") % 89 === 0, encode(lit("x"), "UTF-8"))
+            .otherwise(col("key_raw")))
       TopicOps.dlqSplit(t, dlqError, Serdes.Utf8LongKeySerde.error(col("key_raw")))
         .select(col("sink"), col("error"), col("partition"), col("offset"),
           hex(col("key_raw")).as("key_raw_hex"),
@@ -162,6 +167,25 @@ object TopicQueries {
       TopicOps.serdeView(t, Serdes.AvroEventSerde.decoded(col("raw")))
         .select(col("offset"), col("key"),
           col("event_type_dec"), col("k_dec"), col("user_id_dec"))
+        .orderBy(col("offset"))
+    }),
+    // Schema-registry wire format (Factory.kt:103-110): every datum rides
+    // behind the 5-byte envelope (magic 0x00 + int32 schema id); decode
+    // resolves the subject's id through the registry client and validates
+    // the frame. A deterministic subset is framed with an id the registry
+    // does NOT know (99) — a structurally valid datum that must still
+    // route to the DLQ, proving the id check is real.
+    "topic_serde_avro_registry" -> ((s, dir) => {
+      val serde = Serdes.registryAvroSerde()
+      val t = Serdes.avroTopic(Tables.load(s, dir, "events"))
+        .withColumn("raw",
+          when(col("offset") % 97 === 0, Serdes.SchemaRegistry.frame(99, col("raw")))
+            .otherwise(serde.frame(col("raw"))))
+      TopicOps.dlqSplit(t, serde.error(col("raw")))
+        .select(col("sink"), col("error"), col("partition"), col("offset"), col("key"),
+          serde.struct(col("raw")).getField("event_type").as("event_type_dec"),
+          serde.struct(col("raw")).getField("k").as("k_dec"),
+          serde.struct(col("raw")).getField("user_id").as("user_id_dec"))
         .orderBy(col("offset"))
     }),
     // Avro decode failure → DLQ routing: a deterministic subset of datums
@@ -277,10 +301,15 @@ object TopicQueries {
          |       $KFieldSql AS k_decoded,
          |       octet_length(encode("value")) AS raw_len, headers_str
          |FROM topic ORDER BY "offset"""".stripMargin,
+    // key_raw_hex renders the corruption arms directly: DuckDB can't hold
+    // invalid-UTF-8 bytes in a VARCHAR, so the 0xFFFE arm is spelled as
+    // its hex — exactly what the Spark side's hex(key_raw) yields.
     "topic_key_serde" ->
       s"""$TopicCte, keyed AS (
-         |  SELECT *, CASE WHEN "offset" % 89 = 0 THEN 'x' ELSE "key" END AS key_txt,
-         |         CASE WHEN "offset" % 89 = 0 THEN NULL
+         |  SELECT *, CASE WHEN "offset" % 83 = 0 THEN 'FFFE'
+         |                 WHEN "offset" % 89 = 0 THEN upper(hex(encode('x')))
+         |                 ELSE upper(hex(encode("key"))) END AS key_raw_hex,
+         |         CASE WHEN "offset" % 83 = 0 OR "offset" % 89 = 0 THEN NULL
          |              ELSE CAST("key" AS BIGINT) END AS key_dec
          |  FROM topic),
          |dec AS (
@@ -290,8 +319,7 @@ object TopicQueries {
          |                 WHEN $KFieldSql > 90 THEN 'out_of_range' END AS error
          |  FROM keyed)
          |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
-         |       error, "partition", "offset",
-         |       upper(hex(encode(key_txt))) AS key_raw_hex, key_dec, "value"
+         |       error, "partition", "offset", key_raw_hex, key_dec, "value"
          |FROM dec ORDER BY "offset"""".stripMargin,
     "topic_offsets" ->
       s"""$TopicCte
@@ -305,6 +333,19 @@ object TopicQueries {
         |       event_type AS event_type_dec,
         |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_dec,
         |       user_id AS user_id_dec
+        |FROM events ORDER BY "offset"""".stripMargin,
+    // Framing is invisible in the decoded output — the registry check IS
+    // what the unknown-id arm exercises: those records decode to NULL
+    // despite carrying a byte-valid datum.
+    "topic_serde_avro_registry" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN 'dlq' ELSE 'clean' END AS sink,
+        |       CASE WHEN event_id % 97 = 0 THEN 'avro_decode_failure' END AS error,
+        |       CAST(user_id % 8 AS INT) AS "partition",
+        |       event_id AS "offset", CAST(user_id AS VARCHAR) AS "key",
+        |       CASE WHEN event_id % 97 <> 0 THEN event_type END AS event_type_dec,
+        |       CASE WHEN event_id % 97 <> 0
+        |            THEN TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) END AS k_dec,
+        |       CASE WHEN event_id % 97 <> 0 THEN user_id END AS user_id_dec
         |FROM events ORDER BY "offset"""".stripMargin,
     "topic_dlq_avro" ->
       """SELECT CASE WHEN event_id % 97 = 0 THEN 'dlq' ELSE 'clean' END AS sink,

@@ -111,6 +111,93 @@ object Serdes {
       when(struct(raw).isNull, "avro_decode_failure")
   }
 
+  /** Schema-registry seam (Factory.kt:103-110: the reference wires
+    * KafkaAvroDeserializer against a registry URL; the registry protocol
+    * puts a 5-byte envelope — magic byte 0x00 + big-endian 4-byte schema
+    * id — in front of every Avro datum). The trait is the pluggable
+    * surface a deployment implements against its HTTP registry; the
+    * container has no registry service, so the fixture-backed in-memory
+    * client stands in, exercising the REAL wire concerns: framing,
+    * subject→id lookup, and unknown-id/bad-magic/short-payload rejection.
+    */
+  object SchemaRegistry {
+    trait SchemaRegistryClient {
+      /** Latest schema id registered under a subject, if any. */
+      def idFor(subject: String): Option[Int]
+
+      /** Schema JSON by id, if the id is known to the registry. */
+      def schemaById(id: Int): Option[String]
+    }
+
+    /** Fixture-backed fake: a fixed subject→(id, schema) table. */
+    final class InMemoryRegistry(entries: Map[String, (Int, String)])
+        extends SchemaRegistryClient {
+      private val byId = entries.values.toMap
+      override def idFor(subject: String): Option[Int] = entries.get(subject).map(_._1)
+      override def schemaById(id: Int): Option[String] = byId.get(id)
+    }
+
+    /** The test fixture: the GraftEvent schema registered under the
+      * topic's value subject (Kafka convention: `<topic>-value`) as id 7.
+      */
+    val EventsSubject = "events.avro-value"
+    val Fixture: SchemaRegistryClient = new InMemoryRegistry(
+      Map(EventsSubject -> (7, graft.functions.AvroEventImpl.SchemaJson)))
+
+    /** 5-byte envelope for a schema id: 0x00 magic + int32 big-endian. */
+    def header(id: Int): Array[Byte] =
+      Array(0x00.toByte, (id >> 24).toByte, (id >> 16).toByte, (id >> 8).toByte, id.toByte)
+
+    /** Wrap a datum column in the id's wire envelope. */
+    def frame(id: Int, datum: Column): Column = concat(lit(header(id)), datum)
+  }
+
+  /** Avro serde behind the registry seam: encodes/decodes the 5-byte wire
+    * envelope around the plain [[AvroEventSerde]] datum. Decode validates
+    * the frame — too-short payload, wrong magic byte, or a schema id the
+    * registry doesn't know all become the routable 'avro_decode_failure'
+    * (never a throw), exactly like datum corruption.
+    */
+  final class RegistryAvroEventSerde(client: SchemaRegistry.SchemaRegistryClient,
+                                     subject: String) extends ValueSerde {
+    private val id: Int = client.idFor(subject).getOrElse(
+      throw new IllegalArgumentException(s"subject not in registry: $subject"))
+    // the writer schema the id resolves to must be the GraftEvent schema
+    // the fixed-codec kernel reads (a full deployment would build the
+    // datum reader from this JSON instead)
+    require(client.schemaById(id).contains(graft.functions.AvroEventImpl.SchemaJson),
+      s"registry schema $id does not match the GraftEvent codec")
+
+    private val head = lit(SchemaRegistry.header(id))
+
+    private def validFrame(raw: Column): Column =
+      octet_length(raw) > 5 && raw.substr(lit(1), lit(5)) === head
+
+    /** The datum behind the envelope; null unless the frame validates. */
+    def payload(raw: Column): Column =
+      when(validFrame(raw), raw.substr(lit(6), octet_length(raw) - 5))
+
+    def struct(raw: Column): Column =
+      call_function("graft_avro_decode", payload(raw))
+
+    /** Encode-side framing for produced records. */
+    def frame(datum: Column): Column = SchemaRegistry.frame(id, datum)
+
+    override def decoded(raw: Column): Map[String, Column] = {
+      val s = struct(raw)
+      Map("event_type_dec" -> s.getField("event_type"),
+        "k_dec" -> s.getField("k"),
+        "user_id_dec" -> s.getField("user_id"))
+    }
+
+    override def error(raw: Column): Column =
+      when(struct(raw).isNull, "avro_decode_failure")
+  }
+
+  /** The fixture-registry serde for the events.avro topic. */
+  def registryAvroSerde(): RegistryAvroEventSerde =
+    new RegistryAvroEventSerde(SchemaRegistry.Fixture, SchemaRegistry.EventsSubject)
+
   /** The events table as a topic whose VALUE serde is Avro: raw bytes are
     * the Avro-encoded (event_type, k, user_id) datum. `value` keeps the
     * props string view (never null here — this topic models a schema'd

@@ -44,11 +44,11 @@ object SimilarityStream {
     try {
       val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
 
-      val probes = Similarity.vectors(incoming)
+      val probed = Similarity.vectors(incoming)
         .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
         .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
 
-      val scored = probes.join(corpusIndex, "bucket")
+      val scored = probed.join(corpusIndex, "bucket")
         .withColumn("cos",
           expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
         .select(col("query_id"), col("corpus_id"), col("cos"))

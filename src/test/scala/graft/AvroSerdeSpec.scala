@@ -28,6 +28,34 @@ class AvroSerdeSpec extends SparkSpec {
     assert(row.getLong(2) === 42L)
   }
 
+  test("registry wire format: framed datums round-trip; bad magic, unknown id, " +
+      "and short frames are routable errors; unknown subject refuses to build") {
+    NativeHash.register(spark)
+    val serde = Serdes.registryAvroSerde()
+    val t = Serdes.avroTopic(events).withColumn("framed", serde.frame(col("raw"))).cache()
+    // envelope: exactly 5 bytes of (0x00, int32 id) in front of the datum
+    assert(t.filter(octet_length(col("framed")) =!= octet_length(col("raw")) + 5)
+      .count() === 0)
+    assert(t.filter(serde.struct(col("framed")).isNull).count() === 0)
+    assert(t.filter(serde.struct(col("framed")).getField("user_id") =!=
+      col("key").cast("bigint")).count() === 0)
+    // corruption arms: wrong magic byte, unknown schema id (valid datum!),
+    // and a frame shorter than the envelope — all route, none throw
+    val cases = t.limit(1).select(
+      serde.error(concat(unhex(lit("01")), expr("substring(framed, 2)"))).as("bad_magic"),
+      serde.error(Serdes.SchemaRegistry.frame(99, col("raw"))).as("unknown_id"),
+      serde.error(unhex(lit("0000000007"))).as("short_frame"),
+      serde.error(col("framed")).as("ok")).head()
+    assert(cases.getString(0) === "avro_decode_failure")
+    assert(cases.getString(1) === "avro_decode_failure")
+    assert(cases.getString(2) === "avro_decode_failure")
+    assert(cases.isNullAt(3))
+    t.unpersist()
+    // subject → id lookup is real: an unregistered subject fails fast
+    assertThrows[IllegalArgumentException](
+      new Serdes.RegistryAvroEventSerde(Serdes.SchemaRegistry.Fixture, "nope-value"))
+  }
+
   test("truncated datums decode to null and route to the DLQ; clean rows decode") {
     NativeHash.register(spark)
     val t = Serdes.avroTopic(events)

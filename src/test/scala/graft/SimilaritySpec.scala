@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("query_id"), col("corpus_id")).cache()
     val hit = lsh.intersect(bf).count().toDouble
     val recall = hit / bf.count()
-    info(f"sign-LSH (2 bands x 4 bits) top-10 recall vs brute force: $recall%.2f")
+    info(f"sign-LSH (16 bands x 8 planes) top-10 recall vs brute force: $recall%.2f")
     assert(recall > 0.05) // random-vector corpus: buckets are near-uniform
     bf.unpersist(); lsh.unpersist()
   }
@@ -49,27 +49,28 @@ class SimilaritySpec extends SparkSpec {
     val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
       .select(col("query_id"), col("corpus_id")).cache()
     val recall = ivf.select("query_id", "corpus_id").intersect(bf10).count().toDouble / bf10.count()
-    info(f"IVF (16 centroids, 2 probes) top-10 recall vs brute force: $recall%.2f")
+    info(f"IVF (64 centroids, 8 probes) top-10 recall vs brute force: $recall%.2f")
     assert(recall > 0.05)
     bf10.unpersist(); ivf.unpersist()
   }
 
-  test("k-means IVF: fitted codebook beats the LCG codebook at 4 probes; sweep reported") {
+  test("k-means IVF: fitted codebook beats the LCG codebook at the default probes; sweep reported") {
     val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
       .select(col("query_id"), col("corpus_id")).cache()
     val n = bf10.count().toDouble
     def recallOf(df: org.apache.spark.sql.DataFrame): Double =
       df.select("query_id", "corpus_id").intersect(bf10).count() / n
-    val lcg4 = recallOf(Similarity.ivfTopK(emb, isQuery, k = 10, probes = 4))
-    val km4 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10, probes = 4))
-    val km12 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10, probes = 12))
-    info(f"recall@10: lcg/4probe=$lcg4%.3f kmeans/4probe=$km4%.3f kmeans/12probe=$km12%.3f")
-    // the corpus is isotropic (no cluster structure), so no 16-centroid
-    // codebook reaches 0.9 recall at 2 probes; the fitted codebook must
-    // still dominate the arbitrary LCG codebook, and a 12/16-probe scan
-    // must be near-exhaustive
-    assert(km4 >= lcg4, s"fitted codebook ($km4) must beat LCG ($lcg4) at 4 probes")
-    assert(km12 >= 0.9, s"12-probe recall should be near-exhaustive, got $km12")
+    val lcg8 = recallOf(Similarity.ivfTopK(emb, isQuery, k = 10, probes = 8))
+    val km8 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10, probes = 8))
+    val km48 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10, probes = 48))
+    info(f"recall@10: lcg/8probe=$lcg8%.3f kmeans/8probe=$km8%.3f kmeans/48probe=$km48%.3f")
+    // the corpus is isotropic (no cluster structure), so recall at the
+    // default 8/64 probes is moderate by design (measured: lcg 0.30,
+    // kmeans 0.45 at sf0.001); the fitted codebook must still dominate
+    // the arbitrary LCG codebook, and a 48/64-probe scan must be
+    // near-exhaustive (measured 0.975)
+    assert(km8 >= lcg8, s"fitted codebook ($km8) must beat LCG ($lcg8) at 8 probes")
+    assert(km48 >= 0.9, s"48-probe recall should be near-exhaustive, got $km48")
     bf10.unpersist()
   }
 

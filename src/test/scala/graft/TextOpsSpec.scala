@@ -9,6 +9,18 @@ class TextOpsSpec extends SparkSpec {
 
   private def docs = Tables.load(spark, sf, "documents")
 
+  test("clean-corpus MinHash twin keeps a superset of the exact pipeline (equal on " +
+      "this corpus: banding recall is total on the planted dups)") {
+    val exact = graft.operators.TextOps.cleanCorpus(docs).cache()
+    val mh = graft.operators.TextOps.cleanCorpusMinhash(docs).cache()
+    // a lossy candidate stage can only MISS pairs ⇒ only keep MORE docs
+    assert(exact.except(mh).count() === 0,
+      "every exact survivor must survive the minhash pipeline")
+    assert(mh.except(exact).count() === 0,
+      "on this corpus minhash recall is total, so the results must be equal")
+    exact.unpersist(); mh.unpersist()
+  }
+
   test("quality ratios are bounded and the score is their fixed-weight sum") {
     val q = TextOps.quality(docs).cache()
     for (c <- Seq("uniq_ratio", "stop_ratio", "alpha_ratio"))
