@@ -54,6 +54,10 @@ object NativeHash {
       exprs => IvfBucket(exprs.head)),
     ("graft_ivf_probes", "1-based positions of the top-N centroid cosines",
       exprs => IvfProbes(exprs.head, if (exprs.length > 1) foldableGram(exprs(1)) else 2)),
+    ("graft_pq_code", "1-based IVF-PQ residual codes per subspace (corpus index encoding)",
+      exprs => PqCode(exprs.head)),
+    ("graft_pq_score", "approximate cosine from (query vec, coarse bucket, PQ codes)",
+      exprs => PqScore(exprs.head, exprs(1), exprs(2))),
     ("graft_avro_encode", "encode (event_type, k, user_id) as an Avro GraftEvent binary datum",
       exprs => AvroEncodeEvent(exprs)),
     ("graft_avro_decode", "decode an Avro GraftEvent datum to a struct; null on failure",

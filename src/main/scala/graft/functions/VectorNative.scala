@@ -55,6 +55,20 @@ object Codebooks {
 
   val centroids: IndexedSeq[IndexedSeq[Double]] = centroidsFor(NCentroids)
 
+  /** Product-quantization sub-codebooks (IVF-PQ residual refinement):
+    * PqM subspaces of PqSub dims, PqK codes each. Same LCG family from
+    * generator rows 400.. (planes use rows 0..NPlanes-1, coarse
+    * centroids rows 200..200+NCentroids-1 — no overlap), scaled /4000
+    * instead of /1000 because codes quantize RESIDUALS û−ĉ, whose
+    * subvector norms are ~4× smaller than unit-vector coordinates.
+    */
+  val PqM = 8
+  val PqSub: Int = Dim / PqM
+  val PqK = 16
+  val pqCents: Array[Array[Array[Double]]] =
+    Array.tabulate(PqM, PqK, PqSub)((m, k, d) =>
+      (((1103515245L * ((400 + m * PqK + k) * Dim + d) + 12345L) % 2001L) - 1000L) / 4000.0)
+
   private[functions] val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
   private[functions] val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
@@ -63,6 +77,12 @@ object Codebooks {
     */
   val centroidNorms: Array[Double] =
     centroidsArr.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  /** Unit-normalized coarse centroids ĉ = c/‖c‖ — the basis PQ residuals
+    * are taken against (and the coarse term of the PQ approximate score).
+    */
+  private[functions] val centroidsHat: Array[Array[Double]] =
+    centroidsArr.zip(centroidNorms).map { case (c, n) => c.map(_ / n) }
 }
 
 /** √(Σ xᵢ²) over an array<double> column — the fused twin of
@@ -171,6 +191,49 @@ case class IvfProbes(child: Expression, probes: Int,
     copy(child = newChild)
 }
 
+/** e → array<int> of PqM 1-based PQ code indices for the vector's residual
+  * û − ĉ_b against its coarse bucket b — the corpus-side IVF-PQ encoding:
+  * 8 small ints replace 64 doubles in the candidate index, so candidate
+  * generation + approximate scoring never touch the full vectors. Codes
+  * are argmin-of-squared-L2 per subspace, first-min tie-break (the
+  * oracle's list_position(d, list_min(d)) semantics).
+  */
+case class PqCode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_code"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.pqCode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.pqCode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
+/** (query e, candidate bucket, candidate codes) → approximate cosine
+  * q̂·(ĉ_b + Σ_m pq_m[code_m]) — the IVF-PQ lookup score, one JVM call per
+  * (query, candidate) pair with no corpus-vector access. Folds run in
+  * index order so the oracle can replay them exactly.
+  */
+case class PqScore(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_score"
+
+  override protected def nullSafeEval(eq: Any, bucket: Any, codes: Any): Any =
+    VectorNativeImpl.pqScore(eq.asInstanceOf[ArrayData],
+      bucket.asInstanceOf[Int], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorNativeImpl.pqScore($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorNativeImpl {
   import Codebooks._
 
@@ -252,6 +315,63 @@ object VectorNativeImpl {
       i += 1
     }
     best + 1
+  }
+
+  /** 1-based PQ codes of û − ĉ_b per subspace (see [[PqCode]]): for each
+    * of the PqM subspaces, the first code minimizing the left-folded
+    * squared distance Σ_d (r_d − c_d)².
+    */
+  def pqCode(e: ArrayData): ArrayData = {
+    val nrm = norm(e)
+    val b = ivfBucket(e, centroidsArr, centroidNorms) - 1
+    val ch = centroidsHat(b)
+    val out = new Array[Int](PqM)
+    var m = 0
+    while (m < PqM) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < PqK) {
+        val c = pqCents(m)(k)
+        var d = 0
+        var s = 0.0
+        while (d < PqSub) {
+          val i = m * PqSub + d
+          val r = e.getDouble(i) / nrm - ch(i)
+          val diff = r - c(d)
+          s += diff * diff
+          d += 1
+        }
+        if (sqlCompare(s, bestD) < 0) { bestD = s; best = k }
+        k += 1
+      }
+      out(m) = best + 1
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate cosine q̂·(ĉ_b + Σ_m pq_m[code_m]) (see [[PqScore]]):
+    * coarse term folded over all Dim coordinates first, then one
+    * subspace fold per code — index order throughout.
+    */
+  def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData): Double = {
+    val nq = norm(eq)
+    val ch = centroidsHat(bucket - 1)
+    var s = 0.0
+    var i = 0
+    while (i < Dim) { s += eq.getDouble(i) / nq * ch(i); i += 1 }
+    var m = 0
+    while (m < PqM) {
+      val c = pqCents(m)(codes.getInt(m) - 1)
+      var d = 0
+      while (d < PqSub) {
+        s += eq.getDouble(m * PqSub + d) / nq * c(d)
+        d += 1
+      }
+      m += 1
+    }
+    s
   }
 
   def ivfProbes(e: ArrayData, probes: Int, cents: Array[Array[Double]],

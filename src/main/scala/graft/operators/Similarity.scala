@@ -139,11 +139,22 @@ object Similarity {
     * centroid. The LCG codebook seeds the iteration, so the fit is
     * deterministic up to float-sum ordering. Returns the fitted codebook
     * (k × Dim) — small by construction; collecting a MODEL, not data.
+    *
+    * `sampleFraction` < 1 fits on a seeded Bernoulli sample — the 100-TB
+    * shape (round-3 VERDICT perf note): centroid quality needs ~O(k·10³)
+    * vectors, not all N, so each of the `iters` passes scans only the
+    * sample while bucket ASSIGNMENT (ivfTopKFitted) still covers every
+    * vector with the fitted codebook.
     */
-  def fitCentroids(emb: DataFrame, k: Int = NCentroids, iters: Int = 3): Array[Array[Double]] = {
+  def fitCentroids(emb: DataFrame, k: Int = NCentroids, iters: Int = 3,
+                   sampleFraction: Double = 1.0): Array[Array[Double]] = {
     require(k >= 1 && k <= Codebooks.centroids.length,
       s"k=$k out of range: the LCG seed codebook provides 1..${Codebooks.centroids.length} centroids")
-    val v = vectors(emb).persist()
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base = vectors(emb)
+    val v = (if (sampleFraction < 1.0) base.sample(withReplacement = false,
+      sampleFraction, seed = 42L) else base).persist()
     try {
       var cents = Codebooks.centroids.take(k).map(c => normalize(c.toArray)).toArray
       for (_ <- 0 until iters) {
@@ -183,8 +194,9 @@ object Similarity {
     * default 8/64 probes; 0.975 at 48 probes).
     */
   def ivfTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
-                    probes: Int = 8, iters: Int = 3): DataFrame = {
-    val cents = fitCentroids(emb, NCentroids, iters)
+                    probes: Int = 8, iters: Int = 3,
+                    fitSampleFraction: Double = 1.0): DataFrame = {
+    val cents = fitCentroids(emb, NCentroids, iters, fitSampleFraction)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val reg = emb.sparkSession.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_ivf_bucket_fitted",
@@ -195,6 +207,41 @@ object Similarity {
     ivfPlan(v, isQuery, k,
       call_function("graft_ivf_bucket_fitted", col("e")),
       call_function("graft_ivf_probes_fitted", col("e")))
+  }
+
+  /** IVF-PQ ANN — the compact-index 100-TB refinement of [[ivfTopK]]:
+    * corpus vectors live in the index as (coarse bucket, 8 PQ residual
+    * codes) — ~12 bytes instead of 64 doubles — so candidate generation
+    * AND approximate scoring never touch full vectors. Per query:
+    * (1) probe the top-`probes` coarse buckets; (2) score every candidate
+    * by the PQ approximation q̂·(ĉ_b + Σ_m pq_m[code_m]) from the codes
+    * alone; (3) keep the top k·`refine` by approximate score (two-phase —
+    * probed population grows with the corpus); (4) fetch full vectors for
+    * ONLY that shortlist and rerank exactly. At 100 TB step 4 is the only
+    * stage that reads the fat vector table, k·refine rows per query.
+    * Recall vs plain IVF is characterized in SimilaritySpec; `refine`
+    * trades recall against full-vector reads.
+    */
+  def ivfPqTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 8,
+                refine: Int = 4): DataFrame = {
+    val v = vectors(emb)
+    val corpusIdx = v.filter(!isQuery)
+      .select(col("vec_id").as("corpus_id"),
+        expr("graft_ivf_bucket(e)").as("bucket"),
+        expr("graft_pq_code(e)").as("codes"))
+    val queries = v.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        explode(expr(s"graft_ivf_probes(e, $probes)")).as("bucket"))
+    // a corpus vector has exactly one bucket and a query's probes are
+    // distinct, so the probe join yields each (query, candidate) once
+    val approx = corpusIdx.join(broadcast(queries), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        expr("graft_pq_score(eq, bucket, codes)").as("cos"))
+    val shortlist = rerankTopKTwoPhase(approx, k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    // only the shortlist (k·refine rows/query — bounded by construction,
+    // so the final rerank is legitimately single-phase) reads full vectors
+    rerankTopK(scoreCandidates(shortlist, v), k)
   }
 
   /** Cosine near-dup pairs: banded-LSH candidates, exact cosine verify.

@@ -58,6 +58,12 @@ object PipelineQueries {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
+    // residual codes) alone; full vectors only for the exact rerank of
+    // the top k·refine shortlist (round-3 §7 stretch).
+    "sim_topk_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     // IVF over a k-means-fitted codebook (the offline fit a production
     // deployment broadcasts). The fit's float means are partitioning-
     // dependent, so there is no SQL oracle (rows-only check); recall and
@@ -170,6 +176,20 @@ object PipelineQueries {
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+
+  /** Shared IVF CTEs: SQL-generated nlist-centroid codebook (same LCG as
+    * Codebooks.centroidsFor), per-centroid norms, and each vector's
+    * c-ordered centroid-cosine list.
+    */
+  private def ivfCentroidCtes: String =
+    s"""cent AS (
+       |  SELECT c, [CAST((((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+       |             for i in generate_series(0, ${Dim - 1})] AS cv
+       |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
+       |cn AS (SELECT c, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cent),
+       |ccs AS (
+       |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
+       |  FROM v CROSS JOIN cn GROUP BY vec_id)""".stripMargin
 
   /** Sign-LSH band index, with the hyperplane codebook GENERATED in SQL
     * from the same LCG formula as Codebooks.planes — the oracle scales to
@@ -340,14 +360,7 @@ object PipelineQueries {
     // fraction 8/64 mirrors the kernel defaults exactly.
     "sim_topk_ivf" -> (NormCte +
       s"""
-         |, cent AS (
-         |  SELECT c, [CAST((((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
-         |             for i in generate_series(0, ${Dim - 1})] AS cv
-         |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
-         |cn AS (SELECT c, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cent),
-         |ccs AS (
-         |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
-         |  FROM v CROSS JOIN cn GROUP BY vec_id),
+         |, $ivfCentroidCtes,
          |corpus AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
          |  FROM ccs WHERE vec_id >= 8),
@@ -367,6 +380,70 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
+
+    // IVF-PQ: codes and the approximate score replayed with the SAME
+    // fold orders as the kernels (continuous accumulation: coarse term,
+    // then subspace terms in (m, d) order; argmin = first position of
+    // the k-ordered distance list's minimum).
+    "sim_topk_ivf_pq" -> {
+      import graft.functions.Codebooks.{PqM, PqSub, PqK}
+      val Refine = 4
+      val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+      val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
+        s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
+      NormCte +
+        s"""
+           |, $ivfCentroidCtes,
+           |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn),
+           |cb AS (
+           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+           |  FROM ccs WHERE vec_id >= 8),
+           |pq AS (
+           |  SELECT m, k, [CAST((((1103515245*((400 + m*$PqK + k)*$Dim + d) + 12345) % 2001) - 1000) AS DOUBLE)/4000.0
+           |                for d in generate_series(0, ${PqSub - 1})] AS pv
+           |  FROM generate_series(0, ${PqM - 1}) tm(m) CROSS JOIN generate_series(0, ${PqK - 1}) tk(k)),
+           |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pq),
+           |res AS (
+           |  SELECT cb.corpus_id, cb.bucket,
+           |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+           |  FROM cb JOIN v ON v.vec_id = cb.corpus_id JOIN chat ON chat.c = cb.bucket - 1),
+           |dists AS (
+           |  SELECT corpus_id, bucket, m,
+           |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
+           |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+           |  FROM res CROSS JOIN pq GROUP BY corpus_id, bucket, m),
+           |codes AS (
+           |  SELECT corpus_id, bucket,
+           |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+           |  FROM dists GROUP BY corpus_id, bucket),
+           |probes AS (
+           |  SELECT vec_id AS query_id,
+           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+           |                 for p in generate_series(1, $Probes)]) AS bucket
+           |  FROM ccs WHERE vec_id < 8),
+           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
+           |scored AS (
+           |  SELECT query_id, corpus_id,
+           |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
+           |  FROM cand JOIN v q ON q.vec_id = query_id
+           |            JOIN chat ch ON ch.c = bucket - 1
+           |            CROSS JOIN pqf),
+           |short AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
+           |    FROM scored)
+           |  WHERE srnk <= ${TopK * Refine}),
+           |exact AS (
+           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+           |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+           |  FROM exact)
+           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+           |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "pipeline_clean_corpus" -> (cleanCorpusPrefix +
       s""",

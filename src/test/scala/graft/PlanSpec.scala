@@ -66,6 +66,7 @@ class PlanSpec extends SparkSpec {
   test("embedding-family plans run fused codebook kernels, no interpreted HOF folds") {
     val kernels = Map(
       "sim_topk_ivf" -> Seq("graft_ivf_bucket", "graft_ivf_probes"),
+      "sim_topk_ivf_pq" -> Seq("graft_pq_code", "graft_pq_score"),
       "sim_topk_lsh" -> Seq("graft_plane_buckets"),
       "dedup_embedding" -> Seq("graft_plane_buckets"),
       "sim_topk_bruteforce" -> Seq("graft_dot", "graft_norm"))

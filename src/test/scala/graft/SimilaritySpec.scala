@@ -71,6 +71,13 @@ class SimilaritySpec extends SparkSpec {
     // near-exhaustive (measured 0.975)
     assert(km8 >= lcg8, s"fitted codebook ($km8) must beat LCG ($lcg8) at 8 probes")
     assert(km48 >= 0.9, s"48-probe recall should be near-exhaustive, got $km48")
+    // the 100-TB fit: a half-sample fit must still produce a codebook in
+    // the same quality class (centroids need ~O(k·10³) vectors, not N)
+    val kmSampled48 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10,
+      probes = 48, fitSampleFraction = 0.5))
+    info(f"recall@10: kmeans/48probe SAMPLED(0.5)=$kmSampled48%.3f")
+    assert(kmSampled48 >= 0.9,
+      s"sampled fit should stay near-exhaustive at 48 probes, got $kmSampled48")
     bf10.unpersist()
   }
 
@@ -80,6 +87,32 @@ class SimilaritySpec extends SparkSpec {
     val km = Similarity.ivfTopKFitted(emb, isQuery, k = 10)
       .select(col("query_id"), col("corpus_id"), col("cos"))
     assert(km.except(bf).count() === 0)
+  }
+
+  test("IVF-PQ: hits score identically to brute force; refine widens recall toward plain IVF") {
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val pq = Similarity.ivfPqTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    // the final rerank is exact over full vectors, so every hit's cosine
+    // must appear verbatim in the exhaustive scoring
+    assert(pq.except(bf).count() === 0)
+
+    val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id")).cache()
+    val n = bf10.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "corpus_id").intersect(bf10).count() / n
+    val r2 = recallOf(Similarity.ivfPqTopK(emb, isQuery, k = 10, refine = 2))
+    val r8 = recallOf(Similarity.ivfPqTopK(emb, isQuery, k = 10, refine = 8))
+    val ivf = recallOf(Similarity.ivfTopK(emb, isQuery, k = 10))
+    info(f"recall@10: pq/refine2=$r2%.3f pq/refine8=$r8%.3f ivf(full vectors)=$ivf%.3f")
+    // a larger shortlist is a superset ⇒ recall is monotone in refine,
+    // and PQ can only LOSE vs exact-ranking every probed candidate
+    assert(r8 >= r2)
+    assert(r8 <= ivf + 1e-12,
+      s"PQ shortlist reranks a subset of IVF's candidates, got pq=$r8 > ivf=$ivf")
+    bf10.unpersist()
   }
 
   test("embedding near-dup pairs verify exact cosine above threshold, canonical order") {
