@@ -79,6 +79,18 @@ object StreamQueries {
       TopicStream.sessionizeStream(s, eventsPath(dir), out, ckpt)
         .orderBy(col("user_id"), col("session_start"))
     }),
+    // Stream-stream ask: records joined (watermarked, time-bounded) with
+    // a DECISIONS stream — the reference ActionSource's incremental
+    // shape; undecided records route nothing, decided ones flow through
+    // the same route projection as the batch ask (oracle verbatim).
+    "stream_ask_decisions" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_ask_decisions", dir)
+      TopicStream.askDecisionsStream(s, eventsPath(dir), out, ckpt)
+        .select(col("topic"), col("partition"), col("key"), col("value"),
+          col("src_offset"), col("kind"),
+          graft.sources.Topics.headersStr(col("headers")).as("headers_str"))
+        .orderBy(col("src_offset"), col("kind"))
+    }),
     // Stream-stream join: DLQ replay reconciliation — the dead-letter
     // stream joined (watermarked, time-bounded) with a corrections
     // stream keyed by the failed record's coordinates; emitted pairs =
@@ -103,6 +115,8 @@ object StreamQueries {
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
+    // decided-record routing == batch ask-with-decisions-table exactly
+    "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
     // offsets), so the equi-join on (topic, partition, offset) reduces
     // to that filter — which is exactly what makes the join verifiable.

@@ -253,6 +253,66 @@ object TopicStream {
         col("error"), col("fixed_value"))
   }
 
+  /** Streaming ask with a DECISIONS STREAM — the reference's ActionSource
+    * is inherently incremental (ActionSource.kt:9: decisions are pulled
+    * one record at a time from an external source); here the verdicts
+    * arrive as their own stream keyed by the record's (topic, partition,
+    * offset) and carrying an `action` of 'merge' | 'purge' | 'skip'. The
+    * watermarked, time-bounded inner join pairs each record with its
+    * verdict — a record whose decision never arrives routes NOTHING,
+    * exactly the batch routeWithDecisions skip default — and the joined
+    * stream flows through the same TopicOps.route projection as every
+    * other ask surface.
+    *
+    * Scale shape (same as [[dlqReplayJoin]]): both watermarks plus the
+    * decision-within-`horizon` bound keep join state to one horizon per
+    * side; the join shuffles both sides once on the record coordinates.
+    */
+  def askDecisionsJoin(records: DataFrame, decisions: DataFrame, dest: String,
+                       horizon: String = "1 hour"): DataFrame = {
+    val r = records.withWatermark("ts", horizon)
+    val d = decisions
+      .select(col("topic").as("d_topic"), col("partition").as("d_partition"),
+        col("offset").as("d_offset"), col("d_ts"), col("action"))
+      .withWatermark("d_ts", horizon)
+    val joined = r.join(d,
+      col("topic") === col("d_topic") &&
+        col("partition") === col("d_partition") &&
+        col("offset") === col("d_offset") &&
+        col("d_ts") >= col("ts") &&
+        col("d_ts") <= col("ts") + expr(s"INTERVAL $horizon"),
+      "inner")
+      .drop("d_topic", "d_partition", "d_offset", "d_ts")
+    TopicOps.route(joined, col("action"), dest)
+  }
+
+  /** Runs [[askDecisionsJoin]] over the events file stream, with the
+    * decision stream derived deterministically from the records (every
+    * third offset gets a verdict 10 minutes later: merge if even, purge
+    * if odd) so the batch topic_ask_table oracle replays the routing
+    * exactly.
+    */
+  def askDecisionsStream(spark: SparkSession, eventsPath: String,
+                         outDir: String, checkpointDir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val records = topicStream(spark, eventsPath, maxFilesPerTrigger)
+    val decisions = topicStream(spark, eventsPath, maxFilesPerTrigger)
+      .filter(col("offset") % 3 === 0)
+      .select(col("topic"), col("partition"), col("offset"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("d_ts"),
+        when(col("offset") % 2 === 0, "merge").otherwise("purge").as("action"))
+    val q = askDecisionsJoin(records, decisions, "events.v2").writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Runs [[dlqReplayJoin]] over the events file stream: the DLQ side is
     * the dlqSplit failure partition; the corrections side is derived
     * deterministically (every even-offset failure gets a fix 10 minutes

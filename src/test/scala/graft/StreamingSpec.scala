@@ -110,6 +110,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stream-stream ask over ordered multi-batch replay equals the batch decisions-table ask") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_ask_decisions", orderedSplitDir)
+    val streamed = TopicStream.askDecisionsStream(spark, orderedSplitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+      .select("topic", "partition", "key", "value", "src_offset", "kind")
+    val t = Topics.events(spark, sf)
+    val decisions = t.filter(col("offset") % 3 === 0)
+      .select(col("topic"), col("partition"), col("offset"),
+        when(col("offset") % 2 === 0, "merge").otherwise("purge").as("action"))
+    val batch = TopicOps.routeWithDecisions(t, decisions, "events.v2")
+      .select("topic", "partition", "key", "value", "src_offset", "kind")
+    // decisions co-arrive within the 1-hour horizon, so the watermarked
+    // inner join must reconcile every decided record; undecided records
+    // route nothing on both sides
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming near-dup ingest over multi-batch replay equals batch MinHash pairs") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split"
     Tables.load(spark, sf, "documents").repartition(4)
