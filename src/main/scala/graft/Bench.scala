@@ -20,7 +20,8 @@ object Bench {
     "events_approx",
     "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash", "pipeline_token_pack",
-    "pipeline_decontaminate", "pipeline_quality_topq", "pipeline_mixture")
+    "pipeline_decontaminate", "pipeline_decontaminate_span",
+    "pipeline_quality_topq", "pipeline_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

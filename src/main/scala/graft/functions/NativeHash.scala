@@ -35,6 +35,9 @@ object NativeHash {
       exprs => SimHash32(exprs.head)),
     ("graft_simhash60", "60-bit universal-hash simhash of a long-array column",
       exprs => SimHash60(exprs.head)),
+    ("graft_span_hashes", "distinct n-word span hashes of a text column",
+      exprs => SpanHashes(exprs.head,
+        if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
     ("graft_min_gram_hash", "minimum rolling polyhash over n-char grams",
       exprs => MinGramHash(exprs.head,
         if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
@@ -295,6 +298,71 @@ case class ShingleHashes3(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
     copy(child = newChild)
+}
+
+/** text → distinct n-word contiguous-span hashes (array<long>) — the
+  * generalized ShingleHashes3 (same tokenize + per-word polyhash, the
+  * window fold runs over n words instead of 3). Spans are the unit of
+  * benchmark decontamination at n-gram-window granularity: an 8-word
+  * span match is strong evidence of verbatim leakage where a single
+  * 3-gram is not.
+  */
+case class SpanHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpanHashImpl.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanHashImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
+object SpanHashImpl {
+  private val M = TextFunctions.HashMod
+
+  /** Mirrors ShingleHashImpl with an n-word window: per-word codepoint
+    * polyhash, then the left fold h = (h·31 + wh(i+j)) mod M over each
+    * window (starting 0 — identical to the oracle's list_reduce over the
+    * word-hash slice), first-occurrence distinct.
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val nw = words.length
+    if (nw < n) return new GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val w = words(i)
+      var h = 0L
+      var j = 0
+      while (j < w.length) {
+        val cp = w.codePointAt(j)
+        h = (h * 31L + cp.toLong) % M
+        j += Character.charCount(cp)
+      }
+      wh(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nw * 2)
+    i = 0
+    while (i <= nw - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * 31L + wh(i + j)) % M; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** shingle-hash array → 32-bit SimHash (long); fused twin of

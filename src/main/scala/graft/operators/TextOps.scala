@@ -189,6 +189,31 @@ object TextOps {
       .withColumn("contaminated", col("n_overlap") >= minShared)
   }
 
+  /** Benchmark decontamination at SPAN granularity — the production form
+    * of [[decontaminate]]: a hit is an n-word CONTIGUOUS span shared with
+    * the evaluation set (default 8 words), not a single 3-gram shingle.
+    * An 8-word verbatim span is strong evidence of leakage where one
+    * 3-gram is a common phrase; one shared span suffices (minShared = 1).
+    * Same scale shape: benchmark span set broadcast, corpus side one
+    * narrow explode + semi-join + per-doc count — linear, never pairs
+    * documents.
+    */
+  def decontaminateSpans(docs: DataFrame, isBench: Column, span: Int = 8,
+                         minShared: Long = 1): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val hashes = docs.select(col("doc_id"),
+      expr(s"graft_span_hashes(text, $span)").as("hs"))
+      .withColumn("n_spans", size(col("hs")).cast("long"))
+    val benchSp = hashes.filter(isBench).select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    hashes.filter(!isBench)
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .join(broadcast(benchSp), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("h")).as("n_spans"), count(col("hit")).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minShared)
+  }
+
   /** Per-language top-q quality selection: keep the best ceil(n·q) docs of
     * each language by (quality desc, doc_id) — the stratified curation
     * step after scoring. q is the rational qNum/qDen so the cut is

@@ -93,6 +93,11 @@ object PipelineQueries {
     "pipeline_decontaminate" -> ((s, dir) =>
       TextOps.decontaminate(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
         .orderBy(col("doc_id"))),
+    // span-granularity form: a hit is an 8-word contiguous span shared
+    // with the eval set, not a single 3-gram (round-3 §7 candidate)
+    "pipeline_decontaminate_span" -> ((s, dir) =>
+      TextOps.decontaminateSpans(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id"))),
     "pipeline_quality_topq" -> ((s, dir) =>
       TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // data-mixture sampling with a deterministic rate rule per source
@@ -507,6 +512,28 @@ object PipelineQueries {
          |       COALESCE(o.n_overlap, 0) >= 2 AS contaminated
          |FROM hashes h LEFT JOIN ov o USING (doc_id) WHERE h.doc_id % 97 <> 0
          |ORDER BY doc_id""".stripMargin),
+
+    // span hashes replayed: per-word polyhash list, then the window fold
+    // (h*31+x) mod M over each 8-element slice — same fold as the kernel
+    "pipeline_decontaminate_span" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |whs AS (
+         |  SELECT doc_id, list_transform(w, s -> ${poly("s")}) AS wh FROM ws),
+         |hashes AS (
+         |  SELECT doc_id,
+         |         list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+7]),
+         |                        (h, x) -> (h*31+x) % $M)
+         |                        for i in generate_series(1, greatest(len(wh)-7, 0))]) AS hs
+         |  FROM whs),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashes WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, unnest(hs) AS h FROM hashes WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (h) GROUP BY doc_id)
+         |SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_spans,
+         |       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |       COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+         |FROM hashes h LEFT JOIN ov o USING (doc_id) WHERE h.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_mixture" ->
       s"""WITH rates AS (

@@ -21,6 +21,23 @@ class TextOpsSpec extends SparkSpec {
     exact.unpersist(); mh.unpersist()
   }
 
+  test("span decontamination: an 8-word span hit implies a 3-gram hit; spans are rarer") {
+    val bench = org.apache.spark.sql.functions.col("doc_id") % 97 === 0
+    import org.apache.spark.sql.functions.col
+    val spans = graft.operators.TextOps.decontaminateSpans(docs, bench).cache()
+    val shingles = graft.operators.TextOps.decontaminate(docs, bench, minShared = 1).cache()
+    // a shared 8-word span contains shared 3-grams, so span hits are a
+    // subset of single-shingle hits — the span form trades recall of
+    // common phrases for precision on verbatim leakage
+    val spanHits = spans.filter(col("contaminated")).select("doc_id")
+    val shingleHits = shingles.filter(col("contaminated")).select("doc_id")
+    assert(spanHits.except(shingleHits).count() === 0)
+    assert(spanHits.count() <= shingleHits.count())
+    assert(spans.filter(col("n_overlap") > col("n_spans")).count() === 0)
+    assert(spans.filter(bench).count() === 0, "benchmark docs are excluded from the output")
+    spans.unpersist(); shingles.unpersist()
+  }
+
   test("quality ratios are bounded and the score is their fixed-weight sum") {
     val q = TextOps.quality(docs).cache()
     for (c <- Seq("uniq_ratio", "stop_ratio", "alpha_ratio"))
