@@ -157,11 +157,19 @@ object Similarity {
       sampleFraction, seed = 42L) else base).persist()
     try {
       var cents = Codebooks.centroids.take(k).map(c => normalize(c.toArray)).toArray
+      val ones = Array.fill(k)(1.0)
+      val reg = emb.sparkSession.sessionState.functionRegistry
       for (_ <- 0 until iters) {
-        val cc = array(cents.toIndexedSeq.map(cn =>
-          call_function("graft_dot", col("e"), typedlit(cn.toSeq)) / col("nrm")): _*)
+        // every generation of centroids is unit-norm, so the fused
+        // nearest-centroid kernel with cnorms ≡ 1 computes exactly the
+        // dot/nrm argmax the declarative form did — one JVM call per row
+        // instead of a k-element array of dot expressions
+        val iterCents = cents
+        reg.createOrReplaceTempFunction("graft_ivf_fit_assign",
+          exprs => graft.functions.IvfBucket(exprs.head, iterCents, ones), "built-in")
         val means = v
-          .withColumn("bucket", array_position(cc, array_max(cc)))
+          .withColumn("bucket",
+            call_function("graft_ivf_fit_assign", col("e")).cast("long"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             (0 until Dim).map(i =>
