@@ -8,26 +8,23 @@ import graft.functions.Codebooks
 import graft.functions.VectorFunctions._
 
 /** Embedding similarity operators (SURVEY.md §2c): exact cosine top-k as
-  * the baseline, random-hyperplane LSH and IVF coarse quantization as the
-  * 100-TB paths.
+  * the baseline, random-hyperplane LSH, IVF coarse quantization and
+  * IVF-PQ compact-index refinement as the 100-TB paths.
   *
-  * Hyperplane/centroid coefficients are derived from a fixed integer LCG
-  * (graft.functions.Codebooks) and inlined as literals into the DuckDB
-  * oracle SQL, so bucket assignment is bit-identical in both engines.
-  * All codebook scoring runs in fused native kernels (graft_plane_buckets
-  * / graft_ivf_bucket / graft_ivf_probes / graft_norm / graft_dot): one
-  * JVM call per row with the identical sequential-left-fold arithmetic as
+  * Hyperplane/centroid/PQ coefficients are derived from a fixed integer
+  * LCG (graft.functions.Codebooks) whose formulas the DuckDB oracle SQL
+  * regenerates in-query, so bucket assignment is bit-identical in both
+  * engines. All codebook scoring runs in fused native kernels
+  * (graft_plane_buckets / graft_ivf_bucket / graft_ivf_probes /
+  * graft_pq_code / graft_pq_score / graft_norm / graft_dot): one JVM
+  * call per row with the identical sequential-left-fold arithmetic as
   * the HOF formulation — round 1 measured the interpreted HOF plane dots
   * as the dominant cost of this family (VERDICT "What's wrong" #2).
   */
 object Similarity {
 
   val Dim: Int = Codebooks.Dim
-  val NPlanes: Int = Codebooks.NPlanes
-  val EmbBands: Int = Codebooks.EmbBands
   val NCentroids: Int = Codebooks.NCentroids
-  val planes: IndexedSeq[IndexedSeq[Double]] = Codebooks.planes
-  val centroids: IndexedSeq[IndexedSeq[Double]] = Codebooks.centroids
 
   /** (vec_id, e: array<double>, nrm) — shared normalized-view projection. */
   def vectors(emb: DataFrame): DataFrame = {
