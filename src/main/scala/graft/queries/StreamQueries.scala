@@ -63,6 +63,16 @@ object StreamQueries {
       SimilarityStream.ivfTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // Streaming ANN serving over the COMPACT PQ index: per batch, probe
+    // + code-only scoring + shortlist; full vectors only for the exact
+    // rerank of the shortlist. Replay reproduces sim_topk_ivf_pq
+    // (batch oracle verbatim).
+    "stream_sim_ivf_pq" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf_pq", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.ivfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Streaming twin of the flagship cleaning pipeline: quality filter +
     // stateful exact dedup + exact near-dup probe per batch; replay
     // reproduces batch cleanCorpus (its oracle verbatim).
@@ -114,6 +124,7 @@ object StreamQueries {
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
+    "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
     // decided-record routing == batch ask-with-decisions-table exactly
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),

@@ -73,4 +73,69 @@ object SimilarityStream {
     } finally corpusIndex.unpersist()
   }
 
+  /** Streaming ANN serving over the COMPACT IVF-PQ index — the online
+    * face of [[Similarity.ivfPqTopK]]. The resident index per corpus
+    * vector is (bucket, 8 PQ codes) ≈ 12 bytes; incoming query batches
+    * probe buckets and score candidates from the codes alone, and only
+    * each batch's k·refine shortlist touches the full vector table for
+    * the exact rerank. At scale the fat vectors live in a store fetched
+    * per-shortlist; here both sides are cached frames. Replay equals
+    * batch ivfPqTopK exactly (gate-checked with its oracle).
+    */
+  def ivfPqTopKStream(spark: SparkSession, embPath: String,
+                      outDir: String, checkpointDir: String, k: Int = 10,
+                      maxFilesPerTrigger: Option[Int] = None,
+                      probes: Int = 8, refine: Int = 4): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    val corpus = spark.read.parquet(embPath)
+    val isQuery = col("vec_id") < 8
+
+    val corpusVecs = Similarity.vectors(corpus.filter(!isQuery))
+      .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
+      .persist()
+    val pqIndex = Similarity.vectors(corpus.filter(!isQuery))
+      .select(col("vec_id").as("corpus_id"),
+        expr("graft_ivf_bucket(e)").as("bucket"),
+        expr("graft_pq_code(e)").as("codes"))
+      .persist()
+    try {
+      val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
+      val probed = Similarity.vectors(incoming)
+        .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
+        .select(col("vec_id").as("query_id"), col("e").as("eq"),
+          col("nrm").as("nq"), col("bucket"))
+      val approx = probed.join(pqIndex, "bucket")
+        .select(col("query_id"), col("eq"), col("nq"), col("corpus_id"),
+          expr("graft_pq_score(eq, bucket, codes)").as("acos"))
+
+      val q = approx.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // a query's candidates all arrive in its batch: shortlist the
+          // top k·refine by PQ score, then exact-rerank ONLY those
+          // against the full vectors — batch-local, complete per query
+          val wa = Window.partitionBy(col("query_id"))
+            .orderBy(col("acos").desc, col("corpus_id"))
+          val short = batch
+            .withColumn("srnk", row_number().over(wa))
+            .filter(col("srnk") <= k * refine)
+            .drop("srnk", "acos")
+          val wr = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("corpus_id"))
+          short.join(corpusVecs, "corpus_id")
+            .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+            .withColumn("rnk", row_number().over(wr))
+            .filter(col("rnk") <= k)
+            .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    } finally { corpusVecs.unpersist(); pqIndex.unpersist(); () }
+  }
 }

@@ -143,6 +143,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming PQ ANN serving over multi-batch replay equals batch ivfPqTopK") {
+    val embDir = "/root/repo/target/stream-scratch/emb-split"
+    Tables.load(spark, sf, "embeddings").repartition(4)
+      .write.mode("overwrite").parquet(embDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_sim_ivf_pq", embDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val streamed = graft.streaming.SimilarityStream.ivfPqTopKStream(
+      spark, embDir, out, ckpt, maxFilesPerTrigger = Some(1))
+      .select("query_id", "corpus_id", "cos", "rnk")
+    val batch = graft.operators.Similarity.ivfPqTopK(
+      Tables.load(spark, sf, "embeddings"), col("vec_id") < 8)
+      .select("query_id", "corpus_id", "cos", "rnk")
+    // the PQ index is static and a query's candidates land in its
+    // arrival batch, so any-order replay reproduces the batch ranking
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming clean-corpus ingest over multi-batch replay equals batch cleanCorpus") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split"
     Tables.load(spark, sf, "documents").repartition(4)
