@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TopicOps
-import graft.sources.{Serdes, Tables, Topics}
+import graft.sources.{Formats, Serdes, Tables, Topics}
 
 /** SURVEY.md §2a — the reference's own operator surface, bound to the
   * `events` topic view with deterministic rules, plus the DuckDB oracle SQL
@@ -78,6 +78,19 @@ object TopicQueries {
         .orderBy(col("offset"))),
     "topic_stats" -> ((s, dir) =>
       TopicOps.stats(Topics.events(s, dir)).orderBy(col("partition"))),
+    // the JSONL ingress seam: events round-trip parquet → JSONL → topic
+    // view; byte-identical to topic_print (its oracle verbatim) proves
+    // the schema-first reader and µs-precision timestamp handling
+    "topic_print_jsonl" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val path = "target/format-scratch/events-jsonl-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Formats.writeJsonl(events, path)
+      Topics.asTopic(Formats.readJsonl(s, path, events.schema))
+        .select(col("partition"), col("offset"), col("ts"), col("key"), col("value"),
+          Topics.headersStr(col("headers")).as("headers_str"))
+        .orderBy(col("offset"))
+    }),
     "topic_merge_all" -> ((s, dir) =>
       producedOut(TopicOps.mergeAll(Topics.events(s, dir), "events.v2"))
         .orderBy(col("src_offset"), col("kind"))),
@@ -204,8 +217,11 @@ object TopicQueries {
 
   def oracles: Map[String, String] = {
     val base = oraclesBase
-    // compactSalted is compact by construction — one oracle, one gate
-    base + ("topic_compact_salted" -> base("topic_compact"))
+    // compactSalted is compact by construction — one oracle, one gate;
+    // the JSONL round-trip must reproduce topic_print byte-for-byte
+    base +
+      ("topic_compact_salted" -> base("topic_compact")) +
+      ("topic_print_jsonl" -> base("topic_print"))
   }
 
   private def oraclesBase: Map[String, String] = Map(

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Partitioning-invariance of the round-4 operators — the SURVEY §5
+  * claim behind every oracle hash: integer hashing, banding, PQ coding
+  * and (cos, id)-total-ordered reranks must not depend on how the input
+  * is split across tasks. (Float SUMS would — these operators avoid
+  * order-dependent float aggregation by construction.)
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def assertInvariant(name: String, f: DataFrame => DataFrame,
+                              base: DataFrame): Unit = {
+    val reference = f(base)
+    for (parts <- Seq(3, 7)) {
+      val alt = f(base.repartition(parts))
+      assert(alt.except(reference).count() === 0,
+        s"$name: repartition($parts) produced extra rows")
+      assert(reference.except(alt).count() === 0,
+        s"$name: repartition($parts) lost rows")
+    }
+  }
+
+  test("simhash pairs, PQ top-k and the minhash clean pipeline are partitioning-invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    assertInvariant("dedup_simhash", Dedup.simhashPairs(_), docs)
+    assertInvariant("pipeline_clean_corpus_minhash", TextOps.cleanCorpusMinhash(_), docs)
+    assertInvariant("pipeline_decontaminate_span",
+      TextOps.decontaminateSpans(_, col("doc_id") % 97 === 0), docs)
+    assertInvariant("sim_topk_ivf_pq",
+      Similarity.ivfPqTopK(_, col("vec_id") < 8), emb)
+  }
+}
