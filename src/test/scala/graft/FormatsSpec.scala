@@ -39,4 +39,19 @@ class FormatsSpec extends SparkSpec {
     assert(dback.except(docs).count() === 0)
     assert(docs.except(dback).count() === 0)
   }
+
+  test("CSV round-trip keeps empty strings and nulls distinct (round-4 ADVICE)") {
+    // the default CSV options write null and "" as the same empty field
+    // and read both back as null — the explicit nullValue/emptyValue pair
+    // must keep them apart even though no current fixture has empty text
+    import spark.implicits._
+    val df = Seq((1L, Some("")), (2L, None: Option[String]), (3L, Some("x")))
+      .toDF("id", "text")
+    val path = "target/format-scratch/spec-nullempty-csv"
+    Formats.writeCsv(df, path)
+    val back = Formats.readCsv(spark, path, df.schema).orderBy("id").collect()
+    assert(back(0).getString(1) === "", "empty string must survive as empty, not null")
+    assert(back(1).isNullAt(1), "null must survive as null")
+    assert(back(2).getString(1) === "x")
+  }
 }

@@ -147,8 +147,15 @@ class NativeHashSpec extends SparkSpec {
     // bucket — the HOF twin yields null on zip_with length mismatch
     val dims = Codebooks.Dim - 1
     val short = (1 to dims).map(i => s"CAST(0.$i AS DOUBLE)").mkString("array(", ", ", ")")
+    // over-long is the PQ-specific hazard: pq_score's fixed-offset loops
+    // would silently IGNORE trailing dims while norm() folds all of them
+    val long = (1 to Codebooks.Dim + 1).map(i => s"CAST(0.$i AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val codes = Seq.fill(Codebooks.PqM)("1").mkString("array(", ", ", ")")
     for (kernel <- Seq(s"graft_plane_buckets($short)", s"graft_ivf_bucket($short)",
-        s"graft_ivf_probes($short, 2)")) {
+        s"graft_ivf_probes($short, 2)",
+        s"graft_pq_code($short)", s"graft_pq_score($short, 1, $codes)",
+        s"graft_pq_code($long)", s"graft_pq_score($long, 1, $codes)")) {
       val e = intercept[Exception](spark.sql(s"SELECT $kernel").head())
       def messages(t: Throwable): Seq[String] =
         if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
