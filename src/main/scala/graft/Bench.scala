@@ -63,11 +63,17 @@ object Bench {
       }
       name -> times
     }
+    // 3-decimal values keep the contract line short: the driver's tail
+    // capture holds ~2 KB and round 5's full-precision line (~2.3 KB) was
+    // truncated from the front, leaving BENCH_r05.json unparseable
+    // (round-5 VERDICT "What's wrong" #2). ms resolution loses nothing a
+    // min-of-reps harness can measure.
     val qs = results.map { case (k, ts) =>
-      s"\"" + k + "\":" + (if (ts.contains(-1.0)) -1.0 else ts.min)
+      s"\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else f"${ts.min}%.3f")
     }.mkString("{", ",", "}")
     // relative spread (max-min)/min per query: >~0.10 flags a noisy box,
-    // not a plan change
+    // not a plan change. Its own labeled line, printed BEFORE the contract
+    // line so a front-truncating tail clips spread, never the contract.
     val spread = results.collect { case (k, ts) if !ts.contains(-1.0) && ts.min > 0 =>
       s"\"" + k + "\":" + f"${(ts.max - ts.min) / ts.min}%.3f"
     }.mkString("{", ",", "}")
@@ -78,7 +84,8 @@ object Bench {
     // silence any late log lines, then emit the one-line JSON contract
     spark.sparkContext.setLogLevel("OFF")
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spread","reps":$reps,"spread":$spread}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

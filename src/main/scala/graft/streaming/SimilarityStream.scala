@@ -8,18 +8,28 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.operators.Similarity
+import graft.sources.Bucketing
 
 /** Streaming ANN serving: query vectors arrive as a stream and probe the
   * static IVF index — the online face of [[Similarity.ivfTopK]].
   *
   * The stream side is stateless (centroid-cosine projection + probe
   * explode); candidates come from a stream-static join against the
-  * corpus bucket index, and the per-query top-k rerank runs inside each
+  * corpus bucket index, MATERIALIZED ONCE as a table bucketed by
+  * `bucket` so the static side plans with ZERO Exchange per trigger
+  * (pinned in StreamingSpec) — the index shuffle is paid at write time,
+  * never per micro-batch. The per-query top-k rerank runs inside each
   * micro-batch (a query's candidates never span batches, so batch-local
-  * ranking is complete). At scale the corpus index is partitioned by
-  * bucket and each micro-batch shuffles only itself.
+  * ranking is complete). At 100 TB this is exactly the serving layout:
+  * the IVF/PQ index lives bucketed by its probe key and each trigger
+  * shuffles only itself.
   */
 object SimilarityStream {
+
+  /** Bucket count for the materialized index tables (layout knob — see
+    * [[Bucketing]]; 8 is the test-scale stand-in).
+    */
+  val IndexBuckets = 8
 
   /** Streams `embPath` as incoming queries (vec_id < 8, the same query
     * set as the batch op) against the corpus at the same path — replay
@@ -34,43 +44,46 @@ object SimilarityStream {
     val corpus = spark.read.parquet(embPath)
     val isQuery = col("vec_id") < 8
 
-    // probed by every micro-batch — cache the bucketed corpus index;
-    // bucket assignment is the same fused kernel as the batch ivfTopK,
-    // so stream and batch land vectors in identical buckets
-    val corpusIndex = Similarity.vectors(corpus.filter(!isQuery))
-      .withColumn("bucket", expr("graft_ivf_bucket(e)"))
-      .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"), col("bucket"))
-      .persist()
-    try {
-      val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
+    // probed by every micro-batch — materialize the corpus index ONCE,
+    // bucketed by the probe join key; bucket assignment is the same
+    // fused kernel as the batch ivfTopK, so stream and batch land
+    // vectors in identical buckets
+    val idxTable = "graft_ivf_stream_idx"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus.filter(!isQuery))
+        .withColumn("bucket", expr("graft_ivf_bucket(e)"))
+        .select(col("vec_id").as("corpus_id"), col("e").as("ec"),
+          col("nrm").as("nc"), col("bucket")),
+      idxTable, IndexBuckets, "bucket")
+    val corpusIndex = spark.table(idxTable)
+    val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
 
-      val probed = Similarity.vectors(incoming)
-        .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
-        .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
+    val probed = Similarity.vectors(incoming)
+      .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
 
-      val scored = probed.join(corpusIndex, "bucket")
-        .withColumn("cos",
-          expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
-        .select(col("query_id"), col("corpus_id"), col("cos"))
+    val scored = probed.join(corpusIndex, "bucket")
+      .withColumn("cos",
+        expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+      .select(col("query_id"), col("corpus_id"), col("cos"))
 
-      val q = scored.writeStream
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // a query's candidates all land in its arrival batch → batch-local
-          // dedup + rerank is the complete per-query top-k
-          val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
-          batch.dropDuplicates("query_id", "corpus_id")
-            .withColumn("rnk", row_number().over(w))
-            .filter(col("rnk") <= k)
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      spark.read.parquet(outDir)
-    } finally corpusIndex.unpersist()
+    val q = scored.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a query's candidates all land in its arrival batch → batch-local
+        // dedup + rerank is the complete per-query top-k
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+        batch.dropDuplicates("query_id", "corpus_id")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    spark.read.parquet(outDir)
   }
 
   /** Streaming ANN serving over the COMPACT IVF-PQ index — the online
@@ -78,8 +91,12 @@ object SimilarityStream {
     * vector is (bucket, 8 PQ codes) ≈ 12 bytes; incoming query batches
     * probe buckets and score candidates from the codes alone, and only
     * each batch's k·refine shortlist touches the full vector table for
-    * the exact rerank. At scale the fat vectors live in a store fetched
-    * per-shortlist; here both sides are cached frames. Replay equals
+    * the exact rerank. Both static sides are materialized bucketed by
+    * their join key — the code index by `bucket` (the per-trigger probe
+    * join), the full-vector table by `corpus_id` (the per-batch
+    * shortlist rerank join) — so neither is ever shuffled after the
+    * one-time write. At scale the fat vectors live exactly like this:
+    * a corpus_id-bucketed store fetched per-shortlist. Replay equals
     * batch ivfPqTopK exactly (gate-checked with its oracle).
     */
   def ivfPqTopKStream(spark: SparkSession, embPath: String,
@@ -91,51 +108,56 @@ object SimilarityStream {
     val corpus = spark.read.parquet(embPath)
     val isQuery = col("vec_id") < 8
 
-    val corpusVecs = Similarity.vectors(corpus.filter(!isQuery))
-      .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
-      .persist()
-    val pqIndex = Similarity.vectors(corpus.filter(!isQuery))
-      .select(col("vec_id").as("corpus_id"),
-        expr("graft_ivf_bucket(e)").as("bucket"),
-        expr("graft_pq_code(e)").as("codes"))
-      .persist()
-    try {
-      val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
-      val probed = Similarity.vectors(incoming)
-        .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
-        .select(col("vec_id").as("query_id"), col("e").as("eq"),
-          col("nrm").as("nq"), col("bucket"))
-      val approx = probed.join(pqIndex, "bucket")
-        .select(col("query_id"), col("eq"), col("nq"), col("corpus_id"),
-          expr("graft_pq_score(eq, bucket, codes)").as("acos"))
+    val vecsTable = "graft_pq_stream_vecs"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus.filter(!isQuery))
+        .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc")),
+      vecsTable, IndexBuckets, "corpus_id")
+    val idxTable = "graft_pq_stream_idx"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus.filter(!isQuery))
+        .select(col("vec_id").as("corpus_id"),
+          expr("graft_ivf_bucket(e)").as("bucket"),
+          expr("graft_pq_code(e)").as("codes")),
+      idxTable, IndexBuckets, "bucket")
+    val corpusVecs = spark.table(vecsTable)
+    val pqIndex = spark.table(idxTable)
 
-      val q = approx.writeStream
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // a query's candidates all arrive in its batch: shortlist the
-          // top k·refine by PQ score, then exact-rerank ONLY those
-          // against the full vectors — batch-local, complete per query
-          val wa = Window.partitionBy(col("query_id"))
-            .orderBy(col("acos").desc, col("corpus_id"))
-          val short = batch
-            .withColumn("srnk", row_number().over(wa))
-            .filter(col("srnk") <= k * refine)
-            .drop("srnk", "acos")
-          val wr = Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("corpus_id"))
-          short.join(corpusVecs, "corpus_id")
-            .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
-            .withColumn("rnk", row_number().over(wr))
-            .filter(col("rnk") <= k)
-            .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      spark.read.parquet(outDir)
-    } finally { corpusVecs.unpersist(); pqIndex.unpersist(); () }
+    val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
+    val probed = Similarity.vectors(incoming)
+      .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("bucket"))
+    val approx = probed.join(pqIndex, "bucket")
+      .select(col("query_id"), col("eq"), col("nq"), col("corpus_id"),
+        expr("graft_pq_score(eq, bucket, codes)").as("acos"))
+
+    val q = approx.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a query's candidates all arrive in its batch: shortlist the
+        // top k·refine by PQ score, then exact-rerank ONLY those
+        // against the full vectors — batch-local, complete per query
+        val wa = Window.partitionBy(col("query_id"))
+          .orderBy(col("acos").desc, col("corpus_id"))
+        val short = batch
+          .withColumn("srnk", row_number().over(wa))
+          .filter(col("srnk") <= k * refine)
+          .drop("srnk", "acos")
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("corpus_id"))
+        short.join(corpusVecs, "corpus_id")
+          .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    spark.read.parquet(outDir)
   }
 }

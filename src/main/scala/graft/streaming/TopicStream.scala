@@ -484,6 +484,26 @@ object TopicStream {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("checkpointLocation", checkpointDir)
 
+  /** Physical plan of the LAST micro-batch of the most recent query run
+    * through [[awaitAndCapturePlan]] — the spec surface that pins the
+    * per-batch plan shape (e.g. zero static-side Exchange when the probe
+    * indexes are bucketed). Diagnostics only; never read by operators.
+    */
+  @volatile var lastBatchPlan: String = ""
+
+  /** Awaits termination, then captures the query's last executed
+    * micro-batch plan into [[lastBatchPlan]]. `StreamingQuery.explain`
+    * prints via Console, so the capture is a plain redirect.
+    */
+  def awaitAndCapturePlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      q.explain(extended = false)
+    }
+    lastBatchPlan = buf.toString("UTF-8")
+  }
+
   /** Fresh scratch area per (queryName, input) under the repo's target dir;
     * wiped on entry so reruns don't resume stale checkpoints.
     */

@@ -204,6 +204,114 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  /** "Exchange hashpartitioning" occurrences in a plan string — broadcast
+    * exchanges don't count (they're pinned out by disabling broadcast).
+    * AQE explains print the plan twice (Final + Initial) — count only the
+    * final executed plan so each Exchange is seen once.
+    */
+  private def exchanges(p: String): Int = {
+    val cut = p.indexOf("== Initial Plan ==")
+    val s = if (cut >= 0) p.substring(0, cut) else p
+    s.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+  }
+
+  private def withoutBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming probe ops: micro-batch plans shuffle ONLY the batch side — " +
+      "the bucketed static index plans with zero Exchange (round-5 VERDICT #1)") {
+    // broadcast disabled: at 100 TB the corpus index cannot broadcast, so
+    // this pins the sort-merge plan a big corpus actually gets
+    withoutBroadcast {
+      val embDir = "/root/repo/target/stream-scratch/emb-split"
+      Tables.load(spark, sf, "embeddings").repartition(4)
+        .write.mode("overwrite").parquet(embDir)
+
+      val (out1, ckpt1) = TopicStream.scratchDirs("spec_plan_ivf", embDir)
+      graft.streaming.SimilarityStream.ivfTopKStream(
+        spark, embDir, out1, ckpt1, maxFilesPerTrigger = Some(1))
+      val ivfPlan = TopicStream.lastBatchPlan
+      assert(ivfPlan.contains("graft_ivf_stream_idx"), s"bucketed index scan missing:\n$ivfPlan")
+      assert(exchanges(ivfPlan) === 1,
+        s"IVF probe must shuffle only the micro-batch (1 Exchange), static index none:\n$ivfPlan")
+
+      val (out2, ckpt2) = TopicStream.scratchDirs("spec_plan_pq", embDir)
+      graft.streaming.SimilarityStream.ivfPqTopKStream(
+        spark, embDir, out2, ckpt2, maxFilesPerTrigger = Some(1))
+      val pqPlan = TopicStream.lastBatchPlan
+      assert(pqPlan.contains("graft_pq_stream_idx"), s"bucketed PQ index scan missing:\n$pqPlan")
+      assert(exchanges(pqPlan) === 1,
+        s"PQ probe must shuffle only the micro-batch (1 Exchange), static index none:\n$pqPlan")
+
+      val docsDir = "/root/repo/target/stream-scratch/docs-split"
+      Tables.load(spark, sf, "documents").repartition(4)
+        .write.mode("overwrite").parquet(docsDir)
+      val (out3, ckpt3) = TopicStream.scratchDirs("spec_plan_neardup", docsDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out3))
+      graft.streaming.DedupStream.nearDupIngestStream(
+        spark, docsDir, out3, ckpt3, maxFilesPerTrigger = Some(1))
+      val ndPlan = TopicStream.lastBatchPlan
+      assert(ndPlan.contains("graft_neardup_bands") && ndPlan.contains("graft_neardup_sets"),
+        s"bucketed band/set index scans missing:\n$ndPlan")
+      // 2 = the batch's band join input + the band-hit→sets join input;
+      // neither static table exchanges (3-4 before the materialization)
+      assert(exchanges(ndPlan) === 2,
+        s"near-dup probe must shuffle only batch-derived sides (2 Exchanges):\n$ndPlan")
+
+      val (out4, ckpt4) = TopicStream.scratchDirs("spec_plan_clean", docsDir)
+      graft.streaming.DedupStream.cleanIngestStream(
+        spark, docsDir, out4, ckpt4, maxFilesPerTrigger = Some(1))
+      val clPlan = TopicStream.lastBatchPlan
+      assert(clPlan.contains("graft_clean_exact"), s"bucketed exact index scan missing:\n$clPlan")
+      // 2 = the batch side of the keeper join + the dedup state store's
+      // fixed partitioning; the exact index itself never exchanges
+      assert(exchanges(clPlan) === 2,
+        s"clean-ingest must shuffle only the batch + state side (2 Exchanges):\n$clPlan")
+
+      // the foreachBatch near-dup probe is a BATCH plan: pin it directly —
+      // the h-bucketed shingle index reads with zero Exchange while the
+      // incoming batch explodes + shuffles (h join) and aggregates (pair)
+      val batchLike = Tables.load(spark, sf, "documents").limit(50)
+      val probe = graft.streaming.DedupStream.exactJaccardProbeIndexed(
+        spark.table("graft_clean_shingles"),
+        graft.operators.Dedup.shingleHashes(batchLike))
+      val probePlan = probe.queryExecution.executedPlan.toString
+      assert(probePlan.contains("graft_clean_shingles"))
+      assert(exchanges(probePlan) === 2,
+        s"indexed probe = batch-side h shuffle + pair aggregate only:\n$probePlan")
+    }
+  }
+
+  test("bounded clean-ingest (dropDuplicatesWithinWatermark) equals batch within the horizon, " +
+      "even under adversarial higher-id-first replay") {
+    // same doctored corpus + descending-id replay as the unbounded spec;
+    // every duplicate arrives well inside the 1-hour horizon, so the
+    // bounded form must reproduce batch cleanCorpus exactly. Beyond the
+    // horizon state is reclaimed and a re-arriving duplicate MAY re-emit —
+    // that trade is documented at the operator, not testable in seconds.
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "source", "lang")
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val doctored = docs.unionByName(copies)
+    val docsDir = "/root/repo/target/stream-scratch/docs-dup-bounded"
+    val fs = new java.io.File(docsDir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    copies.coalesce(1).write.mode("append").parquet(docsDir)
+    Thread.sleep(400)
+    docs.coalesce(1).write.mode("append").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_clean_ingest_bounded", docsDir)
+    val streamed = graft.streaming.DedupStream.cleanIngestStreamBounded(
+      spark, docsDir, out, ckpt, horizon = "1 hour", maxFilesPerTrigger = Some(1))
+    val batch = graft.operators.TextOps.cleanCorpus(doctored)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("watermarked append windows align with batch hours; counts bounded by batch (late drops)") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_window_append", splitDir)
     val streamed = TopicStream.windowStreamAppend(spark, splitDir, out, ckpt,
