@@ -73,6 +73,83 @@ object AvroEventImpl {
     } catch { case NonFatal(_) => null }
 }
 
+/** Avro KEY codec — the key-side delegate of the reference's serde seam
+  * (Factory.kt:59-61: keys ride their OWN Avro deserializer, wired by the
+  * `-A`/avroKeyDeserializer flag, separate from the value's). The key
+  * datum is a plain Avro `long` (zigzag varint) — the natural key schema
+  * for the numeric user-id keys of the events topic. Decode rejects a
+  * truncated varint AND trailing bytes (a key datum is exactly one long;
+  * leftover bytes mean the payload was never a long key), yielding null —
+  * the routable key_decode_failure, never a throw.
+  */
+object AvroLongImpl {
+  /** Schema JSON as a registry entry ("long" primitive). */
+  val SchemaJson: String = "\"long\""
+
+  def encode(v: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream(10)
+    val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+    enc.writeLong(v)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** null ⇔ not exactly one well-formed varint long. */
+  def decode(bytes: Array[Byte]): java.lang.Long =
+    try {
+      val dec = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, null)
+      val v = dec.readLong()
+      if (dec.isEnd) java.lang.Long.valueOf(v) else null
+    } catch { case NonFatal(_) => null }
+}
+
+/** bigint key → Avro long binary datum (null key stays null — a keyless
+  * record is valid; the serde's error column only fires on non-null
+  * bytes that fail to decode).
+  */
+case class AvroEncodeLong(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avro_encode_key"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_avro_encode_key expects a bigint key, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    AvroLongImpl.encode(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): AvroEncodeLong =
+    copy(child = newChild)
+}
+
+/** Avro long binary datum → bigint, null on decode failure (truncated or
+  * overlong varint, trailing bytes).
+  */
+case class AvroDecodeLong(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avro_decode_key"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_avro_decode_key expects a binary datum, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    AvroLongImpl.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeLong =
+    copy(child = newChild)
+}
+
 /** (event_type, k, user_id) → Avro binary datum. k is the nullable union
   * branch, so null k encodes (it is data), while a null event_type/user_id
   * nulls the result (they are required fields).

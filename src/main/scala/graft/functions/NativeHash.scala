@@ -64,7 +64,11 @@ object NativeHash {
     ("graft_avro_encode", "encode (event_type, k, user_id) as an Avro GraftEvent binary datum",
       exprs => AvroEncodeEvent(exprs)),
     ("graft_avro_decode", "decode an Avro GraftEvent datum to a struct; null on failure",
-      exprs => AvroDecodeEvent(exprs.head)))
+      exprs => AvroDecodeEvent(exprs.head)),
+    ("graft_avro_encode_key", "encode a bigint key as an Avro long binary datum",
+      exprs => AvroEncodeLong(exprs.head)),
+    ("graft_avro_decode_key", "decode an Avro long key datum to bigint; null on failure",
+      exprs => AvroDecodeLong(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

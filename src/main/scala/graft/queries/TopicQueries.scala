@@ -168,6 +168,30 @@ object TopicQueries {
           col("value"))
         .orderBy(col("offset"))
     }),
+    // Avro KEY serde behind the registry seam (Factory.kt:59-61 — the
+    // `-A` avroKeyDeserializer wiring, the last reference serde combo):
+    // keys ride the 5-byte envelope around an Avro long datum. Two
+    // deterministic corruption arms: offset%83 ships the BARE datum (no
+    // envelope — bad magic must fail framing even though the bytes are a
+    // byte-valid long), offset%89 ships a framed-but-truncated varint
+    // (0xFF continuation with no terminator — framing passes, datum
+    // decode must fail). Corrupt keys route to the DLQ even on
+    // tombstones, and key errors outrank value errors (the existing
+    // dlqSplit key contract, same as topic_key_serde).
+    "topic_key_serde_avro" -> ((s, dir) => {
+      graft.functions.NativeHash.register(s)
+      val serde = Serdes.registryAvroKeySerde()
+      val datum = call_function("graft_avro_encode_key", col("key").cast("bigint"))
+      val t = Topics.events(s, dir)
+        .withColumn("key_raw",
+          when(col("offset") % 83 === 0, datum)
+            .when(col("offset") % 89 === 0, serde.frame(unhex(lit("FF"))))
+            .otherwise(serde.frame(datum)))
+      TopicOps.dlqSplit(t, dlqError, serde.error(col("key_raw")))
+        .select(col("sink"), col("error"), col("partition"), col("offset"),
+          serde.keyDec(col("key_raw")).as("key_dec"), col("value"))
+        .orderBy(col("offset"))
+    }),
     "topic_offsets" -> ((s, dir) =>
       TopicOps.committedOffsets(Topics.events(s, dir), "graft")
         .orderBy(col("partition"))),
@@ -336,6 +360,25 @@ object TopicQueries {
          |  FROM keyed)
          |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
          |       error, "partition", "offset", key_raw_hex, key_dec, "value"
+         |FROM dec ORDER BY "offset"""".stripMargin,
+    // The registry framing + varint decode are invisible to the oracle:
+    // a clean key decodes back to exactly the bigint it encoded (the
+    // round-trip identity), and both corruption arms — bare datum, framed
+    // truncated varint — null the decode. Key errors outrank value
+    // errors and hit tombstones too, mirroring topic_key_serde's shape.
+    "topic_key_serde_avro" ->
+      s"""$TopicCte, keyed AS (
+         |  SELECT *, CASE WHEN "offset" % 83 = 0 OR "offset" % 89 = 0 THEN NULL
+         |                 ELSE CAST("key" AS BIGINT) END AS key_dec
+         |  FROM topic),
+         |dec AS (
+         |  SELECT *, CASE WHEN key_dec IS NULL THEN 'key_decode_failure'
+         |                 WHEN "value" IS NULL THEN NULL
+         |                 WHEN $KFieldSql IS NULL THEN 'decode_failure'
+         |                 WHEN $KFieldSql > 90 THEN 'out_of_range' END AS error
+         |  FROM keyed)
+         |SELECT CASE WHEN error IS NOT NULL THEN 'dlq' ELSE 'clean' END AS sink,
+         |       error, "partition", "offset", key_dec, "value"
          |FROM dec ORDER BY "offset"""".stripMargin,
     "topic_offsets" ->
       s"""$TopicCte

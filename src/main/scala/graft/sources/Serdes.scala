@@ -138,11 +138,17 @@ object Serdes {
     }
 
     /** The test fixture: the GraftEvent schema registered under the
-      * topic's value subject (Kafka convention: `<topic>-value`) as id 7.
+      * topic's value subject (Kafka convention: `<topic>-value`) as id 7,
+      * and the Avro long KEY schema under the key subject
+      * (`<topic>-key`) as id 8 — keys and values resolve their ids
+      * independently, exactly like the reference's separate key/value
+      * deserializer wiring (Factory.kt:59-61).
       */
     val EventsSubject = "events.avro-value"
+    val EventsKeySubject = "events.avro-key"
     val Fixture: SchemaRegistryClient = new InMemoryRegistry(
-      Map(EventsSubject -> (7, graft.functions.AvroEventImpl.SchemaJson)))
+      Map(EventsSubject -> (7, graft.functions.AvroEventImpl.SchemaJson),
+        EventsKeySubject -> (8, graft.functions.AvroLongImpl.SchemaJson)))
 
     /** 5-byte envelope for a schema id: 0x00 magic + int32 big-endian. */
     def header(id: Int): Array[Byte] =
@@ -197,6 +203,52 @@ object Serdes {
   /** The fixture-registry serde for the events.avro topic. */
   def registryAvroSerde(): RegistryAvroEventSerde =
     new RegistryAvroEventSerde(SchemaRegistry.Fixture, SchemaRegistry.EventsSubject)
+
+  /** Avro KEY serde behind the registry seam — the last reference serde
+    * combination (Factory.kt:59-61: `-A` wires avroKeyDeserializer; keys
+    * decode through the same pluggable registry path as values, with
+    * their own subject/id). Key bytes are the 5-byte envelope around an
+    * Avro `long` datum. A null key stays valid (keyless record); any
+    * non-null key that fails framing (bad magic, unknown id, short
+    * payload) or datum decode (truncated varint, trailing bytes) is the
+    * routable 'key_decode_failure' — which outranks value errors and
+    * applies to tombstones too (the key must decode for EVERY record:
+    * routing/compaction need it even when the value is null —
+    * TopicOps.dlqSplit's existing key-error contract).
+    */
+  final class RegistryAvroKeySerde(client: SchemaRegistry.SchemaRegistryClient,
+                                   subject: String) extends KeySerde {
+    private val id: Int = client.idFor(subject).getOrElse(
+      throw new IllegalArgumentException(s"subject not in registry: $subject"))
+    require(client.schemaById(id).contains(graft.functions.AvroLongImpl.SchemaJson),
+      s"registry schema $id does not match the Avro long key codec")
+
+    private val head = lit(SchemaRegistry.header(id))
+
+    private def validFrame(raw: Column): Column =
+      octet_length(raw) > 5 && raw.substr(lit(1), lit(5)) === head
+
+    /** The datum behind the envelope; null unless the frame validates. */
+    def payload(keyRaw: Column): Column =
+      when(validFrame(keyRaw), keyRaw.substr(lit(6), octet_length(keyRaw) - 5))
+
+    /** Decoded bigint key; null when absent or undecodable. */
+    def keyDec(keyRaw: Column): Column =
+      call_function("graft_avro_decode_key", payload(keyRaw))
+
+    /** Encode-side framing for produced keys. */
+    def frame(datum: Column): Column = SchemaRegistry.frame(id, datum)
+
+    override def decoded(keyRaw: Column): Map[String, Column] =
+      Map("key_dec" -> keyDec(keyRaw))
+
+    override def error(keyRaw: Column): Column =
+      when(keyRaw.isNotNull && keyDec(keyRaw).isNull, "key_decode_failure")
+  }
+
+  /** The fixture-registry KEY serde for the events.avro topic. */
+  def registryAvroKeySerde(): RegistryAvroKeySerde =
+    new RegistryAvroKeySerde(SchemaRegistry.Fixture, SchemaRegistry.EventsKeySubject)
 
   /** The events table as a topic whose VALUE serde is Avro: raw bytes are
     * the Avro-encoded (event_type, k, user_id) datum. `value` keeps the

@@ -81,6 +81,45 @@ class AvroSerdeSpec extends SparkSpec {
     assertThrows[Exception](strict.count())
   }
 
+  test("avro KEY serde: framed long keys round-trip; bad magic / truncated varint / " +
+      "trailing bytes are routable key errors; key errors outrank value errors and hit tombstones") {
+    NativeHash.register(spark)
+    val serde = Serdes.registryAvroKeySerde()
+    val datum = call_function("graft_avro_encode_key", col("key").cast("bigint"))
+    val t = graft.sources.Topics.events(spark, sf)
+      .withColumn("key_raw", serde.frame(datum)).cache()
+    // round-trip identity over every record, tombstones included
+    assert(t.filter(serde.keyDec(col("key_raw")) =!= col("key").cast("bigint")).count() === 0)
+    assert(t.filter(serde.error(col("key_raw")).isNotNull).count() === 0)
+    // corruption arms: bare datum (bad magic), framed truncated varint,
+    // framed datum with trailing junk — all routable, none throw
+    val cases = t.limit(1).select(
+      serde.error(datum).as("bare_datum"),
+      serde.error(serde.frame(unhex(lit("FF")))).as("truncated_varint"),
+      serde.error(serde.frame(concat(datum, unhex(lit("00"))))).as("trailing_bytes"),
+      serde.error(col("key_raw")).as("ok")).head()
+    assert(cases.getString(0) === "key_decode_failure")
+    assert(cases.getString(1) === "key_decode_failure")
+    assert(cases.getString(2) === "key_decode_failure")
+    assert(cases.isNullAt(3))
+    // every key corrupted (bare datum): records whose value ALSO errors
+    // must still report the KEY error (outranks), and tombstones — which
+    // have no value error at all — must route on the key error alone
+    val allCorrupt = t.withColumn("key_raw", datum)
+    val split = graft.operators.TopicOps.dlqSplit(
+      allCorrupt,
+      when(col("value").isNotNull, "value_error"),
+      serde.error(col("key_raw"))).cache()
+    assert(split.filter(col("value").isNull).count() > 0)
+    assert(split.filter(col("sink") =!= "dlq").count() === 0)
+    assert(split.filter(col("error") =!= "key_decode_failure").count() === 0,
+      "key errors must outrank value errors and apply to tombstones")
+    split.unpersist(); t.unpersist()
+    // subject → id lookup is real here too
+    assertThrows[IllegalArgumentException](
+      new Serdes.RegistryAvroKeySerde(Serdes.SchemaRegistry.Fixture, "nope-key"))
+  }
+
   test("avro datum bytes are schema-stable: re-decoding with a fresh reader agrees") {
     // guards against accidental per-session encoder state: the same value
     // always encodes to the same bytes (deterministic layout)
