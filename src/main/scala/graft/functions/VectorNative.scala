@@ -89,8 +89,18 @@ object Codebooks {
   /** Unit-normalized coarse centroids ĉ = c/‖c‖ — the basis PQ residuals
     * are taken against (and the coarse term of the PQ approximate score).
     */
-  private[functions] val centroidsHat: Array[Array[Double]] =
+  private[graft] val centroidsHat: Array[Array[Double]] =
     centroidsArr.zip(centroidNorms).map { case (c, n) => c.map(_ / n) }
+
+  /** A pluggable PQ codebook must match the fixed (PqM × PqK × PqSub)
+    * subspace layout — a wrong shape would silently mis-slice residuals
+    * or throw per-row on the executor.
+    */
+  private[functions] def requirePqShape(pq: Array[Array[Array[Double]]],
+                                        kernel: String): Unit =
+    require(pq.length == PqM && pq.forall(m => m.length == PqK &&
+      m.forall(_.length == PqSub)),
+      s"$kernel: PQ codebook must be $PqM x $PqK x $PqSub")
 }
 
 /** √(Σ xᵢ²) over an array<double> column — the fused twin of
@@ -204,17 +214,33 @@ case class IvfProbes(child: Expression, probes: Int,
   * 8 small ints replace 64 doubles in the candidate index, so candidate
   * generation + approximate scoring never touch the full vectors. Codes
   * are argmin-of-squared-L2 per subspace, first-min tie-break (the
-  * oracle's list_position(d, list_min(d)) semantics).
+  * oracle's list_position(d, list_min(d)) semantics). Codebooks default
+  * to the oracle-replayable LCG constants; data-fitted coarse + PQ
+  * codebooks (Similarity.ivfPqTopKFitted) plug in through the same
+  * kernel — codegen carries them as reference objects.
   */
-case class PqCode(child: Expression) extends UnaryExpression {
+case class PqCode(child: Expression,
+                  cents: Array[Array[Double]] = Codebooks.centroidsArr,
+                  cnorms: Array[Double] = Codebooks.centroidNorms,
+                  centsHat: Array[Array[Double]] = Codebooks.centroidsHat,
+                  pq: Array[Array[Array[Double]]] = Codebooks.pqCents)
+    extends UnaryExpression {
+  Codebooks.requirePqShape(pq, "graft_pq_code")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_code"
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorNativeImpl.pqCode(input.asInstanceOf[ArrayData])
+    VectorNativeImpl.pqCode(input.asInstanceOf[ArrayData], cents, cnorms, centsHat, pq)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.pqCode($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCoarse", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("pqCoarseNorms", cnorms, "double[]")
+    val hRef = ctx.addReferenceObj("pqCoarseHat", centsHat, "double[][]")
+    val pRef = ctx.addReferenceObj("pqCents", pq, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorNativeImpl.pqCode($c, $cRef, $nRef, $hRef, $pRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): PqCode =
     copy(child = newChild)
@@ -223,19 +249,28 @@ case class PqCode(child: Expression) extends UnaryExpression {
 /** (query e, candidate bucket, candidate codes) → approximate cosine
   * q̂·(ĉ_b + Σ_m pq_m[code_m]) — the IVF-PQ lookup score, one JVM call per
   * (query, candidate) pair with no corpus-vector access. Folds run in
-  * index order so the oracle can replay them exactly.
+  * index order so the oracle can replay them exactly. Codebooks pluggable
+  * exactly as in [[PqCode]] — score and code must ride the SAME fit.
   */
-case class PqScore(first: Expression, second: Expression, third: Expression)
+case class PqScore(first: Expression, second: Expression, third: Expression,
+                   centsHat: Array[Array[Double]] = Codebooks.centroidsHat,
+                   pq: Array[Array[Array[Double]]] = Codebooks.pqCents)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  Codebooks.requirePqShape(pq, "graft_pq_score")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_score"
 
   override protected def nullSafeEval(eq: Any, bucket: Any, codes: Any): Any =
     VectorNativeImpl.pqScore(eq.asInstanceOf[ArrayData],
-      bucket.asInstanceOf[Int], codes.asInstanceOf[ArrayData])
+      bucket.asInstanceOf[Int], codes.asInstanceOf[ArrayData], centsHat, pq)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorNativeImpl.pqScore($a, $b, $c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hRef = ctx.addReferenceObj("pqCoarseHat", centsHat, "double[][]")
+    val pRef = ctx.addReferenceObj("pqCents", pq, "double[][][]")
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.VectorNativeImpl.pqScore($a, $b, $c, $hRef, $pRef)")
+  }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): PqScore =
@@ -338,13 +373,15 @@ object VectorNativeImpl {
 
   /** 1-based PQ codes of û − ĉ_b per subspace (see [[PqCode]]): for each
     * of the PqM subspaces, the first code minimizing the left-folded
-    * squared distance Σ_d (r_d − c_d)².
+    * squared distance Σ_d (r_d − c_d)². Codebooks are arguments so the
+    * data-fitted variants ride the identical kernel.
     */
-  def pqCode(e: ArrayData): ArrayData = {
+  def pqCode(e: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
+             centsHat: Array[Array[Double]], pq: Array[Array[Array[Double]]]): ArrayData = {
     requireDim(e.numElements(), "graft_pq_code")
     val nrm = norm(e)
-    val b = ivfBucket(e, centroidsArr, centroidNorms) - 1
-    val ch = centroidsHat(b)
+    val b = ivfBucket(e, cents, cnorms) - 1
+    val ch = centsHat(b)
     val out = new Array[Int](PqM)
     var m = 0
     while (m < PqM) {
@@ -352,7 +389,7 @@ object VectorNativeImpl {
       var bestD = Double.MaxValue
       var k = 0
       while (k < PqK) {
-        val c = pqCents(m)(k)
+        val c = pq(m)(k)
         var d = 0
         var s = 0.0
         while (d < PqSub) {
@@ -375,16 +412,17 @@ object VectorNativeImpl {
     * coarse term folded over all Dim coordinates first, then one
     * subspace fold per code — index order throughout.
     */
-  def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData): Double = {
+  def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData,
+              centsHat: Array[Array[Double]], pq: Array[Array[Array[Double]]]): Double = {
     requireDim(eq.numElements(), "graft_pq_score")
     val nq = norm(eq)
-    val ch = centroidsHat(bucket - 1)
+    val ch = centsHat(bucket - 1)
     var s = 0.0
     var i = 0
     while (i < Dim) { s += eq.getDouble(i) / nq * ch(i); i += 1 }
     var m = 0
     while (m < PqM) {
-      val c = pqCents(m)(codes.getInt(m) - 1)
+      val c = pq(m)(codes.getInt(m) - 1)
       var d = 0
       while (d < PqSub) {
         s += eq.getDouble(m * PqSub + d) / nq * c(d)

@@ -71,6 +71,14 @@ object PipelineQueries {
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // IVF-PQ over DATA-DERIVED codebooks: k-means coarse centroids plus
+    // per-subspace residual k-means sub-codebooks (round-5 VERDICT #6 —
+    // the PQ codebooks were the last LCG-only fit). Float means are
+    // partitioning-dependent → rows-only check; recall-vs-LCG is swept
+    // in SimilaritySpec.
+    "sim_topk_ivf_pq_fitted" -> ((s, dir) =>
+      Similarity.ivfPqTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "text_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_quality" -> ((s, dir) =>

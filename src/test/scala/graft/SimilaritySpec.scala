@@ -115,6 +115,63 @@ class SimilaritySpec extends SparkSpec {
     bf10.unpersist()
   }
 
+  test("fitted IVF-PQ: hits score identically to brute force; fitted codebooks " +
+      "beat the LCG codebooks at equal settings; rows-gate shape holds") {
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val fitted = Similarity.ivfPqTopKFitted(emb, isQuery, k = 10).cache()
+    // exact final rerank: every hit's cosine appears in exhaustive scoring
+    assert(fitted.select(col("query_id"), col("corpus_id"), col("cos")).except(bf).count() === 0)
+    // rows-gate shape: k rows per query, rnk 1..k
+    val perQuery = fitted.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") =!= 10).count() === 0)
+    assert(fitted.filter(col("rnk") < 1 || col("rnk") > 10).count() === 0)
+
+    val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id")).cache()
+    val n = bf10.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "corpus_id").intersect(bf10).count() / n
+    val lcgPq = recallOf(Similarity.ivfPqTopK(emb, isQuery, k = 10))
+    val fitPq = recallOf(fitted)
+    val fitPq8 = recallOf(Similarity.ivfPqTopKFitted(emb, isQuery, k = 10, refine = 8))
+    info(f"recall@10: pq-lcg=$lcgPq%.3f pq-fitted=$fitPq%.3f pq-fitted/refine8=$fitPq8%.3f")
+    // the fitted coarse codebook already dominates LCG on this corpus
+    // (kmeans spec above); data-fitted residual codes must preserve that
+    // dominance at the full-path level
+    assert(fitPq >= lcgPq,
+      s"fitted IVF-PQ recall ($fitPq) must be >= LCG IVF-PQ recall ($lcgPq)")
+    bf10.unpersist(); fitted.unpersist()
+  }
+
+  test("concurrent fitted queries use their OWN codebooks (no holder cross-contamination)") {
+    // two fits with different parameters race fit→analyze on purpose;
+    // per-fit function names + closed-over arrays must keep each query's
+    // codebook its own, so each concurrent result equals its serial twin
+    val serialA = Similarity.ivfTopKFitted(emb, isQuery, k = 10, iters = 1)
+      .select("query_id", "corpus_id", "cos").collect().toSet
+    val serialB = Similarity.ivfTopKFitted(emb, isQuery, k = 10, iters = 3)
+      .select("query_id", "corpus_id", "cos").collect().toSet
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Set[org.apache.spark.sql.Row]]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(
+      new Thread(() => {
+        start.await()
+        results.put("a", Similarity.ivfTopKFitted(emb, isQuery, k = 10, iters = 1)
+          .select("query_id", "corpus_id", "cos").collect().toSet)
+      }),
+      new Thread(() => {
+        start.await()
+        results.put("b", Similarity.ivfTopKFitted(emb, isQuery, k = 10, iters = 3)
+          .select("query_id", "corpus_id", "cos").collect().toSet)
+      }))
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(300000))
+    assert(results.get("a") === serialA, "concurrent 1-iter fit must equal its serial twin")
+    assert(results.get("b") === serialB, "concurrent 3-iter fit must equal its serial twin")
+  }
+
   test("embedding near-dup pairs verify exact cosine above threshold, canonical order") {
     val p = Similarity.embeddingPairs(emb, tau = 0.4).cache()
     assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
