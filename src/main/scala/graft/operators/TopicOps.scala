@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Topics
@@ -87,6 +87,35 @@ object TopicOps {
     val withAction = src.join(d, Seq("topic", "partition", "offset"), "left")
     route(withAction, coalesce(col("action"), lit("skip")), dest, mergeTombstones)
   }
+
+  /** Materializes a topic frame and its decisions log as co-bucketed
+    * tables on the FULL ask join key (topic, partition, offset) — the
+    * one-time layout cost that makes every subsequent
+    * [[routeWithDecisionsCobucketed]] run shuffle-free.
+    */
+  def writeAskTables(src: DataFrame, decisions: DataFrame,
+                     srcTable: String, decisionsTable: String,
+                     numBuckets: Int = 8): Unit = {
+    graft.sources.Bucketing.writeBucketed(src, srcTable, numBuckets,
+      "topic", "partition", "offset")
+    graft.sources.Bucketing.writeBucketed(decisions, decisionsTable, numBuckets,
+      "topic", "partition", "offset")
+  }
+
+  /** Co-bucketed ask — the 100-TB form of [[routeWithDecisions]] for a
+    * FACT-scale decisions side (a full decisions log as big as the topic,
+    * where the default broadcast is impossible). Both tables live
+    * bucketed+sorted by the complete join key (topic, partition, offset)
+    * via [[writeAskTables]], so the decision-dedup aggregate rides the
+    * bucket partitioning and the record⋈decision join plans with ZERO
+    * Exchange on either side (proof in BucketingSpec) — the dominant
+    * repeated per-run shuffle becomes a one-time layout cost.
+    */
+  def routeWithDecisionsCobucketed(spark: SparkSession, srcTable: String,
+                                   decisionsTable: String, dest: String,
+                                   mergeTombstones: Boolean = false): DataFrame =
+    routeWithDecisions(spark.table(srcTable), spark.table(decisionsTable), dest,
+      mergeTombstones, broadcastDecisions = false)
 
   /** The reference's end-of-run counters (Ask.kt:85: "N merged, N purged,
     * N skipped") as an aggregate over the same action rule.

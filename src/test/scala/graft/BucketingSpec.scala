@@ -47,6 +47,38 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed ask: record⋈decision join AND decision dedup plan with zero " +
+      "Exchange on the topic surface; results equal the broadcast twin") {
+    import graft.operators.TopicOps
+    import graft.sources.Topics
+    val t = Topics.events(spark, sf)
+    val decisions = t.filter(col("offset") % 3 === 0)
+      .select(col("topic"), col("partition"), col("offset"),
+        when(col("offset") % 2 === 0, "merge").otherwise("purge").as("action"))
+    TopicOps.writeAskTables(t, decisions, "topic_b", "decisions_b", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = TopicOps.routeWithDecisionsCobucketed(
+        spark, "topic_b", "decisions_b", "events.v2")
+      val pb = bucketed.queryExecution.executedPlan.toString
+      // the FULL ask pipeline — dedup aggregate + fact-fact left join +
+      // fan-out projection — rides the (topic, partition, offset)
+      // bucketing end to end: no Exchange anywhere
+      assert(exchanges(pb) === 0,
+        s"co-bucketed ask must not shuffle either side:\n$pb")
+
+      val batch = TopicOps.routeWithDecisions(t, decisions, "events.v2")
+      assert(bucketed.count() === batch.count())
+      assert(bucketed.drop("headers").except(batch.drop("headers")).count() === 0)
+      assert(batch.drop("headers").except(bucketed.drop("headers")).count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS topic_b")
+      spark.sql("DROP TABLE IF EXISTS decisions_b")
+    }
+  }
+
   test("co-bucketed join works when both sides share the SAME key name") {
     val orders = Tables.load(spark, sf, "orders")
       .withColumnRenamed("o_orderkey", "orderkey")
