@@ -23,7 +23,7 @@ object Bench {
     "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact", "topic_dlq",
     "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
-    "dedup_embedding", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+    "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
     "events_approx",
     "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta",

@@ -414,6 +414,37 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — "dedup within k-means clusters"): candidates are
+    * confined to each vector's coarse CLUSTER (nearest-centroid IVF
+    * bucket, the same assignment kernel as [[ivfTopK]]) instead of LSH
+    * bands, then exact cosine ≥ tau verifies. Complements
+    * [[embeddingPairs]]: banding trades recall per band count, cluster
+    * confinement trades it structurally — pairs crossing cluster
+    * boundaries are deliberately out of scope (the SemDeDup design). At
+    * 100 TB the bucket is the shuffle key, per-bucket population
+    * ≈ N/nlist with nlist sized ~√N, and each vector carries ONE bucket
+    * (vs `bands` rows for banded LSH) so the candidate index is the
+    * smallest of the near-dup family.
+    */
+  def semanticPairs(emb: DataFrame, tau: Double = 0.4): DataFrame = {
+    val v = vectors(emb)
+    val assigned = v.select(col("vec_id"), expr("graft_ivf_bucket(e)").as("bucket"))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    // one bucket per vector ⇒ each candidate pair arises exactly once (no
+    // distinct needed, unlike the multi-band candidate joins)
+    val cand = a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val va = v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus — one narrow pass over the corpus, then the two-phase rerank
     * (per-query work is the full corpus, so the local phase is mandatory

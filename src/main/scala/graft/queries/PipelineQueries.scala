@@ -49,6 +49,12 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingPairs(Tables.load(s, dir, "embeddings"), CosTau)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // SemDeDup-style semantic dedup (r6): candidates confined to each
+    // vector's nearest-centroid CLUSTER (one bucket per vector) instead
+    // of LSH bands — the smallest candidate index of the family.
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticPairs(Tables.load(s, dir, "embeddings"), CosTau)
+        .orderBy(col("vec_a"), col("vec_b"))),
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -332,6 +338,24 @@ object PipelineQueries {
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
          |                            AND a.vec_id < b.vec_id),
+         |verify AS (
+         |  SELECT vec_a, vec_b, ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+         |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM verify WHERE cos >= $CosTau
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // Semantic dedup: bucket assignment replayed from the SQL-generated
+    // centroid codebook (same LCG CTEs as sim_topk_ivf); one bucket per
+    // vector, so the candidate join needs no DISTINCT.
+    "dedup_semantic" -> (NormCte +
+      s"""
+         |, $ivfCentroidCtes,
+         |assigned AS (
+         |  SELECT vec_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |verify AS (
          |  SELECT vec_a, vec_b, ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
          |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)

@@ -178,4 +178,34 @@ class SimilaritySpec extends SparkSpec {
     assert(p.filter(col("cos") < 0.4).count() === 0)
     p.unpersist()
   }
+
+  test("semantic (cluster-confined) near-dup pairs: exact cosines, same-bucket only, " +
+      "each pair emitted once") {
+    val p = Similarity.semanticPairs(emb, tau = 0.4).cache()
+    assert(p.count() > 0, "sf0.001 corpus has same-cluster near-dups")
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
+    assert(p.filter(col("cos") < 0.4).count() === 0)
+    // one bucket per vector ⇒ no duplicate pairs by construction
+    assert(p.groupBy("vec_a", "vec_b").count().filter(col("count") > 1).count() === 0)
+    // SemDeDup confinement is real: every emitted pair shares its coarse
+    // cluster, and cross-cluster near-dups are (by design) not emitted
+    val assigned = Similarity.vectors(emb)
+      .select(col("vec_id"), expr("graft_ivf_bucket(e)").as("bucket")).cache()
+    val ba = assigned.select(col("vec_id").as("vec_a"), col("bucket").as("bucket_a"))
+    val bb = assigned.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"))
+    assert(p.join(ba, "vec_a").join(bb, "vec_b")
+      .filter(col("bucket_a") =!= col("bucket_b")).count() === 0)
+    // exact-verify contract: every emitted pair is a true near-dup with
+    // the bit-identical brute-force cosine (same kernel, same fold order)
+    val vv = Similarity.vectors(emb)
+    val xa = vv.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+    val xb = vv.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+    val brute = xa.crossJoin(xb).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b", "cos")
+    assert(p.except(brute).count() === 0,
+      "every semantic pair must appear in the exhaustive pair set with identical cosine")
+    assigned.unpersist(); p.unpersist()
+  }
 }
