@@ -75,6 +75,27 @@ object Multimodal {
       .select("doc_id", "format", "size_bytes", "checksum", "width", "height",
         "n_frames", "sample_rate")
 
+  /** Frame-sampling plumbing for video payloads — the stage that turns a
+    * video blob into a bounded per-frame work list BEFORE any decode:
+    * every `stride`-th frame index (frame 0 always included) with its
+    * integer byte window (offset, length) computed from the metadata.
+    * This frame table is what a real pipeline hands the batched decoder
+    * ([[decodeFeatures]]); the table itself is exact integer arithmetic,
+    * so it is fully oracle-checked (`mm_framesample`). The explode is
+    * narrow (no shuffle) and the fan-out is bounded by n_frames/stride
+    * per doc — at 100 TB the work list stays proportional to the frames
+    * you sample, never the bytes you store.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 4): DataFrame = {
+    require(stride >= 1, s"frameSample: stride must be >= 1, got $stride")
+    meta(docs).filter(col("format") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))))
+      .withColumn("frame_len", expr("size_bytes DIV n_frames"))
+      .withColumn("byte_offset", col("frame_idx") * col("frame_len"))
+      .select("doc_id", "n_frames", "frame_idx", "byte_offset", "frame_len")
+  }
+
   /** STUB decoder: a real implementation would hand `batch` to a native
     * codec (libjpeg/ffmpeg) in one call — that's why the iterator is
     * batched. Here it derives a deterministic 8-float "feature" from the

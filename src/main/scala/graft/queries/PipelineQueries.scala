@@ -95,6 +95,12 @@ object PipelineQueries {
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
       Multimodal.meta(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // video frame-sampling work list (r6): every 4th frame's integer
+    // byte window — the pre-decode stage of the multimodal pipeline,
+    // exact integer arithmetic end to end.
+    "mm_framesample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // the 100-TB form: same pipeline, near-dup stage = banded MinHash
@@ -669,5 +675,27 @@ object PipelineQueries {
          |  CAST(16 + (checksum // 320) % 200 AS BIGINT) AS height,
          |  CASE WHEN format = 'video' THEN CAST(1 + checksum % 16 AS BIGINT) END AS n_frames,
          |  CASE WHEN format = 'audio' THEN CAST(8000 + (checksum % 4) * 8000 AS BIGINT) END AS sample_rate
-         |FROM blobs ORDER BY doc_id""".stripMargin)
+         |FROM blobs ORDER BY doc_id""".stripMargin,
+
+    // Frame table replayed with a lateral stride-4 generate_series over
+    // the same video metadata; both engines include frame 0 and every
+    // 4th index <= n_frames-1, all-integer byte windows.
+    "mm_framesample" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id,
+         |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+         |         ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+         |  FROM documents),
+         |vids AS (
+         |  SELECT doc_id, CAST(1 + checksum % 16 AS BIGINT) AS n_frames, size_bytes
+         |  FROM blobs WHERE format = 'video'),
+         |frames AS (
+         |  SELECT doc_id, n_frames,
+         |         unnest(generate_series(0, n_frames - 1, 4)) AS f,
+         |         size_bytes // n_frames AS frame_len
+         |  FROM vids)
+         |SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx,
+         |       CAST(f AS BIGINT) * frame_len AS byte_offset, frame_len
+         |FROM frames ORDER BY doc_id, frame_idx""".stripMargin)
 }

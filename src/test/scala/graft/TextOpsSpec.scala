@@ -174,6 +174,22 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0, "HLL++ rsd=0.02 should stay well within 10%")
   }
 
+  test("frame sampling: videos only, frame 0 always sampled, stride respected, " +
+      "byte windows tile within the blob") {
+    val fs = Multimodal.frameSample(docs).cache()
+    val meta = Multimodal.meta(docs).filter(col("format") === "video").cache()
+    // every video contributes its frame-0 row; nothing else contributes
+    assert(fs.filter(col("frame_idx") === 0).count() === meta.count())
+    assert(fs.select("doc_id").distinct().count() === meta.count())
+    assert(fs.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    assert(fs.filter(col("frame_idx") >= col("n_frames")).count() === 0)
+    // windows stay inside the blob: last sampled byte < size_bytes
+    val joined = fs.join(meta.select("doc_id", "size_bytes"), "doc_id")
+    assert(joined.filter(col("byte_offset") + col("frame_len") > col("size_bytes"))
+      .count() === 0)
+    fs.unpersist(); meta.unpersist()
+  }
+
   test("multimodal features are 8-dim and normalized to [0,1]") {
     val d = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs)).cache()
     assert(d.filter(size(col("feature")) =!= 8).count() === 0)
