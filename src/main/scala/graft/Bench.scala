@@ -67,15 +67,19 @@ object Bench {
     // capture holds ~2 KB and round 5's full-precision line (~2.3 KB) was
     // truncated from the front, leaving BENCH_r05.json unparseable
     // (round-5 VERDICT "What's wrong" #2). ms resolution loses nothing a
-    // min-of-reps harness can measure.
+    // min-of-reps harness can measure. Locale.ROOT: under a comma-decimal
+    // default locale the f-interpolator would emit "0,959" and break the
+    // JSON contract (round-6 ADVICE).
+    def s3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, ts) =>
-      s"\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else f"${ts.min}%.3f")
+      s"\"" + k + "\":" + (if (ts.contains(-1.0)) "-1.0" else s3(ts.min))
     }.mkString("{", ",", "}")
     // relative spread (max-min)/min per query: >~0.10 flags a noisy box,
     // not a plan change. Its own labeled line, printed BEFORE the contract
     // line so a front-truncating tail clips spread, never the contract.
     val spread = results.collect { case (k, ts) if !ts.contains(-1.0) && ts.min > 0 =>
-      s"\"" + k + "\":" + f"${(ts.max - ts.min) / ts.min}%.3f"
+      s"\"" + k + "\":" + s3((ts.max - ts.min) / ts.min)
     }.mkString("{", ",", "}")
     // headline total is a pure runtime sum of per-query mins: -1 failure
     // sentinels stay per-query but must not subtract from the total
@@ -85,7 +89,7 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     System.err.flush()
     println(s"""{"metric":"spread","reps":$reps,"spread":$spread}""")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failed":$failed,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

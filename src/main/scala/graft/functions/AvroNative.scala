@@ -127,8 +127,11 @@ case class AvroEncodeLong(child: Expression)
     copy(child = newChild)
 }
 
-/** Avro long binary datum → bigint, null on decode failure (truncated or
-  * overlong varint, trailing bytes).
+/** Avro long binary datum → bigint, null on decode failure (truncated
+  * varint, >10-byte varint, or trailing bytes). Note Avro's readLong
+  * ACCEPTS non-canonical zigzag encodings up to 10 bytes (0x80 0x00
+  * decodes to 0) — only genuinely unreadable payloads null out
+  * (round-6 ADVICE: don't overpromise rejection of overlong forms).
   */
 case class AvroDecodeLong(child: Expression)
     extends UnaryExpression with CodegenFallback {

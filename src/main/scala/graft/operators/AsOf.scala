@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   *     ASOF default);
   *   - among right rows with equal (key, time), `tieBreak` columns order
   *     them and the LAST one wins (e.g. max event_id) — making the join
-  *     deterministic without a separate dedup shuffle.
+  *     deterministic without a separate dedup shuffle;
+  *   - null times never match (DuckDB ASOF / pandas merge_asof drop
+  *     them): null-time RIGHT rows are filtered before the window —
+  *     ascending sort would otherwise put them FIRST and carry one
+  *     forward into every left row — and a null-time LEFT row sorts
+  *     before all right rows of its key, so it survives unmatched.
   */
 object AsOf {
 
@@ -60,14 +65,10 @@ object AsOf {
     require(rPayload.contains(rightTime), s"joinAsOf: right side lacks time column $rightTime")
 
     val tbCols = tieBreak.zipWithIndex.map { case (_, i) => s"__tb$i" }
-    val r = right.select(
+    val r = right.filter(col(rightTime).isNotNull).select(
       key.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
         struct(rPayload.map(col): _*).as("__r"), lit(null).cast("binary").as("__l")) ++
         tieBreak.zip(tbCols).map { case (c, a) => col(c).as(a) }: _*)
-    val l = left.select(
-      key.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(null).as("__r"), to_binary(lit(null)).as("__l")) ++
-        tbCols.map(a => lit(null).as(a)): _*)
     // unionByName needs identical schemas: __r's struct type comes from the
     // right projection, so build the left rows by selecting FROM the union
     // schema instead — cheapest is union on the right's schema with typed

@@ -164,6 +164,30 @@ object AnalyticsQueries {
           col("sw.end").as("session_end"), col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Backward as-of join: each purchase picks the user's most recent
+    // click at-or-before it. ONE shuffle on user_id + a per-key sort
+    // (union + window carry-forward, AsOf.joinAsOf) — no range join, no
+    // per-key materialization; DuckDB's native ASOF JOIN is the oracle.
+    "events_asof" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(p, c, key = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts", tieBreak = Seq("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // As-of with a tolerance horizon (attribution window): a matched
+    // click older than 30 minutes is nulled out, not replaced — pandas
+    // merge_asof `tolerance` semantics, mirrored as a post-ASOF CASE in
+    // the oracle. Same single-shuffle plan as events_asof.
+    "events_asof_tolerance" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(p, c, key = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts", tieBreak = Seq("click_id"),
+          tolerance = Some((lt, rt) =>
+            unix_micros(lt) - unix_micros(rt) <= AsofToleranceUs))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (30 min) via window lag + running sum.
     "events_sessionize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -181,6 +205,25 @@ object AnalyticsQueries {
           decSumDouble(col("value")).as("total_value"))
         .orderBy(col("user_id"), col("session_seq"))
     }))
+
+  /** Attribution horizon for events_asof_tolerance, micros — computed once
+    * and interpolated into BOTH engines (30 minutes).
+    */
+  private val AsofToleranceUs: Long = 30L * 60 * 1000000
+
+  /** Shared left/right projections of the as-of pair: purchases probe the
+    * clicks stream. Non-key right columns renamed so the sides stay
+    * disjoint (joinAsOf contract).
+    */
+  private[graft] def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.load(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    (p, c)
+  }
 
   private val Revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
@@ -292,6 +335,38 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
          |ORDER BY level, event_type, hour""".stripMargin,
+    "events_asof" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+         |         "value" AS click_value
+         |  FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id, p.ts, p."value",
+         |       c.click_id, c.click_ts, c.click_value
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         |ORDER BY p.event_id""".stripMargin,
+    "events_asof_tolerance" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+         |         "value" AS click_value
+         |  FROM events WHERE event_type = 'click'),
+         |j AS (
+         |  SELECT p.event_id, p.user_id, p.ts, p."value",
+         |         c.click_id, c.click_ts, c.click_value,
+         |         epoch_us(p.ts) - epoch_us(c.click_ts) <= ${AsofToleranceUs} AS ok
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+         |SELECT event_id, user_id, ts, "value",
+         |       CASE WHEN ok THEN click_id END AS click_id,
+         |       CASE WHEN ok THEN click_ts END AS click_ts,
+         |       CASE WHEN ok THEN click_value END AS click_value
+         |FROM j ORDER BY event_id""".stripMargin,
     "events_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",

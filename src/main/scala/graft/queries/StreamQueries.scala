@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{DedupStream, SimilarityStream, TopicStream}
+import graft.streaming.{AsOfStream, DedupStream, SimilarityStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -111,6 +111,14 @@ object StreamQueries {
       TopicStream.dlqReplayStream(s, eventsPath(dir), TopicQueries.dlqError, out, ckpt)
         .orderBy(col("offset"))
     }),
+    // Streaming as-of serving: arriving purchases resolve their user's
+    // most recent prior click against the bucketed click-history table;
+    // replay reproduces events_asof (its DuckDB ASOF oracle verbatim).
+    "stream_asof" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_asof", dir)
+      AsOfStream.asofStream(s, dir, out, ckpt)
+        .orderBy(col("event_id"))
+    }),
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
@@ -126,6 +134,7 @@ object StreamQueries {
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
+    "stream_asof" -> AnalyticsQueries.oracles("events_asof"),
     // decided-record routing == batch ask-with-decisions-table exactly
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even

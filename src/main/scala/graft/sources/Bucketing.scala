@@ -35,13 +35,18 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
                     key: String, moreKeys: String*): Unit = {
+    // the name is interpolated into SQL and resolved to a warehouse path
+    // below — restrict it so neither can be escaped (round-6 ADVICE)
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed: table name must match [A-Za-z0-9_]+, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a stale directory from a PREVIOUS driver process: the fresh
     // in-memory catalog has no such table (DROP above is a no-op) but
     // CTAS refuses a non-empty location — wipe it so every run is
-    // idempotent
-    scala.util.Try {
+    // idempotent. A failed wipe is LOGGED, not swallowed: the CTAS below
+    // would fail on the leftover directory with a confusing message.
+    try {
       val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
       val dir = java.nio.file.Paths.get(
         if (wh.getScheme == null) wh.toString else wh.getPath)
@@ -50,6 +55,11 @@ object Bucketing {
         java.nio.file.Files.walk(dir)
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => java.nio.file.Files.delete(f))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] writeBucketed: stale-directory wipe for '$table' failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); CTAS may refuse the location")
     }
     df.write.mode("overwrite")
       .format("parquet")

@@ -142,9 +142,10 @@ object DedupStream {
   def cleanIngestStream(spark: SparkSession, docsPath: String,
                         outDir: String, checkpointDir: String,
                         maxFilesPerTrigger: Option[Int] = None,
-                        minQuality: Double = 0.48, tau: Double = 0.5): DataFrame =
+                        minQuality: Double = 0.48, tau: Double = 0.5,
+                        tablePrefix: String = "graft_clean"): DataFrame =
     cleanIngestImpl(spark, docsPath, outDir, checkpointDir, maxFilesPerTrigger,
-      minQuality, tau, dedupHorizon = None)
+      minQuality, tau, dedupHorizon = None, tablePrefix)
 
   /** [[cleanIngestStream]] with BOUNDED stage-2 state — the 100-TB form
     * (round-5 VERDICT "What's wrong" #5): `dropDuplicatesWithinWatermark`
@@ -162,28 +163,35 @@ object DedupStream {
                                outDir: String, checkpointDir: String,
                                horizon: String = "10 minutes",
                                maxFilesPerTrigger: Option[Int] = None,
-                               minQuality: Double = 0.48, tau: Double = 0.5): DataFrame =
+                               minQuality: Double = 0.48, tau: Double = 0.5,
+                               tablePrefix: String = "graft_clean"): DataFrame =
     cleanIngestImpl(spark, docsPath, outDir, checkpointDir, maxFilesPerTrigger,
-      minQuality, tau, dedupHorizon = Some(horizon))
+      minQuality, tau, dedupHorizon = Some(horizon), tablePrefix)
 
+  /** `tablePrefix` namespaces the materialized probe indexes
+    * (`<prefix>_shingles`, `<prefix>_exact`): two concurrent ingest
+    * streams in one session must not clobber each other's tables
+    * (round-6 ADVICE — writeBucketed drops and deletes unconditionally).
+    */
   private def cleanIngestImpl(spark: SparkSession, docsPath: String,
                               outDir: String, checkpointDir: String,
                               maxFilesPerTrigger: Option[Int],
                               minQuality: Double, tau: Double,
-                              dedupHorizon: Option[String]): DataFrame = {
+                              dedupHorizon: Option[String],
+                              tablePrefix: String): DataFrame = {
     import graft.operators.TextOps
     TopicStream.deleteRecursively(Paths.get(outDir))
     java.nio.file.Files.createDirectories(Paths.get(outDir))
     val afterExact = TextOps.qualityExactSurvivors(spark.read.parquet(docsPath), minQuality)
     // static probe indexes, bucketed by their join keys (one-time write)
-    val shingleTable = "graft_clean_shingles"
+    val shingleTable = s"${tablePrefix}_shingles"
     Bucketing.writeBucketed(
       Dedup.shingleHashes(afterExact)
         .select(col("doc_id").as("corpus_id"), col("n_sh").as("na"), explode(col("hs")).as("h")),
       shingleTable, IndexBuckets, "h")
     // (content_hash → keeper doc_id): afterExact holds exactly the min-id
     // copy of every content-hash group, so this index is unique per hash
-    val exactTable = "graft_clean_exact"
+    val exactTable = s"${tablePrefix}_exact"
     Bucketing.writeBucketed(
       afterExact.select(md5(col("text").cast("binary")).as("content_hash"),
         col("doc_id").as("keeper_id")),
@@ -269,11 +277,12 @@ object DedupStream {
     */
   def nearDupIngestStream(spark: SparkSession, docsPath: String,
                           outDir: String, checkpointDir: String,
-                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                          maxFilesPerTrigger: Option[Int] = None,
+                          tablePrefix: String = "graft_neardup"): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     java.nio.file.Files.createDirectories(Paths.get(outDir))
     val corpusHashes = Dedup.shingleHashes(spark.read.parquet(docsPath))
-    val (bandTable, setsTable) = writeNearDupIndex(corpusHashes)
+    val (bandTable, setsTable) = writeNearDupIndex(corpusHashes, tablePrefix)
     val incoming = TopicStream.fileStream(spark, docsPath, maxFilesPerTrigger)
     val pairs = nearDupIngestIndexed(spark.table(bandTable), spark.table(setsTable),
       incoming, pairFilter = col("corpus_id") < col("new_id"))

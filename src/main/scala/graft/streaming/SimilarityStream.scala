@@ -38,7 +38,8 @@ object SimilarityStream {
   def ivfTopKStream(spark: SparkSession, embPath: String,
                     outDir: String, checkpointDir: String, k: Int = 10,
                     maxFilesPerTrigger: Option[Int] = None,
-                    probes: Int = 8): DataFrame = {
+                    probes: Int = 8,
+                    tablePrefix: String = "graft_ivf_stream"): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
@@ -48,7 +49,9 @@ object SimilarityStream {
     // bucketed by the probe join key; bucket assignment is the same
     // fused kernel as the batch ivfTopK, so stream and batch land
     // vectors in identical buckets
-    val idxTable = "graft_ivf_stream_idx"
+    // tablePrefix namespaces the per-run index so concurrent serving
+    // streams in one session can't clobber each other (round-6 ADVICE)
+    val idxTable = s"${tablePrefix}_idx"
     Bucketing.writeBucketed(
       Similarity.vectors(corpus.filter(!isQuery))
         .withColumn("bucket", expr("graft_ivf_bucket(e)"))
@@ -102,18 +105,19 @@ object SimilarityStream {
   def ivfPqTopKStream(spark: SparkSession, embPath: String,
                       outDir: String, checkpointDir: String, k: Int = 10,
                       maxFilesPerTrigger: Option[Int] = None,
-                      probes: Int = 8, refine: Int = 4): DataFrame = {
+                      probes: Int = 8, refine: Int = 4,
+                      tablePrefix: String = "graft_pq_stream"): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
     val isQuery = col("vec_id") < 8
 
-    val vecsTable = "graft_pq_stream_vecs"
+    val vecsTable = s"${tablePrefix}_vecs"
     Bucketing.writeBucketed(
       Similarity.vectors(corpus.filter(!isQuery))
         .select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc")),
       vecsTable, IndexBuckets, "corpus_id")
-    val idxTable = "graft_pq_stream_idx"
+    val idxTable = s"${tablePrefix}_idx"
     Bucketing.writeBucketed(
       Similarity.vectors(corpus.filter(!isQuery))
         .select(col("vec_id").as("corpus_id"),
