@@ -20,13 +20,15 @@ object Bench {
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
     "orders_anti_join", "events_rollup", "q18_large_orders",
+    "events_asof", "events_range_join",
     "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact", "topic_dlq",
     "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
     "events_approx",
-    "text_lang_id", "text_quality", "text_tokens", "doc_fingerprint", "mm_meta",
+    "text_lang_id", "text_quality", "text_tokens", "text_repetition",
+    "corpus_token_topk", "doc_fingerprint", "mm_meta",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash", "pipeline_token_pack",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_quality_topq", "pipeline_mixture")

@@ -49,6 +49,8 @@ object NativeHash {
       exprs => DotProduct(exprs.head, exprs(1))),
     ("graft_text_stats", "[n_words, n_uniq, word_chars, stop_hits, alpha_chars, re_tokens] in one pass",
       exprs => TextStats(exprs.head)),
+    ("graft_rep_stats", "[n_tokens, uniq_tokens, uniq_2grams, uniq_3grams, max_token_count] in one pass",
+      exprs => RepStats(exprs.head)),
     ("graft_norm", "L2 norm of a double-array column, index-order fold",
       exprs => VecNorm(exprs.head)),
     ("graft_plane_buckets", "sign-LSH band values against the constant hyperplane codebook",
@@ -192,6 +194,55 @@ object TextStatsImpl {
     }
     new GenericArrayData(Array(words.length.toLong, uniq.size.toLong,
       wordChars, stopHits, alpha, reTokens))
+  }
+}
+
+/** text → [n_tokens, uniq_tokens, uniq_2grams, uniq_3grams,
+  * max_token_count] in one pass — the fused input of TextOps.repetition
+  * (Gopher-style intra-document repetition signals). Tokenization is the
+  * whitespace convention of [[TextStats]] (`lower(trim(text))` split on
+  * the RE2 `\s` class), so the oracle's
+  * `string_split_regex(lower(trim(text)), '\s+')` sees identical tokens;
+  * n-grams are space-joined adjacent tokens (tokens cannot contain
+  * whitespace, so the join is collision-free), distinct-counted exactly
+  * like the oracle's `list_distinct(list_transform(range(...), ...))`.
+  */
+case class RepStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepStatsImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepStatsImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+object RepStatsImpl {
+  def compute(text: UTF8String): ArrayData = {
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val n = words.length
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var maxCnt = 0L
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(words(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > maxCnt) maxCnt = c.intValue.toLong
+      i += 1
+    }
+    val g2 = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i + 1 < n) { g2.add(words(i) + " " + words(i + 1)); i += 1 }
+    val g3 = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i + 2 < n) { g3.add(words(i) + " " + words(i + 1) + " " + words(i + 2)); i += 1 }
+    new GenericArrayData(Array(n.toLong, counts.size.toLong,
+      g2.size.toLong, g3.size.toLong, maxCnt))
   }
 }
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded range join — all (left, right) pairs with the same key whose
+  * times lie within ± `widthUs` of each other.
+  *
+  * The naive encoding `l JOIN r ON key AND abs(l.t - r.t) <= W` plans as
+  * a per-key cross product filtered after the fact (BroadcastNestedLoop
+  * or a sort-merge with full per-key candidate expansion) — quadratic in
+  * the hot key's row count, the classic scale killer. This encoding
+  * time-bands both sides at the window width: a left row in band b can
+  * only match right rows in bands {b-1, b, b+1}, so the left side
+  * explodes into exactly 3 probe bands and the join is a plain equi-join
+  * on (key, band) — candidate volume is bounded by band population ×3,
+  * never by the key's full history, and every stage is a hash shuffle
+  * Catalyst/AQE already knows how to skew-split. The |Δt| ≤ W filter on
+  * candidates makes the banding lossless (any in-window pair is at most
+  * one band away).
+  */
+object RangeJoin {
+
+  /** Per-left-row count of in-window right rows (the common aggregate
+    * form: "clicks within ±W of each purchase").
+    *
+    * @param key      equality key columns (both sides)
+    * @param leftTime / rightTime  micros-resolution timestamp columns
+    * @param widthUs  window half-width in MICROSECONDS (integer compare —
+    *                 exact in both engines)
+    * @return all left columns + `n_in_window` (0 when nothing matches)
+    */
+  def countInWindow(left: DataFrame, right: DataFrame, key: Seq[String],
+                    leftTime: String, rightTime: String,
+                    widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"countInWindow: widthUs must be positive, got $widthUs")
+    val lCols = left.columns.toSeq
+    val band = (t: Column) => floor(unix_micros(t) / widthUs)
+    // left explodes into its band ±1 — three probe rows bound the
+    // candidate set; the right side keeps ONE row per record
+    val probes = left
+      .withColumn("__band", explode(array(
+        band(col(leftTime)) - 1, band(col(leftTime)), band(col(leftTime)) + 1)))
+    val indexed = right.select(
+      key.map(col) :+ col(rightTime).as("__rt") :+ band(col(rightTime)).as("__band"): _*)
+    val matched = probes
+      .join(indexed, key :+ "__band")
+      .filter(abs(unix_micros(col(leftTime)) - unix_micros(col("__rt"))) <= widthUs)
+    // count matches per original left row, then left-join back so
+    // zero-match rows survive with 0 (the aggregate sees only matches)
+    val counts = matched
+      .groupBy(lCols.map(col): _*)
+      .agg(count(lit(1)).as("n_in_window"))
+    left.join(counts, lCols, "left_outer")
+      .withColumn("n_in_window", coalesce(col("n_in_window"), lit(0L)))
+  }
+}

@@ -143,6 +143,58 @@ object TextOps {
       .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars", "chars_per_token")
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * §A1.1 analogues): duplicate word / 2-gram / 3-gram fractions and the
+    * most-frequent-token share, plus the `kept` verdict of the repetition
+    * filter. One fused kernel pass per row (graft_rep_stats — the HOF
+    * n-gram formulation would be re-evaluated per element_at reference),
+    * zero shuffles: the filter is embarrassingly parallel and runs at
+    * scan speed, which is what makes it a first-pass gate at 100 TB.
+    * Ratios are double divisions of exact integer pairs in a fixed
+    * operation order — bit-identical to the DuckDB oracle.
+    */
+  def repetition(docs: DataFrame, dup2Max: Double, topTokMax: Double): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    docs
+      .withColumn("rs", expr("graft_rep_stats(text)"))
+      .withColumn("n_tokens", element_at(col("rs"), 1))
+      .withColumn("uniq1", element_at(col("rs"), 2))
+      .withColumn("uniq2", element_at(col("rs"), 3))
+      .withColumn("uniq3", element_at(col("rs"), 4))
+      .withColumn("max_cnt", element_at(col("rs"), 5))
+      .withColumn("dup_word_frac",
+        (col("n_tokens") - col("uniq1")).cast("double") / col("n_tokens"))
+      // null, not a division, below the n-gram arity (engines disagree on
+      // double x/0) — mirrored as CASE WHEN in the oracle
+      .withColumn("dup_2gram_frac",
+        when(col("n_tokens") >= 2,
+          (col("n_tokens") - 1 - col("uniq2")).cast("double") / (col("n_tokens") - 1)))
+      .withColumn("dup_3gram_frac",
+        when(col("n_tokens") >= 3,
+          (col("n_tokens") - 2 - col("uniq3")).cast("double") / (col("n_tokens") - 2)))
+      .withColumn("top_token_frac", col("max_cnt").cast("double") / col("n_tokens"))
+      .withColumn("kept",
+        col("n_tokens") >= 2 && col("dup_2gram_frac") <= dup2Max &&
+          col("top_token_frac") <= topTokMax)
+      .select("doc_id", "n_tokens", "dup_word_frac", "dup_2gram_frac",
+        "dup_3gram_frac", "top_token_frac", "kept")
+  }
+
+  /** Corpus-level token frequency top-k — the vocabulary report feeding
+    * mixture/contamination analysis. Map-side partial aggregation means
+    * the shuffle carries at most |vocab| rows per task, and the global
+    * top-k is a TakeOrdered (no full sort materialization) — at 100 TB
+    * the cost is one scan + a vocabulary-sized exchange. Ties break by
+    * token text so the result is deterministic in both engines.
+    */
+  def tokenTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   /** Token-budget packing: assign each document to a training pack of
     * ≤ `budget` tokens (first-fit in doc_id order; a doc whose exclusive
     * running total crosses a pack boundary starts the next pack, so a

@@ -188,6 +188,17 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Banded range join: clicks within ±30 min of each purchase, same
+    // user. Time-banding turns the per-key cross product into an
+    // equi-join on (user_id, band) with candidates bounded ×3 — the
+    // naive |Δt|<=W theta join is quadratic per hot key (RangeJoin doc).
+    "events_range_join" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.RangeJoin.countInWindow(p, c, key = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts", widthUs = RangeWidthUs)
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (30 min) via window lag + running sum.
     "events_sessionize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -210,6 +221,9 @@ object AnalyticsQueries {
     * and interpolated into BOTH engines (30 minutes).
     */
   private val AsofToleranceUs: Long = 30L * 60 * 1000000
+
+  /** Range-join half-width for events_range_join, micros (30 minutes). */
+  private val RangeWidthUs: Long = 30L * 60 * 1000000
 
   /** Shared left/right projections of the as-of pair: purchases probe the
     * clicks stream. Non-key right columns renamed so the sides stay
@@ -367,6 +381,21 @@ object AnalyticsQueries {
          |       CASE WHEN ok THEN click_ts END AS click_ts,
          |       CASE WHEN ok THEN click_value END AS click_value
          |FROM j ORDER BY event_id""".stripMargin,
+    "events_range_join" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+         |  FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id, p.ts, p."value",
+         |       CAST(COUNT(c.click_ts) AS BIGINT) AS n_in_window
+         |FROM p LEFT JOIN c
+         |  ON p.user_id = c.user_id
+         | AND abs(epoch_us(p.ts) - epoch_us(c.click_ts)) <= ${RangeWidthUs}
+         |GROUP BY p.event_id, p.user_id, p.ts, p."value"
+         |ORDER BY p.event_id""".stripMargin,
+
     "events_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",

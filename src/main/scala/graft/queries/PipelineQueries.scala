@@ -29,6 +29,14 @@ object PipelineQueries {
   private val Probes = 8
   private val TopK = 10
 
+  /** Repetition-filter thresholds (text_repetition): chosen so the gate
+    * splits this corpus meaningfully (319/500 kept at sf0.01) — real
+    * deployments tune per corpus; both engines interpolate the same
+    * constants.
+    */
+  private val Dup2Max = 0.05
+  private val TopTokMax = 0.12
+
   private def queryPred = col("vec_id") < 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -91,6 +99,16 @@ object PipelineQueries {
       TextOps.quality(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_tokens" -> ((s, dir) =>
       TextOps.tokens(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // Gopher-style repetition signals + filter verdict (r7): fused
+    // one-pass kernel, shuffle-free scan-speed gate.
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetition(Tables.load(s, dir, "documents"), Dup2Max, TopTokMax)
+        .orderBy(col("doc_id"))),
+    // Corpus vocabulary report (r7): token frequency top-k, partial-agg
+    // shuffle + TakeOrdered, deterministic tie-break by token.
+    "corpus_token_topk" -> ((s, dir) =>
+      // k=20 < |vocab| so the cut actually selects (ties broken by token)
+      TextOps.tokenTopK(Tables.load(s, dir, "documents"), k = 20)),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -655,6 +673,41 @@ object PipelineQueries {
          |       THEN CAST(length(text) AS DOUBLE)
          |            / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) END AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |mx AS (
+         |  SELECT doc_id, max(c) AS max_cnt, CAST(count(*) AS BIGINT) AS uniq1 FROM (
+         |    SELECT doc_id, tok, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |    GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |g AS (
+         |  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n,
+         |    CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS uniq2,
+         |    CAST(len(list_distinct(list_transform(range(1, len(toks)-1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS uniq3,
+         |    mx.max_cnt, mx.uniq1
+         |  FROM t JOIN mx ON t.doc_id = mx.doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(n - uniq1 AS DOUBLE)/n AS dup_word_frac,
+         |  CASE WHEN n >= 2 THEN CAST(n-1-uniq2 AS DOUBLE)/(n-1) END AS dup_2gram_frac,
+         |  CASE WHEN n >= 3 THEN CAST(n-2-uniq3 AS DOUBLE)/(n-2) END AS dup_3gram_frac,
+         |  CAST(max_cnt AS DOUBLE)/n AS top_token_frac,
+         |  (n >= 2 AND CAST(n-1-uniq2 AS DOUBLE)/(n-1) <= $Dup2Max
+         |    AND CAST(max_cnt AS DOUBLE)/n <= $TopTokMax) AS kept
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "corpus_token_topk" ->
+      s"""SELECT tok AS token, COUNT(*) AS n_occurrences
+         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |      FROM documents)
+         |GROUP BY tok
+         |ORDER BY n_occurrences DESC, token
+         |LIMIT 20""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${poly("text")} AS fingerprint,

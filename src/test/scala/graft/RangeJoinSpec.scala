@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.queries.AnalyticsQueries
+
+/** Banded range join: losslessness vs the naive theta join, boundary
+  * inclusivity, and the candidate-bounded equi-join plan shape.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  private val W = 30L * 60 * 1000000 // 30 min in micros
+
+  test("banding is lossless: counts equal the naive |Δt|<=W theta join on real events") {
+    val (p, c) = AnalyticsQueries.asofSides(spark, sf)
+    val banded = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W)
+      .select("event_id", "n_in_window")
+    val naive = p.as("p").join(c.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          abs(unix_micros(col("p.ts")) - unix_micros(col("c.click_ts"))) <= W,
+        "left_outer")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(count(col("c.click_ts")).as("n_in_window"))
+    assert(banded.exceptAll(naive).count() === 0 && naive.exceptAll(banded).count() === 0)
+    assert(banded.filter(col("n_in_window") > 0).count() > 0, "fixture must exercise matches")
+  }
+
+  test("window boundary is inclusive at exactly W and exclusive one microsecond past") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val l = Seq((1L, 7L, t0)).toDF("event_id", "k", "lt")
+    val r = Seq(
+      (7L, new Timestamp(t0.getTime - W / 1000)), // exactly W before → counts
+      (7L, new Timestamp(t0.getTime + W / 1000)), // exactly W after → counts
+      (7L, new Timestamp(t0.getTime + W / 1000 + 1)) // 1 ms past → excluded
+    ).toDF("k", "rt")
+    val got = RangeJoin.countInWindow(l, r, Seq("k"), "lt", "rt", W).head()
+    assert(got.getLong(got.fieldIndex("n_in_window")) === 2L)
+  }
+
+  test("plan shape: equi-join on (key, band) — no nested-loop, no cartesian") {
+    val (p, c) = AnalyticsQueries.asofSides(spark, sf)
+    val plan = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+    assert(plan.contains("__band"), s"band key missing from the join:\n$plan")
+  }
+}

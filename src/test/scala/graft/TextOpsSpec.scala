@@ -21,6 +21,40 @@ class TextOpsSpec extends SparkSpec {
     exact.unpersist(); mh.unpersist()
   }
 
+  test("repetition signals: exact fractions on a hand-built doc, kept flag respects " +
+      "thresholds, and the gate runs shuffle-free at scan speed") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a a a b"), // n=4 uniq1=2; 2grams {aa,aa,ab}→uniq2=2; 3grams {aaa,aab}→uniq3=2; max=3
+      (2L, "x y z w"), // fully unique
+      (3L, "p p p p") // degenerate: one token repeated
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(tiny, dup2Max = 0.4, topTokMax = 0.6)
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(r(0).fieldIndex("dup_word_frac")) === 0.5)
+    assert(r(0).getDouble(r(0).fieldIndex("dup_2gram_frac")) === 1.0 / 3)
+    assert(r(0).getDouble(r(0).fieldIndex("dup_3gram_frac")) === 0.0)
+    assert(r(0).getDouble(r(0).fieldIndex("top_token_frac")) === 0.75)
+    assert(!r(0).getBoolean(r(0).fieldIndex("kept"))) // top 0.75 > 0.6
+    assert(r(1).getDouble(r(1).fieldIndex("dup_word_frac")) === 0.0)
+    assert(r(1).getBoolean(r(1).fieldIndex("kept")))
+    assert(r(2).getDouble(r(2).fieldIndex("dup_2gram_frac")) === 2.0 / 3)
+    assert(!r(2).getBoolean(r(2).fieldIndex("kept")))
+    // scan-speed gate: per-row arithmetic only, no Exchange anywhere
+    val plan = TextOps.repetition(docs, 0.05, 0.12).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition filter must not shuffle:\n$plan")
+  }
+
+  test("token top-k: exact counts, count-then-token ordering, TakeOrdered plan") {
+    import spark.implicits._
+    val tiny = Seq((1L, "b a b"), (2L, "a c b")).toDF("doc_id", "text")
+    val got = TextOps.tokenTopK(tiny, k = 2).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("b", 3L), ("a", 2L)))
+    val plan = TextOps.tokenTopK(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("span decontamination: an 8-word span hit implies a 3-gram hit; spans are rarer") {
     val bench = org.apache.spark.sql.functions.col("doc_id") % 97 === 0
     import org.apache.spark.sql.functions.col
