@@ -159,6 +159,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components of the banded-MinHash near-dup graph —
+    * CLUSTER-level dedup. Pairwise loser-dropping is not transitive (in a
+    * chain a~b~c it drops b AND c even though c only resembles b, and a
+    * pairwise rule applied per-pair can drop both endpoints of an edge
+    * whose partners were already dropped); the correct keeper rule needs
+    * the component: every doc maps to the SMALLEST doc_id reachable
+    * through near-dup pairs (singletons map to themselves), keep one doc
+    * per component_id.
+    *
+    * Iterative min-label propagation: each round every doc takes the min
+    * of its own label and its neighbors' labels — two hash joins + one
+    * aggregate per round, converging in graph-diameter rounds (near-dup
+    * clusters are near-cliques, so 2-3 in practice; `maxIter` bounds
+    * pathological chains). `localCheckpoint` truncates the plan lineage
+    * per round — without it the iteration re-analyzes a plan that doubles
+    * every round. At 100 TB the same loop runs with the alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce") to cut rounds to O(log n); the per-round
+    * dataflow — join, min-aggregate, join — is identical.
+    *
+    * Deterministic: labels only decrease toward the unique per-component
+    * minimum, so the fixpoint is partition- and order-independent. The
+    * oracle replays it as a recursive transitive closure.
+    */
+  def components(docs: DataFrame, tau: Double = 0.5, bands: Int = 4,
+                 maxIter: Int = 20): DataFrame = {
+    val pairs = minhashPairs(docs, tau, bands).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min(col("component_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
+            .as("component_id"))
+        .localCheckpoint(true)
+      // labels only decrease — any strict decrease means another round
+      converged = next.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
+        .filter(col("component_id") < col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash signature width and per-bit universal-hash params (shared
     * with the oracle SQL, see [[graft.functions.SimHash60Impl]]).
     */

@@ -54,6 +54,12 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), HammingTau, ShBands)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Cluster-level dedup (r7): connected components of the MinHash
+    // near-dup graph by iterative min-label propagation — the
+    // transitively-correct keeper rule (oracle: recursive closure).
+    "dedup_components" -> ((s, dir) =>
+      Dedup.components(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
+        .orderBy(col("doc_id"))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingPairs(Tables.load(s, dir, "embeddings"), CosTau)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -338,6 +344,39 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the pair stage is the dedup_minhash oracle verbatim; the closure
+    // replays min-label propagation as a recursive reachability min
+    "dedup_components" -> ("WITH RECURSIVE " + shingleCteBody("documents") +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verify
+         |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT d.doc_id,
+         |       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS component_id
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY doc_id""".stripMargin),
 
     "dedup_simhash" -> (ShingleCte +
       s"""

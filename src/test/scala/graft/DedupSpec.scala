@@ -67,6 +67,36 @@ class DedupSpec extends SparkSpec {
     assert(full.except(pref).count() === 0)
   }
 
+  test("connected components equal a driver-side union-find over the same pairs; " +
+      "fixpoint is idempotent and component ids are member minima") {
+    val comp = Dedup.components(docs).cache()
+    // independent reference: classic union-find on the collected pair list
+    val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(got.size === n)
+    got.foreach { case (doc, c) =>
+      assert(c === find(doc), s"doc $doc: got component $c, union-find says ${find(doc)}")
+    }
+    // component id is the minimum member — so it is itself in the component
+    assert(got.forall { case (_, c) => got(c) == c })
+    // one more propagation round changes nothing (true fixpoint, not maxIter)
+    val again = Dedup.components(docs)
+    assert(comp.except(again).count() === 0 && again.except(comp).count() === 0)
+    assert(got.values.toSet.size < n, "fixture must contain at least one real cluster")
+    comp.unpersist()
+  }
+
   test("near-dup pairs are canonical (doc_a < doc_b) and within threshold bounds") {
     val p = Dedup.ngramJaccardPairs(docs).cache()
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
