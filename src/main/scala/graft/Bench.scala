@@ -28,7 +28,8 @@ object Bench {
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
     "events_approx",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
-    "corpus_token_topk", "doc_fingerprint", "mm_meta",
+    "corpus_token_topk", "corpus_ngram_topk", "dedup_components",
+    "doc_fingerprint", "mm_meta",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash", "pipeline_token_pack",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_quality_topq", "pipeline_mixture")

@@ -195,6 +195,35 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Corpus-level n-gram frequency top-k (default bigrams) — the phrase
+    * report behind contamination triage and boilerplate detection.
+    * Grams are built declaratively with `lead` over (doc, position) — no
+    * UDF, no interpreted HOF array: posexplode keeps scan order, ONE
+    * shuffle on doc_id for the window, then the vocabulary-sized
+    * aggregate and a TakeOrdered. (A RepStats-style fused kernel
+    * emitting grams directly would drop the first shuffle at the cost
+    * of a per-n expression — the declarative form wins until profiling
+    * says otherwise.) Ties break by gram text, deterministic in both
+    * engines.
+    */
+  def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 4, s"ngramTopK: n must be in [2,4], got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")))
+      .toDF("doc_id", "pos", "tok")
+    val withNext = (1 until n).foldLeft(toks)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
+    withNext
+      .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Token-budget packing: assign each document to a training pack of
     * ≤ `budget` tokens (first-fit in doc_id order; a doc whose exclusive
     * running total crosses a pack boundary starts the next pack, so a

@@ -115,6 +115,10 @@ object PipelineQueries {
     "corpus_token_topk" -> ((s, dir) =>
       // k=20 < |vocab| so the cut actually selects (ties broken by token)
       TextOps.tokenTopK(Tables.load(s, dir, "documents"), k = 20)),
+    // Corpus phrase report (r7): top bigrams via lead-window gram
+    // construction — no UDF, one doc_id shuffle + TakeOrdered.
+    "corpus_ngram_topk" -> ((s, dir) =>
+      TextOps.ngramTopK(Tables.load(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -746,6 +750,17 @@ object PipelineQueries {
          |      FROM documents)
          |GROUP BY tok
          |ORDER BY n_occurrences DESC, token
+         |LIMIT 20""".stripMargin,
+
+    "corpus_ngram_topk" ->
+      s"""SELECT g AS ngram, COUNT(*) AS n_occurrences
+         |FROM (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS g
+         |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents))
+         |GROUP BY g
+         |ORDER BY n_occurrences DESC, ngram
          |LIMIT 20""".stripMargin,
 
     "doc_fingerprint" ->

@@ -55,6 +55,24 @@ class TextOpsSpec extends SparkSpec {
       s"top-k must plan as TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("ngram top-k: exact bigram/trigram counts, ordering, and totals match token math") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: doc1 {a b, b a, a b}, doc2 {a b, b c} → "a b"×3, "b a"×1, "b c"×1
+    val bi = TextOps.ngramTopK(tiny, n = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bi === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    val tri = TextOps.ngramTopK(tiny, n = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tri === Seq(("a b a", 1L), ("a b c", 1L), ("b a b", 1L)))
+    // total bigram occurrences = Σ (n_tokens - 1) over the corpus
+    val total = TextOps.ngramTopK(docs, n = 2, k = 1000000)
+      .agg(sum("n_occurrences")).head().getLong(0)
+    val expected = TextOps.repetition(docs, 0.05, 0.12)
+      .agg(sum(col("n_tokens") - 1)).head().getLong(0)
+    assert(total === expected)
+  }
+
   test("span decontamination: an 8-word span hit implies a 3-gram hit; spans are rarer") {
     val bench = org.apache.spark.sql.functions.col("doc_id") % 97 === 0
     import org.apache.spark.sql.functions.col
