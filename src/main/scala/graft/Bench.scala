@@ -32,7 +32,8 @@ object Bench {
     "doc_fingerprint", "mm_meta",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash", "pipeline_token_pack",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
-    "pipeline_quality_topq", "pipeline_mixture")
+    "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
+    "mm_audiowindow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

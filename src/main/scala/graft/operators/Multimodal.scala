@@ -96,6 +96,26 @@ object Multimodal {
       .select("doc_id", "n_frames", "frame_idx", "byte_offset", "frame_len")
   }
 
+  /** Audio segmentation work list — the overlapping-window analogue of
+    * [[frameSample]] (the pre-stage every STFT/VAD/feature pipeline runs
+    * BEFORE any decode): 10 ms windows (sample_rate/100 samples) at 50%
+    * hop over each audio payload, each row an exact integer
+    * (offset, length) with the tail window truncated at the payload end.
+    * Narrow explode, fan-out bounded by n_samples/hop per doc; exact
+    * integer arithmetic end to end, so fully oracle-checked
+    * (`mm_audiowindow`).
+    */
+  def audioWindows(docs: DataFrame): DataFrame =
+    meta(docs).filter(col("format") === "audio")
+      .withColumn("win_len", expr("sample_rate DIV 100"))
+      .withColumn("hop", expr("(sample_rate DIV 100) DIV 2"))
+      .withColumn("sample_offset",
+        explode(sequence(lit(0L), col("size_bytes") - 1, col("hop"))))
+      .withColumn("win_idx", expr("sample_offset DIV hop"))
+      .withColumn("win_actual", least(col("win_len"), col("size_bytes") - col("sample_offset")))
+      .select("doc_id", "sample_rate", "size_bytes", "win_idx",
+        "sample_offset", "win_len", "win_actual")
+
   /** STUB decoder: a real implementation would hand `batch` to a native
     * codec (libjpeg/ffmpeg) in one call — that's why the iterator is
     * batched. Here it derives a deterministic 8-float "feature" from the

@@ -195,6 +195,24 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Per-language equi-depth quality binning (NTILE deciles) — the
+    * mixture-building block between raw scores and top-q cuts: decile 1
+    * is each language's best tenth, so downstream sampling can weight by
+    * bin instead of re-sorting scores. One shuffle on lang (the window);
+    * ties broken by doc_id so bin edges are deterministic in both
+    * engines. At 100 TB a stratum outgrowing one partition moves to the
+    * sketch path (percentile_approx thresholds, the topq_approx
+    * pattern); the exact form is the oracle.
+    */
+  def qualityDeciles(docs: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"qualityDeciles: bins must be >= 2, got $bins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    qualityCols(docs)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .withColumn("decile", ntile(bins).over(w).cast("long"))
+  }
+
   /** Corpus-level n-gram frequency top-k (default bigrams) — the phrase
     * report behind contamination triage and boilerplate detection.
     * Grams are built declaratively with `lead` over (doc, position) — no

@@ -129,6 +129,16 @@ object PipelineQueries {
     "mm_framesample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+    // Audio segmentation work list (r7): 10ms windows at 50% hop —
+    // the overlapping-window analogue of mm_framesample.
+    "mm_audiowindow" -> ((s, dir) =>
+      Multimodal.audioWindows(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("win_idx"))),
+    // Per-language equi-depth quality deciles (r7): the mixture block
+    // between raw scores and top-q cuts.
+    "pipeline_quality_deciles" -> ((s, dir) =>
+      TextOps.qualityDeciles(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // the 100-TB form: same pipeline, near-dup stage = banded MinHash
@@ -769,6 +779,48 @@ object PipelineQueries {
          |            for i in generate_series(1, greatest(length(text)-7, 1))]) AS min_gram_hash,
          |  CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // quality replayed exactly as in text_quality (same CTE shape, lang
+    // carried through), then the standard equi-depth NTILE per language
+    "pipeline_quality_deciles" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM ws),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM m)
+         |SELECT doc_id, lang, quality,
+         |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "mm_audiowindow" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id,
+         |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+         |         ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+         |  FROM documents),
+         |auds AS (
+         |  SELECT doc_id, CAST(8000 + (checksum % 4) * 8000 AS BIGINT) AS sample_rate, size_bytes
+         |  FROM blobs WHERE format = 'audio'),
+         |w AS (
+         |  SELECT doc_id, sample_rate, size_bytes,
+         |         sample_rate // 100 AS win_len, (sample_rate // 100) // 2 AS hop
+         |  FROM auds),
+         |wins AS (
+         |  SELECT *, unnest(generate_series(0, size_bytes - 1, hop)) AS o FROM w)
+         |SELECT doc_id, sample_rate, size_bytes,
+         |       CAST(o // hop AS BIGINT) AS win_idx, CAST(o AS BIGINT) AS sample_offset,
+         |       win_len, least(win_len, size_bytes - o) AS win_actual
+         |FROM wins ORDER BY doc_id, win_idx""".stripMargin,
 
     "mm_meta" ->
       s"""WITH blobs AS (

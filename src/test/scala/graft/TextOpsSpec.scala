@@ -73,6 +73,39 @@ class TextOpsSpec extends SparkSpec {
     assert(total === expected)
   }
 
+  test("quality deciles: per-language bins are equi-depth (±1), best scores in bin 1, " +
+      "every doc binned") {
+    val d = TextOps.qualityDeciles(docs).cache()
+    assert(d.count() === docs.count())
+    // equi-depth: within a language, bin sizes differ by at most 1
+    val spreadOff = d.groupBy("lang", "decile").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(spreadOff === 0)
+    // monotone: a language's worst bin-1 score >= its best bin-10 score
+    val b = d.groupBy("lang").agg(
+      min(when(col("decile") === 1, col("quality"))).as("worst_top"),
+      max(when(col("decile") === 10, col("quality"))).as("best_bottom"))
+    assert(b.filter(col("worst_top") < col("best_bottom")).count() === 0)
+    d.unpersist()
+  }
+
+  test("audio windows: audio docs only, window 0 at offset 0, offsets step by hop, " +
+      "tail truncated at the payload end") {
+    val w = Multimodal.audioWindows(docs).cache()
+    val m = Multimodal.meta(docs).filter(col("format") === "audio")
+    assert(w.select("doc_id").distinct().count() === m.count())
+    assert(w.filter(col("win_idx") === 0 && col("sample_offset") =!= 0).count() === 0)
+    val hop = expr("(sample_rate DIV 100) DIV 2")
+    assert(w.filter(col("sample_offset") =!= col("win_idx") * hop).count() === 0)
+    assert(w.filter(col("win_actual") > col("win_len") || col("win_actual") < 1).count() === 0)
+    // windows cover the payload: the last window ends exactly at size_bytes
+    val lastEnd = w.groupBy("doc_id", "size_bytes")
+      .agg(max(col("sample_offset") + col("win_actual")).as("covered"))
+    assert(lastEnd.filter(col("covered") =!= col("size_bytes")).count() === 0)
+    w.unpersist()
+  }
+
   test("span decontamination: an 8-word span hit implies a 3-gram hit; spans are rarer") {
     val bench = org.apache.spark.sql.functions.col("doc_id") % 97 === 0
     import org.apache.spark.sql.functions.col
