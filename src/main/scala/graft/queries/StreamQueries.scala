@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{AsOfStream, DedupStream, SimilarityStream, TopicStream}
+import graft.streaming.{AsOfStream, DedupStream, RangeJoinStream, SimilarityStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -119,6 +119,14 @@ object StreamQueries {
       AsOfStream.asofStream(s, dir, out, ckpt)
         .orderBy(col("event_id"))
     }),
+    // Streaming banded range join: arriving purchases count in-window
+    // clicks against the (user_id, band)-bucketed index; replay
+    // reproduces events_range_join (oracle verbatim).
+    "stream_range_join" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_range_join", dir)
+      RangeJoinStream.rangeCountStream(s, dir, out, ckpt)
+        .orderBy(col("event_id"))
+    }),
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
@@ -135,6 +143,7 @@ object StreamQueries {
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
     "stream_asof" -> AnalyticsQueries.oracles("events_asof"),
+    "stream_range_join" -> AnalyticsQueries.oracles("events_range_join"),
     // decided-record routing == batch ask-with-decisions-table exactly
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even

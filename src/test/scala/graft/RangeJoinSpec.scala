@@ -41,6 +41,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.getLong(got.fieldIndex("n_in_window")) === 2L)
   }
 
+  test("stream_range_join: multi-batch replay equals the batch banded join; the bucketed " +
+      "click index never exchanges") {
+    import graft.streaming.{RangeJoinStream, TopicStream}
+    import graft.sources.Tables
+    val dir = "target/stream-scratch/range-split"
+    Tables.load(spark, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (out, ckpt) = TopicStream.scratchDirs("spec_range_stream", dir)
+    val got = RangeJoinStream.rangeCountStream(spark, dir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val plan = TopicStream.lastBatchPlan
+    assert(plan.contains("graft_range_clicks"), s"bucketed click index scan missing:\n$plan")
+    val cut = plan.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) plan.substring(0, cut) else plan
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex === 1, s"range probe must shuffle only the micro-batch (1 Exchange):\n$plan")
+    val want = AnalyticsQueries.queries("events_range_join")(spark, sf)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    assert(got.filter(col("n_in_window") > 0).count() > 0)
+    assert(got.filter(col("n_in_window") === 0).count() > 0,
+      "fixture must exercise the zero-match carrier path")
+  }
+
   test("plan shape: equi-join on (key, band) — no nested-loop, no cartesian") {
     val (p, c) = AnalyticsQueries.asofSides(spark, sf)
     val plan = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W)
