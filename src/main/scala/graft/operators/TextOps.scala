@@ -108,6 +108,23 @@ object TextOps {
       .select("doc_id", "quality")
   }
 
+  /** [[cleanCorpus]] with the TRANSITIVELY-correct near-dup stage: keep
+    * exactly one doc per connected component of the MinHash near-dup
+    * graph ([[Dedup.components]]) instead of dropping every pair's
+    * higher id. The pairwise rule can keep TWO docs of one near-dup
+    * cluster (a~c, b~c with a≁b keeps both a and b); the component rule
+    * keeps only the cluster minimum. Component keepers never appear as
+    * a pair's doc_b, so CC survivors ⊆ pairwise survivors (spec).
+    */
+  def cleanCorpusComponents(docs: DataFrame, minQuality: Double = 0.48,
+                            tau: Double = 0.5): DataFrame = {
+    val afterExact = qualityExactSurvivors(docs, minQuality)
+    val comp = Dedup.components(afterExact, tau)
+    afterExact.join(comp, "doc_id")
+      .filter(col("component_id") === col("doc_id"))
+      .select("doc_id", "quality")
+  }
+
   /** [[cleanCorpus]] riding the scale-safe banded-MinHash near-dup stage —
     * the default 100-TB form: candidate pairs come from 4×4 MinHash band
     * buckets (high-cardinality keys, quadratic work confined to tiny

@@ -145,6 +145,11 @@ object PipelineQueries {
     // (round-3 VERDICT #2 — the flagship must ride a scale-safe stage)
     "pipeline_clean_corpus_minhash" -> ((s, dir) =>
       TextOps.cleanCorpusMinhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // transitively-correct flagship (r7): near-dup stage keeps one doc
+    // per connected component instead of dropping pairwise losers
+    "pipeline_clean_corpus_cc" -> ((s, dir) =>
+      TextOps.cleanCorpusComponents(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "pipeline_token_pack" -> ((s, dir) =>
       TextOps.tokenPack(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // benchmark set = every 97th doc (deterministic eval sample)
@@ -572,6 +577,40 @@ object PipelineQueries {
          |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
          |SELECT doc_id, quality FROM after_exact
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin),
+
+    // the CC flagship: minhash pairs over the survivor set (as in the
+    // _minhash form), then the recursive component closure — keep each
+    // cluster's minimum member only
+    "pipeline_clean_corpus_cc" -> (cleanCorpusPrefix.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |exb AS (SELECT doc_id, band_id, band_val FROM bands
+         |        UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exb a JOIN exb b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                        AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verify
+         |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT s.doc_id, s.quality
+         |FROM after_exact s LEFT JOIN reach r ON r.src = s.doc_id
+         |GROUP BY s.doc_id, s.quality
+         |HAVING least(s.doc_id, coalesce(min(r.dst), s.doc_id)) = s.doc_id
          |ORDER BY doc_id""".stripMargin),
 
     // same pipeline, near-dup stage = the dedup_minhash band/verify CTEs

@@ -32,13 +32,17 @@ class NativeHashSpec extends SparkSpec {
       expr("graft_simhash32(graft_shingle_hashes(text))").as("sh"),
       expr("graft_min_gram_hash(text, 8)").as("mg"),
       expr("graft_lang_scores(text)").as("ls"),
-      expr("graft_text_stats(text)").as("ts"))
+      expr("graft_text_stats(text)").as("ts"),
+      expr("graft_rep_stats(text)").as("rs"))
     val r4 = out.filter(col("id") === 4).head()
-    assert((1 to 4).forall(r4.isNullAt))
+    assert((1 to 5).forall(r4.isNullAt))
     val r2 = out.filter(col("id") === 2).head()
     assert(r2.getLong(1) === 0L) // empty shingle set -> all-zero votes
     assert(r2.getLong(2) === 0L) // polyhash('') = 0
     assert(r2.getSeq[Long](3).forall(_ === 0L))
+    // empty text: split('') = [''] — 1 token, 1 uniq, no 2/3-grams, max 1
+    // (exactly string_split_regex('', '\s+') in the oracle's dialect)
+    assert(r2.getSeq[Long](5) === Seq(1L, 1L, 0L, 0L, 1L))
   }
 
   test("text kernels fold codepoints: parity with HOF twins beyond ASCII (round-2 ADVICE)") {

@@ -21,6 +21,21 @@ class TextOpsSpec extends SparkSpec {
     exact.unpersist(); mh.unpersist()
   }
 
+  test("component clean-corpus keeps exactly one doc per near-dup cluster — a subset " +
+      "of the pairwise form (which can keep two docs of one cluster)") {
+    val cc = graft.operators.TextOps.cleanCorpusComponents(docs).cache()
+    val pw = graft.operators.TextOps.cleanCorpusMinhash(docs).cache()
+    // a component keeper is its cluster minimum, so it is never any
+    // pair's doc_b — pairwise keeps it too
+    assert(cc.select("doc_id").except(pw.select("doc_id")).count() === 0)
+    // exactly one survivor per component
+    val afterExact = graft.operators.TextOps.qualityExactSurvivors(docs)
+    val nComponents = graft.operators.Dedup.components(afterExact)
+      .select("component_id").distinct().count()
+    assert(cc.count() === nComponents)
+    cc.unpersist(); pw.unpersist()
+  }
+
   test("repetition signals: exact fractions on a hand-built doc, kept flag respects " +
       "thresholds, and the gate runs shuffle-free at scan speed") {
     import spark.implicits._
