@@ -188,7 +188,12 @@ object Dedup {
     val pairs = minhashPairs(docs, tau, bands).select("doc_a", "doc_b")
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component_id"))
+    // only EDGE vertices can ever change label — the loop runs on the
+    // (small) near-dup vertex set, never the whole corpus; singletons
+    // join back once at the end. At a 10% dup rate this shrinks every
+    // iteration's materialized state 10×.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("component_id", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -208,7 +213,9 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    labels
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("component_id"))
   }
 
   /** SimHash signature width and per-bit universal-hash params (shared
