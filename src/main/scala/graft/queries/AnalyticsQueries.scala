@@ -199,6 +199,29 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Funnel resolution by CHAINED as-of joins: purchase ← its latest
+    // prior click ← THAT click's latest prior view. Two single-shuffle
+    // windows; stage 2's left time is stage 1's (nullable) match time,
+    // exercising the null-left-never-matches contract for real: a
+    // click-less purchase cannot acquire a view. funnel_depth ∈ {1,2,3}.
+    "events_funnel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val s1 = graft.operators.AsOf.joinAsOf(p, c, key = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts", tieBreak = Seq("click_id"))
+      val s2 = graft.operators.AsOf.joinAsOf(s1, v, key = Seq("user_id"),
+        leftTime = "click_ts", rightTime = "view_ts", tieBreak = Seq("view_id"))
+      s2.withColumn("funnel_depth",
+          lit(1L) + col("click_id").isNotNull.cast("long") +
+            col("view_id").isNotNull.cast("long"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (30 min) via window lag + running sum.
     "events_sessionize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -395,6 +418,35 @@ object AnalyticsQueries {
          | AND abs(epoch_us(p.ts) - epoch_us(c.click_ts)) <= ${RangeWidthUs}
          |GROUP BY p.event_id, p.user_id, p.ts, p."value"
          |ORDER BY p.event_id""".stripMargin,
+
+    // NOTE: DuckDB 1.0's ASOF matches a NULL probe time to the greatest
+    // right row (nulls sort high); graft's contract — mirrored from
+    // pandas merge_asof, which rejects null keys outright — is that a
+    // null time never matches, so the view columns are explicitly nulled
+    // for click-less rows.
+    "events_funnel" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+         |  FROM events WHERE event_type = 'click'),
+         |v AS (
+         |  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+         |  FROM events WHERE event_type = 'view'),
+         |s1 AS (
+         |  SELECT p.event_id, p.user_id, p.ts, p."value", c.click_id, c.click_ts
+         |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts),
+         |s2 AS (
+         |  SELECT s1.*,
+         |         CASE WHEN s1.click_id IS NOT NULL THEN v.view_id END AS view_id,
+         |         CASE WHEN s1.click_id IS NOT NULL THEN v.view_ts END AS view_ts
+         |  FROM s1 ASOF LEFT JOIN v
+         |    ON s1.user_id = v.user_id AND s1.click_ts >= v.view_ts)
+         |SELECT *,
+         |  CAST(1 + CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END
+         |         + CASE WHEN view_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth
+         |FROM s2 ORDER BY event_id""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH e AS (

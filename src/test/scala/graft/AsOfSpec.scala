@@ -126,6 +126,20 @@ class AsOfSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("funnel: chained as-of keeps stage order (view <= click <= purchase) and a " +
+      "click-less purchase never acquires a view (null-left contract, unlike raw DuckDB ASOF)") {
+    val f = AnalyticsQueries.queries("events_funnel")(spark, sf).cache()
+    assert(f.filter(col("click_id").isNull && col("view_id").isNotNull).count() === 0)
+    assert(f.filter(col("view_ts") > col("click_ts") || col("click_ts") > col("ts"))
+      .count() === 0)
+    // depth column is derived, not independent
+    assert(f.filter(col("funnel_depth") =!=
+      (lit(1) + col("click_id").isNotNull.cast("long") + col("view_id").isNotNull.cast("long")))
+      .count() === 0)
+    assert(f.count() > 0)
+    f.unpersist()
+  }
+
   test("events_asof matches a window-free reference computed per row") {
     // independent in-test oracle at sf0.001 (the DuckDB ASOF gate runs at
     // sf0.01 in Verify): per purchase, max_by over the filtered clicks
