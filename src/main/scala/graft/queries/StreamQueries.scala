@@ -127,6 +127,14 @@ object StreamQueries {
       RangeJoinStream.rangeCountStream(s, dir, out, ckpt)
         .orderBy(col("event_id"))
     }),
+    // Streaming funnel: arriving purchases resolve click-then-view
+    // against two bucketed histories; replay reproduces events_funnel
+    // (oracle verbatim).
+    "stream_funnel" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_funnel", dir)
+      AsOfStream.funnelStream(s, dir, out, ckpt)
+        .orderBy(col("event_id"))
+    }),
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
@@ -144,6 +152,7 @@ object StreamQueries {
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
     "stream_asof" -> AnalyticsQueries.oracles("events_asof"),
     "stream_range_join" -> AnalyticsQueries.oracles("events_range_join"),
+    "stream_funnel" -> AnalyticsQueries.oracles("events_funnel"),
     // decided-record routing == batch ask-with-decisions-table exactly
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even

@@ -99,4 +99,87 @@ object AsOfStream {
     TopicStream.awaitAndCapturePlan(q)
     spark.read.parquet(outDir)
   }
+
+  /** Streaming funnel resolution — the online face of events_funnel:
+    * each arriving purchase resolves its latest prior click, and THAT
+    * click its latest prior view, against TWO static histories each
+    * materialized once bucketed by user_id. Stage 1 is the streaming
+    * stream-static join (plan-captured; zero static Exchange); stage 2
+    * runs per batch on the REDUCED stage-1 rows — the view probe is a
+    * plain batch plan against the bucketed views table
+    * ([[resolveViews]], pinned directly in the spec the way the
+    * clean-ingest shingle probe is). A click-less purchase never
+    * acquires a view (null-left contract). Replay equals events_funnel
+    * exactly (its oracle verbatim).
+    */
+  def funnelStream(spark: SparkSession, dir: String,
+                   outDir: String, checkpointDir: String,
+                   maxFilesPerTrigger: Option[Int] = None,
+                   tablePrefix: String = "graft_funnel"): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    val e = Tables.load(spark, dir, "events")
+    val clicksTable = s"${tablePrefix}_clicks"
+    Bucketing.writeBucketed(
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),
+      clicksTable, IndexBuckets, "user_id")
+    val viewsTable = s"${tablePrefix}_views"
+    Bucketing.writeBucketed(
+      e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+      viewsTable, IndexBuckets, "user_id")
+    val clicks = spark.table(clicksTable)
+    val views = spark.table(viewsTable)
+
+    val purchases = TopicStream.eventsStream(spark, s"$dir/events.parquet", maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val candidates = purchases
+      .join(clicks.hint("merge"), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("click_ts") <= col("ts"),
+          struct(col("click_ts"), col("click_id"))).as("m"))
+
+    val q = candidates.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s1 = batch
+          .groupBy(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .agg(max(col("m")).as("m"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"))
+        resolveViews(s1, views)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    spark.read.parquet(outDir)
+  }
+
+  /** Stage 2 of the streaming funnel: the reduced (one-click) batch rows
+    * probe the user_id-bucketed views table — zero static-side Exchange
+    * (spec-pinned as a batch plan) — and reduce to each click's latest
+    * at-or-before view. Null click times never match, so click-less
+    * purchases pass through with null views; funnel_depth mirrors the
+    * batch query's derivation exactly.
+    */
+  private[graft] def resolveViews(s1: DataFrame, views: DataFrame): DataFrame =
+    s1.join(views.hint("merge"), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"),
+        when(col("view_ts") <= col("click_ts"),
+          struct(col("view_ts"), col("view_id"))).as("mv"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"))
+      .agg(max(col("mv")).as("mv"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"),
+        col("mv.view_id").as("view_id"), col("mv.view_ts").as("view_ts"))
+      .withColumn("funnel_depth",
+        lit(1L) + col("click_id").isNotNull.cast("long") +
+          col("view_id").isNotNull.cast("long"))
 }

@@ -140,6 +140,37 @@ class AsOfSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("stream_funnel: multi-batch replay equals batch events_funnel; both bucketed " +
+      "histories probe with zero static Exchange") {
+    import graft.streaming.{AsOfStream, TopicStream}
+    import graft.sources.Tables
+    val dir = "target/stream-scratch/funnel-split"
+    Tables.load(spark, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (out, ckpt) = TopicStream.scratchDirs("spec_funnel_stream", dir)
+    val got = AsOfStream.funnelStream(spark, dir, out, ckpt, maxFilesPerTrigger = Some(1))
+    // stage 1 (streaming plan): bucketed click history, batch-only shuffle
+    val plan = TopicStream.lastBatchPlan
+    assert(plan.contains("graft_funnel_clicks"), s"bucketed click scan missing:\n$plan")
+    val cut = plan.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) plan.substring(0, cut) else plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"funnel stage 1 must shuffle only the micro-batch:\n$plan")
+    // stage 2 (per-batch plan): pin it directly — the views table reads
+    // bucketed with no Exchange; the batch side shuffles for join + agg
+    val s1 = AnalyticsQueries.queries("events_asof")(spark, sf)
+      .select("event_id", "user_id", "ts", "value", "click_id", "click_ts")
+    val probePlan = graft.streaming.AsOfStream
+      .resolveViews(s1, spark.table("graft_funnel_views"))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("graft_funnel_views"), probePlan)
+    assert(!probePlan.contains("BroadcastExchange"),
+      s"the views history must not broadcast:\n$probePlan")
+    val want = AnalyticsQueries.queries("events_funnel")(spark, sf)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    assert(got.filter(col("funnel_depth") === 3).count() > 0)
+  }
+
   test("events_asof matches a window-free reference computed per row") {
     // independent in-test oracle at sf0.001 (the DuckDB ASOF gate runs at
     // sf0.01 in Verify): per purchase, max_by over the filtered clicks
