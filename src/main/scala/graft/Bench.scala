@@ -26,11 +26,12 @@ object Bench {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
-    "events_approx",
+    "events_approx", "events_asof_tolerance",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
     "corpus_token_topk", "corpus_ngram_topk", "dedup_components",
-    "doc_fingerprint", "mm_meta",
-    "pipeline_clean_corpus", "pipeline_clean_corpus_minhash", "pipeline_token_pack",
+    "doc_fingerprint", "mm_meta", "mm_framesample",
+    "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
+    "pipeline_clean_corpus_cc", "pipeline_token_pack",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
     "mm_audiowindow")
@@ -52,9 +53,17 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = headliners.map { name =>
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
+    // rep-MAJOR loop (round-7 VERDICT #1): consecutive-per-query reps let
+    // one transient noise window on the box poison ALL samples of the
+    // queries it covers (BENCH_r07 reported an untouched query at 26× —
+    // pure noise). Interleaving means each query's min samples `reps`
+    // time windows spread across the whole bench run, so a noise window
+    // inflates at most one rep of each affected query and the min stays
+    // noise-free.
+    val timed = Array.fill(headliners.size, reps)(0.0)
+    for (rep <- 0 until reps; (name, qi) <- headliners.zipWithIndex) {
+      val t0 = System.nanoTime()
+      timed(qi)(rep) =
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
@@ -64,9 +73,8 @@ object Bench {
           // be reported as a fast query); one failed rep fails the query
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
-      }
-      name -> times
     }
+    val results = headliners.zipWithIndex.map { case (name, qi) => name -> timed(qi).toSeq }
     // 3-decimal values keep the contract line short: the driver's tail
     // capture holds ~2 KB and round 5's full-precision line (~2.3 KB) was
     // truncated from the front, leaving BENCH_r05.json unparseable
