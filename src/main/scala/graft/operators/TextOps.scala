@@ -118,11 +118,19 @@ object TextOps {
     */
   def cleanCorpusComponents(docs: DataFrame, minQuality: Double = 0.48,
                             tau: Double = 0.5): DataFrame = {
-    val afterExact = qualityExactSurvivors(docs, minQuality)
-    val comp = Dedup.components(afterExact, tau)
-    afterExact.join(comp, "doc_id")
-      .filter(col("component_id") === col("doc_id"))
-      .select("doc_id", "quality")
+    // the quality+exact-dedup subtree feeds BOTH the pair stage inside
+    // components (whose label loop materializes it eagerly, per round
+    // without the cache — round-7 VERDICT #6) and the final keeper join:
+    // persist it across the whole computation, checkpoint the (tiny,
+    // survivors-only) result eagerly, then free the cache.
+    val afterExact = qualityExactSurvivors(docs, minQuality).persist()
+    try {
+      val comp = Dedup.components(afterExact, tau)
+      afterExact.join(comp, "doc_id")
+        .filter(col("component_id") === col("doc_id"))
+        .select("doc_id", "quality")
+        .localCheckpoint(true)
+    } finally afterExact.unpersist()
   }
 
   /** [[cleanCorpus]] riding the scale-safe banded-MinHash near-dup stage —

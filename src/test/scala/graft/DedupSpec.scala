@@ -97,6 +97,53 @@ class DedupSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("large-star/small-star contraction equals min-label propagation on chain, " +
+      "clique and random graphs (the O(log n) form is provably identical)") {
+    import spark.implicits._
+    val chain = (0L until 60L).sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val clique = for (a <- 100L until 110L; b <- (a + 1) until 110L) yield (a, b)
+    val rng = new scala.util.Random(42)
+    val random = Seq.fill(80)((200L + rng.nextInt(60), 200L + rng.nextInt(60)))
+      .filter { case (a, b) => a != b }
+    // two chains joined at the far end + reversed-order edges: labels must
+    // flow against edge direction too
+    val bridge = Seq((300L, 301L), (302L, 301L), (303L, 302L), (59L, 0L))
+    for (pairs <- Seq(chain, clique, random, chain ++ clique ++ random ++ bridge)) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val prop = Dedup.propagateMinLabels(df, maxIter = 100)
+      val star = Dedup.starContract(df, maxIter = 100)
+      // starContract omits self-labeled roots; compare on the union domain
+      val all = df.select(col("doc_a").as("doc_id"))
+        .unionByName(df.select(col("doc_b").as("doc_id"))).distinct()
+      def full(labels: org.apache.spark.sql.DataFrame) =
+        all.join(labels, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      assert(full(star).except(prop).count() === 0)
+      assert(prop.except(full(star)).count() === 0)
+    }
+  }
+
+  test("star contraction converges in far fewer rounds than the chain diameter " +
+      "(maxIter=8 handles a 60-chain that min-label propagation cannot)") {
+    import spark.implicits._
+    val chain = (0L until 60L).sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+      .toDF("doc_a", "doc_b")
+    // O(log 60) rounds suffice for the star form...
+    val star = Dedup.starContract(chain, maxIter = 12)
+    assert(star.filter(col("component_id") =!= 0L).count() === 0)
+    // ...where label propagation needs diameter rounds and must THROW, not
+    // silently return non-minimal labels (round-7 ADVICE)
+    val ex = intercept[IllegalStateException](Dedup.propagateMinLabels(chain, maxIter = 8))
+    assert(ex.getMessage.contains("still changing"))
+  }
+
+  test("componentsLogN equals components end-to-end on the corpus fixture") {
+    val a = Dedup.components(docs)
+    val b = Dedup.componentsLogN(docs)
+    assert(a.except(b).count() === 0)
+    assert(b.except(a).count() === 0)
+  }
+
   test("near-dup pairs are canonical (doc_a < doc_b) and within threshold bounds") {
     val p = Dedup.ngramJaccardPairs(docs).cache()
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
