@@ -27,7 +27,10 @@ object RangeJoinStream {
 
   def rangeCountStream(spark: SparkSession, dir: String,
                        outDir: String, checkpointDir: String,
-                       widthUs: Long = 30L * 60 * 1000000,
+                       // the batch query's constant, not a copy: the
+                       // replay-equals-batch contract depends on the two
+                       // staying identical (round-7 ADVICE)
+                       widthUs: Long = graft.queries.AnalyticsQueries.RangeWidthUs,
                        maxFilesPerTrigger: Option[Int] = None,
                        tablePrefix: String = "graft_range"): DataFrame = {
     require(widthUs > 0, s"rangeCountStream: widthUs must be positive, got $widthUs")

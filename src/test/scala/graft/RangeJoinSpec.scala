@@ -64,6 +64,30 @@ class RangeJoinSpec extends SparkSpec {
       "fixture must exercise the zero-match carrier path")
   }
 
+  test("duplicate left rows each keep their own count (id-keyed regroup, round-7 ADVICE)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // two IDENTICAL left rows: the all-columns regroup collapsed them and
+    // handed each copy the summed 2m count
+    val l = Seq((7L, t0), (7L, t0)).toDF("k", "lt")
+    val r = Seq((7L, t0), (7L, new Timestamp(t0.getTime + 1000))).toDF("k", "rt")
+    val got = RangeJoin.countInWindow(l, r, Seq("k"), "lt", "rt", W)
+      .select("n_in_window").as[Long].collect().toSeq
+    assert(got === Seq(2L, 2L), s"each duplicate must count its own matches, got $got")
+  }
+
+  test("regroup/rejoin shuffles on the narrow left id, never the payload columns") {
+    val (p, c) = AnalyticsQueries.asofSides(spark, sf)
+    val plan = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W,
+        leftId = Some("event_id"))
+      .queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(parts.exists(_.contains("event_id")),
+      s"count aggregate must key on the unique id:\n$plan")
+    assert(!parts.exists(_.contains("value#")),
+      s"payload column leaked into a shuffle key (wide regroup is back):\n$plan")
+  }
+
   test("plan shape: equi-join on (key, band) — no nested-loop, no cartesian") {
     val (p, c) = AnalyticsQueries.asofSides(spark, sf)
     val plan = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W)
