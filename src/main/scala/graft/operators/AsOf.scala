@@ -38,13 +38,24 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param key        equality join key columns (present on both sides)
-    * @param leftTime   left ordering column (any orderable type)
+    * @param leftTime   left ordering column (any orderable type;
+    *                   `nearest` needs a timestamp — distances are
+    *                   microsecond differences)
     * @param rightTime  right ordering column (same type as leftTime)
     * @param tieBreak   right-side columns breaking equal-(key, time) ties;
-    *                   the greatest tuple wins
+    *                   the greatest tuple wins for `backward`, the
+    *                   smallest for `forward` (each direction prefers its
+    *                   nearest-in-sort-order row — mirror-symmetric)
     * @param tolerance  optional predicate (leftTime, rightTime) => Column;
     *                   a matched right row failing it is nulled out (e.g.
     *                   attribution windows: match only within 7 days)
+    * @param direction  pandas merge_asof directions: `backward` (latest
+    *                   right at-or-before, the default), `forward`
+    *                   (earliest right at-or-after), `nearest` (whichever
+    *                   of the two is closer in |Δt|; ties prefer the
+    *                   backward match). All three ride the same plan:
+    *                   one shuffle on the key — `nearest` adds a second
+    *                   per-partition sort, never a second Exchange.
     * @return all left columns, then all non-key right columns (null when
     *         no right row qualifies). Non-key column names must not
     *         collide across sides.
@@ -56,7 +67,10 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       tieBreak: Seq[String] = Nil,
-      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+      tolerance: Option[(Column, Column) => Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"joinAsOf: direction must be backward|forward|nearest, got $direction")
     val lCols = left.columns.toSeq
     val rPayload = right.columns.toSeq.filterNot(key.contains)
     val overlap = lCols.intersect(rPayload)
@@ -83,13 +97,40 @@ object AsOf {
         }: _*)
     val rTyped = r.withColumn("__l", lit(null).cast(lTyped.schema("__l").dataType))
 
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t") +: col("__side") +: tbCols.map(col): _*)
-    val matched = rTyped.unionByName(lTyped)
-      .withColumn("__m",
-        last(col("__r"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("__side") === 1)
+    // Both directions partition on the key, so even `nearest` — which
+    // evaluates both windows — plans ONE Exchange (the second window
+    // only adds a per-partition re-sort). Backward sorts right rows
+    // (side 0) BEFORE left at equal time and carries the last right
+    // payload forward; forward reverses the side order (left first at
+    // equal time, so an exactly-simultaneous right row is still ahead
+    // of the frame start) and carries the first right payload backward.
+    val part = Window.partitionBy(key.map(col): _*)
+    val wB = part.orderBy(col("__t") +: col("__side") +: tbCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part.orderBy(col("__t") +: col("__side").desc +: tbCols.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = rTyped.unionByName(lTyped)
+    val matched = (direction match {
+      case "backward" =>
+        unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        // ascending sort puts null left times FIRST, where the following
+        // frame holds real right rows — a null time must never match, so
+        // gate explicitly (backward gets this for free: nothing precedes)
+        unioned.withColumn("__m",
+          when(col("__t").isNotNull,
+            first(col("__r"), ignoreNulls = true).over(wF)))
+      case "nearest" =>
+        val b = last(col("__r"), ignoreNulls = true).over(wB)
+        val f = when(col("__t").isNotNull,
+          first(col("__r"), ignoreNulls = true).over(wF))
+        val distB = unix_micros(col("__t")) - unix_micros(col("__b").getField(rightTime))
+        val distF = unix_micros(col("__f").getField(rightTime)) - unix_micros(col("__t"))
+        unioned.withColumn("__b", b).withColumn("__f", f)
+          .withColumn("__m",
+            when(col("__b").isNotNull && (col("__f").isNull || distB <= distF),
+              col("__b")).otherwise(col("__f")))
+    }).filter(col("__side") === 1)
     val gated = tolerance match {
       case Some(p) =>
         matched.withColumn("__m",

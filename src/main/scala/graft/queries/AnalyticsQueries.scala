@@ -188,6 +188,30 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of (r8): each purchase picks the user's EARLIEST click
+    // at-or-after it — the "next action after conversion" form. Same
+    // single-shuffle union+window plan, window frame reversed; smallest
+    // (click_ts, click_id) wins (mirror of backward's greatest).
+    "events_asof_forward" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(p, c, key = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts", tieBreak = Seq("click_id"),
+          direction = "forward")
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of (r8): whichever of the backward/forward matches is
+    // closer in |Δt|, ties to backward — pandas merge_asof
+    // direction='nearest'. Both windows share the key partitioning, so
+    // the plan still has ONE Exchange (plus a second per-partition sort).
+    "events_asof_nearest" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOf.joinAsOf(p, c, key = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts", tieBreak = Seq("click_id"),
+          direction = "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     // Banded range join: clicks within ±30 min of each purchase, same
     // user. Time-banding turns the per-key cross product into an
     // equi-join on (user_id, band) with candidates bounded ×3 — the
@@ -195,7 +219,8 @@ object AnalyticsQueries {
     "events_range_join" -> ((s, dir) => {
       val (p, c) = asofSides(s, dir)
       graft.operators.RangeJoin.countInWindow(p, c, key = Seq("user_id"),
-          leftTime = "ts", rightTime = "click_ts", widthUs = RangeWidthUs)
+          leftTime = "ts", rightTime = "click_ts", widthUs = RangeWidthUs,
+          leftId = Some("event_id"))
         .orderBy(col("event_id"))
     }),
 
@@ -245,8 +270,11 @@ object AnalyticsQueries {
     */
   private val AsofToleranceUs: Long = 30L * 60 * 1000000
 
-  /** Range-join half-width for events_range_join, micros (30 minutes). */
-  private val RangeWidthUs: Long = 30L * 60 * 1000000
+  /** Range-join half-width for events_range_join, micros (30 minutes);
+    * shared with the streaming twin's default so the replay-equals-batch
+    * contract can't drift on an unlinked copy.
+    */
+  private[graft] val RangeWidthUs: Long = 30L * 60 * 1000000
 
   /** Shared left/right projections of the as-of pair: purchases probe the
     * clicks stream. Non-key right columns renamed so the sides stay
@@ -404,6 +432,63 @@ object AnalyticsQueries {
          |       CASE WHEN ok THEN click_ts END AS click_ts,
          |       CASE WHEN ok THEN click_value END AS click_value
          |FROM j ORDER BY event_id""".stripMargin,
+    // DuckDB's ASOF accepts <= (forward) but gives no tie-break control,
+    // so both direction variants replay as the rank pattern instead: all
+    // in-direction candidates ranked by (click_ts, click_id) and the
+    // rank-1 row joined back — prototyped equal to native ASOF on the
+    // backward direction (tools/proto_pipeline.py pattern).
+    "events_asof_forward" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+         |         "value" AS click_value
+         |  FROM events WHERE event_type = 'click'),
+         |cand AS (
+         |  SELECT p.event_id, c.click_id, c.click_ts, c.click_value,
+         |         row_number() OVER (PARTITION BY p.event_id
+         |           ORDER BY c.click_ts ASC, c.click_id ASC) AS rk
+         |  FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts >= p.ts)
+         |SELECT p.event_id, p.user_id, p.ts, p."value",
+         |       cand.click_id, cand.click_ts, cand.click_value
+         |FROM p LEFT JOIN cand ON cand.event_id = p.event_id AND cand.rk = 1
+         |ORDER BY p.event_id""".stripMargin,
+    // nearest = the closer of the backward/forward rank-1 candidates;
+    // forward candidates use STRICT > so an exactly-simultaneous click is
+    // the backward candidate alone (distance 0 makes backward win the tie
+    // in both engines either way)
+    "events_asof_nearest" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+         |         "value" AS click_value
+         |  FROM events WHERE event_type = 'click'),
+         |b AS (
+         |  SELECT p.event_id, c.click_id, c.click_ts, c.click_value,
+         |         row_number() OVER (PARTITION BY p.event_id
+         |           ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+         |  FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts),
+         |f AS (
+         |  SELECT p.event_id, c.click_id, c.click_ts, c.click_value,
+         |         row_number() OVER (PARTITION BY p.event_id
+         |           ORDER BY c.click_ts ASC, c.click_id ASC) AS rk
+         |  FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts > p.ts)
+         |SELECT p.event_id, p.user_id, p.ts, p."value",
+         |  CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+         |         OR epoch_us(p.ts) - epoch_us(b.click_ts) <= epoch_us(f.click_ts) - epoch_us(p.ts))
+         |       THEN b.click_id ELSE f.click_id END AS click_id,
+         |  CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+         |         OR epoch_us(p.ts) - epoch_us(b.click_ts) <= epoch_us(f.click_ts) - epoch_us(p.ts))
+         |       THEN b.click_ts ELSE f.click_ts END AS click_ts,
+         |  CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+         |         OR epoch_us(p.ts) - epoch_us(b.click_ts) <= epoch_us(f.click_ts) - epoch_us(p.ts))
+         |       THEN b.click_value ELSE f.click_value END AS click_value
+         |FROM p LEFT JOIN b ON b.event_id = p.event_id AND b.rk = 1
+         |       LEFT JOIN f ON f.event_id = p.event_id AND f.rk = 1
+         |ORDER BY p.event_id""".stripMargin,
     "events_range_join" ->
       s"""WITH p AS (
          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"

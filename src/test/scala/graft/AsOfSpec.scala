@@ -88,6 +88,74 @@ class AsOfSpec extends SparkSpec {
     assert(got(1).getLong(got(1).fieldIndex("quote_id")) === 11L)
   }
 
+  test("forward match: earliest quote at-or-after each trade; equal-time quote counts; " +
+      "smallest tieBreak wins; unmatched trades survive with nulls") {
+    val got = AsOf.joinAsOf(trades, quotes, key = Seq("sym"),
+        leftTime = "t_ts", rightTime = "q_ts", tieBreak = Seq("quote_id"),
+        direction = "forward")
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // trade 1 → quote 11 (next A quote), trade 2 → quote 11 (exactly at,
+    // >= includes), trade 3 → quote 13 (B's later quote), trade 4 → none
+    assert(got.toSeq === Seq(1L -> 11L, 2L -> 11L, 3L -> 13L, 4L -> -1L))
+    // equal-(key,time) duplicate: SMALLEST id wins for forward (mirror of
+    // backward's greatest — each direction prefers its nearest-in-sort row)
+    val dup = quotes.unionByName(
+      quotes.limit(1).select(lit(7L).as("quote_id"), lit("A").as("sym"),
+        lit(ts("2024-01-01 10:00:10")).as("q_ts"), lit(98.0).as("q_px")))
+    val row = AsOf.joinAsOf(trades, dup, key = Seq("sym"),
+        leftTime = "t_ts", rightTime = "q_ts", tieBreak = Seq("quote_id"),
+        direction = "forward")
+      .filter(col("trade_id") === 2L).head()
+    assert(row.getLong(row.fieldIndex("quote_id")) === 7L)
+  }
+
+  test("forward: a null LEFT time never matches (ascending sort puts nulls first — " +
+      "the following frame holds real quotes and must be gated)") {
+    val nullTrade = trades.unionByName(
+      trades.limit(1).select(lit(9L).as("trade_id"), lit("A").as("sym"),
+        lit(null).cast("timestamp").as("t_ts"), lit(0.0).as("t_px")))
+    val row = AsOf.joinAsOf(nullTrade, quotes, key = Seq("sym"),
+        leftTime = "t_ts", rightTime = "q_ts", tieBreak = Seq("quote_id"),
+        direction = "forward")
+      .filter(col("trade_id") === 9L).head()
+    assert(row.isNullAt(row.fieldIndex("quote_id")))
+  }
+
+  test("nearest picks the closer side; exact tie in |Δt| prefers the backward match") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "A", ts("2024-01-01 10:00:10")), // 4s to quote 20, 2s to quote 21 → forward
+      (2L, "A", ts("2024-01-01 10:00:07")), // 1s back, 5s forward → backward
+      (3L, "A", ts("2024-01-01 10:00:09")), // exact 3s tie → backward (quote 20)
+      (4L, "B", ts("2024-01-01 10:00:00")) // no B quotes → null
+    ).toDF("trade_id", "sym", "t_ts")
+    val r = Seq(
+      (20L, "A", ts("2024-01-01 10:00:06"), 1.0),
+      (21L, "A", ts("2024-01-01 10:00:12"), 2.0)
+    ).toDF("quote_id", "sym", "q_ts", "q_px")
+    val got = AsOf.joinAsOf(l, r, key = Seq("sym"),
+        leftTime = "t_ts", rightTime = "q_ts", tieBreak = Seq("quote_id"),
+        direction = "nearest")
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(got.toSeq === Seq(1L -> 21L, 2L -> 20L, 3L -> 20L, 4L -> -1L))
+  }
+
+  test("nearest plan shape: still ONE hash Exchange (second direction re-sorts, " +
+      "never re-shuffles) and no join operator") {
+    val plan = AsOf.joinAsOf(trades, quotes, key = Seq("sym"),
+        leftTime = "t_ts", rightTime = "q_ts", tieBreak = Seq("quote_id"),
+        direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan as a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one hash Exchange, got $exchanges:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).size >= 2, s"expected both direction sorts:\n$plan")
+  }
+
   test("colliding non-key columns are rejected up front") {
     intercept[IllegalArgumentException] {
       AsOf.joinAsOf(trades, quotes.withColumnRenamed("q_px", "t_px"),
