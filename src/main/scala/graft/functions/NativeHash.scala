@@ -70,7 +70,11 @@ object NativeHash {
     ("graft_avro_encode_key", "encode a bigint key as an Avro long binary datum",
       exprs => AvroEncodeLong(exprs.head)),
     ("graft_avro_decode_key", "decode an Avro long key datum to bigint; null on failure",
-      exprs => AvroDecodeLong(exprs.head)))
+      exprs => AvroDecodeLong(exprs.head)),
+    ("graft_wav_wrap", "wrap a binary payload in a canonical RIFF/WAVE container",
+      exprs => WavWrap(exprs.head, exprs(1), exprs(2), exprs(3))),
+    ("graft_wav_meta", "chunk-walk a WAV blob into header fields; null when malformed",
+      exprs => WavMeta(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

@@ -1,0 +1,193 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Native WAV/RIFF container support — the one media format trivial
+  * enough to build AND parse byte-exactly with no codec library, which
+  * turns the multimodal decode path from a stub into a real, integer-
+  * exact, oracle-checkable stage (round-7 VERDICT task #8):
+  *
+  *   - `graft_wav_wrap(data, rate, ch, bits)` emits a canonical 44-byte
+  *     RIFF/WAVE header (fmt + data chunks, little-endian) around a
+  *     payload — a genuine playable container, asserted byte-for-byte
+  *     against an independent ByteBuffer reader in MultimodalSpec;
+  *   - `graft_wav_meta(blob)` walks the chunk list like a real reader
+  *     (arbitrary chunk order, unknown chunks skipped via their declared
+  *     size, RIFF even-byte padding honored) and returns the header
+  *     fields, or NULL for anything malformed — never a throw, so a
+  *     corrupt blob degrades like a bad Avro datum (strict-decode DLQ
+  *     pattern), not a job failure.
+  *
+  * Both are codegen'd single JVM calls (CodegenFallback would break the
+  * surrounding whole-stage pipeline). All fields are integers, so the
+  * wrap→parse round trip is bit-identical to the DuckDB oracle's formula
+  * replay (PipelineQueries `mm_decode` / `mm_wav_meta`).
+  */
+object WavImpl {
+
+  /** Parsed-header field order — the shared contract of `graft_wav_meta`,
+    * the mm_wav_meta oracle SQL, and MultimodalSpec:
+    * [riff_size, fmt_size, audio_format, channels, sample_rate,
+    *  byte_rate, block_align, bits_per_sample, data_len, n_frames].
+    */
+  val Fields = 10
+
+  def wrap(data: Array[Byte], rate: Long, ch: Long, bits: Long): Array[Byte] = {
+    require(rate > 0 && ch > 0 && bits > 0 && bits % 8 == 0,
+      s"graft_wav_wrap: invalid format params rate=$rate ch=$ch bits=$bits")
+    val out = new Array[Byte](44 + data.length)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + data.length) // chunk sizes exclude the 8-byte chunk header
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16) // PCM fmt chunk body
+    bb.putShort(1) // audio_format = PCM
+    bb.putShort(ch.toShort)
+    bb.putInt(rate.toInt)
+    bb.putInt((rate * ch * bits / 8).toInt) // byte_rate
+    bb.putShort((ch * bits / 8).toShort) // block_align
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(data.length)
+    bb.put(data)
+    out
+  }
+
+  private def u16(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8)
+  private def u32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** Chunk-walking parse; null (not an exception) on anything malformed. */
+  def parse(blob: Array[Byte]): ArrayData = {
+    if (blob == null || blob.length < 12) return null
+    if (tag(blob, 0) != "RIFF" || tag(blob, 8) != "WAVE") return null
+    val riffSize = u32(blob, 4)
+    var pos = 12
+    var fmtSize = -1L
+    var audioFormat = 0L
+    var channels = 0L
+    var rate = 0L
+    var byteRate = 0L
+    var blockAlign = 0L
+    var bits = 0L
+    var dataLen = -1L
+    while (pos + 8 <= blob.length) {
+      val id = tag(blob, pos)
+      val size = u32(blob, pos + 4)
+      val body = pos + 8
+      if (id == "fmt ") {
+        if (size < 16 || body + 16 > blob.length) return null
+        fmtSize = size
+        audioFormat = u16(blob, body)
+        channels = u16(blob, body + 2)
+        rate = u32(blob, body + 4)
+        byteRate = u32(blob, body + 8)
+        blockAlign = u16(blob, body + 12)
+        bits = u16(blob, body + 14)
+      } else if (id == "data") {
+        if (body + size > blob.length) return null
+        dataLen = size
+      }
+      // unknown chunks are skipped by declared size; RIFF pads chunk
+      // bodies to even byte counts
+      pos = body + size.toInt + (size & 1L).toInt
+    }
+    if (fmtSize < 0 || dataLen < 0 || blockAlign <= 0) return null
+    new GenericArrayData(Array[Long](
+      riffSize, fmtSize, audioFormat, channels, rate,
+      byteRate, blockAlign, bits, dataLen, dataLen / blockAlign))
+  }
+}
+
+/** See [[WavImpl]]. */
+object WavPayload {
+  /** Extracts the data-chunk bytes (the "samples") by the same chunk
+    * walk as [[WavImpl.parse]]; null when malformed. JVM-side decode
+    * companion for the batched mapPartitions path.
+    */
+  def payload(blob: Array[Byte]): Array[Byte] = {
+    if (blob == null || blob.length < 12) return null
+    if (new String(blob, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(blob, 8, 4, "US-ASCII") != "WAVE") return null
+    var pos = 12
+    while (pos + 8 <= blob.length) {
+      val id = new String(blob, pos, 4, "US-ASCII")
+      val size = ((blob(pos + 4) & 0xffL) | ((blob(pos + 5) & 0xffL) << 8) |
+        ((blob(pos + 6) & 0xffL) << 16) | ((blob(pos + 7) & 0xffL) << 24))
+      val body = pos + 8
+      if (id == "data") {
+        if (body + size > blob.length) return null
+        return java.util.Arrays.copyOfRange(blob, body, body + size.toInt)
+      }
+      pos = body + size.toInt + (size & 1L).toInt
+    }
+    null
+  }
+}
+
+/** (data binary, sample_rate, channels, bits_per_sample) → WAV bytes. */
+case class WavWrap(first: Expression, second: Expression,
+                   third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wav_wrap"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType &&
+        Seq(second, third, fourth).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_wav_wrap expects (binary, bigint, bigint, bigint), got " +
+        children.map(_.dataType.sql).mkString(", "))
+
+  override def nullSafeEval(data: Any, rate: Any, ch: Any, bits: Any): Any =
+    WavImpl.wrap(data.asInstanceOf[Array[Byte]], rate.asInstanceOf[Long],
+      ch.asInstanceOf[Long], bits.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, r, c, b) =>
+      s"graft.functions.WavImpl.wrap($d, $r, $c, $b)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): WavWrap =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** WAV bytes → header field array (see [[WavImpl.Fields]]); null when the
+  * container is malformed.
+  */
+case class WavMeta(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_meta"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_meta expects a binary blob, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavImpl.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavImpl.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
+}

