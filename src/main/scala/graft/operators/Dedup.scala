@@ -203,6 +203,30 @@ object Dedup {
     joinBackLabels(docs, starContract(pairs, maxIter))
   }
 
+  /** Connected components of an ARBITRARY pair list over an arbitrary id
+    * domain (columns `doc_a`/`doc_b`; `ids` supplies the full vertex set
+    * as `doc_id`) via the O(log n) star contraction — the graph machinery
+    * of [[componentsLogN]] decoupled from MinHash candidate generation,
+    * e.g. for the embedding-cosine near-dup graph (`dedup_embedding_cc`).
+    */
+  def componentsOf(ids: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    joinBackLabels(ids, starContract(pairs, maxIter))
+
+  /** Cluster-size histogram of the near-dup component structure — the
+    * corpus duplication report (how many clusters of each size, how many
+    * docs they hold): the number every dedup run is judged by before
+    * anyone looks at pairs. Two small aggregates over the component
+    * labels; cluster_size=1 rows count the unduplicated corpus.
+    */
+  def clusterStats(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame =
+    componentsLogN(docs, tau, bands)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** Every corpus doc gets its component label; non-edge vertices
     * (singletons — the overwhelming majority) are their own component.
     */

@@ -291,6 +291,31 @@ object TextOps {
       .select("doc_id", "shard", "pack_id", "n_tokens", "cum")
   }
 
+  /** Materialize [[tokenPack]]'s assignment into the actual training
+    * sequences: each pack's documents concatenated in doc_id order with
+    * an EOS separator — the step that turns a pack PLAN into model input.
+    * One shuffle on (shard, pack_id); the in-pack sort is
+    * `array_sort(collect_list(struct(doc_id, text)))`, deterministic
+    * because doc_id is unique, and safe because a pack's payload is
+    * bounded by the token budget BY CONSTRUCTION (never a skew risk —
+    * the one case where collect_list at scale is fine). Oracle replays
+    * it as `string_agg(... ORDER BY doc_id)`.
+    */
+  def concatPacks(docs: DataFrame, budget: Long = 2048, shards: Int = 8,
+                  sep: String = "<|eos|>"): DataFrame =
+    tokenPack(docs, budget, shards)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          sep).as("pack_text"))
+      .withColumn("pack_chars", length(col("pack_text")).cast("long"))
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
     * distinct 3-gram shingles with the evaluation set — the standard
     * train/eval n-gram overlap check. The benchmark's distinct shingle set

@@ -66,6 +66,21 @@ object PipelineQueries {
     "dedup_components_star" -> ((s, dir) =>
       Dedup.componentsLogN(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
         .orderBy(col("doc_id"))),
+    // the duplication report (r8): clusters per size, docs per size —
+    // two tiny aggregates over the component labels.
+    "dedup_cluster_stats" -> ((s, dir) =>
+      Dedup.clusterStats(Tables.load(s, dir, "documents"), JaccardTau, MhBands)),
+    // component dedup over the EMBEDDING near-dup graph (r8): the same
+    // star contraction on the sign-LSH + exact-cosine pair list —
+    // cluster-correct semantic dedup (SemDeDup keeper rule done right).
+    "dedup_embedding_cc" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Similarity.embeddingPairs(emb, CosTau)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.componentsOf(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("component_id"))
+        .orderBy(col("vec_id"))
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingPairs(Tables.load(s, dir, "embeddings"), CosTau)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -158,6 +173,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
     "pipeline_token_pack" -> ((s, dir) =>
       TextOps.tokenPack(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // pack plan → actual training sequences (r8): per-pack ordered
+    // concatenation with an EOS separator; payload bounded by the token
+    // budget by construction.
+    "pipeline_concat_packs" -> ((s, dir) =>
+      TextOps.concatPacks(Tables.load(s, dir, "documents"))
+        .orderBy(col("shard"), col("pack_id"))),
     // benchmark set = every 97th doc (deterministic eval sample)
     "pipeline_decontaminate" -> ((s, dir) =>
       TextOps.decontaminate(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
@@ -249,6 +270,43 @@ object PipelineQueries {
   private def simhashExpr: String = (0 until Dedup.SimhashBits).map { i =>
     s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (((h*${Dedup.simhashBitA(i)}+${Dedup.simhashBitB(i)}) % $P) & 1))) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
   }.mkString(" + ")
+
+  /** The dedup_components closure: minhash pair stage (the dedup_minhash
+    * oracle verbatim) + recursive reachability min → a `labels(doc_id,
+    * component_id)` CTE shared by the components query and the
+    * cluster-size report.
+    */
+  private def componentsLabelCtes: String =
+    "WITH RECURSIVE " + shingleCteBody("documents") +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verify
+         |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT d.doc_id,
+         |         CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS component_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)""".stripMargin
 
   /** Normalized double vectors + norms, as in Similarity.vectors. */
   private val NormCte =
@@ -387,36 +445,46 @@ object PipelineQueries {
 
     // the pair stage is the dedup_minhash oracle verbatim; the closure
     // replays min-label propagation as a recursive reachability min
-    "dedup_components" -> ("WITH RECURSIVE " + shingleCteBody("documents") +
+    "dedup_components" -> (componentsLabelCtes +
+      "\nSELECT doc_id, component_id FROM labels ORDER BY doc_id"),
+
+    // same labels, aggregated to the duplication report: clusters per
+    // size, docs per size (size 1 = the unduplicated corpus)
+    "dedup_cluster_stats" -> (componentsLabelCtes +
       s"""
-         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
-         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
-         |ex AS (SELECT doc_id, band_id, band_val FROM bands
-         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |, sizes AS (
+         |  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM labels GROUP BY component_id)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+
+    // embedding-cosine near-dup components: the dedup_embedding pair
+    // oracle verbatim, closed by the same recursive reachability min
+    // over vec ids
+    "dedup_embedding_cc" -> (NormCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s"""
+         |, $planesCte,
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |                      AND a.doc_id < b.doc_id),
-         |verify AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-         |         len(ha.hs) AS na, len(hb.hs) AS nb
-         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
-         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                            AND a.vec_id < b.vec_id),
          |pairs AS (
-         |  SELECT doc_a, doc_b FROM verify
-         |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b, ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+         |    FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
+         |  WHERE cos >= $CosTau),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT d.doc_id,
-         |       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS component_id
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id
-         |ORDER BY doc_id""".stripMargin),
+         |SELECT vv.vec_id,
+         |       CAST(least(vv.vec_id, coalesce(min(r.dst), vv.vec_id)) AS BIGINT) AS component_id
+         |FROM v vv LEFT JOIN reach r ON r.src = vv.vec_id
+         |GROUP BY vv.vec_id
+         |ORDER BY vec_id""".stripMargin),
 
     "dedup_simhash" -> (ShingleCte +
       s"""
@@ -671,6 +739,26 @@ object PipelineQueries {
          |SELECT doc_id, shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
          |       n_tokens, CAST(cum AS BIGINT) AS cum
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the pack assignment above, materialized: string_agg in doc order
+    // replays the array_sort(collect_list)-then-join concatenation
+    "pipeline_concat_packs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, CAST(doc_id % 8 AS INT) AS shard,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, SUM(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |p AS (
+         |  SELECT *, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id FROM c)
+         |SELECT shard, pack_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         |       string_agg(text, '<|eos|>' ORDER BY doc_id) AS pack_text,
+         |       CAST(length(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS BIGINT) AS pack_chars
+         |FROM p GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin,
 
     "pipeline_decontaminate" -> (ShingleCte +
       s"""

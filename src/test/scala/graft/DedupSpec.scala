@@ -137,6 +137,40 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("still changing"))
   }
 
+  test("cluster stats histogram partitions the corpus and re-aggregates the " +
+      "component structure exactly") {
+    val stats = Dedup.clusterStats(docs).cache()
+    assert(stats.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    val want = Dedup.componentsLogN(docs)
+      .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    assert(stats.except(want).count() === 0 && want.except(stats).count() === 0)
+    assert(stats.filter(col("cluster_size") > 1).count() > 0,
+      "fixture must contain at least one real cluster")
+    stats.unpersist()
+  }
+
+  test("componentsOf handles an arbitrary id domain (embedding near-dup graph)") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val pairs = Similarity.embeddingPairs(emb, 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = Dedup.componentsOf(emb.select(col("vec_id").as("doc_id")), pairs).cache()
+    assert(comp.count() === emb.count())
+    // labels are component minima: every label maps to itself
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.forall { case (_, c) => labels(c) == c })
+    // every pair's endpoints share a component
+    val bad = pairs.join(comp.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("component_id", "ca"), "doc_a")
+      .join(comp.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("component_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(bad.count() === 0)
+    comp.unpersist()
+  }
+
   test("componentsLogN equals components end-to-end on the corpus fixture") {
     val a = Dedup.components(docs)
     val b = Dedup.componentsLogN(docs)

@@ -278,6 +278,30 @@ class TextOpsSpec extends SparkSpec {
     decoded.unpersist()
   }
 
+  test("concat packs: one row per planned pack, token/doc sums match the plan, " +
+      "and the concatenation is length-exact in doc order") {
+    val packs = TextOps.concatPacks(docs).cache()
+    val plan = TextOps.tokenPack(docs)
+    assert(packs.count() === plan.select("shard", "pack_id").distinct().count())
+    val want = plan.join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("shard", "pack_id")
+      .agg(sum(col("n_tokens")).as("want_tokens"), count(lit(1)).as("want_docs"),
+        sum(length(col("text"))).as("txt_chars"),
+        min(col("doc_id")).as("first_doc"))
+    val j = packs.join(want, Seq("shard", "pack_id"))
+    assert(j.filter(col("pack_tokens") =!= col("want_tokens") ||
+      col("n_docs") =!= col("want_docs")).count() === 0)
+    // chars = doc chars + 7-char separator between consecutive docs
+    assert(j.filter(col("pack_chars") =!=
+      col("txt_chars") + lit(7) * (col("n_docs") - 1)).count() === 0)
+    // doc order: each pack's text starts with its smallest doc_id's text
+    val bad = j.join(docs.select(col("doc_id").as("first_doc"),
+        col("text").as("first_text")), "first_doc")
+      .filter(!col("pack_text").startsWith(col("first_text")))
+    assert(bad.count() === 0)
+    packs.unpersist()
+  }
+
   test("approximate aggregates stay within their error bounds vs exact") {
     val events = Tables.load(spark, sf, "events")
     val approx = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
