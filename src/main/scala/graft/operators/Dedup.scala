@@ -275,15 +275,19 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min(col("component_id")).as("nbr_min"))
-      // labels only decrease — any strict decrease means another round
+      // labels only decrease — any strict decrease means another round.
+      // The checkpoint is LAZY and the convergence count is what
+      // materializes it: one driver-blocking job per round instead of
+      // eager-checkpoint + separate scan (count touches every partition,
+      // so the checkpoint is complete before the next round reads it).
       val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
             .as("component_id"),
           (coalesce(col("nbr_min"), col("component_id")) < col("component_id"))
             .as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("__changed")).count() == 0
       unpersistCheckpoint(labels)
       labels = next
       it += 1
@@ -321,6 +325,7 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    var prevCount = edges.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -331,13 +336,19 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // lazy checkpoint materialized by the count below (one job), like
+      // the propagation loop; set equality = same count + empty anti-join
+      // (both sides distinct), with the previous round's count carried in
+      // a var instead of recounted
       val small = large.join(minsS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
-      converged = small.count() == edges.count() &&
+        .localCheckpoint(false)
+      val n = small.count()
+      converged = n == prevCount &&
         small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      prevCount = n
       unpersistCheckpoint(edges)
       edges = small
       it += 1
