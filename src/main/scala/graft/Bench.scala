@@ -27,11 +27,14 @@ object Bench {
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
     "events_approx", "events_asof_tolerance",
+    "events_asof_forward", "events_asof_nearest",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
-    "corpus_token_topk", "corpus_ngram_topk", "dedup_components",
-    "doc_fingerprint", "mm_meta", "mm_framesample",
+    "corpus_token_topk", "corpus_ngram_topk",
+    "dedup_components", "dedup_components_star", "dedup_cluster_stats",
+    "dedup_embedding_cc",
+    "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_decode",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
-    "pipeline_clean_corpus_cc", "pipeline_token_pack",
+    "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
     "mm_audiowindow")

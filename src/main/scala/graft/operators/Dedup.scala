@@ -235,8 +235,8 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("component_id"))
 
-  /** Frees the storage blocks of a superseded eager `localCheckpoint` —
-    * without this every iteration's label snapshot lingers until the
+  /** Frees the storage blocks of a superseded `localCheckpoint` — without
+    * this every iteration's label snapshot lingers until the
     * ContextCleaner happens to GC it (round-7 VERDICT #2). A checkpointed
     * frame's plan is the bare `LogicalRDD` over the persisted RDD.
     */
@@ -253,11 +253,11 @@ object Dedup {
     * [[starContract]] when diameter is unbounded). Only EDGE vertices are
     * iterated — the (small) near-dup vertex set, never the whole corpus.
     *
-    * Each round's state is an eager `localCheckpoint` (truncates the
-    * otherwise per-round-doubling plan lineage); the superseded round's
-    * blocks are freed immediately, and the convergence bit rides the same
-    * checkpointed frame (a cheap cached scan — the previous form paid a
-    * third join-shaped job per round just to compare labels).
+    * Each round's state is a `localCheckpoint` (truncates the otherwise
+    * per-round-doubling plan lineage), materialized BY the convergence
+    * count — one driver-blocking job per round where the previous form
+    * paid an eager-checkpoint job plus a join-shaped label-compare job;
+    * the superseded round's blocks are freed immediately.
     *
     * @throws IllegalStateException when `maxIter` rounds pass while labels
     *         are still decreasing — a silently-unconverged result would be

@@ -278,7 +278,15 @@ object TextOps {
     * (token counts from the fused TextStats kernel), bit-identical to the
     * oracle.
     */
-  def tokenPack(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame = {
+  def tokenPack(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame =
+    packAssign(docs, budget, shards)
+      .select("doc_id", "shard", "pack_id", "n_tokens", "cum")
+
+  /** The pack-assignment plan with every input column retained — shared
+    * by [[tokenPack]] (the narrow assignment view) and [[concatPacks]]
+    * (which needs the text to ride the same single shard shuffle).
+    */
+  private def packAssign(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -288,13 +296,17 @@ object TextOps {
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
-      .select("doc_id", "shard", "pack_id", "n_tokens", "cum")
   }
 
   /** Materialize [[tokenPack]]'s assignment into the actual training
     * sequences: each pack's documents concatenated in doc_id order with
     * an EOS separator — the step that turns a pack PLAN into model input.
-    * One shuffle on (shard, pack_id); the in-pack sort is
+    *
+    * The text rides THROUGH the assignment window (no join back to the
+    * corpus — the first form paid two extra doc_id shuffles for it), and
+    * the groupBy's clustering on (shard, pack_id) is satisfied by the
+    * window's hash partitioning on shard alone — so the whole operator is
+    * ONE Exchange (plan-pinned in PlanSpec). The in-pack sort is
     * `array_sort(collect_list(struct(doc_id, text)))`, deterministic
     * because doc_id is unique, and safe because a pack's payload is
     * bounded by the token budget BY CONSTRUCTION (never a skew risk —
@@ -303,8 +315,7 @@ object TextOps {
     */
   def concatPacks(docs: DataFrame, budget: Long = 2048, shards: Int = 8,
                   sep: String = "<|eos|>"): DataFrame =
-    tokenPack(docs, budget, shards)
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    packAssign(docs, budget, shards)
       .groupBy(col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"packing must shuffle exactly once (on shard):\n$t")
   }
 
+  test("pack concatenation rides the assignment window's shard shuffle — ONE Exchange, " +
+      "no join back to the corpus") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val p = graft.operators.TextOps.concatPacks(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1,
+      s"groupBy(shard, pack_id) must reuse the shard partitioning:\n$p")
+    assert(!p.contains("Join"), s"text must ride the window, not a corpus join:\n$p")
+  }
+
+  test("wav round trip is a shuffle-free projection with the scan pruned to (doc_id, text)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val p = graft.operators.Multimodal.wavMeta(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"wavMeta must not shuffle:\n$p")
+    assert(!p.contains("lang"), s"untouched columns must be pruned:\n$p")
+  }
+
   test("brute-force rerank is two-phase: salted local top-k before the per-query window") {
     val p = graft.operators.Similarity
       .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
