@@ -430,6 +430,50 @@ object TextOps {
       .filter(col("coin") < col("rate_pct"))
       .select("doc_id", "source", "lang", "coin", "rate_pct")
 
+  /** Deterministic train/validation/test holdout split by CONTENT-HASH
+    * range — the standard eval-set carve-out, done so reruns, engines,
+    * and duplicated documents all agree (a rand() split is none of
+    * those): coin = polyhash(text) mod denom; [0, testPm) → test,
+    * [testPm, testPm+valPm) → val, rest → train. Content (not id)
+    * hashing means a near-identical doc pair that survived dedup still
+    * lands in ONE split — no train/eval leakage through duplicates.
+    * Zero shuffle, scan-speed; the split is a column, so downstream
+    * filters prune at the scan.
+    */
+  def holdoutSplit(docs: DataFrame, testPm: Int = 10, valPm: Int = 10,
+                   denom: Int = 1000): DataFrame = {
+    require(testPm >= 0 && valPm >= 0 && testPm + valPm <= denom,
+      s"holdoutSplit: invalid split sizes test=$testPm val=$valPm of $denom")
+    docs
+      .withColumn("coin", pmod(polyhash(col("text")), lit(denom.toLong)))
+      .withColumn("split",
+        when(col("coin") < testPm, "test")
+          .when(col("coin") < testPm + valPm, "val")
+          .otherwise("train"))
+      .select("doc_id", "source", "lang", "coin", "split")
+  }
+
+  /** Deterministic quality-weighted UPSAMPLING — the mixture counterpart
+    * of [[mixtureSample]]'s downsampling: each document repeats
+    * `epochs(decile)` times in the output (training-mixture weighting à
+    * la quality-tiered epoch counts), implemented as a narrow explode
+    * over a sequence bounded by the per-tier epoch cap. Top decile gets
+    * `maxEpochs`, linearly down to 1 for the bottom tiers; `epoch` is
+    * the copy index so downstream shuffling/packing can interleave
+    * copies. Deterministic (tier from the exact NTILE binning) ⇒
+    * oracle-replayable; fan-out bounded by maxEpochs per doc.
+    */
+  def qualityUpsample(docs: DataFrame, maxEpochs: Int = 4, bins: Int = 10): DataFrame = {
+    require(maxEpochs >= 1, s"qualityUpsample: maxEpochs must be >= 1, got $maxEpochs")
+    // decile 1 = best tenth → maxEpochs; linear taper, floor 1:
+    // epochs = max(1, maxEpochs + 1 - decile)
+    qualityDeciles(docs, bins)
+      .withColumn("n_epochs",
+        greatest(lit(1L), lit(maxEpochs + 1L) - col("decile")))
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+      .select("doc_id", "lang", "quality", "decile", "n_epochs", "epoch")
+  }
+
   /** Whole-document polynomial hash plus the minimum `gram`-char hash via
     * the native O(len) rolling-hash expression (winnowing-style); the
     * DuckDB oracle recomputes each gram hash independently — algebraically

@@ -208,6 +208,16 @@ object PipelineQueries {
     // TextOpsSpec.
     "pipeline_quality_topq_approx" -> ((s, dir) =>
       TextOps.qualityTopQApprox(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // deterministic content-hash holdout split (r8): duplicated text
+    // lands in ONE split — no train/eval leakage through near-copies.
+    "pipeline_split" -> ((s, dir) =>
+      TextOps.holdoutSplit(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // quality-tiered deterministic upsampling (r8): top decile repeats
+    // maxEpochs times, linear taper to 1 — mixture weighting as a
+    // bounded narrow explode.
+    "pipeline_upsample" -> ((s, dir) =>
+      TextOps.qualityUpsample(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("epoch"))),
     // Batched mapPartitions decode (r8: oracle-green, was rows-only) —
     // audio blobs are REAL RIFF/WAVE containers whose chunk walk
     // recovers header fields + sample payload; every output column is an
@@ -948,6 +958,41 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality,
          |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    "pipeline_split" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, source, lang, ${poly("text")} % 1000 AS coin FROM documents)
+         |SELECT doc_id, source, lang, CAST(coin AS BIGINT) AS coin,
+         |  CASE WHEN coin < 10 THEN 'test' WHEN coin < 20 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the deciles computation (pipeline_quality_deciles oracle verbatim)
+    // plus the bounded epoch explode
+    "pipeline_upsample" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM ws),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM m),
+         |d AS (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+         |  FROM q),
+         |e AS (
+         |  SELECT *, greatest(CAST(1 AS BIGINT), 5 - decile) AS n_epochs FROM d)
+         |SELECT doc_id, lang, quality, decile, n_epochs,
+         |       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+         |FROM e ORDER BY doc_id, epoch""".stripMargin,
 
     "mm_audiowindow" ->
       s"""WITH blobs AS (

@@ -302,6 +302,36 @@ class TextOpsSpec extends SparkSpec {
     packs.unpersist()
   }
 
+  test("holdout split: every doc assigned once, duplicate texts land in ONE split, " +
+      "train is the bulk") {
+    val s = TextOps.holdoutSplit(docs).cache()
+    assert(s.count() === docs.count())
+    // content hashing: identical text ⇒ identical split (no leakage
+    // through duplicates) — the fixture contains planted exact dups
+    val perText = docs.select("doc_id", "text").join(s.select("doc_id", "split"), "doc_id")
+      .groupBy("text").agg(countDistinct(col("split")).as("n_splits"))
+    assert(perText.filter(col("n_splits") =!= 1).count() === 0)
+    val train = s.filter(col("split") === "train").count()
+    assert(train > s.count() * 8 / 10, "train must hold the bulk of the corpus")
+    assert(s.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    s.unpersist()
+  }
+
+  test("quality upsample: copy count equals the tier's epoch budget, copies are " +
+      "sequential, top tier gets the max and the tail gets one") {
+    val u = TextOps.qualityUpsample(docs).cache()
+    val per = u.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"),
+        min(col("epoch")).as("mn"), max(col("n_epochs")).as("ne"))
+    assert(per.filter(col("n") =!= col("ne") || col("mx") =!= col("ne") ||
+      col("mn") =!= 1).count() === 0)
+    assert(u.filter(col("decile") === 1 && col("n_epochs") =!= 4).count() === 0)
+    assert(u.filter(col("decile") >= 4 && col("n_epochs") =!= 1).count() === 0)
+    // upsampling grew the corpus
+    assert(u.count() > docs.count())
+    u.unpersist()
+  }
+
   test("approximate aggregates stay within their error bounds vs exact") {
     val events = Tables.load(spark, sf, "events")
     val approx = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
