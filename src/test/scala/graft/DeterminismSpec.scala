@@ -36,4 +36,16 @@ class DeterminismSpec extends SparkSpec {
     assertInvariant("sim_topk_ivf_pq",
       Similarity.ivfPqTopK(_, col("vec_id") < 8), emb)
   }
+
+  test("round-8 operators are partitioning-invariant: star components, pack " +
+      "concatenation, holdout split") {
+    val docs = Tables.load(spark, sf, "documents")
+    // star contraction: label fixpoint is unique per component, so the
+    // iterative loop must land on identical labels under any input split
+    assertInvariant("dedup_components_star", Dedup.componentsLogN(_), docs)
+    // concatenation: collect_list order is partition-dependent — the
+    // array_sort(struct(doc_id, ...)) is what makes the output stable
+    assertInvariant("pipeline_concat_packs", TextOps.concatPacks(_), docs)
+    assertInvariant("pipeline_split", TextOps.holdoutSplit(_), docs)
+  }
 }
