@@ -338,6 +338,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "", "", "", "", "", "", "built-in"),
         builder))
     }
+    // naive |Δt| <= W theta joins rewrite to the banded equi-join
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
 

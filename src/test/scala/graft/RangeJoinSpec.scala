@@ -88,6 +88,40 @@ class RangeJoinSpec extends SparkSpec {
       s"payload column leaked into a shuffle key (wide regroup is back):\n$plan")
   }
 
+  test("BandedRangeJoinRule rewrites the naive |Δt|<=W theta join to the banded " +
+      "equi-join; results match the oracle-gated banded operator") {
+    val (p, c) = AnalyticsQueries.asofSides(spark, sf)
+    def naive = p.join(c,
+      p("user_id") === c("user_id") &&
+        abs(unix_micros(p("ts")) - unix_micros(c("click_ts"))) <= W)
+    // without the rule the band key is absent (per-key cross product)
+    assert(!naive.queryExecution.executedPlan.toString.contains("__graft_band"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoinRule
+    try {
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_band"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewritten join must stay hash-joinable:\n$plan")
+      // lossless + duplicate-free: per-purchase match counts equal the
+      // independently oracle-checked banded operator (inner join drops
+      // zero-match purchases)
+      val got = naive.groupBy(p("event_id")).count()
+      val want = AnalyticsQueries.queries("events_range_join")(spark, sf)
+        .filter(col("n_in_window") > 0)
+        .select(col("event_id"), col("n_in_window").as("count"))
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+      assert(got.count() > 0)
+      // a key-free pure range join also rewrites (the BNLJ case)
+      val keyFree = p.limit(50).join(c.limit(50),
+        abs(unix_micros(p("ts")) - unix_micros(c("click_ts"))) <= W)
+      val kfPlan = keyFree.queryExecution.executedPlan.toString
+      assert(kfPlan.contains("__graft_band") && !kfPlan.contains("BroadcastNestedLoopJoin"),
+        s"key-free range join must band instead of nested-loop:\n$kfPlan")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoinRule)
+  }
+
   test("plan shape: equi-join on (key, band) — no nested-loop, no cartesian") {
     val (p, c) = AnalyticsQueries.asofSides(spark, sf)
     val plan = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W)
