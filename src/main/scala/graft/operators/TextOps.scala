@@ -430,6 +430,30 @@ object TextOps {
       .filter(col("coin") < col("rate_pct"))
       .select("doc_id", "source", "lang", "coin", "rate_pct")
 
+  /** Per-(source, lang) corpus card — the stratum inventory every
+    * mixture/curation decision starts from: doc and token volumes plus
+    * quality extremes. One partial-aggregated shuffle on the (tiny)
+    * stratum key. Aggregates are chosen to be ORDER-INDEPENDENT so the
+    * report is oracle-exact: counts and integer sums (exact under any
+    * partitioning), min/max of doubles (associative), and a final
+    * exact-integer division for the mean — never a float SUM.
+    */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    qualityCols(docs)
+      .withColumn("n_re_tokens", element_at(expr("graft_text_stats(text)"), 6))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_re_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .withColumn("avg_tokens_per_doc",
+        col("n_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Deterministic train/validation/test holdout split by CONTENT-HASH
     * range — the standard eval-set carve-out, done so reruns, engines,
     * and duplicated documents all agree (a rand() split is none of

@@ -208,6 +208,10 @@ object PipelineQueries {
     // TextOpsSpec.
     "pipeline_quality_topq_approx" -> ((s, dir) =>
       TextOps.qualityTopQApprox(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // per-(source, lang) corpus card (r8): stratum inventory from
+    // order-independent aggregates only (counts, int sums, min/max).
+    "corpus_source_stats" -> ((s, dir) =>
+      TextOps.sourceStats(Tables.load(s, dir, "documents"))),
     // deterministic content-hash holdout split (r8): duplicated text
     // lands in ONE split — no train/eval leakage through near-copies.
     "pipeline_split" -> ((s, dir) =>
@@ -958,6 +962,32 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality,
          |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // quality formula + regexp token count replayed, then only
+    // order-independent aggregates — no float SUM anywhere
+    "corpus_source_stats" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, source, lang, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT source, lang, n_chars, n_re_tokens, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM ws),
+         |q AS (
+         |  SELECT source, lang, n_chars, n_re_tokens,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM m)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_re_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+         |  CAST(SUM(n_re_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+         |FROM q GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
 
     "pipeline_split" ->
       s"""WITH c AS (

@@ -302,6 +302,19 @@ class TextOpsSpec extends SparkSpec {
     packs.unpersist()
   }
 
+  test("source stats: one row per stratum, doc counts partition the corpus, " +
+      "extremes bound every doc's quality") {
+    val s = TextOps.sourceStats(docs).cache()
+    assert(s.count() ===
+      docs.select("source", "lang").distinct().count())
+    assert(s.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    val q = TextOps.quality(docs).join(docs.select("doc_id", "source", "lang"), "doc_id")
+    val bad = q.join(s, Seq("source", "lang"))
+      .filter(col("quality") < col("min_quality") || col("quality") > col("max_quality"))
+    assert(bad.count() === 0)
+    s.unpersist()
+  }
+
   test("holdout split: every doc assigned once, duplicate texts land in ONE split, " +
       "train is the bulk") {
     val s = TextOps.holdoutSplit(docs).cache()
