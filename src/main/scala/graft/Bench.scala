@@ -21,7 +21,8 @@ object Bench {
     "events_window", "events_sessionize", "events_session_window",
     "orders_anti_join", "events_rollup", "q18_large_orders",
     "events_asof", "events_range_join", "events_funnel",
-    "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact", "topic_dlq",
+    "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact",
+    "topic_retention", "topic_dlq",
     "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",

@@ -136,6 +136,33 @@ object TopicOps {
         col("latest.value").as("value"), col("latest.ts").as("ts"))
       .filter(!isTombstone(col("value")))
 
+  /** Bounded-depth retention: keep the newest `n` records per
+    * (topic, partition, key) — the "compact with history" read view
+    * between the reference's full log (print, Pipeline.kt:83) and
+    * [[compact]]'s latest-only view. Tombstones are retained as records:
+    * a delete marker must outlive the older versions it shadows, exactly
+    * as Kafka's compactor keeps the marker until the shadowed segments
+    * are gone. `version` is 1 for the newest record.
+    *
+    * Scale shape: the `row_number <= n` filter triggers Spark's
+    * InferWindowGroupLimit rewrite, which inserts a PARTIAL
+    * WindowGroupLimit below the exchange — each map task prunes to `n`
+    * rows per key before shuffling, so shuffle volume is bounded by
+    * keys×n, not by records (plan-asserted in TopicOpsSpec). That is why
+    * this window is acceptable where [[compact]] deliberately avoids one:
+    * the group limit never sorts whole shuffle partitions.
+    */
+  def retain(src: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"retain: depth must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("partition"), col("key"))
+      .orderBy(col("offset").desc)
+    src.withColumn("version", row_number().over(w))
+      .filter(col("version") <= n)
+      .select(col("topic"), col("partition"), col("key"), col("offset"),
+        col("value"), col("ts"), col("version"))
+  }
+
   /** Skew-hardened compaction: when a handful of keys dominate (the
     * log-compaction hot-key case AQE's skew handling doesn't cover —
     * aggregation, not join), salt the first aggregate so a hot key spreads

@@ -121,6 +121,11 @@ object TopicQueries {
     "topic_compact_salted" -> ((s, dir) =>
       TopicOps.compactSalted(Topics.events(s, dir))
         .orderBy(col("partition"), col("key"))),
+    // compact-with-history: newest 3 records per key, tombstones retained
+    // as delete markers (r8; map-side WindowGroupLimit bounds the shuffle)
+    "topic_retention" -> ((s, dir) =>
+      TopicOps.retain(Topics.events(s, dir))
+        .orderBy(col("partition"), col("key"), col("version"))),
     "topic_dlq" -> ((s, dir) =>
       TopicOps.dlqSplit(Topics.events(s, dir), dlqError)
         .select(col("sink"), col("error"), col("partition"), col("offset"),
@@ -303,6 +308,15 @@ object TopicQueries {
          |  FROM topic)
          |WHERE rn = 1 AND "value" IS NOT NULL
          |ORDER BY "partition", "key"""".stripMargin,
+    "topic_retention" ->
+      s"""$TopicCte
+         |SELECT topic, "partition", "key", "offset", "value", ts,
+         |       CAST(rn AS INT) AS version FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY topic, "partition", "key" ORDER BY "offset" DESC) AS rn
+         |  FROM topic)
+         |WHERE rn <= 3
+         |ORDER BY "partition", "key", version""".stripMargin,
     "topic_dlq" ->
       s"""$TopicCte, decoded AS (
          |  SELECT *, CASE WHEN "value" IS NULL THEN NULL

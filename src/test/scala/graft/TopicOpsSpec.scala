@@ -100,6 +100,35 @@ class TopicOpsSpec extends SparkSpec {
     out.unpersist(); src.unpersist()
   }
 
+  test("retention keeps the newest n per key incl. tombstone markers; n=1 live = compact") {
+    val src = topic.cache()
+    val out = TopicOps.retain(src, n = 3).cache()
+    // depth bound + contiguous versions from 1 per key
+    val perKey = out.groupBy("topic", "partition", "key")
+      .agg(count(lit(1)).as("n"), min("version").as("vmin"), max("version").as("vmax"))
+    assert(perKey.filter(col("n") > 3).count() === 0)
+    assert(perKey.filter(col("vmin") =!= 1 || col("vmax") =!= col("n")).count() === 0)
+    // version 1 is the key's max offset; versions descend by offset
+    assert(out.filter(col("version") === 1).join(
+      src.groupBy("topic", "partition", "key").agg(max("offset").as("offset")),
+      Seq("topic", "partition", "key", "offset"), "left_anti").count() === 0)
+    // depth 1, live records only ⇒ exactly the compact view
+    val one = TopicOps.retain(src, n = 1)
+      .filter(col("value").isNotNull).drop("version")
+    val compacted = TopicOps.compact(src)
+    assert(one.except(compacted).count() === 0)
+    assert(compacted.except(one).count() === 0)
+    // scale gate: the rn<=n filter must become a map-side group limit —
+    // a Partial WindowGroupLimit below the exchange bounds shuffle bytes
+    // by keys×n (InferWindowGroupLimit; TopicOps.retain scaladoc)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in plan:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a Partial (map-side) group limit in plan:\n$plan")
+    out.unpersist(); src.unpersist()
+  }
+
   test("salted two-phase compaction equals plain compaction (hot-key skew path)") {
     val src = topic.cache()
     val plain = TopicOps.compact(src)
