@@ -477,6 +477,32 @@ object TextOps {
       .select("doc_id", "source", "lang", "coin", "split")
   }
 
+  /** Deterministic SHARDED training-order shuffle — the global random
+    * permutation every training run needs, in the only form that scales:
+    * key = polyhash(salt ":" doc_id), shard = key mod `buckets`, position
+    * = rank of (key, doc_id) within the shard; the reader consumes shards
+    * in (bucket, pos) order. A single global position would need either a
+    * one-partition window (serializes the whole corpus through one task)
+    * or zipWithIndex (imperative, partition-order-dependent); the sharded
+    * form is fully declarative — ONE hash exchange on `bucket` and
+    * `buckets`-way parallel in-shard sorts — and matches how large
+    * pipelines materialize shuffles anyway (shard files, read in order).
+    * Id (not content) hashing keeps exact duplicates apart; changing
+    * `salt` reshuffles — one salt per epoch gives independent epoch
+    * orders for free. Deterministic ⇒ resumable and oracle-replayable.
+    */
+  def shardedShuffle(docs: DataFrame, buckets: Int = 64,
+                     salt: String = "shuf1"): DataFrame = {
+    require(buckets >= 1, s"shardedShuffle: buckets must be >= 1, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("hkey"), col("doc_id"))
+    docs
+      .withColumn("hkey", polyhash(concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("bucket", pmod(col("hkey"), lit(buckets.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "hkey", "bucket", "pos")
+  }
+
   /** Deterministic quality-weighted UPSAMPLING — the mixture counterpart
     * of [[mixtureSample]]'s downsampling: each document repeats
     * `epochs(decile)` times in the output (training-mixture weighting à

@@ -222,6 +222,12 @@ object PipelineQueries {
     "pipeline_upsample" -> ((s, dir) =>
       TextOps.qualityUpsample(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("epoch"))),
+    // sharded deterministic training-order shuffle (r8): ONE exchange on
+    // bucket + buckets-way parallel in-shard sorts; reader order =
+    // (bucket, pos); salt-per-epoch reshuffles.
+    "pipeline_shuffle" -> ((s, dir) =>
+      TextOps.shardedShuffle(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // Batched mapPartitions decode (r8: oracle-green, was rows-only) —
     // audio blobs are REAL RIFF/WAVE containers whose chunk walk
     // recovers header fields + sample payload; every output column is an
@@ -1023,6 +1029,15 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality, decile, n_epochs,
          |       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
          |FROM e ORDER BY doc_id, epoch""".stripMargin,
+
+    "pipeline_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${poly("'shuf1:' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents)
+         |SELECT doc_id, hkey, CAST(hkey % 64 AS INT) AS bucket,
+         |  CAST(row_number() OVER (PARTITION BY hkey % 64
+         |    ORDER BY hkey, doc_id) AS INT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "mm_audiowindow" ->
       s"""WITH blobs AS (

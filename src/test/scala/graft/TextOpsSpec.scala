@@ -315,6 +315,33 @@ class TextOpsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("sharded shuffle: a permutation (each doc once, in-shard positions contiguous), " +
+      "deterministic, partitioning-invariant, salt reshuffles") {
+    val s = TextOps.shardedShuffle(docs, buckets = 16).cache()
+    assert(s.count() === docs.count())
+    assert(s.select("doc_id").distinct().count() === docs.count())
+    assert(s.filter(col("bucket") < 0 || col("bucket") >= 16).count() === 0)
+    // positions are exactly 1..count within each shard (a true permutation)
+    val perShard = s.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("pos").as("pmin"), max("pos").as("pmax"),
+        countDistinct(col("pos")).as("npos"))
+    assert(perShard.filter(col("pmin") =!= 1 || col("pmax") =!= col("n") ||
+      col("npos") =!= col("n")).count() === 0)
+    // hash balance: no shard above 2x the mean (loose uniformity gate)
+    val mean = docs.count().toDouble / 16
+    assert(perShard.filter(col("n") > mean * 2).count() === 0,
+      "a shard holds >2x the mean — hash badly skewed")
+    // deterministic + invariant to input partitioning (the cluster
+    // repartitioning a 100-TB scan must not change the training order)
+    val again = TextOps.shardedShuffle(docs.repartition(7), buckets = 16)
+    assert(s.except(again).count() === 0)
+    assert(again.except(s).count() === 0)
+    // a different salt produces a genuinely different order
+    val other = TextOps.shardedShuffle(docs, buckets = 16, salt = "shuf2")
+    assert(s.join(other, Seq("doc_id", "bucket", "pos"), "inner").count() < docs.count())
+    s.unpersist()
+  }
+
   test("holdout split: every doc assigned once, duplicate texts land in ONE split, " +
       "train is the bulk") {
     val s = TextOps.holdoutSplit(docs).cache()
