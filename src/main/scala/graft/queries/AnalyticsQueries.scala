@@ -101,6 +101,24 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // Inter-arrival gap card (r8): per-user lag window (ONE exchange on
+    // user_id) → integer µs gaps → partial-aggregated per-type stats;
+    // sums stay BIGINT so both engines are exact, avg derived once.
+    "events_gap_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"))
+        .withColumn("avg_gap_us", col("sum_gap_us").cast("double") / col("n_gaps"))
+        .orderBy(col("event_type"))
+    }),
+
     // Anti join: orders with no shipped lineitem after a date — LeftAnti
     // plans as a broadcast/shuffled hash anti join, no full materialization.
     "orders_anti_join" -> ((s, dir) => {
@@ -348,6 +366,18 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "events_gap_stats" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+         |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_gaps,
+         |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+         |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+         |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // session_window end = last event ts + gap. Boundary convention BY
     // CONSTRUCTION (round-2 ADVICE): Spark's session window is half-open
     // [ts, ts+gap) over microsecond timestamps, so an event exactly `gap`

@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "compact must not sort whole partitions via a window")
   }
 
+  test("gap stats: lag window + aggregate shuffle twice total; gap count is a closed form") {
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val q = (AnalyticsQueries.queries)("events_gap_stats")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // one exchange for the user_id window, one for the per-type aggregate
+    // (with map-side partial), plus the presentation orderBy's range
+    // exchange over the handful of aggregate rows — no more
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 3, s"gap stats: window + agg + output sort only:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"per-type aggregate needs map-side combine:\n$p")
+    // every user with k>=1 events contributes exactly k-1 gaps
+    import org.apache.spark.sql.functions._
+    val expected = events.count() - events.select("user_id").distinct().count()
+    val got = q.agg(sum("n_gaps")).collect()(0).getLong(0)
+    assert(got === expected, s"gap count: got $got, expected $expected")
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val p = graft.operators.Similarity
       .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
