@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{AsOfStream, DedupStream, RangeJoinStream, SimilarityStream, TopicStream}
+import graft.streaming.{AsOfStream, CorpusStream, DedupStream, RangeJoinStream, SimilarityStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -139,6 +139,13 @@ object StreamQueries {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
         .orderBy(col("partition"), col("key"), col("batch_id"))
+    }),
+    // Live corpus data card: complete-mode per-(source, lang) stats whose
+    // state is one row per stratum; full replay = batch card verbatim.
+    "stream_source_stats" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_source_stats", dir)
+      CorpusStream.sourceStatsStream(s, s"$dir/documents.parquet", out, ckpt)
+        .orderBy(col("source"), col("lang"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -155,6 +162,7 @@ object StreamQueries {
     "stream_funnel" -> AnalyticsQueries.oracles("events_funnel"),
     // decided-record routing == batch ask-with-decisions-table exactly
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
+    "stream_source_stats" -> PipelineQueries.oracles("corpus_source_stats"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
     // offsets), so the equi-join on (topic, partition, offset) reduces
     // to that filter — which is exactly what makes the join verifiable.

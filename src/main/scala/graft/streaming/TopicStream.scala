@@ -344,7 +344,7 @@ object TopicStream {
   /** Complete-mode aggregation → overwrite parquet per micro-batch; the
     * final batch IS the full aggregate, so batch oracles apply verbatim.
     */
-  private def completeToParquet(spark: SparkSession, agg: DataFrame,
+  private[streaming] def completeToParquet(spark: SparkSession, agg: DataFrame,
                                 outDir: String, checkpointDir: String): DataFrame = {
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)

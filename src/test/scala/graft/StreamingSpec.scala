@@ -143,6 +143,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming corpus card over multi-batch replay equals the batch source stats") {
+    val docsDir = "/root/repo/target/stream-scratch/docs-split-card"
+    Tables.load(spark, sf, "documents").repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_source_stats", docsDir)
+    val streamed = graft.streaming.CorpusStream.sourceStatsStream(
+      spark, docsDir, out, ckpt, maxFilesPerTrigger = Some(1))
+    val batch = graft.operators.TextOps.sourceStats(Tables.load(spark, sf, "documents"))
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming PQ ANN serving over multi-batch replay equals batch ivfPqTopK") {
     val embDir = "/root/repo/target/stream-scratch/emb-split"
     Tables.load(spark, sf, "embeddings").repartition(4)
