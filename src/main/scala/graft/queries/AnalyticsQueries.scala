@@ -119,6 +119,23 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Cohort-retention triangle (r8): cohort = day of first event, cell
+    // (cohort, k) = distinct users active k days later. first-seen
+    // aggregate hash-partitions on user_id and the events join REUSES
+    // that partitioning (one new exchange on the events side only);
+    // periods are exact integer day diffs.
+    "events_retention_cohorts" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val firstSeen = events.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      events.join(firstSeen, "user_id")
+        .withColumn("period", datediff(to_date(col("ts")), to_date(col("cohort_day"))))
+        .groupBy(col("cohort_day"), col("period"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("cohort_day"), col("period"))
+    }),
+
     // Anti join: orders with no shipped lineitem after a date — LeftAnti
     // plans as a broadcast/shuffled hash anti join, no full materialization.
     "orders_anti_join" -> ((s, dir) => {
@@ -366,6 +383,16 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "events_retention_cohorts" ->
+      s"""WITH fs AS (
+         |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
+         |  FROM events GROUP BY user_id)
+         |SELECT fs.cohort_day,
+         |  CAST(date_diff('day', CAST(fs.cohort_day AS DATE),
+         |                  CAST(e.ts AS DATE)) AS INT) AS period,
+         |  COUNT(DISTINCT e.user_id) AS n_active, COUNT(*) AS n_events
+         |FROM events e JOIN fs ON e.user_id = fs.user_id
+         |GROUP BY 1, 2 ORDER BY cohort_day, period""".stripMargin,
     "events_gap_stats" ->
       s"""WITH g AS (
          |  SELECT event_type,

@@ -73,6 +73,39 @@ class PlanSpec extends SparkSpec {
     assert(got === expected, s"gap count: got $got, expected $expected")
   }
 
+  test("retention cohorts: first-seen dim broadcasts (no probe shuffle); day-0 cell = cohort size") {
+    import org.apache.spark.sql.functions._
+    val q = (AnalyticsQueries.queries)("events_retention_cohorts")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the first-seen aggregate is a per-user dim (orders smaller than
+    // events) — it must BROADCAST so the events scan joins without any
+    // probe-side shuffle; remaining exchanges are the user_id agg, the
+    // countDistinct two-phase expansion, the cell agg, and the output
+    // sort. (At a scale where users outgrow the broadcast threshold the
+    // same plan degrades to a co-partitioned shuffle join — Spark's
+    // call, not the operator's.)
+    assert(p.contains("BroadcastHashJoin"), s"first-seen dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge at test scale:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 5, s"agg + broadcast + distinct-expand + cell agg + sort only:\n$p")
+    val cells = q.cache()
+    try {
+      // nobody is active before their own first event
+      assert(cells.filter(col("period") < 0).count() === 0)
+      // the day-0 cell of every cohort counts every user of that cohort
+      val events = graft.sources.Tables.load(spark, sf, "events")
+      val cohortSizes = events.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+        .groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+      val day0 = cells.filter(col("period") === 0)
+        .select(col("cohort_day"), col("n_active"))
+      assert(day0.join(cohortSizes, "cohort_day")
+        .filter(col("n_active") =!= col("n_users")).count() === 0)
+      // every event lands in exactly one cell
+      assert(cells.agg(sum("n_events")).collect()(0).getLong(0) === events.count())
+    } finally cells.unpersist()
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val p = graft.operators.Similarity
       .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
