@@ -477,6 +477,35 @@ object TextOps {
       .select("doc_id", "source", "lang", "coin", "split")
   }
 
+  /** Per-document n-gram NOVELTY — the share of a doc's distinct
+    * 3-gram shingles that occur in no other document (corpus document
+    * frequency 1). Low novelty flags boilerplate/templated text that
+    * pairwise near-dup ops miss: a page assembled from fragments of
+    * MANY documents is far from every single one of them, yet novel in
+    * almost nothing. Reuses the exact shingle kernel + document-
+    * frequency aggregate the prefix-filter dedup runs (Dedup.scala:92),
+    * so the plan is the proven one: fused codegen shingles → explode →
+    * df aggregate on the shingle hash → count df==1 per doc — shuffle
+    * keys are always the 8-byte hash or doc_id, never text. Docs too
+    * short to shingle surface with n_ngrams = 0 and null novelty
+    * (a left join back to the corpus), not silently dropped.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val ex = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        when(col("n_ngrams") > 0, col("n_unique").cast("double") / col("n_ngrams")))
+  }
+
   /** Deterministic SHARDED training-order shuffle — the global random
     * permutation every training run needs, in the only form that scales:
     * key = polyhash(salt ":" doc_id), shard = key mod `buckets`, position

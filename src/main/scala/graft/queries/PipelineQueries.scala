@@ -222,6 +222,12 @@ object PipelineQueries {
     "pipeline_upsample" -> ((s, dir) =>
       TextOps.qualityUpsample(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("epoch"))),
+    // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
+    // the boilerplate signal pairwise near-dup misses; reuses the
+    // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
+    "corpus_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // sharded deterministic training-order shuffle (r8): ONE exchange on
     // bucket + buckets-way parallel in-shard sorts; reader order =
     // (bucket, pos); salt-per-epoch reshuffles.
@@ -1029,6 +1035,22 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality, decile, n_epochs,
          |       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
          |FROM e ORDER BY doc_id, epoch""".stripMargin,
+
+    "corpus_ngram_novelty" -> (ShingleCte +
+      s"""
+         |, ex AS (SELECT doc_id, unnest(hs) AS h FROM hashes),
+         |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_ngrams,
+         |         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM ex JOIN dfreq USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.n_ngrams, 0) AS n_ngrams,
+         |  COALESCE(pd.n_unique, 0) AS n_unique,
+         |  CASE WHEN pd.n_ngrams > 0
+         |       THEN CAST(pd.n_unique AS DOUBLE) / pd.n_ngrams END AS novelty
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
 
     "pipeline_shuffle" ->
       s"""WITH h AS (

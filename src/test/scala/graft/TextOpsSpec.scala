@@ -315,6 +315,31 @@ class TextOpsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("ngram novelty: dup'd text scores 0, uniques bounded, every doc surfaces") {
+    val nv = TextOps.ngramNovelty(docs).cache()
+    assert(nv.count() === docs.count(), "every doc must surface, shingle-less included")
+    assert(nv.filter(col("n_unique") > col("n_ngrams")).count() === 0)
+    assert(nv.filter(col("n_ngrams") === 0 && col("novelty").isNotNull).count() === 0)
+    // plant exact dups: union a re-labeled copy of 5 docs — every
+    // shingle of both twins then has df>=2 ⇒ novelty exactly 0
+    val twinIds = docs.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val planted = TextOps.ngramNovelty(docs.unionByName(twinIds))
+    val twinAndOrig = planted.filter(
+      col("doc_id") < 5 || col("doc_id") >= 1000000L)
+    assert(twinAndOrig.filter(col("n_ngrams") > 0).count() > 0)
+    assert(twinAndOrig.filter(col("n_ngrams") > 0 && col("novelty") =!= 0.0)
+      .count() === 0, "an exact-dup doc can have no corpus-unique shingle")
+    // n_unique totals the df==1 shingle population exactly once
+    val ex = graft.operators.Dedup.shingleHashes(docs)
+      .select(explode(col("hs")).as("h"))
+    val singletons = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).count()
+    assert(nv.agg(sum("n_unique")).collect()(0).getLong(0) === singletons)
+    nv.unpersist()
+  }
+
   test("sharded shuffle: a permutation (each doc once, in-shard positions contiguous), " +
       "deterministic, partitioning-invariant, salt reshuffles") {
     val s = TextOps.shardedShuffle(docs, buckets = 16).cache()
