@@ -21,7 +21,7 @@ object Bench {
     "events_window", "events_sessionize", "events_session_window",
     "orders_anti_join", "events_rollup", "q18_large_orders",
     "events_asof", "events_range_join", "events_funnel", "events_gap_stats",
-    "events_retention_cohorts",
+    "events_retention_cohorts", "events_anomaly",
     "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact",
     "topic_retention", "topic_dlq",
     "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",

@@ -136,6 +136,31 @@ object AnalyticsQueries {
         .orderBy(col("cohort_day"), col("period"))
     }),
 
+    // Per-type z-score outliers (r8): engine-exact two-pass — moments
+    // from DECIMAL sums (value and value² both exact in decimal; the
+    // square computed decimal×decimal BEFORE summing), derived mean/sd
+    // in identical IEEE double ops, tiny stats dim broadcast back over
+    // the scan. greatest(·,0) guards float cancellation in the variance.
+    "events_anomaly" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+      val d = ev.withColumn("vd", col("value").cast("decimal(12,2)"))
+      val stats = d.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("vd")).as("sv"),
+          sum(col("vd") * col("vd")).as("svv"))
+        .withColumn("mean_v", col("sv").cast("double") / col("n"))
+        .withColumn("sd", sqrt(greatest(
+          col("svv").cast("double") / col("n") - col("mean_v") * col("mean_v"),
+          lit(0.0))))
+        .select(col("event_type"), col("mean_v"), col("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("mean_v")) > lit(3.0) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("mean_v"), col("sd"),
+          ((col("value") - col("mean_v")) / col("sd")).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Anti join: orders with no shipped lineitem after a date — LeftAnti
     // plans as a broadcast/shuffled hash anti join, no full materialization.
     "orders_anti_join" -> ((s, dir) => {
@@ -383,6 +408,24 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "events_anomaly" ->
+      s"""WITH s AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+         |    CAST(SUM(CAST("value" AS DECIMAL(12,2)) *
+         |             CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS svv
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY event_type),
+         |m AS (SELECT event_type, n, sv / n AS mean_v, svv FROM s),
+         |st AS (
+         |  SELECT event_type, mean_v,
+         |    sqrt(greatest(svv / n - mean_v * mean_v, 0)) AS sd
+         |  FROM m)
+         |SELECT e.event_id, e.event_type, e."value", st.mean_v, st.sd,
+         |  (e."value" - st.mean_v) / st.sd AS z
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |WHERE e."value" IS NOT NULL
+         |  AND abs(e."value" - st.mean_v) > 3.0 * st.sd
+         |ORDER BY e.event_id""".stripMargin,
     "events_retention_cohorts" ->
       s"""WITH fs AS (
          |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day

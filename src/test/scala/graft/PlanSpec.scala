@@ -106,6 +106,25 @@ class PlanSpec extends SparkSpec {
     } finally cells.unpersist()
   }
 
+  test("anomaly: stats dim broadcasts over the raw scan; every flagged row is beyond 3 sd") {
+    import org.apache.spark.sql.functions._
+    val q = (AnalyticsQueries.queries)("events_anomaly")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // two passes over the scan (exact moments need one), stats dim joins
+    // back by BROADCAST — the probe side must not shuffle
+    assert(p.contains("BroadcastHashJoin"), s"stats dim must broadcast:\n$p")
+    // 3 "Exchange" hits = stats agg + the BroadcastExchange itself +
+    // output sort; a 4th would mean the probe side shuffled
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 3, s"stats agg + broadcast + output sort only:\n$p")
+    val rows = q.cache()
+    try {
+      assert(rows.filter(abs(col("z")) <= 3.0).count() === 0,
+        "a flagged row within 3 sd contradicts the filter")
+      assert(rows.count() > 0, "fixture yields no outliers — vacuous query")
+    } finally rows.unpersist()
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val p = graft.operators.Similarity
       .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
