@@ -227,6 +227,25 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy(col("cluster_size"))
 
+  /** Similarity-distribution histogram over the banded-MinHash candidate
+    * pairs — the tuning card for every near-dup threshold decision: how
+    * many pairs live in each jaccard band, and how tight the bands run.
+    * Unthresholded (tau = 0) so the whole candidate distribution shows;
+    * candidates stay band-bounded, so the histogram costs what the dedup
+    * run already pays. Per-bin stats are COUNT/MIN/MAX only — selections,
+    * not float accumulations, so the doubles stay order-independent and
+    * engine-exact (a mean would sum doubles in shuffle order).
+    */
+  def pairHist(docs: DataFrame, bands: Int = 4, bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"pairHist: bins must be >= 1, got $bins")
+    minhashPairs(docs, tau = 0.0, bands)
+      .withColumn("bin", least(floor(col("jaccard") * bins), lit((bins - 1).toLong)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"))
+      .orderBy(col("bin"))
+  }
+
   /** Every corpus doc gets its component label; non-edge vertices
     * (singletons — the overwhelming majority) are their own component.
     */

@@ -70,6 +70,11 @@ object PipelineQueries {
     // two tiny aggregates over the component labels.
     "dedup_cluster_stats" -> ((s, dir) =>
       Dedup.clusterStats(Tables.load(s, dir, "documents"), JaccardTau, MhBands)),
+    // similarity histogram over UNthresholded banded candidates (r8):
+    // the tuning card for the tau decision; min/max only per bin, so the
+    // doubles stay order-independent.
+    "dedup_pair_hist" -> ((s, dir) =>
+      Dedup.pairHist(Tables.load(s, dir, "documents"), MhBands)),
     // component dedup over the EMBEDDING near-dup graph (r8): the same
     // star contraction on the sign-LSH + exact-cosine pair list —
     // cluster-correct semantic dedup (SemDeDup keeper rule done right).
@@ -468,6 +473,27 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_pair_hist" -> (ShingleCte +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
+         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |j AS (SELECT CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard FROM verify)
+         |SELECT least(CAST(floor(jaccard * 20) AS BIGINT), 19) AS bin,
+         |  COUNT(*) AS n_pairs, MIN(jaccard) AS min_j, MAX(jaccard) AS max_j
+         |FROM j GROUP BY 1 ORDER BY bin""".stripMargin),
 
     // the pair stage is the dedup_minhash oracle verbatim; the closure
     // replays min-label propagation as a recursive reachability min

@@ -67,6 +67,22 @@ class DedupSpec extends SparkSpec {
     assert(full.except(pref).count() === 0)
   }
 
+  test("pair histogram conserves the candidate population and bins tightly") {
+    import graft.operators.Dedup
+    val hist = Dedup.pairHist(docs, bands = 4, bins = 20).cache()
+    val allPairs = Dedup.minhashPairs(docs, tau = 0.0, bands = 4).count()
+    assert(hist.agg(sum("n_pairs")).collect()(0).getLong(0) === allPairs,
+      "every candidate pair lands in exactly one bin")
+    assert(hist.filter(col("bin") < 0 || col("bin") > 19).count() === 0)
+    assert(hist.filter(col("n_pairs") <= 0).count() === 0, "empty bins must not surface")
+    // per-bin min/max sit inside the bin's jaccard range (bin 19 takes 1.0)
+    assert(hist.filter(
+      col("min_j") < col("bin") / 20.0 ||
+        (col("bin") < 19 && col("max_j") >= (col("bin") + 1) / 20.0) ||
+        col("max_j") > 1.0).count() === 0)
+    hist.unpersist()
+  }
+
   test("connected components equal a driver-side union-find over the same pairs; " +
       "fixpoint is idempotent and component ids are member minima") {
     val comp = Dedup.components(docs).cache()
