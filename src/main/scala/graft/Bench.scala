@@ -19,7 +19,7 @@ object Bench {
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
-    "orders_anti_join", "events_rollup", "q18_large_orders",
+    "orders_anti_join", "events_rollup", "q18_large_orders", "q10_returned",
     "events_asof", "events_range_join", "events_funnel", "events_gap_stats",
     "events_retention_cohorts", "events_anomaly",
     "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact",

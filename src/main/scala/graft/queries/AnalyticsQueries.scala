@@ -136,6 +136,26 @@ object AnalyticsQueries {
         .orderBy(col("cohort_day"), col("period"))
     }),
 
+    // TPC-H Q10 shape (r8): returned-item revenue by customer for one
+    // quarter — two fact filters reach the scans, facts shuffle once on
+    // the join keys, the 25-row nation dim broadcasts, decimal-exact
+    // money, top 20 via TakeOrderedAndProject (never a global sort).
+    "q10_returned" -> ((s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Per-type z-score outliers (r8): engine-exact two-pass — moments
     // from DECIMAL sums (value and value² both exact in decimal; the
     // square computed decimal×decimal BEFORE summing), derived mean/sd
@@ -408,6 +428,17 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, n_name, $Revenue AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "events_anomaly" ->
       s"""WITH s AS (
          |  SELECT event_type, COUNT(*) AS n,

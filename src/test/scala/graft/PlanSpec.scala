@@ -21,6 +21,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q10: returnflag + quarter filters reach the scans; top-20 is TakeOrdered, not a sort") {
+    val p = plan("q10_returned")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter must reach the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 20 must plan as TakeOrderedAndProject (no global sort):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge at test scale:\n$p")
+  }
+
   test("q1 scan pushes the shipdate filter and prunes to the aggregated columns") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
