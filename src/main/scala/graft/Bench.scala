@@ -27,7 +27,7 @@ object Bench {
     "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
-    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
+    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "embedding_stats",
     "events_approx", "events_asof_tolerance",
     "events_asof_forward", "events_asof_nearest",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",

@@ -396,6 +396,27 @@ object Similarity {
     * The candidate join keys on (band_id, band_val); the quadratic part is
     * confined to per-bucket populations.
     */
+  /** Per-label embedding data card — the sanity report an embedding
+    * table gets before anyone indexes it: vector counts, dimension
+    * min/max (a ragged dim would silently break every fused kernel),
+    * norm range, and zero-vector count (cosine is undefined on them).
+    * Norms come from the fused index-order fold (graft_norm) so the
+    * doubles are engine-exact; per-label stats are COUNT/MIN/MAX
+    * selections, never float accumulations.
+    */
+  def embeddingStats(emb: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(emb.sparkSession)
+    emb.select(col("label"), size(col("embedding")).as("dim"),
+        toDoubleVec(col("embedding")).as("e"))
+      .withColumn("nrm", expr("graft_norm(e)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("label"))
+  }
+
   def embeddingPairs(emb: DataFrame, tau: Double = 0.4): DataFrame = {
     val v = vectors(emb)
     val ex = explodeBands(v)

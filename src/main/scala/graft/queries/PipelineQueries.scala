@@ -227,6 +227,10 @@ object PipelineQueries {
     "pipeline_upsample" -> ((s, dir) =>
       TextOps.qualityUpsample(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("epoch"))),
+    // per-label embedding data card (r8): counts, dim min/max, norm
+    // range from the fused index-order fold, zero-vector count.
+    "embedding_stats" -> ((s, dir) =>
+      Similarity.embeddingStats(Tables.load(s, dir, "embeddings"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -1061,6 +1065,18 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality, decile, n_epochs,
          |       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
          |FROM e ORDER BY doc_id, epoch""".stripMargin,
+
+    "embedding_stats" ->
+      s"""WITH v AS (
+         |  SELECT label, CAST(len(embedding) AS INT) AS dim,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      [x*x for x in CAST(embedding AS DOUBLE[])]), (s,x) -> s+x)) AS nrm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+         |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |FROM v GROUP BY label ORDER BY label""".stripMargin,
 
     "corpus_ngram_novelty" -> (ShingleCte +
       s"""

@@ -10,6 +10,20 @@ class SimilaritySpec extends SparkSpec {
   private def emb = Tables.load(spark, sf, "embeddings")
   private val isQuery = col("vec_id") < 8
 
+  test("embedding card conserves the table, pins the dim, and norms the fused kernel computes") {
+    import graft.operators.Similarity
+    val card = Similarity.embeddingStats(emb).cache()
+    assert(card.agg(sum("n_vecs")).collect()(0).getLong(0) === emb.count())
+    // a ragged dim column would break every fused kernel — the card is
+    // where that surfaces first
+    assert(card.filter(col("min_dim") =!= col("max_dim")).count() === 0)
+    assert(card.filter(col("min_norm") < 0 || col("max_norm") < col("min_norm"))
+      .count() === 0)
+    assert(card.filter(col("n_zero") =!= 0L).count() === 0,
+      "fixture has no zero vectors; a nonzero count here is a kernel bug")
+    card.unpersist()
+  }
+
   test("brute-force top-k returns exactly k ranked neighbors per query, cosine in [-1,1]") {
     val out = Similarity.bruteForceTopK(emb, isQuery, k = 10).cache()
     val perQuery = out.groupBy("query_id").count()
