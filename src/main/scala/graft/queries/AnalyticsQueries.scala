@@ -163,22 +163,7 @@ object AnalyticsQueries {
     // the scan. greatest(·,0) guards float cancellation in the variance.
     "events_anomaly" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
-      val d = ev.withColumn("vd", col("value").cast("decimal(12,2)"))
-      val stats = d.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n"),
-          sum(col("vd")).as("sv"),
-          sum(col("vd") * col("vd")).as("svv"))
-        .withColumn("mean_v", col("sv").cast("double") / col("n"))
-        .withColumn("sd", sqrt(greatest(
-          col("svv").cast("double") / col("n") - col("mean_v") * col("mean_v"),
-          lit(0.0))))
-        .select(col("event_type"), col("mean_v"), col("sd"))
-      ev.join(broadcast(stats), "event_type")
-        .filter(abs(col("value") - col("mean_v")) > lit(3.0) * col("sd"))
-        .select(col("event_id"), col("event_type"), col("value"),
-          col("mean_v"), col("sd"),
-          ((col("value") - col("mean_v")) / col("sd")).as("z"))
-        .orderBy(col("event_id"))
+      flagAnomalies(ev, typeStats(ev)).orderBy(col("event_id"))
     }),
 
     // Anti join: orders with no shipped lineitem after a date — LeftAnti
@@ -369,6 +354,36 @@ object AnalyticsQueries {
         col("ts").as("click_ts"), col("value").as("click_value"))
     (p, c)
   }
+
+  /** Per-type (mean, sd) from engine-exact decimal moments — the square
+    * computed decimal×decimal BEFORE summing, derived stats in IEEE
+    * double ops, greatest(·,0) against float cancellation. A
+    * constant-size dim (one row per event type) at ANY corpus scale.
+    */
+  private[graft] def typeStats(ev: DataFrame): DataFrame = {
+    val d = ev.withColumn("vd", col("value").cast("decimal(12,2)"))
+    d.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("vd")).as("sv"),
+        sum(col("vd") * col("vd")).as("svv"))
+      .withColumn("mean_v", col("sv").cast("double") / col("n"))
+      .withColumn("sd", sqrt(greatest(
+        col("svv").cast("double") / col("n") - col("mean_v") * col("mean_v"),
+        lit(0.0))))
+      .select(col("event_type"), col("mean_v"), col("sd"))
+  }
+
+  /** Flag rows beyond 3σ of their type against a precomputed stats dim
+    * (broadcast: the dim never grows with data). Works identically on a
+    * batch frame and a streaming micro-batch — the streaming twin rides
+    * this exact call.
+    */
+  private[graft] def flagAnomalies(ev: DataFrame, stats: DataFrame): DataFrame =
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mean_v")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mean_v"), col("sd"),
+        ((col("value") - col("mean_v")) / col("sd")).as("z"))
 
   private val Revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +

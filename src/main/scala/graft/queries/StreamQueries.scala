@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{AsOfStream, CorpusStream, DedupStream, RangeJoinStream, SimilarityStream, TopicStream}
+import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, RangeJoinStream, SimilarityStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -140,6 +140,13 @@ object StreamQueries {
       TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
         .orderBy(col("partition"), col("key"), col("batch_id"))
     }),
+    // Online anomaly flagging vs a history-fitted constant-size stats
+    // index; replay = events_anomaly verbatim.
+    "stream_anomaly" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_anomaly", dir)
+      AnomalyStream.anomalyStream(s, dir, out, ckpt)
+        .orderBy(col("event_id"))
+    }),
     // Live corpus data card: complete-mode per-(source, lang) stats whose
     // state is one row per stratum; full replay = batch card verbatim.
     "stream_source_stats" -> ((s, dir) => {
@@ -163,6 +170,7 @@ object StreamQueries {
     // decided-record routing == batch ask-with-decisions-table exactly
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     "stream_source_stats" -> PipelineQueries.oracles("corpus_source_stats"),
+    "stream_anomaly" -> AnalyticsQueries.oracles("events_anomaly"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
     // offsets), so the equi-join on (topic, partition, offset) reduces
     // to that filter — which is exactly what makes the join verifiable.

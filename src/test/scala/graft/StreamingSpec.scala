@@ -143,6 +143,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming anomaly flagging over multi-batch replay equals batch events_anomaly") {
+    val evDir = "/root/repo/target/stream-scratch/events-split-anom"
+    Tables.load(spark, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(evDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_anomaly", evDir)
+    // the stream fits its stats index from the same history it replays
+    val streamed = graft.streaming.AnomalyStream.anomalyStream(
+      spark, sf, out, ckpt, maxFilesPerTrigger = Some(1),
+      eventsPath = Some(evDir))
+    val batch = graft.queries.AnalyticsQueries.queries("events_anomaly")(spark, sf)
+    assert(streamed.count() > 0, "fixture yields no outliers — vacuous replay")
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming corpus card over multi-batch replay equals the batch source stats") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split-card"
     Tables.load(spark, sf, "documents").repartition(4)
