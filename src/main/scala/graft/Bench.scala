@@ -39,7 +39,8 @@ object Bench {
     "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
-    "pipeline_split", "pipeline_upsample", "pipeline_shuffle", "corpus_source_stats",
+    "pipeline_split", "pipeline_upsample", "pipeline_shuffle", "pipeline_curriculum",
+    "corpus_source_stats",
     "mm_audiowindow")
 
   def main(args: Array[String]): Unit = {

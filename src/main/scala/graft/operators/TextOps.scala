@@ -532,6 +532,30 @@ object TextOps {
       .select("doc_id", "hkey", "bucket", "pos")
   }
 
+  /** Deterministic CURRICULUM order — quality-decile-major training
+    * order with an in-tier sharded shuffle: the reader consumes
+    * (decile asc, bucket, pos), so training anneals from the highest
+    * quality tier down while order WITHIN a tier stays uniformly
+    * shuffled (a plain quality sort would feed near-identical docs
+    * consecutively). Composition of [[qualityDeciles]] (exact NTILE
+    * tiers) and [[shardedShuffle]]'s hash ordering; same scale shape —
+    * the per-(tier, shard) windows parallelize, nothing serializes
+    * through one partition. Salt-per-epoch re-shuffles within tiers
+    * while the tier ramp stays fixed.
+    */
+  def curriculum(docs: DataFrame, buckets: Int = 16,
+                 salt: String = "curr1"): DataFrame = {
+    require(buckets >= 1, s"curriculum: buckets must be >= 1, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("decile"), col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+    qualityDeciles(docs)
+      .withColumn("hkey", polyhash(concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("bucket", pmod(col("hkey"), lit(buckets.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "decile", "bucket", "pos")
+  }
+
   /** Deterministic quality-weighted UPSAMPLING — the mixture counterpart
     * of [[mixtureSample]]'s downsampling: each document repeats
     * `epochs(decile)` times in the output (training-mixture weighting à

@@ -237,6 +237,11 @@ object PipelineQueries {
     "corpus_ngram_novelty" -> ((s, dir) =>
       TextOps.ngramNovelty(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // curriculum order (r8): decile-major anneal, sharded-shuffled
+    // within tiers; reader order = (decile, bucket, pos).
+    "pipeline_curriculum" -> ((s, dir) =>
+      TextOps.curriculum(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // sharded deterministic training-order shuffle (r8): ONE exchange on
     // bucket + buckets-way parallel in-shard sorts; reader order =
     // (bucket, pos); salt-per-epoch reshuffles.
@@ -1093,6 +1098,36 @@ object PipelineQueries {
          |       THEN CAST(pd.n_unique AS DOUBLE) / pd.n_ngrams END AS novelty
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+
+    // the deciles oracle (pipeline_quality_deciles verbatim) + the
+    // pipeline_shuffle hash, ranked within (decile, bucket)
+    "pipeline_curriculum" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM ws),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM m),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+         |  FROM q),
+         |h AS (
+         |  SELECT doc_id, decile,
+         |    ${poly("'curr1:' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM d)
+         |SELECT doc_id, decile, CAST(hkey % 16 AS INT) AS bucket,
+         |  CAST(row_number() OVER (PARTITION BY decile, hkey % 16
+         |    ORDER BY hkey, doc_id) AS INT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "pipeline_shuffle" ->
       s"""WITH h AS (

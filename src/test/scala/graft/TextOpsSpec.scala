@@ -367,6 +367,23 @@ class TextOpsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("curriculum: decile-major permutation, contiguous in-shard positions, " +
+      "partitioning-invariant") {
+    val c = TextOps.curriculum(docs, buckets = 8).cache()
+    assert(c.count() === docs.count())
+    assert(c.select("doc_id").distinct().count() === docs.count())
+    assert(c.filter(col("decile") < 1 || col("decile") > 10).count() === 0)
+    val perShard = c.groupBy("decile", "bucket")
+      .agg(count(lit(1)).as("n"), min("pos").as("pmin"), max("pos").as("pmax"),
+        countDistinct(col("pos")).as("npos"))
+    assert(perShard.filter(col("pmin") =!= 1 || col("pmax") =!= col("n") ||
+      col("npos") =!= col("n")).count() === 0)
+    val again = TextOps.curriculum(docs.repartition(5), buckets = 8)
+    assert(c.except(again).count() === 0)
+    assert(again.except(c).count() === 0)
+    c.unpersist()
+  }
+
   test("holdout split: every doc assigned once, duplicate texts land in ONE split, " +
       "train is the bulk") {
     val s = TextOps.holdoutSplit(docs).cache()
