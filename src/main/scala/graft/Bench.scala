@@ -31,7 +31,7 @@ object Bench {
     "events_approx", "events_asof_tolerance",
     "events_asof_forward", "events_asof_nearest",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
-    "corpus_token_topk", "corpus_ngram_topk", "corpus_ngram_novelty",
+    "corpus_token_topk", "corpus_ngram_topk", "corpus_ngram_novelty", "corpus_length_hist",
     "dedup_components", "dedup_components_star", "dedup_cluster_stats", "dedup_pair_hist",
     "dedup_embedding_cc",
     "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_decode",

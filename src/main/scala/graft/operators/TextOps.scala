@@ -532,6 +532,25 @@ object TextOps {
       .select("doc_id", "hkey", "bucket", "pos")
   }
 
+  /** Log2 document-length histogram — the size card that decides
+    * pack-budget and min/max-length filter thresholds. Bins are the BIT
+    * LENGTH of n_chars (floor(log2)+1), computed as length(bin(n)) —
+    * integer-exact in both engines, where a libm log2 could differ in
+    * the last ulp across implementations and flip a boundary doc's bin.
+    * Zero-length docs (if any) take bin 0. Pure scan + partial-agg on a
+    * pre-existing integer column: the scan prunes to one column, no row
+    * ever shuffles (only the tiny per-bin partials do).
+    */
+  def lengthHist(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bin",
+        when(col("n_chars") > 0, length(bin(col("n_chars")))).otherwise(0))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("bin"))
+
   /** Deterministic CURRICULUM order — quality-decile-major training
     * order with an in-tier sharded shuffle: the reader consumes
     * (decile asc, bucket, pos), so training anneals from the highest

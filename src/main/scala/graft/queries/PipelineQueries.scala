@@ -237,6 +237,10 @@ object PipelineQueries {
     "corpus_ngram_novelty" -> ((s, dir) =>
       TextOps.ngramNovelty(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // log2 length histogram (r8): bit-length bins (integer-exact both
+    // engines), one pruned-column scan + partial agg.
+    "corpus_length_hist" -> ((s, dir) =>
+      TextOps.lengthHist(Tables.load(s, dir, "documents"))),
     // curriculum order (r8): decile-major anneal, sharded-shuffled
     // within tiers; reader order = (decile, bucket, pos).
     "pipeline_curriculum" -> ((s, dir) =>
@@ -1098,6 +1102,17 @@ object PipelineQueries {
          |       THEN CAST(pd.n_unique AS DOUBLE) / pd.n_ngrams END AS novelty
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+
+    "corpus_length_hist" ->
+      s"""WITH b AS (
+         |  SELECT n_chars,
+         |    CASE WHEN n_chars > 0 THEN CAST(length(bin(n_chars)) AS INT)
+         |         ELSE 0 END AS bin
+         |  FROM documents)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the deciles oracle (pipeline_quality_deciles verbatim) + the
     // pipeline_shuffle hash, ranked within (decile, bucket)

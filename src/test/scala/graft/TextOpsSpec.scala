@@ -367,6 +367,22 @@ class TextOpsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("length histogram: exact power-of-two bin walls, conservation, pruned scan") {
+    val h = TextOps.lengthHist(docs).cache()
+    assert(h.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    assert(h.agg(sum("sum_chars")).collect()(0).getLong(0) ===
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // bin b holds exactly [2^(b-1), 2^b) — the integer bit-length walls
+    assert(h.filter(col("bin") > 0 &&
+      (expr("min_chars < shiftleft(1L, bin - 1)") ||
+        expr("max_chars >= shiftleft(1L, bin)"))).count() === 0)
+    val p = TextOps.lengthHist(docs).queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"),
+      s"scan must prune to the one aggregated column:\n$p")
+    assert(p.contains("partial_count"), s"per-bin agg needs map-side combine:\n$p")
+    h.unpersist()
+  }
+
   test("curriculum: decile-major permutation, contiguous in-shard positions, " +
       "partitioning-invariant") {
     val c = TextOps.curriculum(docs, buckets = 8).cache()
