@@ -51,6 +51,8 @@ object NativeHash {
       exprs => TextStats(exprs.head)),
     ("graft_rep_stats", "[n_tokens, uniq_tokens, uniq_2grams, uniq_3grams, max_token_count] in one pass",
       exprs => RepStats(exprs.head)),
+    ("graft_polyhash", "full-string rolling polyhash (content-hash coin), codepoint fold",
+      exprs => PolyHash(exprs.head)),
     ("graft_norm", "L2 norm of a double-array column, index-order fold",
       exprs => VecNorm(exprs.head)),
     ("graft_plane_buckets", "sign-LSH band values against the constant hyperplane codebook",
@@ -537,6 +539,46 @@ object LangScoresImpl {
       i += 1
     }
     new GenericArrayData(counts)
+  }
+}
+
+/** Full-string rolling polyhash — the content-hash coin behind holdout
+  * splits, mixture sampling, training-order shuffles, fingerprints and
+  * multimodal checksums: fold (h*31 + cp) mod 1e9+7 over CODEPOINTS.
+  * One codegen'd JVM call per row; the HOF twin
+  * (TextFunctions.polyhash) materializes a per-character string array
+  * and folds it interpreted — per-row garbage proportional to text
+  * length on every hot path that flips a coin. Parity with the HOF and
+  * the DuckDB list_reduce form is pinned in NativeHashSpec.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHashImpl {
+  private val M = TextFunctions.HashMod
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
   }
 }
 

@@ -32,6 +32,14 @@ object TextFunctions {
       lit(0L),
       (h, cp) => (h * 31L + cp) % HashMod)
 
+  /** Native twin of [[polyhash]] (the graft_polyhash kernel): identical
+    * codepoint fold as ONE codegen'd JVM call instead of an interpreted
+    * split→transform→aggregate chain that allocates a per-character
+    * array per row. Call sites must `NativeHash.register` the session
+    * first (idempotent). HOF/native parity is pinned in NativeHashSpec.
+    */
+  def polyhashNative(s: Column): Column = call_function("graft_polyhash", s)
+
   /** Distinct word n-gram shingles. Guarded: Spark's sequence(1, 0) counts
     * DOWN, so short docs must short-circuit to an empty array explicitly.
     */

@@ -74,7 +74,7 @@ object Multimodal {
     */
   def asBlobs(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val checksum = TextFunctions.polyhash(col("text"))
+    val checksum = TextFunctions.polyhashNative(col("text"))
     val (rate, ch, bits) = audioParams(checksum)
     docs
       .withColumn("__raw", encode(col("text"), "UTF-8"))
@@ -94,7 +94,8 @@ object Multimodal {
   /** Column-level metadata extraction — the SQL-expressible face of the
     * pipeline (oracle-checked as `mm_meta`). Integer-only arithmetic.
     */
-  def meta(docs: DataFrame): DataFrame =
+  def meta(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
     docs.select(col("doc_id"), col("text"))
       .withColumn("format",
         when(col("doc_id") % 3 === 0, "image")
@@ -102,7 +103,7 @@ object Multimodal {
           .otherwise("video"))
       .withColumn("blob", encode(col("text"), "UTF-8"))
       .withColumn("size_bytes", octet_length(col("blob")).cast("long"))
-      .withColumn("checksum", TextFunctions.polyhash(col("text")))
+      .withColumn("checksum", TextFunctions.polyhashNative(col("text")))
       .withColumn("width", lit(16L) + col("checksum") % 320L)
       .withColumn("height", lit(16L) + expr("checksum DIV 320") % 200L)
       .withColumn("n_frames",
@@ -111,6 +112,7 @@ object Multimodal {
         when(col("format") === "audio", lit(8000L) + (col("checksum") % 4L) * 8000L).cast("long"))
       .select("doc_id", "format", "size_bytes", "checksum", "width", "height",
         "n_frames", "sample_rate")
+  }
 
   /** Frame-sampling plumbing for video payloads — the stage that turns a
     * video blob into a bounded per-frame work list BEFORE any decode:
@@ -203,7 +205,7 @@ object Multimodal {
     */
   def wavMeta(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val checksum = TextFunctions.polyhash(col("text"))
+    val checksum = TextFunctions.polyhashNative(col("text"))
     val (rate, ch, bits) = audioParams(checksum)
     val fields = Seq("riff_size", "fmt_size", "audio_format", "channels",
       "sample_rate", "byte_rate", "block_align", "bits_per_sample",

@@ -424,11 +424,13 @@ object TextOps {
     * broadcast of the rates table + a narrow filter; nothing shuffles).
     * `rates` is (source, rate_pct in [0, denom]).
     */
-  def mixtureSample(docs: DataFrame, rates: DataFrame, denom: Int = 100): DataFrame =
+  def mixtureSample(docs: DataFrame, rates: DataFrame, denom: Int = 100): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
     docs.join(broadcast(rates), "source")
-      .withColumn("coin", pmod(polyhash(col("text")), lit(denom.toLong)))
+      .withColumn("coin", pmod(polyhashNative(col("text")), lit(denom.toLong)))
       .filter(col("coin") < col("rate_pct"))
       .select("doc_id", "source", "lang", "coin", "rate_pct")
+  }
 
   /** Per-(source, lang) corpus card — the stratum inventory every
     * mixture/curation decision starts from: doc and token volumes plus
@@ -468,8 +470,9 @@ object TextOps {
                    denom: Int = 1000): DataFrame = {
     require(testPm >= 0 && valPm >= 0 && testPm + valPm <= denom,
       s"holdoutSplit: invalid split sizes test=$testPm val=$valPm of $denom")
+    graft.functions.NativeHash.register(docs.sparkSession)
     docs
-      .withColumn("coin", pmod(polyhash(col("text")), lit(denom.toLong)))
+      .withColumn("coin", pmod(polyhashNative(col("text")), lit(denom.toLong)))
       .withColumn("split",
         when(col("coin") < testPm, "test")
           .when(col("coin") < testPm + valPm, "val")
@@ -523,10 +526,11 @@ object TextOps {
   def shardedShuffle(docs: DataFrame, buckets: Int = 64,
                      salt: String = "shuf1"): DataFrame = {
     require(buckets >= 1, s"shardedShuffle: buckets must be >= 1, got $buckets")
+    graft.functions.NativeHash.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("hkey"), col("doc_id"))
     docs
-      .withColumn("hkey", polyhash(concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("hkey", polyhashNative(concat(lit(salt + ":"), col("doc_id").cast("string"))))
       .withColumn("bucket", pmod(col("hkey"), lit(buckets.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w))
       .select("doc_id", "hkey", "bucket", "pos")
@@ -569,7 +573,7 @@ object TextOps {
       .partitionBy(col("decile"), col("bucket"))
       .orderBy(col("hkey"), col("doc_id"))
     qualityDeciles(docs)
-      .withColumn("hkey", polyhash(concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("hkey", polyhashNative(concat(lit(salt + ":"), col("doc_id").cast("string"))))
       .withColumn("bucket", pmod(col("hkey"), lit(buckets.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w))
       .select("doc_id", "decile", "bucket", "pos")
@@ -604,7 +608,7 @@ object TextOps {
   def fingerprint(docs: DataFrame, gram: Int = 8): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      polyhash(col("text")).as("fingerprint"),
+      polyhashNative(col("text")).as("fingerprint"),
       expr(s"graft_min_gram_hash(text, $gram)").as("min_gram_hash"),
       length(col("text")).cast("long").as("n_chars"))
   }

@@ -88,6 +88,31 @@ class NativeHashSpec extends SparkSpec {
     assert(km3 === grams.min, "rolling min-gram must equal gram-by-gram HOF min")
   }
 
+  test("graft_polyhash matches the HOF fold on full strings incl. supplementary") {
+    NativeHash.register(spark)
+    import graft.functions.TextFunctions
+    val t = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'plain ascii one two three'),
+        |  (2L, 'héllo wörld café naïve'),
+        |  (3L, 'a😀b 𠀀𠀁𠀂 mixed tail'),
+        |  (4L, ''),
+        |  (5L, CAST(NULL AS STRING))
+        |AS t(id, text)""".stripMargin)
+    val rows = t.select(col("id"),
+      TextFunctions.polyhashNative(col("text")).as("k"),
+      TextFunctions.polyhash(col("text")).as("h")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(1), s"row ${r.getLong(0)}: null must propagate")
+      else assert(r.getLong(1) === r.getLong(2), s"row ${r.getLong(0)}: native vs HOF")
+    }
+    // and the native path must stay a single call — no interpreted
+    // transform/aggregate chain left in the optimized tree
+    val plan = t.select(TextFunctions.polyhashNative(col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("aggregate("), "native path fell back to the HOF fold")
+  }
+
   test("vector kernels match their HOF twins row-by-row on real embeddings") {
     import graft.functions.{Codebooks, VectorFunctions}
     NativeHash.register(spark)
