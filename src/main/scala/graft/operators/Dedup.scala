@@ -159,6 +159,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** MinHash-banded fuzzy decontamination — the NEAR-duplicate form of
+    * train/eval overlap checking. Exact n-gram containment
+    * (TextOps.decontaminate / decontaminateSpans) only catches verbatim
+    * leakage; lightly-edited eval copies slip through. Here benchmark
+    * docs are banded exactly like [[minhashBands]], corpus docs probe
+    * the bench bands, and every banded candidate is verified with the
+    * exact shingle Jaccard. Per corpus doc: candidate count, the best
+    * bench match by (jaccard DESC, bench_id ASC — deterministic), and
+    * the verdict at `tau`. Shingle-less docs report zero candidates.
+    *
+    * Scale shape: the bench side is an eval suite — thousands of docs,
+    * not billions — so its band table and shingle lists BROADCAST; the
+    * corpus is never self-joined and never shuffles text. n_cand and
+    * the best match ride ONE doc_id window partition (count + rank
+    * share the exchange); the final enrich join is on the 8-byte
+    * doc_id. Candidates stay band-bounded exactly as in
+    * [[minhashPairs]].
+    */
+  def decontaminateFuzzy(docs: DataFrame, isBench: Column, tau: Double = 0.5,
+                         bands: Int = 4): DataFrame = {
+    val hashes = shingleHashes(docs)
+    val banded = minhashBands(hashes, bands).drop("hs")
+    val benchBands = banded.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("band_id"), col("band_val"))
+    val cand = banded.filter(!isBench)
+      .join(broadcast(benchBands), Seq("band_id", "band_val"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val ha = hashes.select(col("doc_id"), col("hs").as("ha"))
+    val hb = hashes.select(col("doc_id").as("bench_id"), col("hs").as("hb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val best = cand.join(ha, "doc_id").join(broadcast(hb), "bench_id")
+      .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
+      .withColumn("best_jaccard",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("best_jaccard").desc, col("bench_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_cand"), col("bench_id").as("best_bench"),
+        col("best_jaccard"))
+    hashes.filter(!isBench).select(col("doc_id"), col("n_sh").as("n_shingles"))
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("contaminated", coalesce(col("best_jaccard") >= tau, lit(false)))
+  }
+
   /** Connected components of the banded-MinHash near-dup graph —
     * CLUSTER-level dedup. Pairwise loser-dropping is not transitive (in a
     * chain a~b~c it drops b AND c even though c only resembles b, and a

@@ -374,6 +374,45 @@ object TextOps {
       .withColumn("contaminated", col("n_overlap") >= minShared)
   }
 
+  /** Corpus-level repeated-substring signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499,
+    * §4 ExactSubstr): for each doc, the share of its DISTINCT
+    * `span`-word windows that also occur in at least one OTHER
+    * document. High dup_frac flags boilerplate and template families
+    * that pairwise near-dup thresholds miss; within-doc repetition is
+    * deliberately NOT counted (that is `text_repetition`'s signal) —
+    * span hash lists are distinct per doc, so a span's occurrence
+    * count IS its document frequency.
+    *
+    * Scale shape: spans are 8-byte hashes, never text — the df
+    * aggregate and the flag-back join both shuffle on the hash. The df
+    * side is deliberately a HASH aggregate, not a window over h:
+    * boilerplate spans are precisely the high-df skew case, and
+    * partial map-side combine collapses a span occurring in millions
+    * of docs to one row per map task where a window would buffer the
+    * whole partition (plan-asserted in TextOpsSpec). The join's build
+    * side holds only the REPEATED vocabulary (df >= 2); the per-doc
+    * count then shuffles doc_id+counts only. Nothing is ever pairwise.
+    * dup_frac is exact-integer division in IEEE doubles, identical in
+    * both engines.
+    */
+  def spanDupes(docs: DataFrame, span: Int = 8): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val hashes = docs.select(col("doc_id"),
+      expr(s"graft_span_hashes(text, $span)").as("hs"))
+    val occ = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+    val repeated = occ.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val dup = occ.join(repeated, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+    hashes.select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          col("dup_spans").cast("double") / col("n_spans")))
+  }
+
   /** Per-language top-q quality selection: keep the best ceil(n·q) docs of
     * each language by (quality desc, doc_id) — the stratified curation
     * step after scoring. q is the rational qNum/qDen so the cut is

@@ -193,6 +193,16 @@ object PipelineQueries {
     "pipeline_decontaminate_span" -> ((s, dir) =>
       TextOps.decontaminateSpans(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
         .orderBy(col("doc_id"))),
+    // NEAR-duplicate decontamination (r8): banded-MinHash candidates
+    // against the eval set, exact-Jaccard verify, best match per doc —
+    // catches lightly-edited eval copies exact n-gram containment misses
+    "pipeline_decontaminate_fuzzy" -> ((s, dir) =>
+      Dedup.decontaminateFuzzy(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0,
+        JaccardTau, MhBands).orderBy(col("doc_id"))),
+    // repeated-substring corpus card (r8): per-doc share of 8-word spans
+    // occurring in >= 2 docs (ExactSubstr boilerplate signal)
+    "corpus_span_dupes" -> ((s, dir) =>
+      TextOps.spanDupes(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "pipeline_quality_topq" -> ((s, dir) =>
       TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // data-mixture sampling with a deterministic rate rule per source
@@ -855,6 +865,65 @@ object PipelineQueries {
          |       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |       COALESCE(o.n_overlap, 0) >= 1 AS contaminated
          |FROM hashes h LEFT JOIN ov o USING (doc_id) WHERE h.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // near-dup decontamination: the dedup_minhash band CTEs with the
+    // bench split; every banded candidate verified by exact Jaccard;
+    // best match = (jaccard DESC, bench_id ASC) rank 1, with the
+    // candidate count riding the same window partition
+    "pipeline_decontaminate_fuzzy" -> (ShingleCte +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |bench AS (SELECT doc_id AS bench_id, band_id, band_val FROM ex WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, band_id, band_val FROM ex WHERE doc_id % 97 <> 0),
+         |cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+         |         FROM corp c JOIN bench b USING (band_id, band_val)),
+         |verify AS (
+         |  SELECT cand.doc_id, cand.bench_id,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM cand JOIN hashes ha ON ha.doc_id = cand.doc_id
+         |            JOIN hashes hb ON hb.doc_id = cand.bench_id),
+         |best AS (
+         |  SELECT doc_id, bench_id, CAST(inter AS DOUBLE)/(na+nb-inter) AS j,
+         |         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_cand,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY CAST(inter AS DOUBLE)/(na+nb-inter) DESC, bench_id) AS rk
+         |  FROM verify)
+         |SELECT h.doc_id, h.n_sh AS n_shingles,
+         |       CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
+         |       b.bench_id AS best_bench, b.j AS best_jaccard,
+         |       COALESCE(b.j >= $JaccardTau, FALSE) AS contaminated
+         |FROM hashes h LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+         |WHERE h.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin),
+
+    // repeated-substring corpus card: span document-frequency >= 2
+    // flags; the span CTE is the decontaminate_span fold verbatim
+    // (distinct per doc, so a span's occurrence count IS its df)
+    "corpus_span_dupes" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |whs AS (
+         |  SELECT doc_id, list_transform(w, s -> ${poly("s")}) AS wh FROM ws),
+         |hashes AS (
+         |  SELECT doc_id,
+         |         list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+7]),
+         |                        (h, x) -> (h*31+x) % $M)
+         |                        for i in generate_series(1, greatest(len(wh)-7, 0))]) AS hs
+         |  FROM whs),
+         |occ AS (SELECT doc_id, unnest(hs) AS h FROM hashes),
+         |rep AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+         |dup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+         |        FROM occ JOIN rep USING (h) GROUP BY doc_id)
+         |SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_spans,
+         |       COALESCE(d.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+         |       CASE WHEN len(h.hs) > 0
+         |            THEN CAST(COALESCE(d.dup_spans, 0) AS DOUBLE)/len(h.hs) END AS dup_frac
+         |FROM hashes h LEFT JOIN dup d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "pipeline_mixture" ->

@@ -194,6 +194,36 @@ class DedupSpec extends SparkSpec {
     assert(b.except(a).count() === 0)
   }
 
+  test("fuzzy decontamination: planted copies of a bench doc are caught with the " +
+      "right best match; clean docs report zero candidates and null matches") {
+    val isBench = col("doc_id") % 97 === 0
+    val benchText = docs.filter(col("doc_id") === 97).select("text").head().getString(0)
+    // 1000001: verbatim copy; 1000002: light edit (one appended word) —
+    // neither id is 0 mod 97, so both land on the corpus side
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      spark.range(1).select(lit(1000001L).as("doc_id"), lit(benchText).as("text")).unionByName(
+        spark.range(1).select(lit(1000002L).as("doc_id"),
+          lit(benchText + " extraword").as("text"))))
+    val out = Dedup.decontaminateFuzzy(planted, isBench).cache()
+    // output covers exactly the corpus side, bench never leaks in
+    assert(out.count() === planted.filter(col("doc_id") % 97 =!= 0).count())
+    assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
+    val copy = out.filter(col("doc_id") === 1000001L).head()
+    assert(copy.getAs[Boolean]("contaminated"))
+    assert(copy.getAs[Long]("best_bench") === 97L)
+    assert(copy.getAs[Double]("best_jaccard") === 1.0)
+    val near = out.filter(col("doc_id") === 1000002L).head()
+    assert(near.getAs[Boolean]("contaminated"), "lightly-edited copy must band and verify")
+    assert(near.getAs[Long]("best_bench") === 97L)
+    assert(near.getAs[Double]("best_jaccard") < 1.0)
+    // no-candidate docs: zero count, null match, never contaminated
+    val clean = out.filter(col("n_cand") === 0)
+    assert(clean.count() > 0)
+    assert(clean.filter(col("contaminated") || col("best_bench").isNotNull ||
+      col("best_jaccard").isNotNull).count() === 0)
+    out.unpersist()
+  }
+
   test("near-dup pairs are canonical (doc_a < doc_b) and within threshold bounds") {
     val p = Dedup.ngramJaccardPairs(docs).cache()
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)

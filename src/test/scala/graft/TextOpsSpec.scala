@@ -138,6 +138,40 @@ class TextOpsSpec extends SparkSpec {
     spans.unpersist(); shingles.unpersist()
   }
 
+  test("span dupes: planted cross-doc copy saturates dup_frac, counts conserve, " +
+      "and the df aggregate reuses the occurrence exchange") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val copied = base.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val out = TextOps.spanDupes(base.unionByName(copied)).cache()
+    // every span of doc 7 now occurs in its copy too — both saturate
+    for (id <- Seq(7L, 1000007L)) {
+      val r = out.filter(col("doc_id") === id).head()
+      assert(r.getAs[Long]("n_spans") > 0)
+      assert(r.getAs[Long]("dup_spans") === r.getAs[Long]("n_spans"))
+      assert(r.getAs[Double]("dup_frac") === 1.0)
+    }
+    // conservation: dup_spans never exceeds n_spans; span-less docs
+    // report null dup_frac, everything else stays in [0, 1]
+    assert(out.filter(col("dup_spans") > col("n_spans")).count() === 0)
+    assert(out.filter(col("n_spans") === 0 && col("dup_frac").isNotNull).count() === 0)
+    assert(out.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0)
+    out.unpersist()
+    // scale shape (revealed with broadcast disabled): the span df comes
+    // from a HASH aggregate with map-side partial combine — the skew
+    // crusher for boilerplate spans — never a window buffering a whole
+    // h partition, and nothing pairwise
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TextOps.spanDupes(base).queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count"),
+        "span df must partial-aggregate map-side")
+      assert(!plan.contains("Window"), "df must not be a window over h")
+      assert(!plan.contains("Cartesian"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("quality ratios are bounded and the score is their fixed-weight sum") {
     val q = TextOps.quality(docs).cache()
     for (c <- Seq("uniq_ratio", "stop_ratio", "alpha_ratio"))
