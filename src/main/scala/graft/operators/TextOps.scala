@@ -413,6 +413,49 @@ object TextOps {
           col("dup_spans").cast("double") / col("n_spans")))
   }
 
+  /** DSIR-shaped importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every raw doc by how target-like its hashed n-gram bag is,
+    * where the target is a small curated/eval sample. The classic form
+    * multiplies per-feature likelihood ratios; floats make that
+    * order-dependent across engines, so the ratio is FIXED-POINT — per
+    * shingle w(h) = ((t(h)+1) · scale) DIV (r(h)+1) with add-1
+    * smoothing over document frequencies, and the doc score is the
+    * BIGINT sum of w over its distinct shingles (order-free by
+    * construction). `importance` = score / (n_sh · scale) is the mean
+    * likelihood ratio; `keep` selects docs at least neutral (>= 1),
+    * decided on the INTEGER form so the cut never hinges on rounding.
+    *
+    * Scale shape: the target df table is an eval/quality sample —
+    * small — and BROADCASTS; the raw df table comes from a hash
+    * aggregate with map-side combine (high-df boilerplate shingles
+    * collapse per map task), and the weight probe joins on the 8-byte
+    * hash. Shingle-less docs score null, like the other cards.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        scale: Long = 10000L): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val hashes = docs.select(col("doc_id"),
+      expr("graft_shingle_hashes(text)").as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+    val occ = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+    val tgt = occ.filter(isTarget).groupBy("h").agg(count(lit(1)).as("t"))
+    val raw = occ.filter(!isTarget).groupBy("h").agg(count(lit(1)).as("r"))
+    val weights = raw.join(broadcast(tgt), Seq("h"), "left")
+      .select(col("h"),
+        expr(s"((coalesce(t, CAST(0 AS BIGINT)) + 1) * $scale) DIV (r + 1)").as("w"))
+    val scored = occ.filter(!isTarget).join(weights, "h")
+      .groupBy("doc_id").agg(sum("w").as("importance_num"))
+    hashes.filter(!isTarget).select(col("doc_id"), col("n_sh"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("importance_num", coalesce(col("importance_num"), lit(0L)))
+      .withColumn("importance",
+        when(col("n_sh") > 0,
+          col("importance_num").cast("double") / (col("n_sh") * scale).cast("double")))
+      .withColumn("keep",
+        when(col("n_sh") > 0, col("importance_num") >= col("n_sh") * scale))
+  }
+
   /** Per-language top-q quality selection: keep the best ceil(n·q) docs of
     * each language by (quality desc, doc_id) — the stratified curation
     * step after scoring. q is the rational qNum/qDen so the cut is

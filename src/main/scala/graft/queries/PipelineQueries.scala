@@ -203,6 +203,11 @@ object PipelineQueries {
     // occurring in >= 2 docs (ExactSubstr boilerplate signal)
     "corpus_span_dupes" -> ((s, dir) =>
       TextOps.spanDupes(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // DSIR-shaped importance weighting (r8): fixed-point likelihood
+    // ratios toward the eval-split target distribution, integer-summed
+    "pipeline_importance" -> ((s, dir) =>
+      TextOps.importanceWeights(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id"))),
     "pipeline_quality_topq" -> ((s, dir) =>
       TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // data-mixture sampling with a deterministic rate rule per source
@@ -898,6 +903,31 @@ object PipelineQueries {
          |       b.bench_id AS best_bench, b.j AS best_jaccard,
          |       COALESCE(b.j >= $JaccardTau, FALSE) AS contaminated
          |FROM hashes h LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+         |WHERE h.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin),
+
+    // DSIR importance: per-shingle fixed-point likelihood ratio
+    // ((t+1)*scale) // (r+1) over target/raw document frequencies,
+    // BIGINT-summed per doc — order-free, so it hash-matches; the keep
+    // cut compares integers, never the rounded double
+    "pipeline_importance" -> (ShingleCte +
+      s"""
+         |, occ AS (SELECT doc_id, unnest(hs) AS h FROM hashes),
+         |tgt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS t FROM occ
+         |        WHERE doc_id % 97 = 0 GROUP BY h),
+         |raw AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS r FROM occ
+         |        WHERE doc_id % 97 <> 0 GROUP BY h),
+         |wt AS (SELECT raw.h, ((COALESCE(t.t, 0) + 1) * 10000) // (raw.r + 1) AS w
+         |       FROM raw LEFT JOIN tgt t USING (h)),
+         |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS importance_num
+         |       FROM occ JOIN wt USING (h) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+         |SELECT h.doc_id, h.n_sh,
+         |       COALESCE(s.importance_num, CAST(0 AS BIGINT)) AS importance_num,
+         |       CASE WHEN h.n_sh > 0
+         |            THEN CAST(COALESCE(s.importance_num, 0) AS DOUBLE)/(h.n_sh * 10000) END AS importance,
+         |       CASE WHEN h.n_sh > 0
+         |            THEN COALESCE(s.importance_num, 0) >= h.n_sh * 10000 END AS keep
+         |FROM hashes h LEFT JOIN sc s USING (doc_id)
          |WHERE h.doc_id % 97 <> 0
          |ORDER BY doc_id""".stripMargin),
 

@@ -172,6 +172,38 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("importance weights: hand-computed fixed-point ratios on a micro corpus, " +
+      "coverage and null contracts on the real one") {
+    // target 0: "a b c d e" (3 shingles). raw 1 = exact copy: every
+    // shingle has t=1, r=1 -> w = (2*10000)//2 = 10000 -> num = 30000,
+    // mean ratio exactly 1.0, keep. raw 2 disjoint: t=0, r=1 ->
+    // w = 10000//2 = 5000 -> num = 15000, ratio 0.5, drop. raw 3 too
+    // short for a shingle: null importance, null keep.
+    val micro = spark.range(1).select(lit(0L).as("doc_id"), lit("a b c d e").as("text"))
+      .unionByName(spark.range(1).select(lit(1L).as("doc_id"), lit("a b c d e").as("text")))
+      .unionByName(spark.range(1).select(lit(2L).as("doc_id"), lit("p q r s t").as("text")))
+      .unionByName(spark.range(1).select(lit(3L).as("doc_id"), lit("x y").as("text")))
+    val m = TextOps.importanceWeights(micro, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet === Set(1L, 2L, 3L), "target excluded, all raw docs present")
+    assert(m(1L).getAs[Long]("importance_num") === 30000L)
+    assert(m(1L).getAs[Double]("importance") === 1.0)
+    assert(m(1L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Long]("importance_num") === 15000L)
+    assert(m(2L).getAs[Double]("importance") === 0.5)
+    assert(!m(2L).getAs[Boolean]("keep"))
+    assert(m(3L).getAs[Long]("n_sh") === 0L)
+    assert(m(3L).isNullAt(m(3L).fieldIndex("importance")))
+    assert(m(3L).isNullAt(m(3L).fieldIndex("keep")))
+    // real corpus: every raw doc surfaces once, scores non-negative,
+    // keep defined exactly where shingles exist
+    val out = TextOps.importanceWeights(docs, col("doc_id") % 97 === 0).cache()
+    assert(out.count() === docs.filter(col("doc_id") % 97 =!= 0).count())
+    assert(out.filter(col("importance_num") < 0).count() === 0)
+    assert(out.filter((col("n_sh") > 0) =!= col("keep").isNotNull).count() === 0)
+    out.unpersist()
+  }
+
   test("quality ratios are bounded and the score is their fixed-weight sum") {
     val q = TextOps.quality(docs).cache()
     for (c <- Seq("uniq_ratio", "stop_ratio", "alpha_ratio"))
