@@ -39,6 +39,7 @@ object Bench {
     "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_decontaminate_fuzzy", "corpus_span_dupes", "pipeline_importance",
+    "pipeline_normalize",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
     "pipeline_split", "pipeline_upsample", "pipeline_shuffle", "pipeline_curriculum",
     "corpus_source_stats",

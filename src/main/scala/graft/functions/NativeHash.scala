@@ -53,6 +53,8 @@ object NativeHash {
       exprs => RepStats(exprs.head)),
     ("graft_polyhash", "full-string rolling polyhash (content-hash coin), codepoint fold",
       exprs => PolyHash(exprs.head)),
+    ("graft_norm_text", "canonical text form: NFC, casefold, whitespace collapse, trim",
+      exprs => NormText(exprs.head)),
     ("graft_norm", "L2 norm of a double-array column, index-order fold",
       exprs => VecNorm(exprs.head)),
     ("graft_plane_buckets", "sign-LSH band values against the constant hyperplane codebook",
@@ -579,6 +581,62 @@ object PolyHashImpl {
       i += Character.charCount(cp)
     }
     h
+  }
+}
+
+/** Canonical text form — the normalization stage every cleaning pipeline
+  * runs BEFORE hashing/dedup so that byte-level variants of one document
+  * (composed vs decomposed accents, case, whitespace runs) collapse to
+  * one canonical string: Unicode NFC, then lowercase (Locale.ROOT), then
+  * runs of [ \t\n\f\r] collapsed to a single space with ends trimmed —
+  * the same explicit whitespace class as TextFunctions.words (RE2's \s
+  * would also swallow \v). One codegen'd call per row.
+  *
+  * Dialect caveat (documented, spec-pinned): Java toLowerCase applies
+  * FULL case mappings where DuckDB's utf8proc applies simple ones — they
+  * agree on ASCII and the vast majority of BMP text; the oracle corpus
+  * is ASCII, and the non-ASCII contract is pinned Spark-side in
+  * NativeHashSpec instead.
+  */
+case class NormText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_norm_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(NormTextImpl.compute(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.NormTextImpl.compute($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
+object NormTextImpl {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  def compute(s: String): String = {
+    val lowered = java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var i = 0
+    var pendingSpace = false
+    val n = lowered.length
+    while (i < n) {
+      val c = lowered.charAt(i)
+      if (isWs(c)) {
+        if (sb.length > 0) pendingSpace = true // leading ws never emits
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString // trailing ws left pending, never emitted
   }
 }
 

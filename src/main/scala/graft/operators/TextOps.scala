@@ -413,6 +413,25 @@ object TextOps {
           col("dup_spans").cast("double") / col("n_spans")))
   }
 
+  /** Canonical-form normalization — the cleaning stage that runs BEFORE
+    * any hashing/dedup so byte-level variants of one document (composed
+    * vs decomposed accents, case, whitespace runs) collapse to one
+    * canonical string. One codegen'd kernel call per row
+    * (graft_norm_text: NFC → casefold → whitespace collapse + trim);
+    * purely narrow — zero shuffle, scan speed at any scale. `changed`
+    * reports which docs were already canonical (the usual audit
+    * number: near-100% on a previously-cleaned corpus).
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("norm_text", expr("graft_norm_text(text)"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"),
+        (col("text") =!= col("norm_text")).as("changed"))
+  }
+
   /** DSIR-shaped importance weighting (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every raw doc by how target-like its hashed n-gram bag is,

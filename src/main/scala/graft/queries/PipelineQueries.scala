@@ -208,6 +208,10 @@ object PipelineQueries {
     "pipeline_importance" -> ((s, dir) =>
       TextOps.importanceWeights(Tables.load(s, dir, "documents"), col("doc_id") % 97 === 0)
         .orderBy(col("doc_id"))),
+    // canonical-form normalization (r8): NFC + casefold + whitespace
+    // collapse in one native kernel call — the pre-dedup cleaning stage
+    "pipeline_normalize" -> ((s, dir) =>
+      TextOps.normalize(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "pipeline_quality_topq" -> ((s, dir) =>
       TextOps.qualityTopQ(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // data-mixture sampling with a deterministic rate rule per source
@@ -930,6 +934,18 @@ object PipelineQueries {
          |FROM hashes h LEFT JOIN sc s USING (doc_id)
          |WHERE h.doc_id % 97 <> 0
          |ORDER BY doc_id""".stripMargin),
+
+    // canonical normalization: NFC -> lower -> explicit-class whitespace
+    // collapse + trim, mirroring the kernel stage-for-stage (the corpus
+    // is ASCII, where Java and utf8proc case mappings agree; the
+    // non-ASCII contract is pinned Spark-side in NativeHashSpec)
+    "pipeline_normalize" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm_text,
+         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+         |  text <> trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS changed
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // repeated-substring corpus card: span document-frequency >= 2
     // flags; the span CTE is the decontaminate_span fold verbatim

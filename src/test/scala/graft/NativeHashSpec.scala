@@ -113,6 +113,30 @@ class NativeHashSpec extends SparkSpec {
     assert(!plan.contains("aggregate("), "native path fell back to the HOF fold")
   }
 
+  test("graft_norm_text: NFC composition, casefold, whitespace collapse, trim, " +
+      "idempotence, and equality with the SQL twin on the real corpus") {
+    NativeHash.register(spark)
+    import graft.functions.NormTextImpl
+    // decomposed e + U+0301 composes to é; case folds; explicit-class
+    // whitespace runs collapse to one space; ends trim away entirely
+    assert(NormTextImpl.compute("Café  DELUXE") === "café deluxe")
+    assert(NormTextImpl.compute("  A\tB\n\rC\f ") === "a b c")
+    assert(NormTextImpl.compute("") === "")
+    assert(NormTextImpl.compute("   \t\n") === "")
+    assert(NormTextImpl.compute("café deluxe") === "café deluxe") // idempotent
+    // null propagates through the expression
+    val r = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(expr("graft_norm_text(text)")).head()
+    assert(r.isNullAt(0))
+    // on the (ASCII) corpus the kernel equals the composable SQL twin,
+    // and is idempotent row-for-row
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr("graft_norm_text(text)").as("k"),
+        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")).as("h"))
+    assert(docs.filter(col("k") =!= col("h")).count() === 0)
+    assert(docs.filter(expr("graft_norm_text(k)") =!= col("k")).count() === 0)
+  }
+
   test("vector kernels match their HOF twins row-by-row on real embeddings") {
     import graft.functions.{Codebooks, VectorFunctions}
     NativeHash.register(spark)
