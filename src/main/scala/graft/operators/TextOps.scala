@@ -453,27 +453,73 @@ object TextOps {
     */
   def importanceWeights(docs: DataFrame, isTarget: Column,
                         scale: Long = 10000L): DataFrame = {
+    val hashes = importanceHashes(docs)
+    scoreImportance(hashes.filter(!isTarget),
+      importanceWeightTable(docs, isTarget, scale), scale)
+  }
+
+  /** The shingle frame both importance stages consume: (doc_id, hs,
+    * n_sh). A stateless projection — reused verbatim by the streaming
+    * twin on the arriving side.
+    */
+  def importanceHashes(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val hashes = docs.select(col("doc_id"),
-      expr("graft_shingle_hashes(text)").as("hs"))
+    docs.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("hs"))
       .withColumn("n_sh", size(col("hs")).cast("long"))
-    val occ = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+  }
+
+  /** The OFFLINE fit of [[importanceWeights]]: the per-shingle
+    * fixed-point weight table (h, w) from target/raw document
+    * frequencies. At 100 TB this is what a deployment materializes once
+    * (bucketed by h — see graft.streaming.ImportanceStream) and probes
+    * forever; the target df side broadcasts, the raw df side
+    * partial-aggregates.
+    */
+  def importanceWeightTable(docs: DataFrame, isTarget: Column,
+                            scale: Long = 10000L): DataFrame = {
+    val occ = importanceHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val tgt = occ.filter(isTarget).groupBy("h").agg(count(lit(1)).as("t"))
     val raw = occ.filter(!isTarget).groupBy("h").agg(count(lit(1)).as("r"))
-    val weights = raw.join(broadcast(tgt), Seq("h"), "left")
+    raw.join(broadcast(tgt), Seq("h"), "left")
       .select(col("h"),
         expr(s"((coalesce(t, CAST(0 AS BIGINT)) + 1) * $scale) DIV (r + 1)").as("w"))
-    val scored = occ.filter(!isTarget).join(weights, "h")
-      .groupBy("doc_id").agg(sum("w").as("importance_num"))
-    hashes.filter(!isTarget).select(col("doc_id"), col("n_sh"))
-      .join(scored, Seq("doc_id"), "left")
-      .withColumn("importance_num", coalesce(col("importance_num"), lit(0L)))
+  }
+
+  /** The scoring stage of [[importanceWeights]] over a pre-built weight
+    * table: explode the doc's shingles, LEFT-join the weights (so
+    * shingle-less docs survive to the card; a left join also keeps docs
+    * whose shingles a FITTED index has never seen — they score only
+    * their known shingles), BIGINT-sum per doc, derive the mean ratio
+    * and the integer-decided keep cut.
+    */
+  def scoreImportance(hashes: DataFrame, weights: DataFrame,
+                      scale: Long = 10000L): DataFrame =
+    reduceImportance(explodeJoinWeights(hashes, weights), scale)
+
+  /** The probe half of [[scoreImportance]]: explode_outer keeps
+    * shingle-less docs; the left join keeps docs whose shingles a fitted
+    * index has never seen. Split out so the streaming twin can apply it
+    * to the arriving stream BEFORE the sink (the stream-static join must
+    * sit in the streaming plan) and run [[reduceImportance]] per batch.
+    */
+  def explodeJoinWeights(hashes: DataFrame, weights: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("n_sh"), explode_outer(col("hs")).as("h"))
+      .join(weights, Seq("h"), "left")
+
+  /** The reduce half of [[scoreImportance]]: BIGINT-sum per doc, mean
+    * ratio, integer-decided keep. Batch-local — a doc's exploded
+    * shingles always co-locate in one micro-batch.
+    */
+  def reduceImportance(joined: DataFrame, scale: Long = 10000L): DataFrame =
+    joined.groupBy("doc_id", "n_sh")
+      .agg(coalesce(sum("w"), lit(0L)).as("importance_num"))
       .withColumn("importance",
         when(col("n_sh") > 0,
           col("importance_num").cast("double") / (col("n_sh") * scale).cast("double")))
       .withColumn("keep",
         when(col("n_sh") > 0, col("importance_num") >= col("n_sh") * scale))
-  }
+      .select("doc_id", "n_sh", "importance_num", "importance", "keep")
 
   /** Per-language top-q quality selection: keep the best ceil(n·q) docs of
     * each language by (quality desc, doc_id) — the stratified curation

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, RangeJoinStream, SimilarityStream, TopicStream}
+import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, ImportanceStream, RangeJoinStream, SimilarityStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -153,6 +153,13 @@ object StreamQueries {
       val (out, ckpt) = TopicStream.scratchDirs("stream_source_stats", dir)
       CorpusStream.sourceStatsStream(s, s"$dir/documents.parquet", out, ckpt)
         .orderBy(col("source"), col("lang"))
+    }),
+    // Online DSIR scoring vs the bucketed history-fitted weight index;
+    // zero cross-batch state; replay = pipeline_importance verbatim.
+    "stream_importance" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_importance", dir)
+      ImportanceStream.importanceStream(s, dir, out, ckpt)
+        .orderBy(col("doc_id"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -171,6 +178,7 @@ object StreamQueries {
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     "stream_source_stats" -> PipelineQueries.oracles("corpus_source_stats"),
     "stream_anomaly" -> AnalyticsQueries.oracles("events_anomaly"),
+    "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
     // offsets), so the equi-join on (topic, partition, offset) reduces
     // to that filter — which is exactly what makes the join verifiable.

@@ -158,6 +158,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming DSIR scoring over multi-batch replay equals batch importance; " +
+      "the bucketed weight index plans with zero static Exchange") {
+    val docsDir = "/root/repo/target/stream-scratch/docs-split-imp"
+    Tables.load(spark, sf, "documents").repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_importance", docsDir)
+    val streamed = withoutBroadcast {
+      // fit from the same history it replays (the replay-parity contract)
+      graft.streaming.ImportanceStream.importanceStream(
+        spark, sf, out, ckpt, maxFilesPerTrigger = Some(1),
+        docsPath = Some(docsDir))
+    }
+    val batch = graft.operators.TextOps.importanceWeights(
+      Tables.load(spark, sf, "documents"), col("doc_id") % 97 === 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    val plan = TopicStream.lastBatchPlan
+    assert(plan.contains("graft_importance_weights"),
+      s"bucketed weight index scan missing:\n$plan")
+    assert(exchanges(plan) === 1,
+      s"probe must shuffle only the micro-batch (1 Exchange), the index none:\n$plan")
+  }
+
   test("streaming corpus card over multi-batch replay equals the batch source stats") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split-card"
     Tables.load(spark, sf, "documents").repartition(4)
