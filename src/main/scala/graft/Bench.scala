@@ -34,7 +34,8 @@ object Bench {
     "corpus_token_topk", "corpus_ngram_topk", "corpus_ngram_novelty", "corpus_length_hist",
     "dedup_components", "dedup_components_star", "dedup_cluster_stats", "dedup_pair_hist",
     "dedup_embedding_cc",
-    "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_decode",
+    "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_bmp_meta",
+    "mm_decode",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",

@@ -78,7 +78,11 @@ object NativeHash {
     ("graft_wav_wrap", "wrap a binary payload in a canonical RIFF/WAVE container",
       exprs => WavWrap(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("graft_wav_meta", "chunk-walk a WAV blob into header fields; null when malformed",
-      exprs => WavMeta(exprs.head)))
+      exprs => WavMeta(exprs.head)),
+    ("graft_bmp_wrap", "wrap a binary payload as a 24-bpp uncompressed BMP (tiled pixels)",
+      exprs => BmpWrap(exprs.head, exprs(1), exprs(2))),
+    ("graft_bmp_meta", "parse a BMP blob into header fields + decoded-pixel hash; null when malformed",
+      exprs => BmpMeta(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

@@ -67,20 +67,33 @@ object Multimodal {
     // in both engines (the oracle writes (checksum // 2) % 2)
     lit(8L) * (lit(1L) + shiftright(checksum, 1) % 2L))
 
+  /** Deterministic image dimensions — the SAME integer formulas as
+    * [[meta]]'s width/height columns, so the real BMP container built by
+    * [[asBlobs]]/[[bmpMeta]] carries exactly the dimensions the catalog
+    * declares (parse == declare, spec-pinned).
+    */
+  private def imageParams(csName: String): (Column, Column) = (
+    lit(16L) + col(csName) % 320L,
+    lit(16L) + expr(s"$csName DIV 320") % 200L)
+
   /** documents → (doc_id, format, blob). Audio payloads are wrapped in a
-    * real RIFF/WAVE container (header + UTF-8 sample bytes); image/video
-    * ride raw — format fans out deterministically so both the container
-    * and the raw routing paths are exercised.
+    * real RIFF/WAVE container (header + UTF-8 sample bytes); image
+    * payloads in a real 24-bpp BMP whose pixels tile the UTF-8 bytes
+    * (r8 — was raw); video rides raw (no codec-free video container) —
+    * so the container and raw routing paths are both exercised.
     */
   def asBlobs(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val checksum = TextFunctions.polyhashNative(col("text"))
-    val (rate, ch, bits) = audioParams(checksum)
     docs
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
       .withColumn("__raw", encode(col("text"), "UTF-8"))
-      .withColumn("__rate", rate)
-      .withColumn("__ch", ch)
-      .withColumn("__bits", bits)
+      .select(Seq(col("doc_id"), col("__cs"), col("__raw")) ++ {
+        val (rate, ch, bits) = audioParams(col("__cs"))
+        Seq(rate.as("__rate"), ch.as("__ch"), bits.as("__bits"))
+      } ++ {
+        val (w, h) = imageParams("__cs")
+        Seq(w.as("__w"), h.as("__h"))
+      }: _*)
       .select(
         col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
@@ -88,6 +101,8 @@ object Multimodal {
           .otherwise("video").as("format"),
         when(col("doc_id") % 3 === 1,
           expr("graft_wav_wrap(__raw, __rate, __ch, __bits)"))
+          .when(col("doc_id") % 3 === 0,
+            expr("graft_bmp_wrap(__raw, __w, __h)"))
           .otherwise(col("__raw")).as("blob"))
   }
 
@@ -159,15 +174,18 @@ object Multimodal {
       .select("doc_id", "sample_rate", "size_bytes", "win_idx",
         "sample_offset", "win_len", "win_actual")
 
-  /** Batched decoder. Audio blobs get a REAL decode: the RIFF chunk walk
-    * extracts the fmt header and the data payload ([[graft.functions.WavImpl]] /
-    * [[graft.functions.WavPayload]]) — checksum and features derive from
-    * the decoded samples, header fields from the parsed container, all
-    * integer-exact (oracle-checked as mm_decode). Image/video remain the
-    * deterministic STUB (no codecs in this container): a real
-    * implementation would hand `batch` to libjpeg/ffmpeg in one call —
-    * that's why the iterator is batched. A malformed audio container
-    * yields null fields, not a throw (strict-decode semantics).
+  /** Batched decoder. Audio AND image blobs get a REAL decode: the RIFF
+    * chunk walk extracts the fmt header and the sample payload
+    * ([[graft.functions.WavImpl]] / [[graft.functions.WavPayload]]); the
+    * BMP header parse recovers the true dimensions and folds the
+    * checksum over the UNPADDED decoded pixel bytes
+    * ([[graft.functions.BmpImpl]]) — in both, checksum and features
+    * derive from DECODED content and header fields from the parsed
+    * container, all integer-exact (oracle-checked as mm_decode). Video
+    * remains the deterministic STUB (no codec-free video container): a
+    * real implementation would hand `batch` to ffmpeg in one call —
+    * that's why the iterator is batched. A malformed container yields
+    * null fields, not a throw (strict-decode semantics).
     */
   private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
     batch.map { m =>
@@ -186,6 +204,17 @@ object Multimodal {
             sample_rate = Some(hdr.getLong(4)), channels = Some(hdr.getLong(3)),
             bits_per_sample = Some(hdr.getLong(7)), data_len = Some(hdr.getLong(8)),
             n_frames = Some(hdr.getLong(9)), feature = feat(checksum))
+        }
+      } else if (m.format == "image") {
+        val hdr = graft.functions.BmpImpl.parse(m.blob)
+        if (hdr == null)
+          MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, 0L,
+            None, None, None, None, None, None, None, feat(0L))
+        else {
+          val checksum = hdr.getLong(11) // decoded-pixel fold
+          MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
+            Some(hdr.getLong(3)), Some(hdr.getLong(4)),
+            None, None, None, None, None, feat(checksum))
         }
       } else {
         val checksum = polyhashBytes(m.blob)
@@ -221,6 +250,35 @@ object Multimodal {
         fields.zipWithIndex.map { case (f, i) =>
           element_at(col("hdr"), i + 1).as(f)
         } :+ octet_length(col("wav")).cast("long").as("wav_bytes"): _*)
+  }
+
+  /** Column-level BMP round trip — the SQL-expressible face of the image
+    * decode path, mirroring [[wavMeta]]: build the real 24-bpp BMP with
+    * `graft_bmp_wrap` (dimensions = [[meta]]'s declared width/height, so
+    * parse == declare), then parse it back with `graft_bmp_meta` and
+    * surface every header field plus the decoded-pixel hash. All
+    * integers; the DuckDB oracle replays the layout by formula and the
+    * pixel hash by the closed-form tiled polyhash (`mm_bmp_meta`);
+    * `bmp_bytes` pins the physical builder. Narrow per-row projection —
+    * zero shuffle, scan-speed at 100 TB.
+    */
+  def bmpMeta(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val fields = Seq("file_size", "data_offset", "header_size", "width",
+      "height", "planes", "bpp", "compression", "image_size", "row_stride",
+      "n_pixel_bytes", "pixel_hash")
+    val (w, h) = imageParams("__cs")
+    docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__w", w)
+      .withColumn("__h", h)
+      .withColumn("bmp", expr("graft_bmp_wrap(__raw, __w, __h)"))
+      .withColumn("hdr", expr("graft_bmp_meta(bmp)"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("hdr"), i + 1).as(f)
+        } :+ octet_length(col("bmp")).cast("long").as("bmp_bytes"): _*)
   }
 
   /** Batched per-partition decode — the Scala analogue of `mapInPandas`:

@@ -288,6 +288,11 @@ object PipelineQueries {
     // parsed byte-exactly with no codec library.
     "mm_wav_meta" -> ((s, dir) =>
       Multimodal.wavMeta(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    // image twin of mm_wav_meta (r8): real BMP wrap + header parse +
+    // decoded-pixel hash, oracle-replayed by formula + closed-form fold
+    "mm_bmp_meta" -> ((s, dir) =>
+      Multimodal.bmpMeta(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -324,6 +329,32 @@ object PipelineQueries {
   }.mkString(", ")
 
   private def bandList(n: Int): String = (0 until n).map(b => s"band$b").mkString(", ")
+
+  /** The tiled-polyhash closed form for BMP pixel hashes, as two CTEs
+    * following a `geo` CTE with (doc_id, text, checksum, data_len,
+    * total): pixels tile the payload k = total//n times plus an r-byte
+    * prefix, and H(A||B) = (H(A)·31^|B| + H(B)) mod M, so pn = 31^n,
+    * pr = 31^r, hk = fold_k(h → h·pn + H(data)) and the hash is
+    * (hk·pr + hr) mod M — all folds bounded by the payload length or k,
+    * never by the w·3·h pixel count the kernel walks.
+    */
+  private def bmpPixelCtes(srcFilter: String): String =
+    s"""pxa AS (
+       |  SELECT doc_id, checksum AS hd, data_len AS n, total,
+       |    list_reduce(list_prepend(CAST(1 AS BIGINT),
+       |      [CAST(31 AS BIGINT) for i in generate_series(1, data_len)]),
+       |      (p, x) -> (p*x) % $M) AS pn,
+       |    list_reduce(list_prepend(CAST(1 AS BIGINT),
+       |      [CAST(31 AS BIGINT) for i in generate_series(1, total % data_len)]),
+       |      (p, x) -> (p*x) % $M) AS pr,
+       |    ${poly("substr(text, 1, CAST(total % data_len AS INT))")} AS hr
+       |  FROM geo WHERE ${srcFilter}data_len > 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       [hd for i in generate_series(1, total // n)]),
+       |       (acc, x) -> (acc*pn + x) % $M) * pr + hr) % $M AS pixel_hash
+       |  FROM pxa)""".stripMargin
 
   /** 60-bit universal-hash simhash (SimHash60Impl): bit i votes on the
     * parity of (h·Aᵢ+Bᵢ) mod 2³¹-1 — shingle hashes carry only ~30 bits,
@@ -1310,7 +1341,7 @@ object PipelineQueries {
     // audio — the payload survives the container round trip intact).
     "mm_decode" ->
       s"""WITH blobs AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, text,
          |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
          |         ${poly("text")} AS checksum,
          |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
@@ -1319,19 +1350,57 @@ object PipelineQueries {
          |  SELECT *,
          |    CAST(8000 + (checksum % 4) * 8000 AS BIGINT) AS sample_rate,
          |    CAST(1 + checksum % 2 AS BIGINT) AS channels,
-         |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits
-         |  FROM blobs)
-         |SELECT doc_id, format,
-         |  CASE WHEN format = 'audio' THEN 44 + data_len ELSE data_len END AS size_bytes,
-         |  checksum,
-         |  CASE WHEN format <> 'audio' THEN CAST(16 + checksum % 320 AS BIGINT) END AS width,
-         |  CASE WHEN format <> 'audio' THEN CAST(16 + (checksum // 320) % 200 AS BIGINT) END AS height,
+         |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits,
+         |    CAST(16 + checksum % 320 AS BIGINT) AS w,
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |  FROM blobs),
+         |geo AS (SELECT *, ((w*3 + 3) // 4) * 4 AS st, w*3*h AS total FROM a),
+         |${bmpPixelCtes("format = 'image' AND ")}
+         |SELECT g.doc_id, format,
+         |  CASE format WHEN 'audio' THEN 44 + data_len
+         |              WHEN 'image' THEN 54 + st*h ELSE data_len END AS size_bytes,
+         |  CASE WHEN format = 'image' THEN COALESCE(p.pixel_hash, CAST(0 AS BIGINT))
+         |       ELSE checksum END AS checksum,
+         |  CASE WHEN format <> 'audio' THEN w END AS width,
+         |  CASE WHEN format <> 'audio' THEN h END AS height,
          |  CASE WHEN format = 'audio' THEN sample_rate END AS sample_rate,
          |  CASE WHEN format = 'audio' THEN channels END AS channels,
          |  CASE WHEN format = 'audio' THEN bits END AS bits_per_sample,
          |  CASE WHEN format = 'audio' THEN data_len END AS data_len,
          |  CASE WHEN format = 'audio' THEN data_len // (channels * bits // 8) END AS n_frames
-         |FROM a ORDER BY doc_id""".stripMargin,
+         |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // Image round trip by formula: header layout is pure arithmetic of
+    // (w, h); the decoded-pixel hash uses the tiled-polyhash closed form
+    // H(data^k || prefix_r) = (fold_k(h -> h*31^n + H(data)) * 31^r +
+    // H(prefix_r)) mod M — three bounded list_reduce folds instead of
+    // touching w*3*h pixel bytes.
+    "mm_bmp_meta" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |a AS (
+         |  SELECT *,
+         |    CAST(16 + checksum % 320 AS BIGINT) AS w,
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |  FROM blobs),
+         |geo AS (SELECT *, ((w*3 + 3) // 4) * 4 AS st, w*3*h AS total FROM a),
+         |${bmpPixelCtes("")}
+         |SELECT g.doc_id,
+         |  54 + st*h AS file_size,
+         |  CAST(54 AS BIGINT) AS data_offset,
+         |  CAST(40 AS BIGINT) AS header_size,
+         |  w AS width, h AS height,
+         |  CAST(1 AS BIGINT) AS planes,
+         |  CAST(24 AS BIGINT) AS bpp,
+         |  CAST(0 AS BIGINT) AS compression,
+         |  st*h AS image_size,
+         |  st AS row_stride,
+         |  w*3*h AS n_pixel_bytes,
+         |  COALESCE(p.pixel_hash, CAST(0 AS BIGINT)) AS pixel_hash,
+         |  54 + st*h AS bmp_bytes
+         |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // Same round-trip-by-formula argument for the column-level face; the
     // canonical PCM header makes every field a closed-form integer.

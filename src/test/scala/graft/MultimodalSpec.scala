@@ -88,6 +88,84 @@ class MultimodalSpec extends SparkSpec {
     assert(WavPayload.payload(Array[Byte](1)) === null)
   }
 
+  test("BMP wrap emits a byte-valid 24-bpp bitmap (independent reader); parse " +
+      "round-trips it and the pixel hash equals a direct tiled fold") {
+    import graft.functions.BmpImpl
+    val data = "pixel payload bytes".getBytes("UTF-8")
+    val (w, h) = (5L, 3L) // stride: 5*3=15 → pads to 16
+    val bmp = BmpImpl.wrap(data, w, h)
+    val st = 16
+    assert(bmp.length === 54 + st * 3)
+    val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.get() === 'B'.toByte); assert(bb.get() === 'M'.toByte)
+    assert(bb.getInt === 54 + st * 3) // file size
+    assert(bb.getInt === 0) // reserved
+    assert(bb.getInt === 54) // data offset
+    assert(bb.getInt === 40) // info header size
+    assert(bb.getInt === 5); assert(bb.getInt === 3) // width, height
+    assert(bb.getShort === 1); assert(bb.getShort === 24) // planes, bpp
+    assert(bb.getInt === 0) // BI_RGB
+    assert(bb.getInt === st * 3) // image size
+    bb.getInt; bb.getInt; bb.getInt; bb.getInt // dpi + palette fields
+    // pixel rows: 15 payload-tiled bytes then 1 zero pad byte per row
+    for (row <- 0 until 3; x <- 0 until 15)
+      assert(bmp(54 + row * st + x) === data((row * 15 + x) % data.length),
+        s"pixel byte row=$row x=$x")
+    for (row <- 0 until 3)
+      assert(bmp(54 + row * st + 15) === 0, s"pad byte row=$row")
+
+    val hdr = BmpImpl.parse(bmp)
+    assert(hdr != null)
+    // [file_size, data_offset, header_size, width, height, planes, bpp,
+    //  compression, image_size, row_stride, n_pixel_bytes, pixel_hash]
+    assert(hdr.toLongArray().take(11).toSeq ===
+      Seq(54L + st * 3, 54L, 40L, 5L, 3L, 1L, 24L, 0L, st * 3L, st.toLong, 45L))
+    // reference fold over the tiled (unpadded) pixel stream
+    var ref = 0L
+    for (i <- 0 until 45)
+      ref = (ref * 31L + (data(i % data.length) & 0xffL)) % 1000000007L
+    assert(hdr.getLong(11) === ref)
+    // decoded payload strips the padding and re-tiles the source
+    val pix = graft.functions.BmpPixels.payload(bmp)
+    assert(pix.length === 45)
+    assert(pix.toSeq === (0 until 45).map(i => data(i % data.length)).toSeq)
+    // empty payload → all-zero pixels, hash 0
+    val empty = BmpImpl.parse(BmpImpl.wrap(Array.emptyByteArray, 4L, 2L))
+    assert(empty.getLong(11) === 0L)
+  }
+
+  test("malformed BMPs parse to null, never throw: garbage, truncation, " +
+      "unsupported profile") {
+    import graft.functions.BmpImpl
+    val good = BmpImpl.wrap("abc".getBytes("UTF-8"), 4L, 2L)
+    assert(BmpImpl.parse(null) === null)
+    assert(BmpImpl.parse(Array[Byte](1, 2, 3)) === null)
+    assert(BmpImpl.parse("not a bitmap at all, just bytes padding 54+"
+      .getBytes("UTF-8")) === null)
+    assert(BmpImpl.parse(good.take(40)) === null, "truncated header")
+    assert(BmpImpl.parse(good.take(60)) === null, "truncated pixel array")
+    val badBpp = good.clone(); badBpp(28) = 8 // 8-bpp (palette) profile
+    assert(BmpImpl.parse(badBpp) === null)
+    val badCompress = good.clone(); badCompress(30) = 1 // BI_RLE8
+    assert(BmpImpl.parse(badCompress) === null)
+  }
+
+  test("bmpMeta parse == meta declare: the real container carries exactly the " +
+      "declared dimensions, and mm_decode image checksums come from pixels") {
+    val bm = Multimodal.bmpMeta(docs).cache()
+    val m = Multimodal.meta(docs).filter(col("format") === "image").cache()
+    assert(bm.count() === m.count())
+    val joined = bm.join(m.select(col("doc_id"),
+      col("width").as("decl_w"), col("height").as("decl_h")), "doc_id")
+    assert(joined.filter(col("width") =!= col("decl_w")).count() === 0)
+    assert(joined.filter(col("height") =!= col("decl_h")).count() === 0)
+    // layout invariants the oracle replays by formula
+    assert(bm.filter(col("file_size") =!= col("bmp_bytes")).count() === 0)
+    assert(bm.filter(col("row_stride") % 4 =!= 0).count() === 0)
+    assert(bm.filter(col("image_size") =!= col("row_stride") * col("height")).count() === 0)
+    bm.unpersist(); m.unpersist()
+  }
+
   test("wavMeta expression face agrees with the mapPartitions decode on every " +
       "shared field (one container semantics, two surfaces)") {
     val viaExpr = Multimodal.wavMeta(docs)

@@ -319,16 +319,31 @@ class TextOpsSpec extends SparkSpec {
     exact.unpersist(); approx.unpersist()
   }
 
-  test("multimodal decode: image/video stub agrees with column-level meta; audio rows " +
+  test("multimodal decode: video stub agrees with column-level meta; image rows " +
+      "carry container-parsed fields (BMP round trip); audio rows " +
       "carry container-parsed fields (44-byte header + intact payload)") {
     val decoded = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs), batchSize = 7)
       .toDF().cache()
     val meta = Multimodal.meta(docs)
       .select("doc_id", "checksum", "size_bytes", "width", "height")
-    val stub = decoded.filter(col("format") =!= "audio")
+    val stub = decoded.filter(col("format") === "video")
       .select("doc_id", "checksum", "size_bytes", "width", "height")
-    assert(meta.filter(col("doc_id") % 3 =!= 1).except(stub).count() === 0)
+    assert(meta.filter(col("doc_id") % 3 === 2).except(stub).count() === 0)
     assert(stub.except(meta).count() === 0)
+    // image: dimensions parse == declare; checksum comes from the DECODED
+    // pixel bytes and size from the physical container — both must equal
+    // the expression face (one container semantics, two surfaces)
+    val image = decoded.filter(col("format") === "image")
+      .select(col("doc_id"), col("checksum"), col("size_bytes"),
+        col("width"), col("height"))
+    val bm = Multimodal.bmpMeta(docs).select(col("doc_id"),
+      col("pixel_hash"), col("bmp_bytes"), col("width").as("bw"), col("height").as("bh"))
+    assert(image.count() > 0)
+    val badImg = image.join(bm, "doc_id")
+      .filter(col("checksum") =!= col("pixel_hash") ||
+        col("size_bytes") =!= col("bmp_bytes") ||
+        col("width") =!= col("bw") || col("height") =!= col("bh"))
+    assert(badImg.count() === 0)
     // audio: checksum comes from the DECODED samples and must equal the
     // pre-wrap text hash; size_bytes is payload + the 44-byte header
     val audio = decoded.filter(col("format") === "audio")
