@@ -16,23 +16,32 @@ import org.apache.spark.sql.SparkSession
   * noisy the box was.
   */
 object Bench {
+  // 70 entries — the cap is the DRIVER's 2000-byte tail capture: the
+  // contract line costs ~len(name)+9 bytes per query plus ~100 envelope
+  // and must leave ~75 for sbt's success line (round 5's 2.3 KB line was
+  // front-truncated and unparseable). All 52 round-7-benched queries stay
+  // for round-over-round comparability; the dozen left out (narrow
+  // scan-speed cards and reused-shape reports: topic_retention,
+  // pipeline_split/upsample/normalize, embedding_stats,
+  // corpus_length_hist/ngram_novelty/source_stats, events_gap_stats/
+  // retention_cohorts, dedup_pair_hist/cluster_stats) are timed via
+  // BenchOne and recorded in SURVEY §7 prose instead.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
     "orders_anti_join", "events_rollup", "q18_large_orders", "q10_returned",
-    "events_asof", "events_range_join", "events_funnel", "events_gap_stats",
-    "events_retention_cohorts", "events_anomaly",
+    "events_asof", "events_range_join", "events_funnel", "events_anomaly",
     "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact",
-    "topic_retention", "topic_dlq",
+    "topic_dlq",
     "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
-    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "embedding_stats",
+    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
     "events_approx", "events_asof_tolerance",
     "events_asof_forward", "events_asof_nearest",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
-    "corpus_token_topk", "corpus_ngram_topk", "corpus_ngram_novelty", "corpus_length_hist",
-    "dedup_components", "dedup_components_star", "dedup_cluster_stats", "dedup_pair_hist",
+    "corpus_token_topk", "corpus_ngram_topk",
+    "dedup_components", "dedup_components_star",
     "dedup_embedding_cc",
     "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_bmp_meta",
     "mm_decode",
@@ -40,10 +49,8 @@ object Bench {
     "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_decontaminate_fuzzy", "corpus_span_dupes", "pipeline_importance",
-    "pipeline_normalize",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
-    "pipeline_split", "pipeline_upsample", "pipeline_shuffle", "pipeline_curriculum",
-    "corpus_source_stats",
+    "pipeline_shuffle", "pipeline_curriculum",
     "mm_audiowindow")
 
   def main(args: Array[String]): Unit = {

@@ -417,6 +417,52 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Int8 scalar quantization of the embedding table — the
+    * serving/storage-prep step next to PQ on the compression menu: per
+    * dimension, code = floor((x − mn)/(mx − mn)·255) against the
+    * corpus-wide per-dim [mn, mx] envelope, clamped to [0, 255]
+    * (degenerate mn = mx dims code 0). `max_abs_err` audits the
+    * round-trip against the midpoint reconstruction mn + (c+0.5)·(mx −
+    * mn)/255 — encode and decode share the 255 scale, so the error is
+    * bounded by half a step of the widest dim, span/510 (spec) — the
+    * number a deployment reads before switching serving to codes.
+    *
+    * The fit is a 64-row per-dim min/max — constant-size at any corpus
+    * scale — collected once on the driver (the k-means-fit precedent)
+    * and baked into the scoring expression as literal arrays, so
+    * scoring is a NARROW map: zero shuffle, scan speed, and the
+    * lambda's array lookups hit foldable literals (never the
+    * interpreted recompute-per-element trap of computed arrays).
+    * Engine-exact: min/max are selections of stored doubles, and both
+    * engines evaluate the identical IEEE expression tree, so codes AND
+    * the double error column hash-match.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val stats = emb
+      .select(posexplode(toDoubleVec(col("embedding"))).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("d").collect()
+    require(stats.length == Dim, s"quantizeInt8: expected $Dim dims, got ${stats.length}")
+    val mnA = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val mxA = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val qs = transform(toDoubleVec(col("embedding")), (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      val code = when(mx === mn, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((x - mn) / (mx - mn) * lit(255.0)))))
+      val recon = mn + (code.cast("double") + lit(0.5)) * (mx - mn) / lit(255.0)
+      struct(code.as("c"), abs(x - recon).as("err"))
+    })
+    // codes ride as one comma-joined string: the verify harness hashes
+    // scalar columns, and a 64-byte code row serializes naturally anyway
+    emb.select(col("vec_id"), qs.as("qs"))
+      .select(col("vec_id"),
+        array_join(transform(col("qs"), s => s.getField("c").cast("string")), ",")
+          .as("codes"),
+        array_max(transform(col("qs"), s => s.getField("err"))).as("max_abs_err"))
+  }
+
   def embeddingPairs(emb: DataFrame, tau: Double = 0.4): DataFrame = {
     val v = vectors(emb)
     val ex = explodeBands(v)

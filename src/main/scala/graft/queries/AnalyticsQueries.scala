@@ -312,6 +312,24 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Markov transition card (r8): corpus-wide consecutive event-type
+    // pair counts + distinct-user support, the journey-analytics number
+    // funnels don't give. ONE user_id exchange for the lag window, then
+    // a |types|²-keyed aggregate — partial map-side, output bounded by
+    // the type-pair vocabulary at any corpus scale. Deterministic order:
+    // (ms, event_id) — event_id is unique.
+    "events_transitions" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     // Gap-based sessionization (30 min) via window lag + running sum.
     "events_sessionize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -678,6 +696,23 @@ object AnalyticsQueries {
          |  CAST(1 + CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END
          |         + CASE WHEN view_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth
          |FROM s2 ORDER BY event_id""".stripMargin,
+
+    // lag over the identical (ms, event_id) order; pair counts +
+    // distinct-user support are pure integers
+    "events_transitions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
+         |  FROM e)
+         |SELECT from_type, event_type AS to_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM t WHERE from_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH e AS (

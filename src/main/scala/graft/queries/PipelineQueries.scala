@@ -250,6 +250,12 @@ object PipelineQueries {
     // range from the fused index-order fold, zero-vector count.
     "embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.load(s, dir, "embeddings"))),
+    // int8 scalar quantization (r8): per-dim min/max envelope fitted
+    // once (64 rows, driver-collected like the k-means fit), codes +
+    // midpoint-reconstruction error as a narrow literal-array map
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -1220,6 +1226,29 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality, decile, n_epochs,
          |       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
          |FROM e ORDER BY doc_id, epoch""".stripMargin,
+
+    // int8 quantization: the per-dim envelope is recomputed in-query
+    // (min/max are selections of stored doubles ⇒ identical binary
+    // values to the Spark fit), then codes and the midpoint error
+    // replay the identical IEEE expression tree per element
+    "embedding_quantize" -> {
+      val code = s"CASE WHEN mx[i] = mn[i] THEN CAST(0 AS BIGINT) ELSE " +
+        s"least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"CAST(floor((e[i] - mn[i]) / (mx[i] - mn[i]) * 255) AS BIGINT))) END"
+      s"""WITH ex AS (
+         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |         unnest(generate_series(1, len(embedding))) AS d
+         |  FROM embeddings),
+         |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+         |env AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM stats),
+         |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, mn, mx
+         |      FROM embeddings, env)
+         |SELECT vec_id,
+         |  array_to_string([$code for i in generate_series(1, $Dim)], ',') AS codes,
+         |  list_max([abs(e[i] - (mn[i] + (CAST(($code) AS DOUBLE) + 0.5) * (mx[i] - mn[i]) / 255))
+         |            for i in generate_series(1, $Dim)]) AS max_abs_err
+         |FROM q ORDER BY vec_id""".stripMargin
+    },
 
     "embedding_stats" ->
       s"""WITH v AS (

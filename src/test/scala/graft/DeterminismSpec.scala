@@ -48,4 +48,19 @@ class DeterminismSpec extends SparkSpec {
     assertInvariant("pipeline_concat_packs", TextOps.concatPacks(_), docs)
     assertInvariant("pipeline_split", TextOps.holdoutSplit(_), docs)
   }
+
+  test("round-8 late operators are partitioning-invariant: importance (BIGINT " +
+      "sums), span dupes, fuzzy decontamination, int8 quantization") {
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isBench = col("doc_id") % 97 === 0
+    // the fixed-point design claim: a float log-sum would fail this
+    assertInvariant("pipeline_importance", TextOps.importanceWeights(_, isBench), docs)
+    assertInvariant("corpus_span_dupes", TextOps.spanDupes(_), docs)
+    assertInvariant("pipeline_decontaminate_fuzzy",
+      Dedup.decontaminateFuzzy(_, isBench), docs)
+    // min/max envelope + identical IEEE tree per element: codes AND the
+    // double error column must survive any split
+    assertInvariant("embedding_quantize", Similarity.quantizeInt8(_), emb)
+  }
 }

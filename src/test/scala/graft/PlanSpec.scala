@@ -84,6 +84,25 @@ class PlanSpec extends SparkSpec {
     assert(got === expected, s"gap count: got $got, expected $expected")
   }
 
+  test("transitions: pair counts conserve (events minus users), supports bounded, " +
+      "vocabulary closed") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val q = (AnalyticsQueries.queries)("events_transitions")(spark, sf).cache()
+    // each user with k events contributes exactly k-1 transitions
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(q.agg(sum("n_transitions")).head().getLong(0) === expected)
+    // distinct-user support never exceeds the pair count or the user base
+    val users = events.select("user_id").distinct().count()
+    assert(q.filter(col("n_users") > col("n_transitions") || col("n_users") > users)
+      .count() === 0)
+    // both endpoints come from the observed type vocabulary
+    val types = events.select(col("event_type")).distinct()
+    assert(q.select(col("from_type").as("event_type")).except(types).count() === 0)
+    assert(q.select(col("to_type").as("event_type")).except(types).count() === 0)
+    q.unpersist()
+  }
+
   test("retention cohorts: first-seen dim broadcasts (no probe shuffle); day-0 cell = cohort size") {
     import org.apache.spark.sql.functions._
     val q = (AnalyticsQueries.queries)("events_retention_cohorts")(spark, sf)

@@ -186,6 +186,29 @@ class SimilaritySpec extends SparkSpec {
     assert(results.get("b") === serialB, "concurrent 3-iter fit must equal its serial twin")
   }
 
+  test("int8 quantization: codes bounded and envelope-saturating, error within " +
+      "the midpoint bound, one row per vector") {
+    val out = Similarity.quantizeInt8(emb).cache()
+    assert(out.count() === emb.count())
+    val codes = out.select(col("vec_id"),
+      split(col("codes"), ",").cast("array<long>").as("cs"))
+    assert(codes.filter(size(col("cs")) =!= Similarity.Dim).count() === 0)
+    assert(codes.filter(exists(col("cs"), c => c < 0 || c > 255)).count() === 0)
+    // the envelope is corpus-derived, so BOTH extremes are realized
+    val flat = codes.select(explode(col("cs")).as("c"))
+    assert(flat.agg(min("c")).head().getLong(0) === 0L)
+    assert(flat.agg(max("c")).head().getLong(0) === 255L)
+    // midpoint reconstruction error is bounded by half a quantization
+    // step of the WIDEST dim: (mx-mn)/510 (+ float slack)
+    val spans = emb
+      .select(posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("d", "x")))
+      .groupBy("d").agg((max("x") - min("x")).as("span"))
+    val worst = spans.agg(max("span")).head().getDouble(0)
+    assert(out.filter(col("max_abs_err") > worst / 510.0 * 1.0000001).count() === 0)
+    assert(out.filter(col("max_abs_err") < 0).count() === 0)
+    out.unpersist()
+  }
+
   test("embedding near-dup pairs verify exact cosine above threshold, canonical order") {
     val p = Similarity.embeddingPairs(emb, tau = 0.4).cache()
     assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
