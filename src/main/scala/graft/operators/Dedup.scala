@@ -187,7 +187,10 @@ object Dedup {
       .join(broadcast(benchBands), Seq("band_id", "band_val"))
       .select(col("doc_id"), col("bench_id")).distinct()
     val ha = hashes.select(col("doc_id"), col("hs").as("ha"))
-    val hb = hashes.select(col("doc_id").as("bench_id"), col("hs").as("hb"))
+    // bench-only: broadcasting the unfiltered shingle table would ship
+    // the whole corpus to every executor at scale
+    val hb = hashes.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("hs").as("hb"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val best = cand.join(ha, "doc_id").join(broadcast(hb), "bench_id")
       .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
