@@ -220,6 +220,26 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Zipf profile card — rank × frequency over the top-k vocabulary:
+    * Zipf's law predicts rank·count ≈ constant, so the `zipf_product`
+    * column reads as a flatness profile (head deviations = stopword
+    * saturation, tail deviations = vocabulary truncation) — the
+    * one-glance sanity card for a corpus's token distribution before
+    * tokenizer decisions. Pure integers (rank from the deterministic
+    * (count DESC, token) total order; product is BIGINT), so the card
+    * hash-matches under any partitioning. Same plan as [[tokenTopK]]:
+    * map-side partial agg → vocabulary-keyed shuffle → top-k; the rank
+    * window runs on k rows only.
+    */
+  def zipfCard(docs: DataFrame, k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token"))
+    tokenTopK(docs, k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("zipf_product", col("rank") * col("n_occurrences"))
+      .select("rank", "token", "n_occurrences", "zipf_product")
+  }
+
   /** Per-language equi-depth quality binning (NTILE deciles) — the
     * mixture-building block between raw scores and top-q cuts: decile 1
     * is each language's best tenth, so downstream sampling can weight by

@@ -136,6 +136,10 @@ object PipelineQueries {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables.load(s, dir, "documents"), Dup2Max, TopTokMax)
         .orderBy(col("doc_id"))),
+    // Zipf profile card (r8): rank x frequency products over the top-k
+    // vocabulary — flatness reads as Zipf conformance; all integers.
+    "corpus_zipf_card" -> ((s, dir) =>
+      TextOps.zipfCard(Tables.load(s, dir, "documents"), 20).orderBy(col("rank"))),
     // Corpus vocabulary report (r7): token frequency top-k, partial-agg
     // shuffle + TakeOrdered, deterministic tie-break by token.
     "corpus_token_topk" -> ((s, dir) =>
@@ -1118,6 +1122,19 @@ object PipelineQueries {
          |  (n >= 2 AND CAST(n-1-uniq2 AS DOUBLE)/(n-1) <= $Dup2Max
          |    AND CAST(max_cnt AS DOUBLE)/n <= $TopTokMax) AS kept
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // rank x frequency over the same top-k vocabulary; all integers
+    "corpus_zipf_card" ->
+      s"""WITH top AS (
+         |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok ORDER BY n_occurrences DESC, token LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank,
+         |       token, n_occurrences,
+         |       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+         |         * n_occurrences AS zipf_product
+         |FROM top ORDER BY rank""".stripMargin,
 
     "corpus_token_topk" ->
       s"""SELECT tok AS token, COUNT(*) AS n_occurrences

@@ -204,6 +204,19 @@ class TextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("zipf card: sequential ranks, non-increasing counts, exact products, " +
+      "consistent with the token top-k") {
+    val z = TextOps.zipfCard(docs, 20).orderBy("rank").collect()
+    assert(z.length === 20)
+    assert(z.map(_.getAs[Long]("rank")).toSeq === (1L to 20L))
+    val counts = z.map(_.getAs[Long]("n_occurrences"))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)), "counts must be non-increasing")
+    z.foreach(r => assert(r.getAs[Long]("zipf_product") ===
+      r.getAs[Long]("rank") * r.getAs[Long]("n_occurrences")))
+    val topk = TextOps.tokenTopK(docs, 20).collect().map(_.getString(0)).toSeq
+    assert(z.map(_.getAs[String]("token")).toSeq === topk)
+  }
+
   test("quality ratios are bounded and the score is their fixed-weight sum") {
     val q = TextOps.quality(docs).cache()
     for (c <- Seq("uniq_ratio", "stop_ratio", "alpha_ratio"))
