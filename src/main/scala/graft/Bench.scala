@@ -44,7 +44,7 @@ object Bench {
     "dedup_components", "dedup_components_star",
     "dedup_embedding_cc",
     "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_bmp_meta",
-    "mm_decode",
+    "mm_avi_meta", "mm_decode",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",

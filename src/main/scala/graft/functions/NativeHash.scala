@@ -82,7 +82,11 @@ object NativeHash {
     ("graft_bmp_wrap", "wrap a binary payload as a 24-bpp uncompressed BMP (tiled pixels)",
       exprs => BmpWrap(exprs.head, exprs(1), exprs(2))),
     ("graft_bmp_meta", "parse a BMP blob into header fields + decoded-pixel hash; null when malformed",
-      exprs => BmpMeta(exprs.head)))
+      exprs => BmpMeta(exprs.head)),
+    ("graft_avi_wrap", "wrap a binary payload as a minimal valid uncompressed AVI (DIB frames)",
+      exprs => AviWrap(exprs.head, exprs(1), exprs(2), exprs(3))),
+    ("graft_avi_meta", "walk an AVI RIFF tree into header/index fields + all-frames pixel hash; null when malformed",
+      exprs => AviMeta(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

@@ -9,15 +9,17 @@ import graft.functions.TextFunctions
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract runs batched per partition.
   *
-  * Audio payloads are REAL RIFF/WAVE containers (built and chunk-walked
-  * by the native graft_wav_wrap / graft_wav_meta expressions — see
-  * [[graft.functions.WavImpl]]), so the audio decode path is a genuine
-  * container parse, integer-exact and oracle-checked end to end (round-7
-  * VERDICT task #8). Image/video decode remains a clearly-marked
-  * deterministic STUB (those codecs aren't in this container); everything
-  * around it — schema, binary column handling, batched `mapPartitions`
-  * shape (the Scala twin of `mapInPandas`), partitioning — is real and
-  * tested.
+  * ALL THREE modalities ride REAL containers (r8): audio in RIFF/WAVE
+  * ([[graft.functions.WavImpl]]), image in 24-bpp BMP
+  * ([[graft.functions.BmpImpl]]), video in a minimal valid uncompressed
+  * AVI with DIB frames ([[graft.functions.AviImpl]]) — each built AND
+  * parsed by native codegen'd expressions, so every decode path is a
+  * genuine container parse, integer-exact and oracle-checked end to
+  * end. No compressed codecs exist in this environment, so the
+  * containers carry raw pixel/sample payloads — the honest boundary is
+  * now the CODEC, not the container; the batched `mapPartitions` shape
+  * (the Scala twin of `mapInPandas`) is exactly where a real
+  * libjpeg/ffmpeg binding would slot in.
   */
 object Multimodal {
 
@@ -76,11 +78,25 @@ object Multimodal {
     lit(16L) + col(csName) % 320L,
     lit(16L) + expr(s"$csName DIV 320") % 200L)
 
-  /** documents → (doc_id, format, blob). Audio payloads are wrapped in a
-    * real RIFF/WAVE container (header + UTF-8 sample bytes); image
-    * payloads in a real 24-bpp BMP whose pixels tile the UTF-8 bytes
-    * (r8 — was raw); video rides raw (no codec-free video container) —
-    * so the container and raw routing paths are both exercised.
+  /** Deterministic video THUMBNAIL-STRIP geometry: the real AVI is built
+    * at thumb dims (8–63 × 8–47 per frame) because frames × the declared
+    * source dims would be hundreds of KB per doc — exactly the profile a
+    * real pipeline ships to a work queue. The frame COUNT is [[meta]]'s
+    * declared n_frames, so parse == declare holds on the video-specific
+    * metadatum; width/height are the container's true (thumb) dims,
+    * documented as such.
+    */
+  private def videoParams(csName: String): (Column, Column, Column) = (
+    lit(8L) + col(csName) % 56L,
+    lit(8L) + expr(s"$csName DIV 56") % 40L,
+    lit(1L) + col(csName) % 16L)
+
+  /** documents → (doc_id, format, blob). Every modality now rides a REAL
+    * container (r8): audio in RIFF/WAVE, image in a 24-bpp BMP at the
+    * declared dims, video in a minimal valid uncompressed AVI
+    * (thumbnail-strip profile, declared n_frames) — pixels/samples tile
+    * the UTF-8 bytes in all three, so decode checksums are
+    * formula-replayable.
     */
   def asBlobs(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
@@ -93,6 +109,9 @@ object Multimodal {
       } ++ {
         val (w, h) = imageParams("__cs")
         Seq(w.as("__w"), h.as("__h"))
+      } ++ {
+        val (tw, th, nf) = videoParams("__cs")
+        Seq(tw.as("__tw"), th.as("__th"), nf.as("__nf"))
       }: _*)
       .select(
         col("doc_id"),
@@ -103,7 +122,7 @@ object Multimodal {
           expr("graft_wav_wrap(__raw, __rate, __ch, __bits)"))
           .when(col("doc_id") % 3 === 0,
             expr("graft_bmp_wrap(__raw, __w, __h)"))
-          .otherwise(col("__raw")).as("blob"))
+          .otherwise(expr("graft_avi_wrap(__raw, __tw, __th, __nf)")).as("blob"))
   }
 
   /** Column-level metadata extraction — the SQL-expressible face of the
@@ -179,13 +198,15 @@ object Multimodal {
     * ([[graft.functions.WavImpl]] / [[graft.functions.WavPayload]]); the
     * BMP header parse recovers the true dimensions and folds the
     * checksum over the UNPADDED decoded pixel bytes
-    * ([[graft.functions.BmpImpl]]) — in both, checksum and features
-    * derive from DECODED content and header fields from the parsed
-    * container, all integer-exact (oracle-checked as mm_decode). Video
-    * remains the deterministic STUB (no codec-free video container): a
-    * real implementation would hand `batch` to ffmpeg in one call —
-    * that's why the iterator is batched. A malformed container yields
-    * null fields, not a throw (strict-decode semantics).
+    * ([[graft.functions.BmpImpl]]); the AVI RIFF-tree walk counts the
+    * '00db' frames against avih/idx1 and folds the checksum across
+    * every frame's unpadded pixels ([[graft.functions.AviImpl]]) — in
+    * all three, checksum and features derive from DECODED content and
+    * header fields from the parsed container, all integer-exact
+    * (oracle-checked as mm_decode). The batched iterator is the shape a
+    * real codec binding (ffmpeg/libjpeg) wants — amortized calls,
+    * bounded memory. A malformed container yields null fields, not a
+    * throw (strict-decode semantics).
     */
   private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
     batch.map { m =>
@@ -217,10 +238,17 @@ object Multimodal {
             None, None, None, None, None, feat(checksum))
         }
       } else {
-        val checksum = polyhashBytes(m.blob)
-        MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
-          Some(16L + checksum % 320L), Some(16L + (checksum / 320L) % 200L),
-          None, None, None, None, None, feat(checksum))
+        val hdr = graft.functions.AviImpl.parse(m.blob)
+        if (hdr == null)
+          MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, 0L,
+            None, None, None, None, None, None, None, feat(0L))
+        else {
+          val checksum = hdr.getLong(11) // all-frames decoded-pixel fold
+          MediaFeatures(m.doc_id, m.format, m.blob.length.toLong, checksum,
+            Some(hdr.getLong(3)), Some(hdr.getLong(4)),
+            None, None, None, None,
+            n_frames = Some(hdr.getLong(2)), feature = feat(checksum))
+        }
       }
     }
 
@@ -279,6 +307,36 @@ object Multimodal {
         fields.zipWithIndex.map { case (f, i) =>
           element_at(col("hdr"), i + 1).as(f)
         } :+ octet_length(col("bmp")).cast("long").as("bmp_bytes"): _*)
+  }
+
+  /** Column-level AVI round trip — the VIDEO face of the container
+    * family, mirroring [[wavMeta]]/[[bmpMeta]]: build the minimal valid
+    * uncompressed AVI (thumbnail-strip profile; frame count = [[meta]]'s
+    * declared n_frames, so parse == declare holds on the video-specific
+    * metadatum) and walk the RIFF tree back. All integers; the DuckDB
+    * oracle replays the fixed layout by formula and the all-frames
+    * pixel hash by the same tiled-polyhash closed form as BMP
+    * (`mm_avi_meta`); `avi_bytes` pins the physical builder. Narrow
+    * per-row projection — zero shuffle.
+    */
+  def aviMeta(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val fields = Seq("riff_size", "us_per_frame", "total_frames", "width",
+      "height", "n_streams", "row_stride", "frame_pixel_bytes",
+      "movi_frames", "idx_entries", "n_pixel_bytes", "pixel_hash")
+    val (tw, th, nf) = videoParams("__cs")
+    docs.filter(col("doc_id") % 3 === 2)
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__tw", tw)
+      .withColumn("__th", th)
+      .withColumn("__nf", nf)
+      .withColumn("avi", expr("graft_avi_wrap(__raw, __tw, __th, __nf)"))
+      .withColumn("hdr", expr("graft_avi_meta(avi)"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("hdr"), i + 1).as(f)
+        } :+ octet_length(col("avi")).cast("long").as("avi_bytes"): _*)
   }
 
   /** Batched per-partition decode — the Scala analogue of `mapInPandas`:

@@ -303,6 +303,11 @@ object PipelineQueries {
     // decoded-pixel hash, oracle-replayed by formula + closed-form fold
     "mm_bmp_meta" -> ((s, dir) =>
       Multimodal.bmpMeta(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    // video face (r8): minimal valid uncompressed AVI round trip —
+    // RIFF-tree walk, frame/idx1 counts, all-frames pixel hash
+    "mm_avi_meta" -> ((s, dir) =>
+      Multimodal.aviMeta(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1398,22 +1403,62 @@ object PipelineQueries {
          |    CAST(1 + checksum % 2 AS BIGINT) AS channels,
          |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits,
          |    CAST(16 + checksum % 320 AS BIGINT) AS w,
-         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h,
+         |    CAST(8 + checksum % 56 AS BIGINT) AS tw,
+         |    CAST(8 + (checksum // 56) % 40 AS BIGINT) AS th,
+         |    CAST(1 + checksum % 16 AS BIGINT) AS nf
          |  FROM blobs),
-         |geo AS (SELECT *, ((w*3 + 3) // 4) * 4 AS st, w*3*h AS total FROM a),
-         |${bmpPixelCtes("format = 'image' AND ")}
+         |geo AS (
+         |  SELECT *, ((w*3 + 3) // 4) * 4 AS st, ((tw*3 + 3) // 4) * 4 AS stv,
+         |    CASE format WHEN 'image' THEN w*3*h
+         |                WHEN 'video' THEN tw*3*th*nf ELSE 0 END AS total
+         |  FROM a),
+         |${bmpPixelCtes("format <> 'audio' AND ")}
          |SELECT g.doc_id, format,
          |  CASE format WHEN 'audio' THEN 44 + data_len
-         |              WHEN 'image' THEN 54 + st*h ELSE data_len END AS size_bytes,
-         |  CASE WHEN format = 'image' THEN COALESCE(p.pixel_hash, CAST(0 AS BIGINT))
-         |       ELSE checksum END AS checksum,
-         |  CASE WHEN format <> 'audio' THEN w END AS width,
-         |  CASE WHEN format <> 'audio' THEN h END AS height,
+         |              WHEN 'image' THEN 54 + st*h
+         |              ELSE 232 + nf*(24 + stv*th) END AS size_bytes,
+         |  CASE WHEN format = 'audio' THEN checksum
+         |       ELSE COALESCE(p.pixel_hash, CAST(0 AS BIGINT)) END AS checksum,
+         |  CASE format WHEN 'image' THEN w WHEN 'video' THEN tw END AS width,
+         |  CASE format WHEN 'image' THEN h WHEN 'video' THEN th END AS height,
          |  CASE WHEN format = 'audio' THEN sample_rate END AS sample_rate,
          |  CASE WHEN format = 'audio' THEN channels END AS channels,
          |  CASE WHEN format = 'audio' THEN bits END AS bits_per_sample,
          |  CASE WHEN format = 'audio' THEN data_len END AS data_len,
-         |  CASE WHEN format = 'audio' THEN data_len // (channels * bits // 8) END AS n_frames
+         |  CASE format WHEN 'audio' THEN data_len // (channels * bits // 8)
+         |              WHEN 'video' THEN nf END AS n_frames
+         |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // Video round trip by formula: the fixed AVI layout is pure
+    // arithmetic of (tw, th, nf); the all-frames pixel hash shares the
+    // tiled-polyhash closed form (frames tile the payload contiguously)
+    "mm_avi_meta" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |a AS (
+         |  SELECT *,
+         |    CAST(8 + checksum % 56 AS BIGINT) AS tw,
+         |    CAST(8 + (checksum // 56) % 40 AS BIGINT) AS th,
+         |    CAST(1 + checksum % 16 AS BIGINT) AS nf
+         |  FROM blobs),
+         |geo AS (SELECT *, ((tw*3 + 3) // 4) * 4 AS stv, tw*3*th*nf AS total FROM a),
+         |${bmpPixelCtes("")}
+         |SELECT g.doc_id,
+         |  224 + nf*(24 + stv*th) AS riff_size,
+         |  CAST(40000 AS BIGINT) AS us_per_frame,
+         |  nf AS total_frames,
+         |  tw AS width, th AS height,
+         |  CAST(1 AS BIGINT) AS n_streams,
+         |  stv AS row_stride,
+         |  stv*th AS frame_pixel_bytes,
+         |  nf AS movi_frames,
+         |  nf AS idx_entries,
+         |  tw*3*th*nf AS n_pixel_bytes,
+         |  COALESCE(p.pixel_hash, CAST(0 AS BIGINT)) AS pixel_hash,
+         |  232 + nf*(24 + stv*th) AS avi_bytes
          |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // Image round trip by formula: header layout is pure arithmetic of

@@ -166,6 +166,99 @@ class MultimodalSpec extends SparkSpec {
     bm.unpersist(); m.unpersist()
   }
 
+  test("AVI wrap emits a byte-valid RIFF tree (independent reader); parse " +
+      "round-trips it and the all-frames pixel hash equals a direct tiled fold") {
+    import graft.functions.AviImpl
+    val data = "video pixel payload".getBytes("UTF-8")
+    val (w, h, n) = (5L, 3L, 2L) // stride 16, frame 48 bytes
+    val avi = AviImpl.wrap(data, w, h, n)
+    assert(avi.length === AviImpl.containerBytes(w, h, n))
+    val bb = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4() = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    assert(tag4() === "RIFF"); assert(bb.getInt === avi.length - 8)
+    assert(tag4() === "AVI ")
+    assert(tag4() === "LIST"); assert(bb.getInt === 192); assert(tag4() === "hdrl")
+    assert(tag4() === "avih"); assert(bb.getInt === 56)
+    assert(bb.getInt === 40000) // us/frame (25 fps)
+    bb.getInt; bb.getInt // max bytes/sec, padding
+    assert(bb.getInt === 0x10) // AVIF_HASINDEX
+    assert(bb.getInt === 2) // total frames
+    bb.getInt // initial frames
+    assert(bb.getInt === 1) // streams
+    bb.getInt // suggested buffer
+    assert(bb.getInt === 5); assert(bb.getInt === 3) // width, height
+    bb.position(bb.position() + 16) // reserved
+    assert(tag4() === "LIST"); assert(bb.getInt === 116); assert(tag4() === "strl")
+    assert(tag4() === "strh"); assert(bb.getInt === 56)
+    assert(tag4() === "vids"); assert(tag4() === "DIB ")
+    bb.position(12 + 200) // movi LIST header
+    assert(tag4() === "LIST"); assert(bb.getInt === 4 + 2 * (8 + 48))
+    assert(tag4() === "movi")
+    // frame chunks: '00db' + 48 padded pixel bytes each, payload tiled
+    // CONTIGUOUSLY across frames (frame 1 continues where frame 0 ended)
+    for (f <- 0 until 2) {
+      assert(tag4() === "00db"); assert(bb.getInt === 48)
+      val base = bb.position()
+      for (row <- 0 until 3; x <- 0 until 15) {
+        val i = f * 45 + row * 15 + x
+        assert(avi(base + row * 16 + x) === data(i % data.length), s"f=$f row=$row x=$x")
+      }
+      bb.position(base + 48)
+    }
+    assert(tag4() === "idx1"); assert(bb.getInt === 32)
+    assert(tag4() === "00db"); assert(bb.getInt === 0x10) // keyframe flag
+    val off0 = bb.getInt; assert(bb.getInt === 48)
+    assert(off0 === 4, "first frame offset is relative to the movi fourcc")
+
+    val hdr = AviImpl.parse(avi)
+    assert(hdr != null)
+    // [riff_size, us_per_frame, total_frames, width, height, n_streams,
+    //  row_stride, frame_pixel_bytes, movi_frames, idx_entries,
+    //  n_pixel_bytes, pixel_hash]
+    assert(hdr.toLongArray().take(11).toSeq ===
+      Seq(avi.length - 8L, 40000L, 2L, 5L, 3L, 1L, 16L, 48L, 2L, 2L, 90L))
+    var ref = 0L
+    for (i <- 0 until 90)
+      ref = (ref * 31L + (data(i % data.length) & 0xffL)) % 1000000007L
+    assert(hdr.getLong(11) === ref)
+  }
+
+  test("malformed AVIs parse to null, never throw: garbage, truncation, " +
+      "frame/index mismatches, unsupported profile") {
+    import graft.functions.AviImpl
+    val good = AviImpl.wrap("abc".getBytes("UTF-8"), 4L, 2L, 2L)
+    assert(AviImpl.parse(null) === null)
+    assert(AviImpl.parse(Array[Byte](1, 2, 3)) === null)
+    assert(AviImpl.parse("RIFFxxxxNOPE".getBytes("US-ASCII")) === null)
+    assert(AviImpl.parse(good.take(100)) === null, "truncated header tree")
+    assert(AviImpl.parse(good.dropRight(10)) === null, "truncated idx1")
+    // declared frame count disagreeing with the movi chunks: avih body
+    // starts at 32 (12 RIFF + 12 LIST hdrl + 8 avih header), total_frames
+    // at body+16
+    val badCount = good.clone(); badCount(48) = 3
+    assert(AviImpl.parse(badCount) === null)
+    // 8-bpp strf profile: strf body at 172 (12 + 12 + 64 avih + 12 strl
+    // + 64 strh + 8 strf header), bpp at body+14
+    val badBpp = good.clone(); badBpp(186) = 8
+    assert(AviImpl.parse(badBpp) === null)
+  }
+
+  test("aviMeta parse == meta declare on n_frames; layout invariants hold") {
+    val am = Multimodal.aviMeta(docs).cache()
+    val m = Multimodal.meta(docs).filter(col("format") === "video").cache()
+    assert(am.count() === m.count())
+    val joined = am.join(m.select(col("doc_id"), col("n_frames")), "doc_id")
+    assert(joined.filter(col("total_frames") =!= col("n_frames")).count() === 0,
+      "declared n_frames must equal the container's parsed frame count")
+    assert(am.filter(col("movi_frames") =!= col("total_frames") ||
+      col("idx_entries") =!= col("total_frames")).count() === 0)
+    assert(am.filter(col("row_stride") % 4 =!= 0).count() === 0)
+    assert(am.filter(col("riff_size") + 8 =!= col("avi_bytes")).count() === 0)
+    assert(am.filter(col("n_pixel_bytes") =!=
+      col("width") * 3 * col("height") * col("total_frames")).count() === 0)
+    am.unpersist(); m.unpersist()
+  }
+
   test("wavMeta expression face agrees with the mapPartitions decode on every " +
       "shared field (one container semantics, two surfaces)") {
     val viaExpr = Multimodal.wavMeta(docs)

@@ -332,17 +332,29 @@ class TextOpsSpec extends SparkSpec {
     exact.unpersist(); approx.unpersist()
   }
 
-  test("multimodal decode: video stub agrees with column-level meta; image rows " +
-      "carry container-parsed fields (BMP round trip); audio rows " +
-      "carry container-parsed fields (44-byte header + intact payload)") {
+  test("multimodal decode: every modality carries container-parsed fields — " +
+      "image (BMP), video (AVI), audio (WAV) — each agreeing with its " +
+      "expression face") {
     val decoded = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs), batchSize = 7)
       .toDF().cache()
     val meta = Multimodal.meta(docs)
       .select("doc_id", "checksum", "size_bytes", "width", "height")
-    val stub = decoded.filter(col("format") === "video")
-      .select("doc_id", "checksum", "size_bytes", "width", "height")
-    assert(meta.filter(col("doc_id") % 3 === 2).except(stub).count() === 0)
-    assert(stub.except(meta).count() === 0)
+    // video: dims/frames/checksum/size all come from the parsed AVI and
+    // must equal the expression face (one container semantics, two
+    // surfaces); n_frames parse == meta declare
+    val video = decoded.filter(col("format") === "video")
+      .select(col("doc_id"), col("checksum"), col("size_bytes"),
+        col("width"), col("height"), col("n_frames"))
+    val am = Multimodal.aviMeta(docs).select(col("doc_id"),
+      col("pixel_hash"), col("avi_bytes"), col("width").as("aw"),
+      col("height").as("ah"), col("total_frames"))
+    assert(video.count() > 0)
+    val badVid = video.join(am, "doc_id")
+      .filter(col("checksum") =!= col("pixel_hash") ||
+        col("size_bytes") =!= col("avi_bytes") ||
+        col("width") =!= col("aw") || col("height") =!= col("ah") ||
+        col("n_frames") =!= col("total_frames"))
+    assert(badVid.count() === 0)
     // image: dimensions parse == declare; checksum comes from the DECODED
     // pixel bytes and size from the physical container — both must equal
     // the expression face (one container semantics, two surfaces)
