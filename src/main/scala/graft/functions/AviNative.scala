@@ -58,6 +58,8 @@ object AviImpl {
   def wrap(data: Array[Byte], w: Long, h: Long, nFrames: Long): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 4096 && h <= 4096 && nFrames > 0 && nFrames <= 4096,
       s"graft_avi_wrap: invalid geometry ${w}x$h x$nFrames")
+    require(containerBytes(w, h, nFrames) <= Int.MaxValue,
+      s"graft_avi_wrap: container for ${w}x$h x$nFrames exceeds 2 GiB")
     val st = stride(w).toInt
     val fp = st * h.toInt // padded frame bytes
     val n = nFrames.toInt
@@ -192,7 +194,11 @@ object AviImpl {
       }
     }
 
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth cap: a malformed blob nesting LISTs ~len/12 deep would
+      // otherwise overflow the stack — a throw, where the contract is
+      // null. Real AVI trees are 2-3 deep.
+      if (depth > 16) { ok = false; return }
       var pos = start
       while (ok && pos + 8 <= end) {
         val id = tagAt(blob, pos)
@@ -203,7 +209,7 @@ object AviImpl {
           if (size < 4) { ok = false; return }
           val listType = tagAt(blob, body)
           if (listType == "movi") walkFrames(body + 4, (body + size).toInt)
-          else walk(body + 4, (body + size).toInt)
+          else walk(body + 4, (body + size).toInt, depth + 1)
         } else if (id == "avih") {
           if (size < 56) { ok = false; return }
           usPerFrame = u32(blob, body)
@@ -224,7 +230,7 @@ object AviImpl {
       }
     }
 
-    walk(12, blob.length)
+    walk(12, blob.length, 0)
     if (!ok || usPerFrame <= 0 || totalFrames <= 0 || width <= 0 ||
         height <= 0 || moviFrames != totalFrames || idxEntries != totalFrames)
       return null

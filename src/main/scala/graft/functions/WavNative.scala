@@ -86,8 +86,13 @@ object WavImpl {
       val id = tag(blob, pos)
       val size = u32(blob, pos + 4)
       val body = pos + 8
+      // EVERY declared size is bounds-checked BEFORE the walk advances:
+      // an unknown chunk claiming size >= 2^31 would otherwise truncate
+      // to a negative step and loop the walk forever (hung executor, not
+      // even a throw)
+      if (body + size > blob.length) return null
       if (id == "fmt ") {
-        if (size < 16 || body + 16 > blob.length) return null
+        if (size < 16) return null
         fmtSize = size
         audioFormat = u16(blob, body)
         channels = u16(blob, body + 2)
@@ -96,7 +101,6 @@ object WavImpl {
         blockAlign = u16(blob, body + 12)
         bits = u16(blob, body + 14)
       } else if (id == "data") {
-        if (body + size > blob.length) return null
         dataLen = size
       }
       // unknown chunks are skipped by declared size; RIFF pads chunk
@@ -126,10 +130,10 @@ object WavPayload {
       val size = ((blob(pos + 4) & 0xffL) | ((blob(pos + 5) & 0xffL) << 8) |
         ((blob(pos + 6) & 0xffL) << 16) | ((blob(pos + 7) & 0xffL) << 24))
       val body = pos + 8
-      if (id == "data") {
-        if (body + size > blob.length) return null
+      // bounds-check every declared size before advancing (see parse)
+      if (body + size > blob.length) return null
+      if (id == "data")
         return java.util.Arrays.copyOfRange(blob, body, body + size.toInt)
-      }
       pos = body + size.toInt + (size & 1L).toInt
     }
     null

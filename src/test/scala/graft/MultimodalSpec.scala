@@ -86,6 +86,14 @@ class MultimodalSpec extends SparkSpec {
     zba(32) = 0; zba(33) = 0
     assert(WavImpl.parse(zba) === null)
     assert(WavPayload.payload(Array[Byte](1)) === null)
+    // an UNKNOWN chunk declaring size >= 2^31: the unsigned size would
+    // truncate to a negative step and hang the walk forever if it
+    // weren't bounds-checked before advancing (r8 hardening)
+    val huge = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes("US-ASCII")).putInt(16).put("WAVE".getBytes("US-ASCII"))
+    huge.put("JUNK".getBytes("US-ASCII")).putInt(0xfffffff8)
+    assert(WavImpl.parse(huge.array()) === null)
+    assert(WavPayload.payload(huge.array()) === null)
   }
 
   test("BMP wrap emits a byte-valid 24-bpp bitmap (independent reader); parse " +
@@ -241,6 +249,17 @@ class MultimodalSpec extends SparkSpec {
     // + 64 strh + 8 strf header), bpp at body+14
     val badBpp = good.clone(); badBpp(186) = 8
     assert(AviImpl.parse(badBpp) === null)
+    // adversarial LIST nesting deeper than any real AVI tree: must hit
+    // the depth cap and return null, never overflow the stack
+    val deep = ByteBuffer.allocate(12 + 64 * 12).order(ByteOrder.LITTLE_ENDIAN)
+    deep.put("RIFF".getBytes("US-ASCII")).putInt(4 + 64 * 12)
+    deep.put("AVI ".getBytes("US-ASCII"))
+    for (lvl <- 0 until 64) {
+      deep.put("LIST".getBytes("US-ASCII"))
+      deep.putInt(4 + (63 - lvl) * 12)
+      deep.put("xxxx".getBytes("US-ASCII"))
+    }
+    assert(AviImpl.parse(deep.array()) === null)
   }
 
   test("aviMeta parse == meta declare on n_frames; layout invariants hold") {
