@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * noisy the box was.
   */
 object Bench {
-  // 70 entries — the cap is the DRIVER's 2000-byte tail capture: the
+  // 71 entries — the cap is the DRIVER's 2000-byte tail capture: the
   // contract line costs ~len(name)+9 bytes per query plus ~100 envelope
   // and must leave ~75 for sbt's success line (round 5's 2.3 KB line was
   // front-truncated and unparseable). All 52 round-7-benched queries stay
