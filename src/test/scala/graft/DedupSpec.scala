@@ -222,6 +222,23 @@ class DedupSpec extends SparkSpec {
     assert(clean.filter(col("contaminated") || col("best_bench").isNotNull ||
       col("best_jaccard").isNotNull).count() === 0)
     out.unpersist()
+    // scale plan (broadcast threshold off; the bench side still
+    // broadcasts via the EXPLICIT hint): count + rank ride ONE window
+    // partition — two Window ops, a WindowGroupLimit rank-1 pushdown,
+    // and no extra Exchange between them
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.decontaminateFuzzy(planted, isBench)
+        .queryExecution.executedPlan.toString
+      assert(plan.sliding(8).count(_ == "Window [") === 2, s"two windows:\n$plan")
+      assert(plan.contains("WindowGroupLimit"), "rank-1 must push down")
+      assert(plan.contains("BroadcastExchange"), "bench side must broadcast by hint")
+      val exchanges = plan.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(exchanges === 4,
+        s"cand distinct + probe + verify + enrich only — windows add none:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("near-dup pairs are canonical (doc_a < doc_b) and within threshold bounds") {

@@ -202,6 +202,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("importance_num") < 0).count() === 0)
     assert(out.filter((col("n_sh") > 0) =!= col("keep").isNotNull).count() === 0)
     out.unpersist()
+    // scale plan: both df aggregates and the per-doc sum partial-combine
+    // map-side; the target df broadcasts via the explicit hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TextOps.importanceWeights(docs, col("doc_id") % 97 === 0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count"), "df aggregates must partial-combine")
+      assert(plan.contains("partial_sum"), "doc score must partial-combine")
+      assert(plan.contains("BroadcastExchange"), "target df must broadcast by hint")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("zipf card: sequential ranks, non-increasing counts, exact products, " +
