@@ -240,6 +240,28 @@ object TextOps {
       .select("rank", "token", "n_occurrences", "zipf_product")
   }
 
+  /** Burstiness card — collection frequency vs document frequency over
+    * the top-k vocabulary: burstiness = cf/df (mean occurrences per
+    * containing doc) separates tokens that are common because MANY docs
+    * use them once (cf/df ≈ 1, function words) from tokens a FEW docs
+    * repeat heavily (cf/df ≫ 1, boilerplate/template payloads — a
+    * dedup-miss signal at the vocabulary level). One explode feeds both
+    * counts: cf = count per token, df = distinct docs per token — a
+    * single token-keyed aggregate with map-side partials (count +
+    * count(distinct doc_id) share the shuffle); top-k by (cf DESC,
+    * token). cf and df are exact integers; burstiness is their IEEE
+    * quotient, identical in both engines.
+    */
+  def burstiness(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(k)
+      .withColumn("burstiness", col("cf").cast("double") / col("df").cast("double"))
+
   /** Per-language equi-depth quality binning (NTILE deciles) — the
     * mixture-building block between raw scores and top-q cuts: decile 1
     * is each language's best tenth, so downstream sampling can weight by

@@ -140,6 +140,11 @@ object PipelineQueries {
     // vocabulary — flatness reads as Zipf conformance; all integers.
     "corpus_zipf_card" -> ((s, dir) =>
       TextOps.zipfCard(Tables.load(s, dir, "documents"), 20).orderBy(col("rank"))),
+    // burstiness card (r8): cf/df per top token — concentration signal
+    // separating function words from boilerplate repetition
+    "corpus_burstiness" -> ((s, dir) =>
+      TextOps.burstiness(Tables.load(s, dir, "documents"), 20)
+        .orderBy(col("cf").desc, col("token"))),
     // Corpus vocabulary report (r7): token frequency top-k, partial-agg
     // shuffle + TakeOrdered, deterministic tie-break by token.
     "corpus_token_topk" -> ((s, dir) =>
@@ -1127,6 +1132,17 @@ object PipelineQueries {
          |  (n >= 2 AND CAST(n-1-uniq2 AS DOUBLE)/(n-1) <= $Dup2Max
          |    AND CAST(max_cnt AS DOUBLE)/n <= $TopTokMax) AS kept
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // cf/df per top token; integer counts, IEEE quotient
+    "corpus_burstiness" ->
+      s"""SELECT token, cf, df, CAST(cf AS DOUBLE)/CAST(df AS DOUBLE) AS burstiness
+         |FROM (
+         |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cf,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok ORDER BY cf DESC, token LIMIT 20)
+         |ORDER BY cf DESC, token""".stripMargin,
 
     // rank x frequency over the same top-k vocabulary; all integers
     "corpus_zipf_card" ->

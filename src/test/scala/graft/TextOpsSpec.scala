@@ -228,6 +228,21 @@ class TextOpsSpec extends SparkSpec {
     assert(z.map(_.getAs[String]("token")).toSeq === topk)
   }
 
+  test("burstiness: cf bounds df, quotient at least 1, exact, and the top-k " +
+      "set matches the token top-k") {
+    val b = TextOps.burstiness(docs, 20).collect()
+    assert(b.length === 20)
+    val nDocs = docs.count()
+    b.foreach { r =>
+      val cf = r.getAs[Long]("cf"); val df = r.getAs[Long]("df")
+      assert(df >= 1 && df <= nDocs && cf >= df)
+      assert(r.getAs[Double]("burstiness") === cf.toDouble / df.toDouble)
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+    }
+    val topk = TextOps.tokenTopK(docs, 20).collect().map(_.getString(0)).toSet
+    assert(b.map(_.getAs[String]("token")).toSet === topk)
+  }
+
   test("quality ratios are bounded and the score is their fixed-weight sum") {
     val q = TextOps.quality(docs).cache()
     for (c <- Seq("uniq_ratio", "stop_ratio", "alpha_ratio"))
