@@ -41,6 +41,14 @@ object WavImpl {
   def wrap(data: Array[Byte], rate: Long, ch: Long, bits: Long): Array[Byte] = {
     require(rate > 0 && ch > 0 && bits > 0 && bits % 8 == 0,
       s"graft_wav_wrap: invalid format params rate=$rate ch=$ch bits=$bits")
+    // Upper bounds mirror BmpImpl/AviImpl.wrap: every field must fit its
+    // header slot, or toInt/toShort silently truncate and emit a
+    // structurally valid but corrupt header (rate = 2^32 + 8000 would
+    // round-trip as 8000; round-8 ADVICE). byte_rate is the binding u32.
+    require(ch <= Short.MaxValue && bits <= Short.MaxValue &&
+      rate <= Int.MaxValue && rate * ch * bits / 8 <= Int.MaxValue &&
+      ch * bits / 8 <= Short.MaxValue,
+      s"graft_wav_wrap: format params overflow header fields rate=$rate ch=$ch bits=$bits")
     val out = new Array[Byte](44 + data.length)
     val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII"))

@@ -56,7 +56,7 @@ object RangeJoin {
         (left.withColumn("__lid", monotonically_increasing_id())
           .localCheckpoint(false), "__lid")
     }
-    val band = (t: Column) => floor(unix_micros(t) / widthUs)
+    val band = (t: Column) => floorDivLong(unix_micros(t), widthUs)
     // left explodes into its band ±1 — three probe rows bound the
     // candidate set; the right side keeps ONE row per record
     val probes = tagged
@@ -76,5 +76,18 @@ object RangeJoin {
     tagged.join(counts, Seq(idCol), "left_outer")
       .select(lCols.map(col) :+
         coalesce(col("n_in_window"), lit(0L)).as("n_in_window"): _*)
+  }
+
+  /** floorDiv(x, w) in EXACT long arithmetic (w > 0): `x div w` minus one
+    * when the remainder is negative. The double form `floor(x / w)` loses
+    * ulps for |x| ≳ w·2^52 — the long→double cast can round across a band
+    * wall, splitting an in-window pair into non-adjacent bands (round-8
+    * ADVICE). `div` is the registered SQL name of IntegralDivide, so the
+    * whole expression stays codegen'd long arithmetic; mirrors
+    * BandedRangeJoinRule.band, so operator and rule always band alike.
+    */
+  private def floorDivLong(x: Column, w: Long): Column = {
+    val q = call_function("div", x, lit(w))
+    when(x % w < 0, q - 1).otherwise(q)
   }
 }

@@ -67,12 +67,23 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** floor(x / w) — the same double-division banding as
-    * RangeJoin.countInWindow (`floor(col / widthUs)`), so rule and
-    * library operator can never band differently.
+  /** floorDiv(x, w) in EXACT long arithmetic — `x div w − (x % w < 0)`.
+    * The earlier double-division form (`floor(cast(x as double) / w)`)
+    * loses ulps once |x| ≳ w·2^52: the long→double cast can round by
+    * more than w, putting left and right bands ≥2 apart and silently
+    * dropping in-window pairs — and this rule rewrites ANY long window
+    * join (hash/id domains included), not just µs timestamps (round-8
+    * ADVICE). Integer form is lossless over the whole long domain: w > 0
+    * guarantees `div` never overflows, and q−1 only evaluates when the
+    * remainder is negative, which excludes the lone q = Long.MinValue
+    * case (w = 1 divides exactly). Mirrors RangeJoin.floorDivCol, so
+    * rule and library operator can never band differently.
     */
-  private def band(e: Expression, w: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Cast(Literal(w), DoubleType)))
+  private def band(e: Expression, w: Long): Expression = {
+    val q = IntegralDivide(e, Literal(w))
+    val r = Remainder(e, Literal(w))
+    If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+  }
 
   /** Finds a `abs(x − y) <= w` (or `w >= abs(x − y)`) conjunct with long
     * w > 0 and x, y long-typed, deterministic, and pure to opposite join

@@ -60,6 +60,23 @@ class AsOfSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("quote_id"))) // trade 3 still unmatched
   }
 
+  test("null right times are ignored in forward and nearest directions too") {
+    // round-8 ADVICE worried a null-time right row could win the backward
+    // frame inside `nearest` (null distB ⇒ null <= comparison ⇒ silent
+    // fall-through). The rightTime.isNotNull pre-filter (AsOf.scala)
+    // excludes it from EVERY direction before the union — pin all three.
+    val nullQuote = quotes.unionByName(
+      quotes.limit(1).select(lit(99L).as("quote_id"), lit("B").as("sym"),
+        lit(null).cast("timestamp").as("q_ts"), lit(0.0).as("q_px")))
+    for (dir <- Seq("forward", "nearest")) {
+      val got = AsOf.joinAsOf(trades, nullQuote, key = Seq("sym"),
+        leftTime = "t_ts", rightTime = "q_ts", tieBreak = Seq("quote_id"),
+        direction = dir).collect()
+      assert(got.forall(r => !(r.getAs[Any]("quote_id") == 99L)),
+        s"direction=$dir surfaced the null-time right row")
+    }
+  }
+
   test("null LEFT time survives unmatched (comparison with null never matches)") {
     val nullTrade = trades.unionByName(
       trades.limit(1).select(lit(9L).as("trade_id"), lit("A").as("sym"),

@@ -122,6 +122,32 @@ class RangeJoinSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoinRule)
   }
 
+  test("banding is exact at extreme long magnitudes (integer floor-div, round-8 ADVICE)") {
+    // x near 2^62 with a small window: the old double banding
+    // floor(cast(x as double)/w) rounds the cast by up to 512 (2^62 has
+    // 10 sub-ulp bits at double precision), so two values 3 apart could
+    // land ≥2 bands apart and the in-window pair silently vanished. The
+    // integer floor-div banding must find every pair, including across
+    // zero (negative operands exercise the remainder<0 branch).
+    import spark.implicits._
+    val xs = Seq(
+      (1L, (1L << 62) + 1000001L), (2L, (1L << 62) + 1000004L), // Δ=3, huge magnitude
+      (3L, -5L), (4L, 2L), // Δ=7 across zero
+      (5L, Long.MaxValue - 2), (6L, Long.MaxValue - 9)) // Δ=7 at the top
+    val df = xs.toDF("id", "x")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoinRule
+    try {
+      val l = df.select($"id".as("lid"), $"x".as("lx"))
+      val r = df.select($"id".as("rid"), $"x".as("rx"))
+      val pairs = l.join(r, abs($"lx" - $"rx") <= 10L && $"lid" < $"rid")
+      assert(pairs.queryExecution.executedPlan.toString.contains("__graft_band"))
+      assert(pairs.select("lid", "rid").collect().map(row => (row.getLong(0), row.getLong(1)))
+        .toSet === Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoinRule)
+  }
+
   test("plan shape: equi-join on (key, band) — no nested-loop, no cartesian") {
     val (p, c) = AnalyticsQueries.asofSides(spark, sf)
     val plan = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W)
