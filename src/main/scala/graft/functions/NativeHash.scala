@@ -38,6 +38,9 @@ object NativeHash {
     ("graft_span_hashes", "distinct n-word span hashes of a text column",
       exprs => SpanHashes(exprs.head,
         if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
+    ("graft_span_remove", "rebuild text dropping words covered by any dup-span hash",
+      exprs => SpanRemove(exprs.head, exprs(1),
+        if (exprs.length > 2) foldableGram(exprs(2)) else 8)),
     ("graft_min_gram_hash", "minimum rolling polyhash over n-char grams",
       exprs => MinGramHash(exprs.head,
         if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
@@ -435,6 +438,97 @@ object SpanHashImpl {
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** (text, dup_span_hashes, n) → struct(clean_text, n_words, n_removed) —
+  * the ExactSubstr REMOVAL kernel (Lee et al., arXiv:2107.06499 §4):
+  * recomputes the positional n-word span hashes of `text` (the same
+  * tokenize + polyhash + 31-fold as [[SpanHashImpl]], WITHOUT the
+  * distinct), and drops every word covered by a span whose hash is in
+  * `dup_span_hashes` (the corpus-repeated vocabulary, df ≥ 2 — computed
+  * by the caller's hash aggregate). The rebuilt text is the kept tokens
+  * of the CANONICAL form (trim/lowercase/single-space — the same token
+  * stream the hashes are defined over, so removal offsets can never
+  * desynchronize from the hash positions).
+  *
+  * One linear pass per row: O(len + n·hits) with a hash-set membership
+  * probe per span start. Counts come back alongside the text because the
+  * all-words-removed and empty-input cases are indistinguishable from
+  * the string alone ("" splits to [""], one token).
+  */
+case class SpanRemove(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = SpanRemoveImpl.schema
+  override def prettyName: String = "graft_span_remove"
+
+  override protected def nullSafeEval(t: Any, d: Any): Any =
+    SpanRemoveImpl.compute(t.asInstanceOf[UTF8String], d.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpanRemoveImpl.compute($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SpanRemove =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpanRemoveImpl {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  private val M = TextFunctions.HashMod
+
+  val schema: StructType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+
+  def compute(text: UTF8String, dup: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val nw = words.length
+    val nd = dup.numElements()
+    val drop = new Array[Boolean](nw)
+    if (nw >= n && nd > 0) {
+      val set = new java.util.HashSet[java.lang.Long](nd * 2)
+      var d = 0
+      while (d < nd) { set.add(dup.getLong(d)); d += 1 }
+      val wh = new Array[Long](nw)
+      var i = 0
+      while (i < nw) {
+        val w = words(i)
+        var h = 0L
+        var j = 0
+        while (j < w.length) {
+          val cp = w.codePointAt(j)
+          h = (h * 31L + cp.toLong) % M
+          j += Character.charCount(cp)
+        }
+        wh(i) = h
+        i += 1
+      }
+      i = 0
+      while (i <= nw - n) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = (h * 31L + wh(i + j)) % M; j += 1 }
+        if (set.contains(h)) {
+          var k = i
+          while (k < i + n) { drop(k) = true; k += 1 }
+        }
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    var kept = 0
+    var i = 0
+    while (i < nw) {
+      if (!drop(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(words(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), nw.toLong, (nw - kept).toLong))
   }
 }
 

@@ -455,6 +455,43 @@ object TextOps {
           col("dup_spans").cast("double") / col("n_spans")))
   }
 
+  /** ExactSubstr span REMOVAL — the rewrite stage [[spanDupes]] is the
+    * audit card for (Lee et al., arXiv:2107.06499 §4: dropping duplicated
+    * substrings beats dropping whole documents). Every word covered by an
+    * n-word span whose hash occurs in ≥ 2 documents is removed; the doc
+    * is rebuilt from the surviving tokens of its canonical form
+    * (trim/lower/single-space — the token stream span hashes are defined
+    * over, so the mask can never desynchronize from the hashes).
+    *
+    * Scale shape: the df aggregate and dup-vocabulary join are EXACTLY
+    * [[spanDupes]]' plan (8-byte hashes, hash agg with map-side combine —
+    * boilerplate spans are the high-df skew case and collapse per map
+    * task). The only additions are a per-doc collect_list of that doc's
+    * repeated hashes — bounded by the doc's own distinct span count, a
+    * per-doc quantity, never corpus-scale — and ONE linear codegen'd
+    * kernel call (graft_span_remove) doing the positional re-hash + mask
+    * + rebuild, so the rewrite itself is scan-speed and shuffle-free.
+    * Docs with no repeated span skip the join entirely (left join against
+    * the dup side, empty-array fallback).
+    */
+  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val hashes = docs.select(col("doc_id"),
+      expr(s"graft_span_hashes(text, $span)").as("hs"))
+    val occ = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+    val repeated = occ.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val docDup = occ.join(repeated, "h")
+      .groupBy("doc_id").agg(collect_list(col("h")).as("dup_hs"))
+    docs.join(docDup, Seq("doc_id"), "left")
+      .withColumn("dup_hs",
+        coalesce(col("dup_hs"), lit(Array.emptyLongArray)))
+      .withColumn("__r", expr(s"graft_span_remove(text, dup_hs, $span)"))
+      .select(col("doc_id"), col("__r.clean_text").as("clean_text"),
+        col("__r.n_words").as("n_words"), col("__r.n_removed").as("n_removed"),
+        (col("__r.n_removed") > 0).as("rewritten"))
+  }
+
   /** Canonical-form normalization — the cleaning stage that runs BEFORE
     * any hashing/dedup so byte-level variants of one document (composed
     * vs decomposed accents, case, whitespace runs) collapse to one

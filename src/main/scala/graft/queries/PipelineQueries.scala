@@ -212,6 +212,11 @@ object PipelineQueries {
     // occurring in >= 2 docs (ExactSubstr boilerplate signal)
     "corpus_span_dupes" -> ((s, dir) =>
       TextOps.spanDupes(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // ExactSubstr span REMOVAL (r9): rewrite docs dropping every word
+    // covered by an 8-word span occurring in >= 2 documents — the
+    // rewrite stage corpus_span_dupes is the audit card for
+    "pipeline_span_dedup" -> ((s, dir) =>
+      TextOps.spanDedup(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // DSIR-shaped importance weighting (r8): fixed-point likelihood
     // ratios toward the eval-split target distribution, integer-summed
     "pipeline_importance" -> ((s, dir) =>
@@ -1022,6 +1027,45 @@ object PipelineQueries {
          |            THEN CAST(COALESCE(d.dup_spans, 0) AS DOUBLE)/len(h.hs) END AS dup_frac
          |FROM hashes h LEFT JOIN dup d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // span REMOVAL: the dup vocabulary (df >= 2 over distinct per-doc
+    // spans) replays corpus_span_dupes' CTEs; positions are flagged by
+    // re-walking the POSITIONAL span list and covering [i, i+7], and the
+    // doc is rebuilt from the uncovered tokens of its canonical form —
+    // 1-based here, 0-based in the kernel, only relative cover matters
+    "pipeline_span_dedup" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |whs AS (
+         |  SELECT doc_id, w, list_transform(w, s -> ${poly("s")}) AS wh FROM ws),
+         |ph AS (
+         |  SELECT doc_id, w,
+         |         [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+7]),
+         |          (h, x) -> (h*31+x) % $M)
+         |          for i in generate_series(1, greatest(len(wh)-7, 0))] AS ph
+         |  FROM whs),
+         |occ AS (SELECT doc_id, unnest(list_distinct(ph)) AS h FROM ph),
+         |rep AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+         |starts AS (
+         |  SELECT doc_id,
+         |         unnest([{'h': ph[i], 'i': i}
+         |                 for i in generate_series(1, greatest(len(ph), 0))]) AS sp
+         |  FROM ph),
+         |flag AS (SELECT s.doc_id, s.sp.i AS i FROM starts s JOIN rep r ON s.sp.h = r.h),
+         |covw AS (SELECT DISTINCT doc_id, i + k AS j
+         |         FROM flag, (SELECT unnest(generate_series(0, 7)) AS k)),
+         |covl AS (SELECT doc_id, list(j) AS cov FROM covw GROUP BY doc_id),
+         |out AS (
+         |  SELECT p.doc_id,
+         |    -- array_to_string of an EMPTY list is NULL in DuckDB; the
+         |    -- kernel's all-words-removed rebuild is '' — coalesce
+         |    COALESCE(array_to_string([p.w[j] for j in generate_series(1, len(p.w))
+         |                     if NOT COALESCE(list_contains(c.cov, j), FALSE)], ' '), '') AS clean_text,
+         |    CAST(len(p.w) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed
+         |  FROM ph p LEFT JOIN covl c USING (doc_id))
+         |SELECT doc_id, clean_text, n_words, n_removed, n_removed > 0 AS rewritten
+         |FROM out ORDER BY doc_id""".stripMargin,
 
     "pipeline_mixture" ->
       s"""WITH rates AS (

@@ -172,6 +172,42 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("span dedup: planted copy removed from both docs, removals only where the " +
+      "dupes card flags spans, unique docs byte-identical to canonical form") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val copied = base.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val planted = base.unionByName(copied)
+    val out = TextOps.spanDedup(planted).cache()
+    val card = TextOps.spanDupes(planted).cache()
+    // the full copy saturates every span of doc 7 and its clone — every
+    // word sits under a df>=2 span, so BOTH rebuild to empty
+    for (id <- Seq(7L, 1000007L)) {
+      val r = out.filter(col("doc_id") === id).head()
+      assert(r.getAs[String]("clean_text") === "")
+      assert(r.getAs[Long]("n_removed") === r.getAs[Long]("n_words"))
+      assert(r.getAs[Boolean]("rewritten"))
+    }
+    // containment (the VERDICT done-criterion): a doc loses words ONLY
+    // if corpus_span_dupes flags at least one of its spans — and always
+    // does lose some when it has a flagged span (cover is >= span words)
+    val joined = out.join(card, "doc_id")
+    assert(joined.filter(col("n_removed") > 0 && col("dup_spans") === 0).count() === 0)
+    assert(joined.filter(col("n_removed") === 0 && col("dup_spans") > 0).count() === 0)
+    // a doc with any flagged span loses at least `span` words (the cover
+    // of one 8-word span), never more than all of them
+    assert(joined.filter(col("dup_spans") > 0 && col("n_removed") < 8).count() === 0)
+    assert(out.filter(col("n_removed") > col("n_words")).count() === 0)
+    // untouched docs come back as their canonical token join, verbatim
+    val untouched = out.filter(!col("rewritten"))
+      .join(planted, "doc_id")
+      .withColumn("canon",
+        concat_ws(" ", split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")))
+    assert(untouched.filter(col("clean_text") =!= col("canon")).count() === 0)
+    assert(out.count() === planted.count())
+    out.unpersist(); card.unpersist()
+  }
+
   test("importance weights: hand-computed fixed-point ratios on a micro corpus, " +
       "coverage and null contracts on the real one") {
     // target 0: "a b c d e" (3 shingles). raw 1 = exact copy: every
