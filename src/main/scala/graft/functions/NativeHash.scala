@@ -38,6 +38,11 @@ object NativeHash {
     ("graft_span_hashes", "distinct n-word span hashes of a text column",
       exprs => SpanHashes(exprs.head,
         if (exprs.length > 1) foldableGram(exprs(1)) else 8)),
+    ("graft_build_page", "deterministic multi-line page fixture from canonical tokens",
+      exprs => PageBuild(exprs.head)),
+    ("graft_clean_lines", "C4 line filter: terminal punct, min words, boilerplate blacklist",
+      exprs => CleanLines(exprs.head,
+        if (exprs.length > 1) foldableGram(exprs(1)) else 3)),
     ("graft_span_remove", "rebuild text dropping words covered by any dup-span hash",
       exprs => SpanRemove(exprs.head, exprs(1),
         if (exprs.length > 2) foldableGram(exprs(2)) else 8)),
@@ -529,6 +534,127 @@ object SpanRemoveImpl {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(sb.toString), nw.toLong, (nw - kept).toLong))
+  }
+}
+
+/** text → synthetic multi-line "page" — the line-structure FIXTURE
+  * builder for the C4 line filter (the corpus tables carry no newlines
+  * or punctuation, so line filtering would be vacuous on them; same
+  * build-then-process pattern as the WAV/BMP/AVI container builders).
+  * Deterministic and integer-replayable: the canonical tokens chunk into
+  * 10-word lines, and a per-line coin `(polyhash(text) + i·2654435761)
+  * mod 100` picks the line's fate — terminal '.', terminal '!', no
+  * terminal punctuation, a trailing `{ … }` code fragment, a lorem-ipsum
+  * line, or an enable-javascript line — so every C4 rule has real
+  * positives and negatives in every document. The oracle replays the
+  * construction verbatim in SQL.
+  */
+case class PageBuild(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_build_page"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PageBuildImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PageBuildImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PageBuild =
+    copy(child = newChild)
+}
+
+object PageBuildImpl {
+  private val M = TextFunctions.HashMod
+  val LineWords = 10
+  val Mult = 2654435761L // Knuth multiplicative constant, spreads the coin
+
+  def compute(text: UTF8String): UTF8String = {
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val base = PolyHashImpl.compute(text)
+    val nl = (words.length + LineWords - 1) / LineWords
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nl) {
+      if (i > 0) sb.append('\n')
+      val c = (base + i.toLong * Mult) % 100L
+      if (c >= 90 && c < 95) sb.append("lorem ipsum dolor sit amet.")
+      else if (c >= 95) sb.append("please enable javascript to continue.")
+      else {
+        val from = i * LineWords
+        val until = math.min(from + LineWords, words.length)
+        var j = from
+        while (j < until) {
+          if (j > from) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        if (c < 55) sb.append('.')
+        else if (c < 70) sb.append('!')
+        else if (c >= 80) sb.append(" function() { return 1; }.")
+        // 70..79: no terminal punctuation — the punctuation rule's negatives
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** (page, minWords) → struct(clean_text, n_lines, n_kept) — C4-style
+  * line-level cleaning (Raffel et al., arXiv:1910.10683 §2.2): a line
+  * survives iff it ends in terminal punctuation (. ! ? "), has at least
+  * `minWords` words, and contains no '{', no "lorem ipsum", and no
+  * "javascript" (case-insensitive). Kept lines are re-joined with
+  * newlines in order, trimmed (the canonical line form the predicates
+  * are evaluated over). One linear pass per row, codegen'd — the doc
+  * rebuild adds no shuffle at any scale.
+  */
+case class CleanLines(child: Expression, minWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = CleanLinesImpl.schema
+  override def prettyName: String = "graft_clean_lines"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CleanLinesImpl.compute(input.asInstanceOf[UTF8String], minWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CleanLinesImpl.compute($c, $minWords)")
+
+  override protected def withNewChildInternal(newChild: Expression): CleanLines =
+    copy(child = newChild)
+}
+
+object CleanLinesImpl {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false)))
+
+  def compute(page: UTF8String, minWords: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val lines = page.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var kept = 0
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (t.nonEmpty) {
+        val last = t.charAt(t.length - 1)
+        val terminal = last == '.' || last == '!' || last == '?' || last == '"'
+        if (terminal && !t.contains("{")) {
+          val lower = t.toLowerCase
+          if (!lower.contains("lorem ipsum") && !lower.contains("javascript") &&
+              t.split("[ \\t\\n\\f\\r]+", -1).length >= minWords) {
+            if (kept > 0) sb.append('\n')
+            sb.append(t)
+            kept += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), lines.length.toLong, kept.toLong))
   }
 }
 

@@ -492,6 +492,36 @@ object TextOps {
         (col("__r.n_removed") > 0).as("rewritten"))
   }
 
+  /** Synthetic line-structured "pages" from the flat corpus — the
+    * fixture stage for [[cleanLines]] (the test corpus has no newlines
+    * or punctuation, so line filtering over it raw is vacuous; same
+    * build-then-process pattern as the multimodal container builders).
+    * Purely narrow: one codegen'd kernel call per row.
+    */
+  def toPages(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_build_page(text)").as("page"))
+  }
+
+  /** C4-style line-level filtering (Raffel et al., arXiv:1910.10683
+    * §2.2): keep a line iff it ends in terminal punctuation, has ≥
+    * `minWords` words, and carries no '{' / "lorem ipsum" /
+    * "javascript"; rebuild the doc from the kept lines and keep the DOC
+    * iff ≥ `minLines` lines survive (C4 drops too-short pages).
+    *
+    * Scale shape: ONE linear codegen'd kernel call per row
+    * (graft_clean_lines) — no explode, no shuffle, scan speed at any
+    * scale; the doc-keep flag is a scalar comparison on the returned
+    * counts.
+    */
+  def cleanLines(pages: DataFrame, minWords: Int = 3, minLines: Int = 3): DataFrame = {
+    graft.functions.NativeHash.register(pages.sparkSession)
+    pages.withColumn("__c", expr(s"graft_clean_lines(page, $minWords)"))
+      .select(col("doc_id"), col("__c.clean_text").as("clean_text"),
+        col("__c.n_lines").as("n_lines"), col("__c.n_kept").as("n_kept"),
+        (col("__c.n_kept") >= minLines).as("kept"))
+  }
+
   /** Canonical-form normalization — the cleaning stage that runs BEFORE
     * any hashing/dedup so byte-level variants of one document (composed
     * vs decomposed accents, case, whitespace runs) collapse to one

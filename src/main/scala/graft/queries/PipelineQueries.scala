@@ -212,6 +212,12 @@ object PipelineQueries {
     // occurring in >= 2 docs (ExactSubstr boilerplate signal)
     "corpus_span_dupes" -> ((s, dir) =>
       TextOps.spanDupes(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // C4 line-level filtering (r9): deterministic page fixture (the
+    // corpus has no line structure), then the real per-line rules —
+    // terminal punct, min words, brace/lorem/javascript blacklist
+    "pipeline_clean_lines" -> ((s, dir) =>
+      TextOps.cleanLines(TextOps.toPages(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
     // ExactSubstr span REMOVAL (r9): rewrite docs dropping every word
     // covered by an 8-word span occurring in >= 2 documents — the
     // rewrite stage corpus_span_dupes is the audit card for
@@ -1027,6 +1033,43 @@ object PipelineQueries {
          |            THEN CAST(COALESCE(d.dup_spans, 0) AS DOUBLE)/len(h.hs) END AS dup_frac
          |FROM hashes h LEFT JOIN dup d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // C4 line filter: the page construction (10-word lines, coin-driven
+    // suffix/boilerplate) replays graft_build_page integer-for-integer;
+    // the filter CTE then applies the real C4 rules per line
+    "pipeline_clean_lines" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w, ${poly("text")} AS base
+         |  FROM documents),
+         |built AS (
+         |  SELECT doc_id,
+         |    [CASE
+         |       WHEN (base + i*2654435761) % 100 >= 90 AND (base + i*2654435761) % 100 < 95
+         |         THEN 'lorem ipsum dolor sit amet.'
+         |       WHEN (base + i*2654435761) % 100 >= 95
+         |         THEN 'please enable javascript to continue.'
+         |       ELSE array_to_string(w[i*10+1 : i*10+10], ' ') ||
+         |            CASE WHEN (base + i*2654435761) % 100 < 55 THEN '.'
+         |                 WHEN (base + i*2654435761) % 100 < 70 THEN '!'
+         |                 WHEN (base + i*2654435761) % 100 >= 80 THEN ' function() { return 1; }.'
+         |                 ELSE '' END
+         |     END
+         |     for i in generate_series(0, (len(w)+9)//10 - 1)] AS lines
+         |  FROM ws),
+         |cleaned AS (
+         |  SELECT doc_id, len(lines) AS n_lines,
+         |    [trim(l) for l in lines if
+         |       trim(l) <> ''
+         |       AND right(trim(l), 1) IN ('.', '!', '?', '"')
+         |       AND NOT contains(trim(l), '{')
+         |       AND NOT contains(lower(trim(l)), 'lorem ipsum')
+         |       AND NOT contains(lower(trim(l)), 'javascript')
+         |       AND len(string_split_regex(trim(l), '\\s+')) >= 3] AS kl
+         |  FROM built)
+         |SELECT doc_id, COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+         |  CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kl) AS BIGINT) AS n_kept,
+         |  len(kl) >= 3 AS kept
+         |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     // span REMOVAL: the dup vocabulary (df >= 2 over distinct per-doc
     // spans) replays corpus_span_dupes' CTEs; positions are flagged by

@@ -208,6 +208,47 @@ class TextOpsSpec extends SparkSpec {
     out.unpersist(); card.unpersist()
   }
 
+  test("clean lines: every C4 rule fires on a hand-built page, corpus pages keep " +
+      "only terminal-punct boilerplate-free lines, zero shuffle in the plan") {
+    import spark.implicits._
+    // one page per rule: kept / no-punct / too-short / brace / lorem /
+    // javascript / whitespace-only — exact expected rebuild
+    val page = Seq(
+      "a good line stays here.",
+      "no terminal punctuation on this line",
+      "too short.",
+      "code ahead function() { return 1; }.",
+      "Lorem Ipsum dolor sit amet.",
+      "please enable JavaScript to continue.",
+      "   ",
+      "  padded but fine line?  ").mkString("\n")
+    val out = TextOps.cleanLines(Seq((1L, page)).toDF("doc_id", "page")).head()
+    assert(out.getAs[String]("clean_text") ===
+      "a good line stays here.\npadded but fine line?")
+    assert(out.getAs[Long]("n_lines") === 8)
+    assert(out.getAs[Long]("n_kept") === 2)
+    assert(!out.getAs[Boolean]("kept")) // 2 < minLines=3
+    // corpus-wide: kept lines of every cleaned doc all satisfy the rules
+    val cleaned = TextOps.cleanLines(TextOps.toPages(docs)).cache()
+    val lines = cleaned.filter(col("n_kept") > 0)
+      .select(explode(split(col("clean_text"), "\n")).as("l"))
+    assert(lines.filter(!col("l").rlike("[.!?\"]$")).count() === 0)
+    assert(lines.filter(col("l").contains("{") ||
+      lower(col("l")).contains("lorem ipsum") ||
+      lower(col("l")).contains("javascript")).count() === 0)
+    assert(lines.filter(size(split(col("l"), "\\s+")) < 3).count() === 0)
+    // conservation + the fixture exercises both polarity of every rule
+    assert(cleaned.filter(col("n_kept") > col("n_lines")).count() === 0)
+    assert(cleaned.filter(col("n_kept") < col("n_lines")).count() > 0)
+    assert(cleaned.filter(col("kept")).count() > 0)
+    assert(cleaned.filter(!col("kept")).count() > 0)
+    cleaned.unpersist()
+    // purely narrow: no Exchange anywhere in the build+clean plan
+    val plan = TextOps.cleanLines(TextOps.toPages(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"clean_lines must be shuffle-free:\n$plan")
+  }
+
   test("importance weights: hand-computed fixed-point ratios on a micro corpus, " +
       "coverage and null contracts on the real one") {
     // target 0: "a b c d e" (3 shingles). raw 1 = exact copy: every
