@@ -512,6 +512,50 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * [[graft.operators.Dedup.decontaminateFuzzy]] (SemDeDup precedent:
+    * Abbas et al., arXiv:2303.09540). A PARAPHRASED eval leak keeps its
+    * embedding neighborhood while sharing no 8-word span and few
+    * shingles, so the n-gram decontaminators miss it entirely; here
+    * eval-set vectors are sign-LSH banded and BROADCAST (an eval suite
+    * is thousands of vectors, never corpus-scale), corpus vectors probe
+    * the band index, and each banded candidate is verified with the
+    * exact cosine. Per corpus vector: candidate count, the best eval
+    * match by (cos DESC, eval_id ASC — deterministic), and the verdict
+    * at `tau`.
+    *
+    * Scale shape: the corpus is never self-joined and never shuffles
+    * embeddings to other corpus rows — candidates are corpus×eval only,
+    * band-bounded; n_cand and the best match share ONE vec_id window
+    * exchange; the final enrich join is on the 8-byte vec_id. Recall
+    * follows the sign-LSH band geometry (scale-invariant, so a
+    * same-direction paraphrase vector always collides in every band).
+    */
+  def decontaminateSemantic(emb: DataFrame, isEval: Column, tau: Double = 0.4): DataFrame = {
+    val v = vectors(emb)
+    val ex = explodeBands(v)
+    val evalB = ex.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("band_id"), col("band_val"))
+    val cand = ex.filter(!isEval)
+      .join(broadcast(evalB), Seq("band_id", "band_val"))
+      .select(col("vec_id"), col("eval_id")).distinct()
+    val vc = v.select(col("vec_id"), col("e").as("ec"), col("nrm").as("nc"))
+    val ve = v.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("e").as("ee"), col("nrm").as("ne"))
+    val w = Window.partitionBy("vec_id")
+    val best = cand.join(vc, "vec_id").join(broadcast(ve), "eval_id")
+      .withColumn("cos", expr("graft_dot(ec, ee)") / (col("nc") * col("ne")))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("cos").desc, col("eval_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("n_cand"), col("eval_id").as("best_eval"),
+        col("cos").as("best_cos"))
+    v.filter(!isEval).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("contaminated", coalesce(col("best_cos") >= tau, lit(false)))
+  }
+
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus — one narrow pass over the corpus, then the two-phase rerank
     * (per-query work is the full corpus, so the local phase is mandatory

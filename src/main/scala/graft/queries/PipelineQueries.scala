@@ -95,6 +95,12 @@ object PipelineQueries {
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticPairs(Tables.load(s, dir, "embeddings"), CosTau)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // embedding-space decontamination (r9): eval vectors sign-LSH banded
+    // and broadcast, corpus probes the bands, exact-cosine verify — the
+    // semantic twin of pipeline_decontaminate_fuzzy for PARAPHRASED leaks
+    "pipeline_decontaminate_semantic" -> ((s, dir) =>
+      Similarity.decontaminateSemantic(Tables.load(s, dir, "embeddings"),
+        col("vec_id") % 41 === 0, CosTau).orderBy(col("vec_id"))),
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -678,6 +684,30 @@ object PipelineQueries {
          |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
          |SELECT vec_a, vec_b, cos FROM verify WHERE cos >= $CosTau
          |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // embedding decontamination: eval bands + exact-cosine verify, best
+    // match per corpus vector (cos DESC, eval_id tie-break), LEFT join
+    // keeps candidate-less vectors with n_cand = 0
+    "pipeline_decontaminate_semantic" -> (NormCte +
+      s"""
+         |, $planesCte,
+         |eb AS (SELECT vec_id AS eval_id, band_id, band_val FROM bands WHERE vec_id % 41 = 0),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id, e.eval_id
+         |  FROM bands b JOIN eb e ON b.band_id = e.band_id AND b.band_val = e.band_val
+         |  WHERE b.vec_id % 41 <> 0),
+         |verify AS (
+         |  SELECT c.vec_id, c.eval_id, ${dotSql("vc.e", "ve.e")} / (vc.nrm * ve.nrm) AS cos
+         |  FROM cand c JOIN v vc ON vc.vec_id = c.vec_id JOIN v ve ON ve.vec_id = c.eval_id),
+         |ranked AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY vec_id) AS n_cand,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rk
+         |  FROM verify)
+         |SELECT v.vec_id, CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
+         |       b.eval_id AS best_eval, b.cos AS best_cos,
+         |       COALESCE(b.cos >= $CosTau, FALSE) AS contaminated
+         |FROM v LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) b USING (vec_id)
+         |WHERE v.vec_id % 41 <> 0 ORDER BY v.vec_id""".stripMargin),
 
     "sim_topk_bruteforce" -> (NormCte +
       s"""

@@ -209,6 +209,33 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semantic decontamination: a planted colinear paraphrase is flagged with its " +
+      "eval source as best match; verdicts respect tau; eval rows excluded") {
+    // plant: corpus vector 3's embedding scaled by 1.01 becomes eval
+    // vector 4100041 (% 41 == 0) — a same-direction "paraphrase": cosine
+    // 1 up to float rounding, and sign-LSH bands are scale-invariant so
+    // every band collides (recall cannot miss it)
+    val src = emb.filter(col("vec_id") === 3)
+      .select(lit(4100041L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"),
+        col("label"))
+    val planted = emb.unionByName(src)
+    val out = Similarity.decontaminateSemantic(planted,
+      col("vec_id") % 41 === 0, tau = 0.4).cache()
+    val hit = out.filter(col("vec_id") === 3).head()
+    assert(hit.getAs[Boolean]("contaminated"))
+    assert(hit.getAs[Long]("best_eval") === 4100041L)
+    assert(hit.getAs[Double]("best_cos") > 0.999)
+    // verdict ⇔ threshold, candidate-less rows survive with n_cand = 0,
+    // and no eval vector appears as a corpus row
+    assert(out.filter(col("contaminated") && col("best_cos") < 0.4).count() === 0)
+    assert(out.filter(!col("contaminated") && col("best_cos") >= 0.4).count() === 0)
+    assert(out.filter(col("n_cand") === 0 && col("best_eval").isNotNull).count() === 0)
+    assert(out.filter(col("vec_id") % 41 === 0).count() === 0)
+    assert(out.count() === planted.filter(col("vec_id") % 41 =!= 0).count())
+    out.unpersist()
+  }
+
   test("embedding near-dup pairs verify exact cosine above threshold, canonical order") {
     val p = Similarity.embeddingPairs(emb, tau = 0.4).cache()
     assert(p.filter(col("vec_a") >= col("vec_b")).count() === 0)
