@@ -136,6 +136,29 @@ object TopicOps {
         col("latest.value").as("value"), col("latest.ts").as("ts"))
       .filter(!isTombstone(col("value")))
 
+  /** Replays a compaction changelog
+    * ([[graft.streaming.TopicStream.compactUpdates]]) to its final state:
+    * per key the LAST emitted update wins and `live = false` deletes the
+    * key — exactly how a downstream consumer of the upsert/delete feed
+    * materializes its table. Emit offsets strictly advance per key (the
+    * changelog only fires when the latest offset moves forward), so
+    * max-offset-per-key selects the last update without needing batch
+    * ordering; the result is schema-identical to [[compact]] and is gated
+    * against the same DuckDB oracle.
+    *
+    * Scale shape: one hash aggregate on the key — the same map-side
+    * combinable `max_by` plan as [[compact]], no window sort; at 100 TB
+    * the changelog is far smaller than the log it summarizes (one row per
+    * key-advance, not per record).
+    */
+  def reconcileChangelog(changelog: DataFrame): DataFrame =
+    changelog.groupBy(col("topic"), col("partition"), col("key"))
+      .agg(max_by(struct(col("value"), col("ts"), col("live")), col("offset")).as("last"),
+        max(col("offset")).as("offset"))
+      .filter(col("last.live"))
+      .select(col("topic"), col("partition"), col("key"), col("offset"),
+        col("last.value").as("value"), col("last.ts").as("ts"))
+
   /** Bounded-depth retention: keep the newest `n` records per
     * (topic, partition, key) — the "compact with history" read view
     * between the reference's full log (print, Pipeline.kt:83) and

@@ -11,8 +11,9 @@ import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, Im
   * stream_merge / stream_compact / stream_window reuse the batch
   * operators on a stream, so their DuckDB oracles are the batch oracles
   * verbatim — streaming correctness is gate-checked, not just
-  * rows-counted. stream_compact_updates is a changelog
-  * (flatMapGroupsWithState) with no SQL equivalent → rows-only + spec.
+  * rows-counted. stream_compact_updates gates the changelog path the
+  * same way: a multi-batch replay's upsert/delete feed is reconciled to
+  * final state, which must equal batch compaction (r9).
   */
 object StreamQueries {
 
@@ -135,10 +136,17 @@ object StreamQueries {
       AsOfStream.funnelStream(s, dir, out, ckpt)
         .orderBy(col("event_id"))
     }),
+    // Changelog compaction, oracle-gated end-to-end: a 4-file multi-batch
+    // replay drives the flatMapGroupsWithState upsert/delete feed, and the
+    // feed is reconciled to final state (last live update per key) — which
+    // must equal batch compaction exactly (topic_compact oracle verbatim).
     "stream_compact_updates" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_compact_updates", dir)
-      TopicStream.compactUpdatesStream(s, eventsPath(dir), out, ckpt)
-        .orderBy(col("partition"), col("key"), col("batch_id"))
+      val split = TopicStream.splitInput(s, eventsPath(dir), 4, s"$out-input")
+      val changelog = TopicStream.compactUpdatesStream(s, split, out, ckpt,
+        maxFilesPerTrigger = Some(1))
+      graft.operators.TopicOps.reconcileChangelog(changelog)
+        .orderBy(col("partition"), col("key"))
     }),
     // Online anomaly flagging vs a history-fitted constant-size stats
     // index; replay = events_anomaly verbatim.
@@ -165,6 +173,8 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     "stream_merge" -> TopicQueries.oracles("topic_merge_all"),
     "stream_compact" -> TopicQueries.oracles("topic_compact"),
+    // changelog reconciled to final state == batch compaction exactly
+    "stream_compact_updates" -> TopicQueries.oracles("topic_compact"),
     "stream_window" -> AnalyticsQueries.oracles("events_window"),
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),

@@ -7,7 +7,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.TimestampType
-import org.apache.spark.sql.types.LongType
 
 import graft.operators.TopicOps
 import graft.sources.{Tables, Topics}
@@ -35,10 +34,13 @@ object TopicStream {
 
   /** Compaction changelog entry: one emit per key whose latest record
     * advanced in the micro-batch; live=false ⇒ the key was tombstoned.
+    * Carries the winning record's ts so the changelog replays to the
+    * exact [[graft.operators.TopicOps.compact]] row
+    * ([[graft.operators.TopicOps.reconcileChangelog]]).
     */
   case class CompactUpdate(
       topic: String, partition: Int, key: String,
-      offset: Long, value: String, live: Boolean)
+      offset: Long, value: String, ts: java.sql.Timestamp, live: Boolean)
 
   /** Parquet file-stream source with batch-inferred schema.
     * `maxFilesPerTrigger` bounds each micro-batch (specs split the input
@@ -56,18 +58,27 @@ object TopicStream {
       else s"${p.getParent}/{${p.getFileName}}"
     val reader = spark.readStream.schema(schema)
     val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    withOpt.parquet(globbed)
+    Tables.normalize(withOpt.parquet(globbed))
   }
 
-  /** Streaming `events` source with the same nanos-ts normalization as
-    * Tables.load.
+  /** Streaming `events` source — [[fileStream]] with the shared
+    * nanos/NTZ timestamp normalization (Tables.normalize) applied at the
+    * source boundary.
     */
   def eventsStream(spark: SparkSession, path: String,
-                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val raw = fileStream(spark, path, maxFilesPerTrigger)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    fileStream(spark, path, maxFilesPerTrigger)
+
+  /** Rewrites a parquet input as `n` files under a scratch dir so
+    * AvailableNow + maxFilesPerTrigger=1 replays it as n genuine
+    * micro-batches — the shape the oracle-gated changelog replay and the
+    * multi-batch specs both use (incremental state is only exercised when
+    * the trigger really splits).
+    */
+  def splitInput(spark: SparkSession, path: String, n: Int, dir: String): String = {
+    deleteRecursively(Paths.get(dir))
+    spark.read.parquet(path).repartition(n).write.parquet(dir)
+    dir
   }
 
   /** Streaming topic view over the events parquet. */
@@ -162,7 +173,7 @@ object TopicStream {
           if (advanced) {
             state.update(latestIn)
             Iterator.single(CompactUpdate(k._1, k._2, k._3,
-              latestIn.offset, latestIn.value, latestIn.value != null))
+              latestIn.offset, latestIn.value, latestIn.ts, latestIn.value != null))
           } else Iterator.empty
       }
   }

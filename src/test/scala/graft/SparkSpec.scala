@@ -12,6 +12,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

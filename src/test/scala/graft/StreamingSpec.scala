@@ -41,22 +41,106 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
-  test("flatMapGroupsWithState changelog: final state per key equals batch compaction") {
+  test("flatMapGroupsWithState changelog: reconcileChangelog equals batch compaction") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_updates", splitDir)
     val updates = TopicStream.compactUpdatesStream(spark, splitDir, out, ckpt,
       maxFilesPerTrigger = Some(1)).cache()
     // at least one batch emitted updates, and reruns of a key only advance offsets
     assert(updates.select("batch_id").distinct().count() >= 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("topic", "partition", "key").orderBy(col("offset").desc)
-    val finalState = updates.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("live"))
-      .select("topic", "partition", "key", "offset", "value")
+    val finalState = TopicOps.reconcileChangelog(updates)
     val batch = TopicOps.compact(Topics.events(spark, sf))
-      .select("topic", "partition", "key", "offset", "value")
     assert(finalState.except(batch).count() === 0)
     assert(batch.except(finalState).count() === 0)
     updates.unpersist()
+  }
+
+  /** Adversarial compaction topic, written as 4 sequential files (one
+    * micro-batch each): a key that churns every batch, a delete-then-
+    * reinsert, a delete-in-last-batch, a single insert, a tombstone-only
+    * key, and a key whose LOWER offset arrives in a later batch (stale
+    * at-least-once redelivery — state must not regress).
+    */
+  private lazy val advDir: String = {
+    import spark.implicits._
+    val dir = "/root/repo/target/stream-scratch/events-adversarial"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val batches = Seq(
+      Seq((1L, 101L, t(1), "click", """{"k":"churn-b1"}"""),
+        (2L, 202L, t(2), "click", """{"k":"resurrect-b1"}"""),
+        (3L, 303L, t(3), "click", """{"k":"doomed-b1"}"""),
+        (4L, 404L, t(4), "click", """{"k":"once-b1"}"""),
+        (26L, 606L, t(5), "click", """{"k":"stale-hi"}""")),
+      Seq((11L, 101L, t(11), "click", """{"k":"churn-b2"}"""),
+        (12L, 202L, t(12), "error", null),
+        (15L, 505L, t(15), "error", null)),
+      Seq((21L, 101L, t(21), "click", """{"k":"churn-b3"}"""),
+        (22L, 202L, t(22), "click", """{"k":"resurrect-b3"}"""),
+        (16L, 606L, t(16), "click", """{"k":"stale-lo"}""")),
+      Seq((31L, 101L, t(31), "click", """{"k":"churn-b4"}"""),
+        (33L, 303L, t(33), "error", null)))
+    for (b <- batches) {
+      b.toDF("event_id", "user_id", "ts", "event_type", "props")
+        .withColumn("props",
+          when(col("event_type") === "error", lit("tombstoned")).otherwise(col("props")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(400)
+    }
+    dir
+  }
+
+  private def runChangelog(name: String) = {
+    val (out, ckpt) = TopicStream.scratchDirs(name, advDir)
+    TopicStream.compactUpdatesStream(spark, advDir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+  }
+
+  test("adversarial changelog replay: tombstones, resurrection and stale offsets reconcile to batch compaction") {
+    val changelog = runChangelog("spec_adv_updates").cache()
+    val finalState = TopicOps.reconcileChangelog(changelog)
+    val batch = TopicOps.compact(Topics.asTopic(spark.read.parquet(advDir)))
+    assert(finalState.except(batch).count() === 0)
+    assert(batch.except(finalState).count() === 0)
+    // deleted keys are gone from the reconciled state...
+    val keys = finalState.select("key").collect().map(_.getString(0)).toSet
+    assert(keys === Set("101", "202", "404", "606"))
+    // ...but their deletes WERE announced on the feed (live=false emits)
+    val deletes = changelog.filter(!col("live"))
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(deletes === Set("202", "303", "505"))
+    // churn key: one emit per batch, batch_id and offset advance in lockstep
+    val churn = changelog.filter(col("key") === "101")
+      .orderBy("batch_id").select("batch_id", "offset").collect()
+    assert(churn.length === 4)
+    assert(churn.map(_.getLong(1)).toSeq === Seq(1L, 11L, 21L, 31L))
+    assert(churn.map(_.getLong(0)).toSeq === churn.map(_.getLong(0)).toSeq.sorted)
+    // resurrect key: live goes true → false → true in batch order
+    val res = changelog.filter(col("key") === "202")
+      .orderBy("batch_id").select("live").collect().map(_.getBoolean(0)).toSeq
+    assert(res === Seq(true, false, true))
+    // stale redelivery: the lower offset never emits, state kept offset 26
+    val stale = changelog.filter(col("key") === "606").collect()
+    assert(stale.length === 1 && stale.head.getAs[Long]("offset") === 26L)
+    changelog.unpersist()
+  }
+
+  test("changelog replay on the RocksDB state store provider matches batch compaction") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks =
+      try runChangelog("spec_adv_updates_rocksdb")
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    val finalState = TopicOps.reconcileChangelog(rocks)
+    val batch = TopicOps.compact(Topics.asTopic(spark.read.parquet(advDir)))
+    assert(finalState.except(batch).count() === 0)
+    assert(batch.except(finalState).count() === 0)
+    // same feed as the default (HDFS-backed) provider, row for row
+    val hdfs = runChangelog("spec_adv_updates_hdfs_ref")
+    assert(rocks.except(hdfs).count() === 0)
+    assert(hdfs.except(rocks).count() === 0)
   }
 
   /** events written as 4 sequential time-ordered files (ascending mtimes),
