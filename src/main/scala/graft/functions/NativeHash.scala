@@ -360,6 +360,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     // naive |Δt| <= W theta joins rewrite to the banded equi-join
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+    // naive "latest prior row" aggregate-over-theta-join rewrites to the
+    // union + window as-of plan
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRule)
   }
 }
 
