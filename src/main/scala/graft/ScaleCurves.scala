@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Scale-curve measurement for the dedup/ANN families (round-9 VERDICT
+  * #1): per scale-factor directory, prints ONE JSON line with each
+  * variant's candidate-pair count, verified-pair count, and wall time,
+  * plus the components round counts — the numbers behind SURVEY §5's
+  * extrapolation claims (prefix-filter crossover, band populations,
+  * O(diameter) vs O(log n) rounds).
+  *
+  * Candidate counts run the OPERATORS' own candidate plans: thresholds
+  * opened to their vacuous bound (tau=0 Jaccard / 60-bit Hamming /
+  * cosine −1) turn the verify filter into a no-op without touching the
+  * plan shape, and the prefix/minhash candidate frames are the exact
+  * private[graft] frames the operators join on. Dev tool, not part of
+  * the engine surface.
+  *
+  * Usage: runMain graft.ScaleCurves <sfDir> [label]
+  */
+object ScaleCurves {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else dir
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text").cache()
+    val emb = Tables.load(spark, dir, "embeddings").cache()
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+    val hashes = Dedup.shingleHashes(docs)
+    val nShingles = hashes.agg(sum("n_sh")).collect()(0).getLong(0)
+
+    def family(candidates: => Long, pairs: => Long): (Long, Long, Double, Double) = {
+      val (c, tc) = timed(candidates)
+      val (p, tp) = timed(pairs)
+      (c, p, tc, tp)
+    }
+
+    // tau opened to the vacuous bound = the same plan minus the verify cut
+    val (fullC, fullP, fullTc, fullTp) = family(
+      Dedup.ngramJaccardPairs(docs, tau = 0.0).count(),
+      Dedup.ngramJaccardPairs(docs).count())
+    val prefixRows = Dedup.prefixIndex(hashes, 1, 2).count()
+    val (preC, preP, preTc, preTp) = family(
+      Dedup.selfJoinCandidates(Dedup.prefixIndex(hashes, 1, 2)).count(),
+      Dedup.ngramJaccardPrefixPairs(docs).count())
+    val (mhC, mhP, mhTc, mhTp) = family(
+      Dedup.minhashCandidates(hashes, 4).count(),
+      Dedup.minhashPairs(docs).count())
+    val (shC, shP, shTc, shTp) = family(
+      Dedup.simhashPairs(docs, tau = Dedup.SimhashBits).count(),
+      Dedup.simhashPairs(docs).count())
+    val (embC, embP, embTc, embTp) = family(
+      Similarity.embeddingPairs(emb, tau = -1.0).count(),
+      Similarity.embeddingPairs(emb).count())
+
+    val pairs = Dedup.minhashPairs(docs).cache()
+    val edgePairs = pairs.count()
+    val (_, propSec) = timed(Dedup.propagateMinLabels(pairs).count())
+    val propRounds = Dedup.lastRounds
+    val (_, starSec) = timed(Dedup.starContract(pairs).count())
+    val starRounds = Dedup.lastRounds
+    pairs.unpersist()
+
+    def fam(c: Long, p: Long, tc: Double, tp: Double): String =
+      f"""{"cand":$c,"pairs":$p,"cand_sec":$tc%.2f,"pairs_sec":$tp%.2f}"""
+    println(
+      s"""{"label":"$label","n_docs":$nDocs,"n_vecs":$nVecs,"n_shingles":$nShingles,""" +
+      s""""ngram_full":${fam(fullC, fullP, fullTc, fullTp)},""" +
+      s""""ngram_prefix":${fam(preC, preP, preTc, preTp)},"prefix_index_rows":$prefixRows,""" +
+      s""""minhash":${fam(mhC, mhP, mhTc, mhTp)},""" +
+      s""""simhash":${fam(shC, shP, shTc, shTp)},""" +
+      s""""embedding":${fam(embC, embP, embTc, embTp)},""" +
+      f""""components":{"edge_pairs":$edgePairs,"prop_rounds":$propRounds,"prop_sec":$propSec%.2f,"star_rounds":$starRounds,"star_sec":$starSec%.2f}}""")
+    spark.stop()
+  }
+}

@@ -88,20 +88,8 @@ object Dedup {
                               tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
     val tau = tauNum.toDouble / tauDen
     val hashes = shingleHashes(docs)
-    val ex = hashes.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val prefix = ex.join(dfreq, "h")
-      .withColumn("rk", row_number().over(w))
-      // prefix length = n - ceil(n*tau) + 1, all-integer
-      .filter(col("rk") <= expr(s"n_sh - (n_sh * $tauNum + ${tauDen - 1}) DIV $tauDen + 1"))
-      .select(col("doc_id"), col("h"))
-    val a = prefix.alias("a")
-    val b = prefix.alias("b")
-    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val prefix = prefixIndex(hashes, tauNum, tauDen)
+    val cand = selfJoinCandidates(prefix)
     val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -110,6 +98,36 @@ object Dedup {
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The PPJoin prefix index: each doc's `n - ceil(tau*n) + 1`
+    * globally-rarest shingles (df asc, hash asc; all-integer prefix
+    * bound). Shared by the operator and the scale-curve measurement
+    * (ScaleCurves), so measured candidate counts are the operator's own.
+    */
+  private[graft] def prefixIndex(hashes: DataFrame,
+                                 tauNum: Int, tauDen: Int): DataFrame = {
+    val ex = hashes.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(w))
+      // prefix length = n - ceil(n*tau) + 1, all-integer
+      .filter(col("rk") <= expr(s"n_sh - (n_sh * $tauNum + ${tauDen - 1}) DIV $tauDen + 1"))
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Distinct (doc_a < doc_b) pairs sharing a key in an inverted
+    * (doc_id, h) index — the candidate join every exact-verify variant
+    * funnels through.
+    */
+  private[graft] def selfJoinCandidates(index: DataFrame): DataFrame = {
+    val a = index.alias("a")
+    val b = index.alias("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** (doc_id, hs, band_id, band_val) — the exploded MinHash LSH band index
@@ -141,14 +159,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
     val hashes = shingleHashes(docs)
-    val banded = minhashBands(hashes, bands).drop("hs")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val cand = a.join(b,
-        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = minhashCandidates(hashes, bands)
     val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -157,6 +168,20 @@ object Dedup {
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Distinct band-bucket candidate pairs of the MinHash LSH index —
+    * shared by [[minhashPairs]] and the scale-curve measurement.
+    */
+  private[graft] def minhashCandidates(hashes: DataFrame, bands: Int): DataFrame = {
+    val banded = minhashBands(hashes, bands).drop("hs")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash-banded fuzzy decontamination — the NEAR-duplicate form of
@@ -308,6 +333,12 @@ object Dedup {
     * ContextCleaner happens to GC it (round-7 VERDICT #2). A checkpointed
     * frame's plan is the bare `LogicalRDD` over the persisted RDD.
     */
+  /** Rounds taken by the most recent components loop on this driver —
+    * a measurement diagnostic read by the scale-curve tool (ScaleCurves)
+    * right after a loop returns; not part of any operator contract.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
@@ -361,6 +392,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    lastRounds = it
     if (!converged)
       throw new IllegalStateException(
         s"propagateMinLabels: labels still changing after $maxIter rounds " +
@@ -421,6 +453,7 @@ object Dedup {
       edges = small
       it += 1
     }
+    lastRounds = it
     if (!converged)
       throw new IllegalStateException(
         s"starContract: edge set still changing after $maxIter rounds")

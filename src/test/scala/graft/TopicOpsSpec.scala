@@ -138,6 +138,27 @@ class TopicOpsSpec extends SparkSpec {
     src.unpersist()
   }
 
+  test("salted compaction on a 10%-hot-key topic: results equal plain, and the " +
+      "salted plan's FIRST aggregate keys on the salt (round-9 VERDICT #6)") {
+    // one key holds ~10% of the topic — the log-compaction hot-key shape
+    val src = topic.withColumn("key",
+      when(pmod(col("offset"), lit(10)) === 0, lit("hot")).otherwise(col("key")))
+      .cache()
+    assert(src.filter(col("key") === "hot").count() > src.count() / 20)
+    val plain = TopicOps.compact(src)
+    val salted = TopicOps.compactSalted(src, saltBuckets = 5)
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+    val plan = salted.queryExecution.executedPlan.toString
+    // two aggregate pairs: the first (inner) keyed on (..., key, salt) so
+    // the hot key fans over 5 reducers, the second re-reduces per key —
+    // and BOTH carry map-side partial halves
+    assert(plan.contains("salt"), s"salt key missing from the salted plan:\n$plan")
+    assert("key=\\[[^\\]]*salt".r.findFirstIn(plan).isDefined,
+      s"first aggregate must group by the salt:\n$plan")
+    src.unpersist()
+  }
+
   test("route sends merge+purge for merged, purge-only for purged, nothing for skipped (Ask.kt:44)") {
     val action = when(col("offset") % 3 === 0, "merge")
       .when(col("offset") % 3 === 1, "purge").otherwise("skip")
