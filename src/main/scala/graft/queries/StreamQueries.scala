@@ -83,8 +83,13 @@ object StreamQueries {
         .orderBy(col("doc_id"))
     }),
     // Event-time sessionization changelog: sessions closed by in-batch
-    // gaps or watermark timeouts (open tail sessions withheld — no SQL
-    // oracle; equivalence asserted in StreamingSpec).
+    // gaps or watermark timeouts. Oracle-gated (r9): under AvailableNow
+    // replay the emitted set is exactly characterizable in SQL — every
+    // non-final session of a user is gap-closed, and a user's final
+    // session is timeout-closed iff the final watermark (global max
+    // event-time ms − delay) passed its last-event + gap. Open tail
+    // sessions beyond that horizon are withheld, which the oracle
+    // reproduces with the same inequality.
     "stream_sessionize" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_sessionize", dir)
       TopicStream.sessionizeStream(s, eventsPath(dir), out, ckpt)
@@ -189,6 +194,39 @@ object StreamQueries {
     "stream_source_stats" -> PipelineQueries.oracles("corpus_source_stats"),
     "stream_anomaly" -> AnalyticsQueries.oracles("events_anomaly"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
+    // The emitted-session set replayed in SQL (r9): batch sessionization
+    // plus the streaming emission rule — a non-final session of a user is
+    // always gap-closed; the final session is timeout-closed iff the
+    // final watermark (global max event-time ms − 30 min delay) passed
+    // its last-event-ms + 30 min gap (EventTimeTimeout fires on
+    // timeoutTimestamp < watermark; ms floors match getTime/epoch_ms).
+    // Open tail sessions beyond the horizon are withheld on both sides.
+    "stream_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |  FROM events),
+         |flags AS (
+         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flags),
+         |agg AS (
+         |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |    CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         |  FROM sess GROUP BY user_id, session_seq),
+         |ranked AS (
+         |  SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+         |  FROM agg)
+         |SELECT user_id, session_start, session_end, n_events, total_value
+         |FROM ranked
+         |WHERE session_seq < max_seq
+         |   OR epoch_ms(session_end) + 1800000 < (SELECT MAX(ms) - 1800000 FROM e)
+         |ORDER BY user_id, session_start""".stripMargin,
     // The reconciliation join replayed in SQL: fixes ⊂ dlq (even
     // offsets), so the equi-join on (topic, partition, offset) reduces
     // to that filter — which is exactly what makes the join verifiable.

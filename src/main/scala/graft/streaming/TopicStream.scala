@@ -375,9 +375,22 @@ object TopicStream {
 
   /** An open session's state (full-precision timestamps: the test data is
     * microsecond-resolved and getTime-only bounds would drop sub-ms).
+    * `totalCents` is the session value total in integer cents — a
+    * sequential double fold would be accumulation-order-dependent and
+    * could never hash-match the batch oracle's decimal sum; integer cents
+    * make the total order-free and engine-exact (the repo-wide decimal
+    * convention, AnalyticsQueries.decSumDouble).
     */
   case class SessionAcc(start: java.sql.Timestamp, last: java.sql.Timestamp,
-                        n: Long, total: Double)
+                        n: Long, totalCents: Long)
+
+  /** value → integer cents exactly as Spark's CAST(double AS
+    * DECIMAL(12,2)): shortest-decimal expansion, then HALF_UP at scale 2.
+    */
+  private def cents(value: Double): Long =
+    BigDecimal.decimal(value)
+      .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
 
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000L
@@ -412,10 +425,13 @@ object TopicStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+          def out(a: SessionAcc): SessionOut =
+            SessionOut(user, a.start, a.last, a.n,
+              java.math.BigDecimal.valueOf(a.totalCents, 2).doubleValue)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.total))
+            Iterator.single(out(s))
           } else {
             val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             val closed = Seq.newBuilder[SessionOut]
@@ -425,12 +441,12 @@ object TopicStream {
                 // gap rule on millis — identical to the batch oracle's
                 // unix_millis() comparison
                 case Some(a) if e.ts.getTime - a.last.getTime <= gapMs =>
-                  acc = Some(SessionAcc(a.start, e.ts, a.n + 1, a.total + e.value))
+                  acc = Some(SessionAcc(a.start, e.ts, a.n + 1, a.totalCents + cents(e.value)))
                 case Some(a) =>
-                  closed += SessionOut(user, a.start, a.last, a.n, a.total)
-                  acc = Some(SessionAcc(e.ts, e.ts, 1, e.value))
+                  closed += out(a)
+                  acc = Some(SessionAcc(e.ts, e.ts, 1, cents(e.value)))
                 case None =>
-                  acc = Some(SessionAcc(e.ts, e.ts, 1, e.value))
+                  acc = Some(SessionAcc(e.ts, e.ts, 1, cents(e.value)))
               }
             }
             acc.foreach { a =>

@@ -167,9 +167,13 @@ class StreamingSpec extends SparkSpec {
     val streamed = TopicStream.sessionizeStream(spark, orderedSplitDir, out, ckpt,
       maxFilesPerTrigger = Some(1)).cache()
     assert(streamed.count() > 0, "gap/timeout closures must emit sessions")
+    // total_value included since r9: the state accumulates integer cents,
+    // so the streamed total is order-free and equals the batch decimal sum
     val batch = graft.queries.AnalyticsQueries.queries("events_sessionize")(spark, sf)
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
-    val s = streamed.select("user_id", "session_start", "session_end", "n_events")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+    val s = streamed.select("user_id", "session_start", "session_end",
+      "n_events", "total_value")
     assert(s.except(batch).count() === 0,
       "every streamed session must match a batch session exactly")
     assert(s.count() <= batch.count())
