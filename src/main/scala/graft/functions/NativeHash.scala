@@ -43,6 +43,8 @@ object NativeHash {
     ("graft_clean_lines", "C4 line filter: terminal punct, min words, boilerplate blacklist",
       exprs => CleanLines(exprs.head,
         if (exprs.length > 1) foldableGram(exprs(1)) else 3)),
+    ("graft_plant_pii", "deterministic contact-string fixture: coin-planted email/phone/IP/SSN tokens",
+      exprs => PlantPii(exprs.head)),
     ("graft_span_remove", "rebuild text dropping words covered by any dup-span hash",
       exprs => SpanRemove(exprs.head, exprs(1),
         if (exprs.length > 2) foldableGram(exprs(2)) else 8)),
@@ -975,6 +977,75 @@ object SimHash60Impl {
       b += 1
     }
     sim
+  }
+}
+
+/** text → the canonical 10-word chunks with ONE coin-planted contact
+  * token appended to some chunks — email / phone / IPv4 / SSN-shaped —
+  * plus a deliberate near-miss ("u12@ex", no TLD) the redaction regexes
+  * must NOT touch. The PII fixture builder for [[graft.operators.TextOps
+  * .redactPii]]: the corpus vocabulary carries no contact strings, so
+  * scrubbing it raw would be vacuous (same build-then-process pattern as
+  * graft_build_page and the WAV/BMP/AVI container builders). Deterministic
+  * and integer-replayable: coin c = (polyhash(text) + i·2654435761) mod
+  * 100 picks the chunk's plant, digits derive from the same key mod 10⁴ —
+  * the oracle replays the construction verbatim in SQL.
+  */
+case class PlantPii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_plant_pii"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PlantPiiImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PlantPiiImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PlantPii =
+    copy(child = newChild)
+}
+
+object PlantPiiImpl {
+  private val Mult = PageBuildImpl.Mult
+  private val Chunk = PageBuildImpl.LineWords
+
+  private def pad(v: Long, w: Int): String = {
+    val s = v.toString
+    "0" * (w - s.length) + s
+  }
+
+  def compute(text: UTF8String): UTF8String = {
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val base = PolyHashImpl.compute(text)
+    val nc = (words.length + Chunk - 1) / Chunk
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nc) {
+      if (i > 0) sb.append(' ')
+      val from = i * Chunk
+      val until = math.min(from + Chunk, words.length)
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val k = base + i.toLong * Mult
+      val c = k % 100L
+      val d = k % 10000L
+      if (c >= 75 && c < 80) // near-miss: no TLD, must survive redaction
+        sb.append(" u").append(d % 100).append("@ex")
+      else if (c >= 80 && c < 85)
+        sb.append(" u").append(d % 100).append("@ex").append(d % 7).append(".com")
+      else if (c >= 85 && c < 90)
+        sb.append(" +1-555-").append(pad(d % 1000, 3)).append('-').append(pad(d, 4))
+      else if (c >= 90 && c < 95)
+        sb.append(" 10.").append(d % 256).append('.').append((d / 16) % 256).append(".77")
+      else if (c >= 95)
+        sb.append(" 123-45-").append(pad(d, 4))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }
 

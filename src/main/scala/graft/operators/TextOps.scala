@@ -522,6 +522,51 @@ object TextOps {
         (col("__c.n_kept") >= minLines).as("kept"))
   }
 
+  /** Redaction regexes — one Scala constant interpolated into BOTH the
+    * Spark plan and the DuckDB oracle (repo-wide oracle convention), kept
+    * to the RE2 ∩ java.util.regex dialect (character classes + bounded
+    * repeats only — no backreferences, no lookaround).
+    */
+  private[graft] val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{3}-[0-9]{4}"
+  private[graft] val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.77"
+  private[graft] val SsnRe = "123-45-[0-9]{4}"
+
+  /** PII redaction — the contact-string scrub every public corpus
+    * pipeline runs before training (C4 strips pages on bad-word/PII
+    * heuristics; CCNet and Dolma mask emails/phones/IPs in place, which
+    * is the form here: typed placeholder tokens preserve the surrounding
+    * context for the LM instead of dropping the page). The corpus tables
+    * carry no contact strings, so a deterministic fixture
+    * (graft_plant_pii) plants email/phone/IPv4/SSN tokens AND a
+    * near-miss negative per coin, and the real scrub then masks them
+    * with Spark's native regexp machinery.
+    *
+    * Scale shape: one codegen'd kernel call + four RegExpReplace and
+    * four RegExpCount native expressions per row — purely narrow, zero
+    * shuffle, scan speed at any scale; counts ride the same projection.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_plant_pii(text)").as("pii_text"))
+      .withColumn("n_emails", regexp_count(col("pii_text"), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col("pii_text"), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("pii_text"), lit(IpRe)).cast("long"))
+      .withColumn("n_ssns", regexp_count(col("pii_text"), lit(SsnRe)).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"),
+            IpRe, "<IP>"),
+          SsnRe, "<SSN>"))
+      .withColumn("n_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") + col("n_ssns"))
+      .select(col("doc_id"), col("clean_text"), col("n_emails"), col("n_phones"),
+        col("n_ips"), col("n_ssns"), col("n_pii"), (col("n_pii") > 0).as("had_pii"))
+  }
+
   /** Canonical-form normalization — the cleaning stage that runs BEFORE
     * any hashing/dedup so byte-level variants of one document (composed
     * vs decomposed accents, case, whitespace runs) collapse to one

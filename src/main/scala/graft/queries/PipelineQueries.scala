@@ -229,6 +229,10 @@ object PipelineQueries {
     // rewrite stage corpus_span_dupes is the audit card for
     "pipeline_span_dedup" -> ((s, dir) =>
       TextOps.spanDedup(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // PII redaction (r9): coin-planted contact-string fixture (the
+    // corpus has none), then typed in-place masking via native regexes
+    "pipeline_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // DSIR-shaped importance weighting (r8): fixed-point likelihood
     // ratios toward the eval-split target distribution, integer-summed
     "pipeline_importance" -> ((s, dir) =>
@@ -1139,6 +1143,51 @@ object PipelineQueries {
          |  FROM ph p LEFT JOIN covl c USING (doc_id))
          |SELECT doc_id, clean_text, n_words, n_removed, n_removed > 0 AS rewritten
          |FROM out ORDER BY doc_id""".stripMargin,
+
+    // PII redaction: the plant (10-word chunks, coin-planted contact
+    // token per chunk) replays graft_plant_pii integer-for-integer; the
+    // scrub then applies the SAME interpolated regexes with DuckDB's
+    // regexp machinery ('g' = Spark regexp_replace's replace-all)
+    "pipeline_pii_redact" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w, ${poly("text")} AS base
+         |  FROM documents),
+         |built AS (
+         |  SELECT doc_id,
+         |    array_to_string([array_to_string(w[i*10+1 : i*10+10], ' ') ||
+         |      CASE
+         |        WHEN (base + i*2654435761) % 100 >= 75 AND (base + i*2654435761) % 100 < 80
+         |          THEN ' u' || CAST((base + i*2654435761) % 10000 % 100 AS VARCHAR) || '@ex'
+         |        WHEN (base + i*2654435761) % 100 >= 80 AND (base + i*2654435761) % 100 < 85
+         |          THEN ' u' || CAST((base + i*2654435761) % 10000 % 100 AS VARCHAR) || '@ex' ||
+         |               CAST((base + i*2654435761) % 10000 % 7 AS VARCHAR) || '.com'
+         |        WHEN (base + i*2654435761) % 100 >= 85 AND (base + i*2654435761) % 100 < 90
+         |          THEN ' +1-555-' || lpad(CAST((base + i*2654435761) % 10000 % 1000 AS VARCHAR), 3, '0') ||
+         |               '-' || lpad(CAST((base + i*2654435761) % 10000 AS VARCHAR), 4, '0')
+         |        WHEN (base + i*2654435761) % 100 >= 90 AND (base + i*2654435761) % 100 < 95
+         |          THEN ' 10.' || CAST((base + i*2654435761) % 10000 % 256 AS VARCHAR) || '.' ||
+         |               CAST(((base + i*2654435761) % 10000 // 16) % 256 AS VARCHAR) || '.77'
+         |        WHEN (base + i*2654435761) % 100 >= 95
+         |          THEN ' 123-45-' || lpad(CAST((base + i*2654435761) % 10000 AS VARCHAR), 4, '0')
+         |        ELSE '' END
+         |      for i in generate_series(0, (len(w)+9)//10 - 1)], ' ') AS pii_text
+         |  FROM ws),
+         |red AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(pii_text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(pii_text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(pii_text, '${TextOps.IpRe}')) AS BIGINT) AS n_ips,
+         |    CAST(len(regexp_extract_all(pii_text, '${TextOps.SsnRe}')) AS BIGINT) AS n_ssns,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextOps.PhoneRe}', '<PHONE>', 'g'),
+         |      '${TextOps.IpRe}', '<IP>', 'g'),
+         |      '${TextOps.SsnRe}', '<SSN>', 'g') AS clean_text
+         |  FROM built)
+         |SELECT doc_id, clean_text, n_emails, n_phones, n_ips, n_ssns,
+         |  n_emails + n_phones + n_ips + n_ssns AS n_pii,
+         |  (n_emails + n_phones + n_ips + n_ssns) > 0 AS had_pii
+         |FROM red ORDER BY doc_id""".stripMargin,
 
     "pipeline_mixture" ->
       s"""WITH rates AS (

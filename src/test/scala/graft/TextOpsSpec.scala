@@ -249,6 +249,38 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"clean_lines must be shuffle-free:\n$plan")
   }
 
+  test("pii redact: every planted contact string masked, near-misses survive, " +
+      "counts equal placeholder occurrences, zero shuffle in the plan") {
+    val out = TextOps.redactPii(docs).cache()
+    // nothing PII-shaped survives the scrub
+    for (re <- Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.IpRe, TextOps.SsnRe))
+      assert(out.filter(col("clean_text").rlike(re)).count() === 0,
+        s"pattern $re must not survive redaction")
+    // each count is exactly the number of its typed placeholder in the
+    // rebuilt text — masks neither drop nor duplicate
+    def occ(tok: String) =
+      (length(col("clean_text")) -
+        length(regexp_replace(col("clean_text"), java.util.regex.Pattern.quote(tok), ""))) /
+        tok.length
+    assert(out.filter(occ("<EMAIL>") =!= col("n_emails")).count() === 0)
+    assert(out.filter(occ("<PHONE>") =!= col("n_phones")).count() === 0)
+    assert(out.filter(occ("<IP>") =!= col("n_ips")).count() === 0)
+    assert(out.filter(occ("<SSN>") =!= col("n_ssns")).count() === 0)
+    // the fixture exercises every type and both polarities of the flag
+    assert(out.filter(col("n_emails") > 0).count() > 0)
+    assert(out.filter(col("n_phones") > 0).count() > 0)
+    assert(out.filter(col("n_ips") > 0).count() > 0)
+    assert(out.filter(col("n_ssns") > 0).count() > 0)
+    assert(out.filter(col("had_pii")).count() > 0)
+    assert(out.filter(!col("had_pii")).count() > 0)
+    // the near-miss negative (no TLD) must pass through untouched
+    assert(out.filter(col("clean_text").rlike("u[0-9]+@ex( |$)")).count() > 0)
+    out.unpersist()
+    // purely narrow: one kernel + native regex projections, no Exchange
+    val plan = TextOps.redactPii(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pii redact must be shuffle-free:\n$plan")
+  }
+
   test("importance weights: hand-computed fixed-point ratios on a micro corpus, " +
       "coverage and null contracts on the real one") {
     // target 0: "a b c d e" (3 shingles). raw 1 = exact copy: every
