@@ -72,8 +72,13 @@ object ScaleCurves {
     val (embC, embP, embTc, embTp) = family(
       Similarity.embeddingPairs(emb, tau = -1.0).count(),
       Similarity.embeddingPairs(emb).count())
+    // near-copy threshold: at the default tau the true pair set is
+    // quadratic whenever the corpus has tight clusters (every same-cluster
+    // pair IS a match); tau=0.9 isolates the planted near-copies and shows
+    // the operator's output scaling with the match count, not N²
+    val (emb9P, emb9Tp) = timed(Similarity.embeddingPairs(emb, tau = 0.9).count())
 
-    val pairs = Dedup.minhashPairs(docs).cache()
+    val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b").cache()
     val edgePairs = pairs.count()
     val (_, propSec) = timed(Dedup.propagateMinLabels(pairs).count())
     val propRounds = Dedup.lastRounds
@@ -90,6 +95,7 @@ object ScaleCurves {
       s""""minhash":${fam(mhC, mhP, mhTc, mhTp)},""" +
       s""""simhash":${fam(shC, shP, shTc, shTp)},""" +
       s""""embedding":${fam(embC, embP, embTc, embTp)},""" +
+      f""""embedding_t90":{"pairs":$emb9P,"pairs_sec":$emb9Tp%.2f},""" +
       f""""components":{"edge_pairs":$edgePairs,"prop_rounds":$propRounds,"prop_sec":$propSec%.2f,"star_rounds":$starRounds,"star_sec":$starSec%.2f}}""")
     spark.stop()
   }
