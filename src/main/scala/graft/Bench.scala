@@ -20,8 +20,11 @@ object Bench {
   // contract line costs ~len(name)+9 bytes per query plus ~100 envelope
   // and must leave ~75 for sbt's success line (round 5's 2.3 KB line was
   // front-truncated and unparseable). All 52 round-7-benched queries stay
-  // for round-over-round comparability; the dozen left out (narrow
-  // scan-speed cards and reused-shape reports: topic_retention,
+  // for round-over-round comparability; round 9 rotates the three
+  // mm_*_meta scan cards (r8 additions — mm_decode parses all three
+  // containers, so their cost is covered) off the contract to make room
+  // for the round-9 pipeline stages. Off-contract cards (narrow
+  // scan-speed/reused-shape reports: topic_retention, mm_*_meta,
   // pipeline_split/upsample/normalize, embedding_stats,
   // corpus_length_hist/ngram_novelty/source_stats, events_gap_stats/
   // retention_cohorts, dedup_pair_hist/cluster_stats) are timed via
@@ -43,12 +46,13 @@ object Bench {
     "corpus_token_topk", "corpus_ngram_topk",
     "dedup_components", "dedup_components_star",
     "dedup_embedding_cc",
-    "doc_fingerprint", "mm_meta", "mm_framesample", "mm_wav_meta", "mm_bmp_meta",
-    "mm_avi_meta", "mm_decode",
+    "doc_fingerprint", "mm_meta", "mm_framesample", "mm_decode",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
-    "pipeline_decontaminate_fuzzy", "corpus_span_dupes", "pipeline_importance",
+    "pipeline_decontaminate_fuzzy", "pipeline_decontaminate_semantic",
+    "corpus_span_dupes", "pipeline_span_dedup", "pipeline_clean_lines",
+    "pipeline_importance",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
     "pipeline_shuffle", "pipeline_curriculum",
     "mm_audiowindow")
