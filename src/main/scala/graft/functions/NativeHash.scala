@@ -45,6 +45,8 @@ object NativeHash {
         if (exprs.length > 1) foldableGram(exprs(1)) else 3)),
     ("graft_plant_pii", "deterministic contact-string fixture: coin-planted email/phone/IP/SSN tokens",
       exprs => PlantPii(exprs.head)),
+    ("graft_dedup_lines", "in-document exact line dedup: keep first occurrence of each trimmed line",
+      exprs => DedupLines(exprs.head)),
     ("graft_span_remove", "rebuild text dropping words covered by any dup-span hash",
       exprs => SpanRemove(exprs.head, exprs(1),
         if (exprs.length > 2) foldableGram(exprs(2)) else 8)),
@@ -655,6 +657,49 @@ object CleanLinesImpl {
             kept += 1
           }
         }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), lines.length.toLong, kept.toLong))
+  }
+}
+
+/** page → struct(clean_text, n_lines, n_kept) — in-DOCUMENT line-level
+  * exact dedup (the Dolma-style within-page pass, arXiv:2402.00159 §2.2:
+  * repeated nav/boilerplate lines are dropped where they repeat INSIDE a
+  * page; cross-document repetition is pipeline_span_dedup's job). A line
+  * is kept iff its trimmed form has not appeared earlier in the page;
+  * kept lines are re-joined trimmed, in order. One linear pass with a
+  * per-row hash set, codegen'd — zero shuffle at any scale.
+  */
+case class DedupLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CleanLinesImpl.schema
+  override def prettyName: String = "graft_dedup_lines"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupLinesImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DedupLinesImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DedupLines =
+    copy(child = newChild)
+}
+
+object DedupLinesImpl {
+  def compute(page: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val lines = page.toString.split("\n", -1)
+    val seen = new java.util.HashSet[String]
+    val sb = new java.lang.StringBuilder
+    var kept = 0
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (seen.add(t)) {
+        if (kept > 0) sb.append('\n')
+        sb.append(t)
+        kept += 1
       }
       i += 1
     }

@@ -522,6 +522,25 @@ object TextOps {
         (col("__c.n_kept") >= minLines).as("kept"))
   }
 
+  /** In-document line-level exact dedup (Dolma's within-page pass,
+    * arXiv:2402.00159 §2.2): drop every line whose trimmed form already
+    * appeared earlier in the SAME page (repeated nav/boilerplate), keep
+    * first occurrences in order, rebuild the doc. Cross-document
+    * repetition is [[spanDedup]]'s job — this pass needs no corpus
+    * state at all.
+    *
+    * Scale shape: ONE linear codegen'd kernel call per row
+    * (graft_dedup_lines, per-row hash set) — purely narrow, zero
+    * shuffle, scan speed at any scale.
+    */
+  def dedupLines(pages: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(pages.sparkSession)
+    pages.withColumn("__d", expr("graft_dedup_lines(page)"))
+      .select(col("doc_id"), col("__d.clean_text").as("clean_text"),
+        col("__d.n_lines").as("n_lines"), col("__d.n_kept").as("n_kept"),
+        (col("__d.n_kept") < col("__d.n_lines")).as("changed"))
+  }
+
   /** Redaction regexes — one Scala constant interpolated into BOTH the
     * Spark plan and the DuckDB oracle (repo-wide oracle convention), kept
     * to the RE2 ∩ java.util.regex dialect (character classes + bounded

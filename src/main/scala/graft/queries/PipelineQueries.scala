@@ -233,6 +233,11 @@ object PipelineQueries {
     // corpus has none), then typed in-place masking via native regexes
     "pipeline_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // in-document line dedup (r9): Dolma within-page pass — repeated
+    // boilerplate lines of the built pages drop, first occurrence kept
+    "pipeline_dedup_lines" -> ((s, dir) =>
+      TextOps.dedupLines(TextOps.toPages(Tables.load(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
     // DSIR-shaped importance weighting (r8): fixed-point likelihood
     // ratios toward the eval-split target distribution, integer-summed
     "pipeline_importance" -> ((s, dir) =>
@@ -341,6 +346,31 @@ object PipelineQueries {
   /** polyhash fragment: left fold (h*31+cp) mod M over codepoints. */
   private def poly(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s,''), ch -> CAST(ascii(ch) AS BIGINT))), (h, cp) -> (h*31+cp) % $M)"""
+
+  /** The graft_build_page replay (10-word lines, coin-driven suffix /
+    * boilerplate), integer-for-integer — `built(doc_id, lines)` — shared
+    * by the pipeline_clean_lines and pipeline_dedup_lines oracles so the
+    * two page replays can never drift.
+    */
+  private def builtPagesCte: String =
+    s"""ws AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w, ${poly("text")} AS base
+       |  FROM documents),
+       |built AS (
+       |  SELECT doc_id,
+       |    [CASE
+       |       WHEN (base + i*2654435761) % 100 >= 90 AND (base + i*2654435761) % 100 < 95
+       |         THEN 'lorem ipsum dolor sit amet.'
+       |       WHEN (base + i*2654435761) % 100 >= 95
+       |         THEN 'please enable javascript to continue.'
+       |       ELSE array_to_string(w[i*10+1 : i*10+10], ' ') ||
+       |            CASE WHEN (base + i*2654435761) % 100 < 55 THEN '.'
+       |                 WHEN (base + i*2654435761) % 100 < 70 THEN '!'
+       |                 WHEN (base + i*2654435761) % 100 >= 80 THEN ' function() { return 1; }.'
+       |                 ELSE '' END
+       |     END
+       |     for i in generate_series(0, (len(w)+9)//10 - 1)] AS lines
+       |  FROM ws)""".stripMargin
 
   /** Distinct 3-gram shingle hashes per doc, as in Dedup.shingleHashes:
     * per-word polyhash combined with ((h1*31+h2) mod M * 31 + h3) mod M.
@@ -1069,27 +1099,11 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     // C4 line filter: the page construction (10-word lines, coin-driven
-    // suffix/boilerplate) replays graft_build_page integer-for-integer;
-    // the filter CTE then applies the real C4 rules per line
+    // suffix/boilerplate) replays graft_build_page integer-for-integer
+    // (builtPagesCte, shared with pipeline_dedup_lines); the filter CTE
+    // then applies the real C4 rules per line
     "pipeline_clean_lines" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w, ${poly("text")} AS base
-         |  FROM documents),
-         |built AS (
-         |  SELECT doc_id,
-         |    [CASE
-         |       WHEN (base + i*2654435761) % 100 >= 90 AND (base + i*2654435761) % 100 < 95
-         |         THEN 'lorem ipsum dolor sit amet.'
-         |       WHEN (base + i*2654435761) % 100 >= 95
-         |         THEN 'please enable javascript to continue.'
-         |       ELSE array_to_string(w[i*10+1 : i*10+10], ' ') ||
-         |            CASE WHEN (base + i*2654435761) % 100 < 55 THEN '.'
-         |                 WHEN (base + i*2654435761) % 100 < 70 THEN '!'
-         |                 WHEN (base + i*2654435761) % 100 >= 80 THEN ' function() { return 1; }.'
-         |                 ELSE '' END
-         |     END
-         |     for i in generate_series(0, (len(w)+9)//10 - 1)] AS lines
-         |  FROM ws),
+      s"""WITH $builtPagesCte,
          |cleaned AS (
          |  SELECT doc_id, len(lines) AS n_lines,
          |    [trim(l) for l in lines if
@@ -1143,6 +1157,21 @@ object PipelineQueries {
          |  FROM ph p LEFT JOIN covl c USING (doc_id))
          |SELECT doc_id, clean_text, n_words, n_removed, n_removed > 0 AS rewritten
          |FROM out ORDER BY doc_id""".stripMargin,
+
+    // in-document line dedup: the shared page replay, then keep line i
+    // iff the FIRST position of its trimmed form is i (list_position
+    // returns the first 1-based index — first-occurrence semantics)
+    "pipeline_dedup_lines" ->
+      s"""WITH $builtPagesCte,
+         |ded AS (
+         |  SELECT doc_id, len(lines) AS n_lines,
+         |    [trim(lines[i]) for i in generate_series(1, len(lines))
+         |       if list_position(list_transform(lines, x -> trim(x)), trim(lines[i])) = i] AS kl
+         |  FROM built)
+         |SELECT doc_id, COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+         |  CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kl) AS BIGINT) AS n_kept,
+         |  len(kl) < n_lines AS changed
+         |FROM ded ORDER BY doc_id""".stripMargin,
 
     // PII redaction: the plant (10-word chunks, coin-planted contact
     // token per chunk) replays graft_plant_pii integer-for-integer; the

@@ -249,6 +249,37 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"clean_lines must be shuffle-free:\n$plan")
   }
 
+  test("in-document line dedup: first occurrence kept in order on a hand-built page, " +
+      "corpus pages end up duplicate-free, zero shuffle in the plan") {
+    import spark.implicits._
+    val page = Seq("alpha beta.", "  alpha beta. ", "gamma!", "alpha beta.",
+      "gamma!", "delta").mkString("\n")
+    val out = TextOps.dedupLines(Seq((1L, page)).toDF("doc_id", "page")).head()
+    assert(out.getAs[String]("clean_text") === "alpha beta.\ngamma!\ndelta")
+    assert(out.getAs[Long]("n_lines") === 6)
+    assert(out.getAs[Long]("n_kept") === 3)
+    assert(out.getAs[Boolean]("changed"))
+    // corpus-wide: no doc keeps a line twice, and an unchanged doc is
+    // exactly its trimmed page (whether boilerplate repeats within one
+    // page at this toy scale is a coin outcome — the hand-built page
+    // above is the guaranteed positive)
+    val ded = TextOps.dedupLines(TextOps.toPages(docs)).cache()
+    val dup = ded.select(col("doc_id"), explode(split(col("clean_text"), "\n")).as("l"))
+      .groupBy("doc_id", "l").count().filter(col("count") > 1)
+    assert(dup.count() === 0, "a deduped page must not repeat a line")
+    val un = ded.filter(!col("changed")).join(TextOps.toPages(docs), "doc_id")
+      .withColumn("canon",
+        array_join(transform(split(col("page"), "\n"), l => trim(l)), "\n"))
+    assert(un.count() > 0)
+    assert(un.filter(col("clean_text") =!= col("canon")).count() === 0,
+      "an unchanged doc must round-trip as its trimmed page")
+    assert(ded.filter(col("n_kept") > col("n_lines")).count() === 0)
+    ded.unpersist()
+    val plan = TextOps.dedupLines(TextOps.toPages(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line dedup must be shuffle-free:\n$plan")
+  }
+
   test("pii redact: every planted contact string masked, near-misses survive, " +
       "counts equal placeholder occurrences, zero shuffle in the plan") {
     val out = TextOps.redactPii(docs).cache()
