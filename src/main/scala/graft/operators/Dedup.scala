@@ -170,6 +170,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Band-occupancy sizing card for the MinHash LSH index — the
+    * operational face of SURVEY §5's "band cardinality is a SIZING
+    * PARAMETER": per band, the number of occupied buckets, banded docs,
+    * worst bucket population, and the total in-bucket candidate-pair
+    * mass Σ c·(c−1)/2 (the exact count the verify join will pay). Run
+    * this on a corpus BEFORE the pair join — when cand_pairs grows
+    * superlinearly against the expected dup mass, widen the bands
+    * (more rows per band) or raise the band count (the sf1 scale curve
+    * measured 242k candidates against 2,020 true pairs with the
+    * toy-sized defaults — this card is how that is seen WITHOUT paying
+    * for the join).
+    *
+    * Scale shape: one hash aggregate on the high-cardinality
+    * (band_id, band_val) key with map-side partial combine, then a
+    * `bands`-row aggregate; integer-exact (the pair mass divides by 2
+    * integrally — c·(c−1) is even).
+    */
+  def bandStats(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val banded = minhashBands(shingleHashes(docs), bands).drop("hs")
+    banded.groupBy(col("band_id"), col("band_val")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band_id").cast("long").as("band_id"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_docs"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1)")).as("__c2"))
+      .withColumn("cand_pairs", expr("__c2 div 2"))
+      .select("band_id", "n_buckets", "n_docs", "max_bucket", "cand_pairs")
+  }
+
   /** Distinct band-bucket candidate pairs of the MinHash LSH index —
     * shared by [[minhashPairs]] and the scale-curve measurement.
     */

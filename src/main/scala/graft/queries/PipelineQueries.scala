@@ -54,6 +54,11 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), HammingTau, ShBands)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // band-occupancy sizing card (r9): per-band buckets, worst bucket,
+    // and the in-bucket candidate mass the verify join would pay
+    "dedup_band_stats" -> ((s, dir) =>
+      Dedup.bandStats(Tables.load(s, dir, "documents"), MhBands)
+        .orderBy(col("band_id"))),
     // Cluster-level dedup (r7): connected components of the MinHash
     // near-dup graph by iterative min-label propagation — the
     // transitively-correct keeper rule (oracle: recursive closure).
@@ -607,6 +612,21 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // band occupancy: the sig/bands CTEs are the dedup_minhash oracle's;
+    // UNION ALL branches carry the INTEGER band ids the Spark card emits
+    "dedup_band_stats" -> (ShingleCte +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
+         |ex AS (${(0 until MhBands).map(b =>
+             s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, band$b AS band_val FROM bands")
+             .mkString("\n      UNION ALL ")}),
+         |bkt AS (SELECT band_id, band_val, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+         |SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(c) AS BIGINT) AS n_docs, CAST(MAX(c) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS cand_pairs
+         |FROM bkt GROUP BY band_id ORDER BY band_id""".stripMargin),
 
     "dedup_pair_hist" -> (ShingleCte +
       s"""

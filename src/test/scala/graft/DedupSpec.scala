@@ -10,6 +10,25 @@ class DedupSpec extends SparkSpec {
 
   private def docs = Tables.load(spark, sf, "documents")
 
+  test("band stats card: pair mass equals the banded join's with-multiplicity count, " +
+      "per-band doc totals equal the shingled corpus") {
+    val hashes = Dedup.shingleHashes(docs)
+    val stats = Dedup.bandStats(docs).cache()
+    assert(stats.count() === 4)
+    // Σ c·(c−1)/2 over buckets IS the banded self-join's row count
+    // (per-band multiplicity, before the cross-band distinct)
+    val banded = Dedup.minhashBands(hashes).drop("hs")
+    val withMult = banded.as("a").join(banded.as("b"),
+      col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+    assert(stats.agg(sum("cand_pairs")).collect()(0).getLong(0) === withMult)
+    val nDocs = hashes.filter(size(col("hs")) > 0).count()
+    assert(stats.filter(col("n_docs") =!= nDocs).count() === 0,
+      "every band carries every shingled doc exactly once")
+    assert(stats.filter(col("max_bucket") > col("n_docs")).count() === 0)
+    stats.unpersist()
+  }
+
   test("native ShingleHashes3 expression matches the HOF formulation exactly") {
     val viaHof = docs
       .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
