@@ -101,6 +101,20 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // Hopping (sliding) windows (r9): Spark's native window() with
+    // width 1h / slide 30min — every event lands in exactly width/slide
+    // = 2 windows, epoch-aligned starts. The explode-then-aggregate is
+    // the standard plan: the ×2 row blowup happens map-side and partial
+    // aggregation collapses it before the one exchange, so the shuffle
+    // carries (windows × types) rows, not ×2 events.
+    "events_window_hopping" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))),
+
     // Inter-arrival gap card (r8): per-user lag window (ONE exchange on
     // user_id) → integer µs gaps → partial-aggregated per-type stats;
     // sums stay BIGINT so both engines are exact, avg derived once.
@@ -461,6 +475,21 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    // hop replay: a µs timestamp t belongs to the two epoch-aligned
+    // 30-min starts {floor30(t), floor30(t) − 30min} for a 1h window —
+    // Spark's TimeWindow expansion in closed form (positive epoch µs,
+    // so the % floor is exact)
+    "events_window_hopping" ->
+      s"""WITH e AS (
+         |  SELECT event_type, "value", epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+         |hops AS (
+         |  SELECT event_type, "value",
+         |         unnest([tu - tu % 1800000000, tu - tu % 1800000000 - 1800000000]) AS s
+         |  FROM e)
+         |SELECT make_timestamp(s) AS w_start, event_type,
+         |  COUNT(*) AS n_events, ${sqlDecSum("\"value\"")} AS total_value
+         |FROM hops GROUP BY 1, 2
+         |ORDER BY w_start, event_type""".stripMargin,
     "q10_returned" ->
       s"""SELECT c_custkey, c_name, n_name, $Revenue AS revenue
          |FROM lineitem

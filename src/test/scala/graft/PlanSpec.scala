@@ -66,6 +66,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "compact must not sort whole partitions via a window")
   }
 
+  test("hopping windows: each event lands in exactly width/slide windows, one exchange " +
+      "with partial aggregation before it") {
+    import org.apache.spark.sql.functions._
+    val hop = AnalyticsQueries.queries("events_window_hopping")(spark, sf).cache()
+    val n = graft.sources.Tables.load(spark, sf, "events").count()
+    // conservation: the ×2 membership is exact, no event dropped at hop walls
+    assert(hop.agg(sum("n_events")).collect()(0).getLong(0) === 2 * n)
+    // every window start is slide-aligned and every tumbling-hour count is
+    // recoverable: the 1h-aligned hops partition the events
+    assert(hop.filter(expr("unix_micros(w_start) % 1800000000 != 0")).count() === 0)
+    assert(hop.filter(expr("unix_micros(w_start) % 3600000000 = 0"))
+      .agg(sum("n_events")).collect()(0).getLong(0) === n)
+    hop.unpersist()
+    val p = AnalyticsQueries.queries("events_window_hopping")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"map-side combine must collapse the hop blowup before the shuffle:\n$p")
+    // one hash exchange for the aggregate (the query's final orderBy adds
+    // its own range exchange — presentation, not the aggregation shape)
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 1, s"hopping agg must hash-shuffle exactly once:\n$p")
+  }
+
   test("gap stats: lag window + aggregate shuffle twice total; gap count is a closed form") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val q = (AnalyticsQueries.queries)("events_gap_stats")(spark, sf)
