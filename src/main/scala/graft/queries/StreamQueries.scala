@@ -38,6 +38,13 @@ object StreamQueries {
       TopicStream.windowStream(s, eventsPath(dir), out, ckpt)
         .orderBy(col("hour"), col("event_type"))
     }),
+    // Streaming hopping windows (r9): native window() with slide on a
+    // stream; replay == events_window_hopping (its oracle verbatim).
+    "stream_window_hopping" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_window_hopping", dir)
+      TopicStream.hoppingStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("w_start"), col("event_type"))
+    }),
     "stream_dlq" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_dlq", dir)
       val (clean, dlq) = TopicStream.dlqStream(s, eventsPath(dir), TopicQueries.dlqError,
@@ -181,6 +188,7 @@ object StreamQueries {
     // changelog reconciled to final state == batch compaction exactly
     "stream_compact_updates" -> TopicQueries.oracles("topic_compact"),
     "stream_window" -> AnalyticsQueries.oracles("events_window"),
+    "stream_window_hopping" -> AnalyticsQueries.oracles("events_window_hopping"),
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),

@@ -130,6 +130,26 @@ object TopicStream {
     completeToParquet(spark, agg, outDir, checkpointDir)
   }
 
+  /** Streaming HOPPING windows (1h width / 30min slide), the stream twin
+    * of events_window_hopping — complete mode, the oracle-checkable face
+    * (the watermarked append form drops a window's state once the
+    * watermark passes it, the same trade [[windowStreamAppend]]
+    * demonstrates on tumbling windows). Spark expands each event to its
+    * width/slide windows map-side; streaming state holds one row per
+    * live (window, type), not per event.
+    */
+  def hoppingStream(spark: SparkSession, eventsPath: String,
+                    outDir: String, checkpointDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventsStream(spark, eventsPath, maxFilesPerTrigger)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.AnalyticsQueries.decSumDouble(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    completeToParquet(spark, agg, outDir, checkpointDir)
+  }
+
   /** Watermarked append-mode variant (the unbounded-stream shape: state is
     * dropped once the watermark passes a window). With a finite replay the
     * tail windows stay pending, so output ⊆ the batch result — asserted in
