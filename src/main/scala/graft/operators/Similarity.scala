@@ -122,6 +122,36 @@ object Similarity {
       .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
   }
 
+  /** kNN SELF-join over the IVF index — the ANN-graph construction pass
+    * (kNN-LM retrieval graphs, SemDeDup neighborhoods, diversity
+    * sampling): for EVERY vector, its top-`k` neighbors among the
+    * vectors of its top-`probes` centroid buckets, itself excluded,
+    * exact-cosine scored. Graph-building defaults (k=5, probes=2) are
+    * deliberately tighter than the serving variants' 8 probes.
+    *
+    * Scale shape: total candidates ≈ probes·N²/nlist — with nlist ~ √N
+    * that is probes·N^1.5, the accepted ANN-graph cost (the join is
+    * bucket-keyed, never all-pairs). Unlike the serving variants,
+    * NEITHER side broadcasts (both are the corpus): candidates enrich
+    * against the vector table twice on the 8-byte vec_id, and the
+    * two-phase salted rerank caps the per-query window population.
+    */
+  def knnJoinIvf(emb: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
+    val v = vectors(emb)
+    val corpus = v.select(col("vec_id").as("corpus_id"),
+      expr("graft_ivf_bucket(e)").as("bucket"))
+    val queries = v.select(col("vec_id").as("query_id"),
+      explode(expr(s"graft_ivf_probes(e, $probes)")).as("bucket"))
+    val cand = corpus.join(queries, "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id")).distinct()
+    val vq = v.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
+    val vc = v.select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
+    val scored = cand.join(vq, "query_id").join(vc, "corpus_id")
+      .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+    rerankTopKTwoPhase(scored, k)
+  }
+
   /** IVF-bucketed ANN: corpus vectors live in their nearest-centroid
     * bucket (argmax cosine, first-index tie-break); each query probes its
     * top-`probes` centroid buckets and reranks candidates exactly. The

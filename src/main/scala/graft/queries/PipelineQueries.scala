@@ -28,6 +28,10 @@ object PipelineQueries {
   private val ShBits = Dedup.SimhashBits / ShBands // 15-bit band values
   private val Probes = 8
   private val TopK = 10
+  // ANN-graph construction defaults — tighter than serving (see
+  // Similarity.knnJoinIvf)
+  private val KnnK = 5
+  private val KnnProbes = 2
 
   /** Repetition-filter thresholds (text_repetition): chosen so the gate
     * splits this corpus meaningfully (319/500 kept at sf0.01) — real
@@ -114,6 +118,11 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
+    // kNN SELF-join (r9): every vector's top-k neighbors over its
+    // probed IVF buckets — the ANN-graph construction pass
+    "sim_knn_join_ivf" -> ((s, dir) =>
+      Similarity.knnJoinIvf(Tables.load(s, dir, "embeddings"), KnnK, KnnProbes)
         .orderBy(col("query_id"), col("rnk"))),
     // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
     // residual codes) alone; full vectors only for the exact rerank of
@@ -817,6 +826,30 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
          |  FROM scored)
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    // kNN self-join: the IVF CTEs with EVERY vector on both sides,
+    // self-pairs excluded; probe/rank replay identical to sim_topk_ivf
+    "sim_knn_join_ivf" -> (NormCte +
+      s"""
+         |, $ivfCentroidCtes,
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $KnnProbes)]) AS bucket
+         |  FROM ccs),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $KnnK
          |ORDER BY query_id, rnk""".stripMargin),
 
     // IVF-PQ: codes and the approximate score replayed with the SAME

@@ -10,6 +10,27 @@ class SimilaritySpec extends SparkSpec {
   private def emb = Tables.load(spark, sf, "embeddings")
   private val isQuery = col("vec_id") < 8
 
+  test("knn self-join: no self pairs, per-query ranks sequential from 1 and capped at k, " +
+      "every neighbor lives in one of the query's probed buckets") {
+    val g = Similarity.knnJoinIvf(emb).cache()
+    assert(g.count() > 0)
+    assert(g.filter(col("query_id") === col("corpus_id")).count() === 0)
+    val ranks = g.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
+    assert(ranks.filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("n") > 5)
+      .count() === 0, "ranks must be 1..n with n <= k")
+    // membership: neighbor's home bucket ∈ the query's probe set
+    val v = Similarity.vectors(emb)
+    val home = v.select(col("vec_id").as("corpus_id"),
+      expr("graft_ivf_bucket(e)").as("cb"))
+    val probes = v.select(col("vec_id").as("query_id"),
+      expr("graft_ivf_probes(e, 2)").as("pb"))
+    val outside = g.join(home, "corpus_id").join(probes, "query_id")
+      .filter(!array_contains(col("pb"), col("cb")))
+    assert(outside.count() === 0, "a neighbor outside the probed buckets is a join bug")
+    g.unpersist()
+  }
+
   test("embedding card conserves the table, pins the dim, and norms the fused kernel computes") {
     import graft.operators.Similarity
     val card = Similarity.embeddingStats(emb).cache()
