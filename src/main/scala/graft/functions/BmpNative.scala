@@ -93,25 +93,39 @@ object BmpImpl {
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
   private def i32(b: Array[Byte], p: Int): Long = u32(b, p).toInt.toLong
 
-  /** Header parse + pixel-hash fold; null (not an exception) on anything
-    * malformed or outside the 24-bpp uncompressed profile.
+  /** Validated geometry [dataOffset, width, height, stride] of a 24-bpp
+    * uncompressed BMP, or null — the shared bounds gate of [[parse]] and
+    * [[BmpResizeImpl]] (one checker, so the two walks can't drift).
     */
-  def parse(blob: Array[Byte]): ArrayData = {
+  def geometry(blob: Array[Byte]): Array[Long] = {
     if (blob == null || blob.length < 54) return null
     if (blob(0) != 'B' || blob(1) != 'M') return null
-    val fileSize = u32(blob, 2)
     val dataOffset = u32(blob, 10)
     val headerSize = u32(blob, 14)
     val width = i32(blob, 18)
     val height = i32(blob, 22)
-    val planes = u16(blob, 26)
     val bpp = u16(blob, 28)
     val compression = u32(blob, 30)
-    val imageSize = u32(blob, 34)
     if (headerSize < 40 || width <= 0 || height <= 0 ||
         bpp != 24 || compression != 0) return null
     val st = stride(width)
     if (dataOffset < 54 || dataOffset + st * height > blob.length) return null
+    Array(dataOffset, width, height, st)
+  }
+
+  /** Header parse + pixel-hash fold; null (not an exception) on anything
+    * malformed or outside the 24-bpp uncompressed profile.
+    */
+  def parse(blob: Array[Byte]): ArrayData = {
+    val geo = geometry(blob)
+    if (geo == null) return null
+    val Array(dataOffset, width, height, st) = geo
+    val fileSize = u32(blob, 2)
+    val headerSize = u32(blob, 14)
+    val planes = u16(blob, 26)
+    val bpp = u16(blob, 28)
+    val compression = u32(blob, 30)
+    val imageSize = u32(blob, 34)
     var hash = 0L
     val rowBytes = (width * 3).toInt
     var row = 0
@@ -206,4 +220,74 @@ case class BmpMeta(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): BmpMeta =
     copy(child = newChild)
+}
+
+/** blob → [out_w, out_h, n_pixel_bytes, src_w, src_h, pixel_hash] —
+  * nearest-neighbor RESIZE of a genuine 24-bpp BMP to a t×t thumbnail,
+  * the image analogue of mm_framesample's frame picking: output pixel
+  * (r, c) reads source pixel (r·h div t, c·w div t) and the hash folds
+  * the picked B,G,R bytes in output row-major order (rows in FILE
+  * order, the same convention as the full-pixel hash). Touches exactly
+  * 3·t² source bytes — the thumbnail cost is O(t²) regardless of the
+  * source dimensions, which is the point of resizing before shipping
+  * pixels anywhere. Null on malformed input ([[BmpImpl.geometry]] is
+  * the shared bounds gate).
+  */
+case class BmpResize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bmp_resize expects (binary, bigint), got " +
+        children.map(_.dataType.sql).mkString(", "))
+
+  override protected def nullSafeEval(blob: Any, t: Any): Any =
+    BmpResizeImpl.compute(blob.asInstanceOf[Array[Byte]], t.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, t) => s"""
+      ${ev.value} = graft.functions.BmpResizeImpl.compute($b, $t);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BmpResize =
+    copy(left = newLeft, right = newRight)
+}
+
+object BmpResizeImpl {
+  /** [out_w, out_h, n_pixel_bytes, src_w, src_h, pixel_hash] */
+  val Fields = 6
+  private val M = TextFunctions.HashMod
+
+  def compute(blob: Array[Byte], t: Long): ArrayData = {
+    if (t <= 0 || t > 4096) return null
+    val geo = BmpImpl.geometry(blob)
+    if (geo == null) return null
+    val Array(dataOffset, w, h, st) = geo
+    val ti = t.toInt
+    var hash = 0L
+    var r = 0
+    while (r < ti) {
+      val srcRow = r * h / t
+      val base = dataOffset + srcRow * st
+      var c = 0
+      while (c < ti) {
+        val p = (base + (c * w / t) * 3).toInt
+        var k = 0
+        while (k < 3) {
+          hash = (hash * 31L + (blob(p + k) & 0xffL)) % M
+          k += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(Array[Long](t, t, 3L * t * t, w, h, hash))
+  }
 }

@@ -93,6 +93,8 @@ object NativeHash {
       exprs => WavMeta(exprs.head)),
     ("graft_bmp_wrap", "wrap a binary payload as a 24-bpp uncompressed BMP (tiled pixels)",
       exprs => BmpWrap(exprs.head, exprs(1), exprs(2))),
+    ("graft_bmp_resize", "nearest-neighbor BMP thumbnail: [out dims, bytes, src dims, resized-pixel hash]",
+      exprs => BmpResize(exprs.head, exprs(1))),
     ("graft_bmp_meta", "parse a BMP blob into header fields + decoded-pixel hash; null when malformed",
       exprs => BmpMeta(exprs.head)),
     ("graft_avi_wrap", "wrap a binary payload as a minimal valid uncompressed AVI (DIB frames)",

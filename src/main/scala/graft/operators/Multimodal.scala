@@ -309,6 +309,34 @@ object Multimodal {
         } :+ octet_length(col("bmp")).cast("long").as("bmp_bytes"): _*)
   }
 
+  /** Column-level image RESIZE — the thumbnailing stage every multimodal
+    * ingest pipeline runs before shipping pixels anywhere: the genuine
+    * 24-bpp BMP is built at [[imageParams]]'s declared dims, then
+    * nearest-neighbor-downscaled to a `thumb`×`thumb` preview by the
+    * codegen'd kernel (graft_bmp_resize — touches exactly 3·t² source
+    * bytes, O(t²) per image regardless of source size). The resized
+    * pixel hash is the checksum of what a preview consumer would
+    * receive; the DuckDB oracle replays the 192 picked bytes by the
+    * tiling formula. Narrow per-row projection — zero shuffle.
+    */
+  def bmpResize(docs: DataFrame, thumb: Int = 8): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val fields = Seq("out_w", "out_h", "n_pixel_bytes", "src_w", "src_h",
+      "pixel_hash")
+    val (w, h) = imageParams("__cs")
+    docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__w", w)
+      .withColumn("__h", h)
+      .withColumn("bmp", expr("graft_bmp_wrap(__raw, __w, __h)"))
+      .withColumn("rz", expr(s"graft_bmp_resize(bmp, CAST($thumb AS BIGINT))"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("rz"), i + 1).as(f)
+        }: _*)
+  }
+
   /** Column-level AVI round trip — the VIDEO face of the container
     * family, mirroring [[wavMeta]]/[[bmpMeta]]: build the minimal valid
     * uncompressed AVI (thumbnail-strip profile; frame count = [[meta]]'s

@@ -349,6 +349,11 @@ object PipelineQueries {
     "mm_bmp_meta" -> ((s, dir) =>
       Multimodal.bmpMeta(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // image resize (r9): nearest-neighbor 8×8 thumbnail of the genuine
+    // BMP; picked-pixel hash replayed byte-by-byte from the tiling
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.bmpResize(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // video face (r8): minimal valid uncompressed AVI round trip —
     // RIFF-tree walk, frame/idx1 counts, all-frames pixel hash
     "mm_avi_meta" -> ((s, dir) =>
@@ -1756,6 +1761,33 @@ object PipelineQueries {
          |  COALESCE(p.pixel_hash, CAST(0 AS BIGINT)) AS pixel_hash,
          |  54 + st*h AS bmp_bytes
          |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // resize replay: output pixel (r,c) reads source pixel
+    // (r·h div 8, c·w div 8); the source byte at (row, col, k) is
+    // payload[(row·3w + col·3 + k) mod data_len] by the tiling, so the
+    // 192 picked bytes fold directly (ASCII corpus: ascii() == byte)
+    "mm_resize" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |a AS (
+         |  SELECT *,
+         |    CAST(16 + checksum % 320 AS BIGINT) AS w,
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |  FROM blobs),
+         |bytes AS (
+         |  SELECT doc_id, w, h,
+         |    flatten(flatten([[[
+         |      CAST(ascii(substr(text, CAST(((r*h//8)*(w*3) + (c*w//8)*3 + k) % data_len AS INT) + 1, 1)) AS BIGINT)
+         |      for k in generate_series(0, 2)]
+         |      for c in generate_series(0, 7)]
+         |      for r in generate_series(0, 7)])) AS bs
+         |  FROM a)
+         |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+         |  CAST(192 AS BIGINT) AS n_pixel_bytes, w AS src_w, h AS src_h,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (hh, x) -> (hh*31+x) % $M) AS pixel_hash
+         |FROM bytes ORDER BY doc_id""".stripMargin,
 
     // Same round-trip-by-formula argument for the column-level face; the
     // canonical PCM header makes every field a closed-form integer.

@@ -142,6 +142,43 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.getLong(11) === 0L)
   }
 
+  test("BMP resize: hand-computed nearest-neighbor picks on a known payload, " +
+      "corpus thumbnails carry the source dims, malformed input is null") {
+    import graft.functions.{BmpImpl, BmpResizeImpl}
+    val payload = "abcdefghijklmnop".getBytes("UTF-8")
+    val (w, h, t) = (16L, 20L, 8L)
+    val blob = BmpImpl.wrap(payload, w, h)
+    // independent reimplementation of the pick: byte (r,c,k) =
+    // payload[((r·h div t)·3w + (c·w div t)·3 + k) mod n]
+    val M = 1000000007L
+    var expected = 0L
+    for (r <- 0L until t; c <- 0L until t; k <- 0L until 3L) {
+      val idx = ((r * h / t) * (w * 3) + (c * w / t) * 3 + k) % payload.length
+      expected = (expected * 31L + (payload(idx.toInt) & 0xffL)) % M
+    }
+    val got = BmpResizeImpl.compute(blob, t)
+    assert(got != null)
+    assert(got.getLong(0) === t && got.getLong(1) === t)
+    assert(got.getLong(2) === 3 * t * t)
+    assert(got.getLong(3) === w && got.getLong(4) === h)
+    assert(got.getLong(5) === expected)
+    // malformed / out-of-profile inputs are null, never a throw
+    assert(BmpResizeImpl.compute(Array[Byte](1, 2, 3), t) == null)
+    assert(BmpResizeImpl.compute(blob, 0L) == null)
+    assert(BmpResizeImpl.compute(blob.take(60), t) == null)
+    // corpus-wide: every thumbnail is 8×8×3 bytes and carries the same
+    // source dims bmpMeta parses from the container
+    val rz = Multimodal.bmpResize(docs)
+    val meta = Multimodal.bmpMeta(docs)
+      .select(col("doc_id"), col("width"), col("height"))
+    val joined = rz.join(meta, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("out_w") =!= 8 || col("out_h") =!= 8 ||
+      col("n_pixel_bytes") =!= 192).count() === 0)
+    assert(joined.filter(col("src_w") =!= col("width") ||
+      col("src_h") =!= col("height")).count() === 0)
+  }
+
   test("malformed BMPs parse to null, never throw: garbage, truncation, " +
       "unsupported profile") {
     import graft.functions.BmpImpl
