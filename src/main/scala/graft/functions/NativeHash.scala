@@ -95,6 +95,8 @@ object NativeHash {
       exprs => BmpWrap(exprs.head, exprs(1), exprs(2))),
     ("graft_bmp_resize", "nearest-neighbor BMP thumbnail: [out dims, bytes, src dims, resized-pixel hash]",
       exprs => BmpResize(exprs.head, exprs(1))),
+    ("graft_wav_resample", "WAV decimation by d: [rate_out, format, frame counts, picked-sample hash]",
+      exprs => WavResample(exprs.head, exprs(1))),
     ("graft_bmp_meta", "parse a BMP blob into header fields + decoded-pixel hash; null when malformed",
       exprs => BmpMeta(exprs.head)),
     ("graft_avi_wrap", "wrap a binary payload as a minimal valid uncompressed AVI (DIB frames)",

@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
@@ -202,4 +202,76 @@ case class WavMeta(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): WavMeta =
     copy(child = newChild)
+}
+
+/** blob → [rate_out, channels, bits_per_sample, block_align,
+  * n_frames_in, n_frames_out, sample_hash] — integer DECIMATION of a
+  * genuine WAV by factor d (the audio analogue of mm_resize's
+  * nearest-neighbor pick and mm_framesample's frame stride): every d-th
+  * sample FRAME (block_align bytes) of the decoded data chunk survives,
+  * the hash folds the picked bytes in order, and the declared rate
+  * divides by d. Header and payload come through the SAME bounds-checked
+  * chunk walks as graft_wav_meta; malformed → null, never a throw.
+  */
+case class WavResample(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_resample"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_resample expects (binary, bigint), got " +
+        children.map(_.dataType.sql).mkString(", "))
+
+  override protected def nullSafeEval(blob: Any, d: Any): Any =
+    WavResampleImpl.compute(blob.asInstanceOf[Array[Byte]], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, d) => s"""
+      ${ev.value} = graft.functions.WavResampleImpl.compute($b, $d);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WavResample =
+    copy(left = newLeft, right = newRight)
+}
+
+object WavResampleImpl {
+  /** [rate_out, channels, bits_per_sample, block_align, n_frames_in,
+    * n_frames_out, sample_hash]
+    */
+  val Fields = 7
+  private val M = TextFunctions.HashMod
+
+  def compute(blob: Array[Byte], d: Long): ArrayData = {
+    if (d <= 0 || d > 1000000) return null
+    val hdr = WavImpl.parse(blob)
+    if (hdr == null) return null
+    val data = WavPayload.payload(blob)
+    if (data == null) return null
+    val ch = hdr.getLong(3)
+    val rate = hdr.getLong(4)
+    val bits = hdr.getLong(7)
+    val ba = hdr.getLong(6).toInt
+    if (rate < d) return null // decimating below 1 Hz is a caller bug
+    val nIn = data.length / ba
+    var hash = 0L
+    var f = 0L
+    var out = 0L
+    while (f < nIn) {
+      val base = (f * ba).toInt
+      var k = 0
+      while (k < ba) {
+        hash = (hash * 31L + (data(base + k) & 0xffL)) % M
+        k += 1
+      }
+      out += 1
+      f += d
+    }
+    new GenericArrayData(Array[Long](rate / d, ch, bits, ba, nIn, out, hash))
+  }
 }

@@ -280,6 +280,33 @@ object Multimodal {
         } :+ octet_length(col("wav")).cast("long").as("wav_bytes"): _*)
   }
 
+  /** Column-level audio RESAMPLE — integer decimation by `decim`, the
+    * audio face of the resize/framesample family: the genuine WAV is
+    * built at [[audioParams]]'s declared format, every `decim`-th sample
+    * frame of its decoded data chunk survives, and the picked-sample
+    * hash is the checksum of what a downsampled consumer receives. The
+    * kernel reuses graft_wav_meta's bounds-checked chunk walks;
+    * malformed → null. Narrow per-row projection — zero shuffle.
+    */
+  def audioResample(docs: DataFrame, decim: Int = 4): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val checksum = TextFunctions.polyhashNative(col("text"))
+    val (rate, ch, bits) = audioParams(checksum)
+    val fields = Seq("rate_out", "channels", "bits_per_sample",
+      "block_align", "n_frames_in", "n_frames_out", "sample_hash")
+    docs.filter(col("doc_id") % 3 === 1)
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__rate", rate)
+      .withColumn("__ch", ch)
+      .withColumn("__bits", bits)
+      .withColumn("wav", expr("graft_wav_wrap(__raw, __rate, __ch, __bits)"))
+      .withColumn("rs", expr(s"graft_wav_resample(wav, CAST($decim AS BIGINT))"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("rs"), i + 1).as(f)
+        }: _*)
+  }
+
   /** Column-level BMP round trip — the SQL-expressible face of the image
     * decode path, mirroring [[wavMeta]]: build the real 24-bpp BMP with
     * `graft_bmp_wrap` (dimensions = [[meta]]'s declared width/height, so

@@ -354,6 +354,11 @@ object PipelineQueries {
     "mm_resize" -> ((s, dir) =>
       Multimodal.bmpResize(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // audio resample (r9): decimation by 4 over the genuine WAV's data
+    // chunk; picked-sample hash replayed positionally from the text
+    "mm_resample" -> ((s, dir) =>
+      Multimodal.audioResample(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // video face (r8): minimal valid uncompressed AVI round trip —
     // RIFF-tree walk, frame/idx1 counts, all-frames pixel hash
     "mm_avi_meta" -> ((s, dir) =>
@@ -1787,6 +1792,36 @@ object PipelineQueries {
          |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
          |  CAST(192 AS BIGINT) AS n_pixel_bytes, w AS src_w, h AS src_h,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (hh, x) -> (hh*31+x) % $M) AS pixel_hash
+         |FROM bytes ORDER BY doc_id""".stripMargin,
+
+    // resample replay: the WAV data chunk IS the text bytes, so frame f
+    // byte k is text[f·ba + k]; picked frames stride 4 (ASCII corpus:
+    // ascii() == byte), counts in closed form
+    "mm_resample" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |a AS (
+         |  SELECT *,
+         |    CAST(8000 + (checksum % 4) * 8000 AS BIGINT) AS sample_rate,
+         |    CAST(1 + checksum % 2 AS BIGINT) AS channels,
+         |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits
+         |  FROM blobs),
+         |geo AS (
+         |  SELECT *, channels * bits // 8 AS ba,
+         |         data_len // (channels * bits // 8) AS n_in
+         |  FROM a),
+         |bytes AS (
+         |  SELECT doc_id, sample_rate, channels, bits, ba, n_in,
+         |    flatten([[CAST(ascii(substr(text, CAST(f*ba + k AS INT) + 1, 1)) AS BIGINT)
+         |              for k in generate_series(0, ba - 1)]
+         |              for f in generate_series(0, n_in - 1, 4)]) AS bs
+         |  FROM geo)
+         |SELECT doc_id, sample_rate // 4 AS rate_out, channels,
+         |  bits AS bits_per_sample, ba AS block_align, n_in AS n_frames_in,
+         |  CAST((n_in + 3) // 4 AS BIGINT) AS n_frames_out,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (hh, x) -> (hh*31+x) % $M) AS sample_hash
          |FROM bytes ORDER BY doc_id""".stripMargin,
 
     // Same round-trip-by-formula argument for the column-level face; the

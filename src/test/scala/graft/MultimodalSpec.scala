@@ -96,6 +96,35 @@ class MultimodalSpec extends SparkSpec {
     assert(WavPayload.payload(huge.array()) === null)
   }
 
+  test("WAV resample: hand-computed decimation on a known payload, corpus counts " +
+      "and rate agree with the parsed header, malformed input is null") {
+    import graft.functions.{WavImpl, WavResampleImpl}
+    val payload = "0123456789abcdefghij".getBytes("UTF-8") // 20 B, ba=4 → 5 frames
+    val blob = WavImpl.wrap(payload, 8000, 2, 16)
+    val got = WavResampleImpl.compute(blob, 2) // frames 0, 2, 4
+    val M = 1000000007L
+    var expected = 0L
+    for (f <- Seq(0, 2, 4); k <- 0 until 4)
+      expected = (expected * 31L + (payload(f * 4 + k) & 0xffL)) % M
+    assert(got != null)
+    assert(got.getLong(0) === 4000L && got.getLong(1) === 2L)
+    assert(got.getLong(2) === 16L && got.getLong(3) === 4L)
+    assert(got.getLong(4) === 5L && got.getLong(5) === 3L)
+    assert(got.getLong(6) === expected)
+    assert(WavResampleImpl.compute(Array[Byte](1, 2), 4L) == null)
+    assert(WavResampleImpl.compute(blob, 0L) == null)
+    // corpus-wide: counts and rate derive exactly from the parsed header
+    val rs = Multimodal.audioResample(docs)
+    val meta = Multimodal.wavMeta(docs)
+      .select(col("doc_id"), col("sample_rate"), col("n_frames"))
+    val j = rs.join(meta, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("n_frames_in") =!= col("n_frames")).count() === 0)
+    assert(j.filter(col("n_frames_out") =!= expr("(n_frames_in + 3) div 4"))
+      .count() === 0)
+    assert(j.filter(col("rate_out") =!= expr("sample_rate div 4")).count() === 0)
+  }
+
   test("BMP wrap emits a byte-valid 24-bpp bitmap (independent reader); parse " +
       "round-trips it and the pixel hash equals a direct tiled fold") {
     import graft.functions.BmpImpl
