@@ -474,14 +474,34 @@ object TextOps {
     * Docs with no repeated span skip the join entirely (left join against
     * the dup side, empty-array fallback).
     */
-  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame = {
+  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame =
+    spanDedupWithVocab(docs, spanVocab(docs, span), span)
+
+  /** The dup-span VOCABULARY (span hashes with corpus df ≥ 2) — the
+    * offline fit of the removal: [[spanDedup]] derives it from the same
+    * corpus it rewrites; a streaming deployment materializes it bucketed
+    * by `h` and probes it per trigger ([[graft.streaming.SpanStream]]).
+    */
+  def spanVocab(docs: DataFrame, span: Int = 8): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val hashes = docs.select(col("doc_id"),
-      expr(s"graft_span_hashes(text, $span)").as("hs"))
-    val occ = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
-    val repeated = occ.groupBy("h").agg(count(lit(1)).as("df"))
+    docs.select(col("doc_id"), expr(s"graft_span_hashes(text, $span)").as("hs"))
+      .select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("h")
-    val docDup = occ.join(repeated, "h")
+  }
+
+  /** Span removal against a FITTED dup-span vocabulary — the shared body
+    * of the batch operator and the streaming per-trigger sink. The
+    * per-doc collect_list is bounded by the doc's own span count, and
+    * the rewrite is one linear codegen'd kernel call.
+    */
+  def spanDedupWithVocab(docs: DataFrame, vocab: DataFrame,
+                         span: Int = 8): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val occ = docs
+      .select(col("doc_id"), expr(s"graft_span_hashes(text, $span)").as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val docDup = occ.join(vocab.select(col("h")), Seq("h"))
       .groupBy("doc_id").agg(collect_list(col("h")).as("dup_hs"))
     docs.join(docDup, Seq("doc_id"), "left")
       .withColumn("dup_hs",

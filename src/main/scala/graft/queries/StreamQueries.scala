@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, ImportanceStream, RangeJoinStream, SimilarityStream, TopicStream}
+import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, ImportanceStream, RangeJoinStream, SimilarityStream, SpanStream, TopicStream}
 
 /** SURVEY.md §2a streaming rows — each runs a real Structured Streaming
   * job (AvailableNow) to parquet and returns the result.
@@ -180,6 +180,14 @@ object StreamQueries {
       val (out, ckpt) = TopicStream.scratchDirs("stream_importance", dir)
       ImportanceStream.importanceStream(s, dir, out, ckpt)
         .orderBy(col("doc_id"))
+    }),
+    // Streaming span removal vs the bucketed history-fitted dup-span
+    // vocabulary; zero cross-batch state; replay = pipeline_span_dedup
+    // verbatim.
+    "stream_span_dedup" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_span_dedup", dir)
+      SpanStream.spanDedupStream(s, dir, out, ckpt)
+        .orderBy(col("doc_id"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -202,6 +210,7 @@ object StreamQueries {
     "stream_source_stats" -> PipelineQueries.oracles("corpus_source_stats"),
     "stream_anomaly" -> AnalyticsQueries.oracles("events_anomaly"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
+    "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization
     // plus the streaming emission rule — a non-final session of a user is
     // always gap-closed; the final session is timeout-closed iff the

@@ -246,6 +246,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming span removal over multi-batch replay equals batch spanDedup; " +
+      "the fitted vocabulary scans its buckets, never re-shuffled") {
+    val docsDir = "/root/repo/target/stream-scratch/docs-split-span"
+    Tables.load(spark, sf, "documents").repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_span_dedup", docsDir)
+    val streamed = withoutBroadcast {
+      // fit from the same history it replays (the replay-parity contract)
+      graft.streaming.SpanStream.spanDedupStream(
+        spark, sf, out, ckpt, maxFilesPerTrigger = Some(1),
+        docsPath = Some(docsDir))
+    }
+    val batch = graft.operators.TextOps.spanDedup(Tables.load(spark, sf, "documents"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    // the per-trigger join probes the bucketed vocabulary in place
+    val vocab = spark.table("graft_span_vocab").hint("merge")
+    val p = withoutBroadcast {
+      graft.operators.TextOps.spanDedupWithVocab(
+        Tables.load(spark, sf, "documents"), vocab)
+        .queryExecution.executedPlan.toString
+    }
+    assert(p.contains("SelectedBucketsCount"),
+      s"fitted vocabulary must scan bucketed:\n$p")
+  }
+
   test("streaming DSIR scoring over multi-batch replay equals batch importance; " +
       "the bucketed weight index plans with zero static Exchange") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split-imp"
