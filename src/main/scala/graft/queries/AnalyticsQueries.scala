@@ -101,6 +101,25 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), decSumDouble(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // TPC-H Q12 adapted to the test schema (r9): conditional aggregation
+    // over a fact-fact join — shipped-in-1996 lines classified by their
+    // order's priority, counted per return flag. The year filter pushes
+    // to the lineitem scan; both facts shuffle once on the order key;
+    // the CASE counts ride partial aggregation.
+    "q12_priority_lines" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Hopping (sliding) windows (r9): Spark's native window() with
     // width 1h / slide 30min — every event lands in exactly width/slide
     // = 2 windows, epoch-aligned starts. The explode-then-aggregate is
@@ -475,6 +494,15 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "q12_priority_lines" ->
+      s"""SELECT l_returnflag,
+         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // hop replay: a µs timestamp t belongs to the two epoch-aligned
     // 30-min starts {floor30(t), floor30(t) − 30min} for a 1h window —
     // Spark's TimeWindow expansion in closed form (positive epoch µs,
