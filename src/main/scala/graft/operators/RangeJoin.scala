@@ -78,6 +78,58 @@ object RangeJoin {
         coalesce(col("n_in_window"), lit(0L)).as("n_in_window"): _*)
   }
 
+  /** Interval-OVERLAP self-join, banded — for every interval, the count
+    * of intervals from OTHER groups that overlap it in time (the classic
+    * temporal/concurrency join: concurrent sessions, reservation
+    * conflicts, co-occurring incidents).
+    *
+    * The naive encoding `a JOIN b ON a.start <= b.end AND b.start <=
+    * a.end` is a cross product — quadratic, no equi-key at all. Here
+    * every interval explodes to the time bands it COVERS (floor(start/W)
+    * … floor(end/W)), so two overlapping intervals share at least one
+    * band and the join is a plain equi-join on band; the exact overlap
+    * test on candidates makes the banding lossless, and the final
+    * distinct collapses multi-band double-counts. Fan-out per interval
+    * is len/W + 1 — size `bandMs` to the TYPICAL interval length so
+    * bands stay O(1) per row and band population stays O(concurrency).
+    *
+    * @param intervals frame with id columns + [start, end] timestamps
+    * @param id        columns uniquely identifying an interval
+    * @param group     column whose equal values never pair (self-group
+    *                  exclusion: "other users' sessions")
+    * @param bandMs    band width in ms — the fan-out/selectivity dial
+    * @return id columns + `n_overlap` (0 when nothing overlaps)
+    */
+  def overlapCount(intervals: DataFrame, id: Seq[String],
+                   startCol: String, endCol: String,
+                   group: String, bandMs: Long): DataFrame = {
+    require(bandMs > 0, s"overlapCount: bandMs must be positive, got $bandMs")
+    val sMs = unix_millis(col(startCol))
+    val eMs = unix_millis(col(endCol))
+    val banded = intervals.select(
+      (id.map(col) :+ col(group) :+ sMs.as("__s") :+ eMs.as("__e")).distinct: _*)
+      .withColumn("__band",
+        explode(sequence(floorDivLong(col("__s"), bandMs),
+          floorDivLong(col("__e"), bandMs))))
+    val a = banded.select(
+      id.map(c => col(c).as(s"a_$c")) :+ col(group).as("__ag") :+
+        col("__s").as("__as") :+ col("__e").as("__ae") :+ col("__band"): _*)
+    val b = banded.select(
+      id.map(c => col(c).as(s"b_$c")) :+ col(group).as("__bg") :+
+        col("__s").as("__bs") :+ col("__e").as("__be") :+ col("__band"): _*)
+    val pairs = a.join(b, Seq("__band"))
+      .filter(col("__ag") =!= col("__bg") &&
+        col("__as") <= col("__be") && col("__bs") <= col("__ae"))
+      .select(id.map(c => col(s"a_$c")) ++ id.map(c => col(s"b_$c")): _*)
+      .distinct()
+    val counts = pairs.groupBy(id.map(c => col(s"a_$c").as(c)): _*)
+      .agg(count(lit(1)).as("n_overlap"))
+    intervals.select(id.map(col): _*)
+      .join(counts, id, "left_outer")
+      .select(id.map(col) :+
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"): _*)
+  }
+
   /** floorDiv(x, w) in EXACT long arithmetic (w > 0): `x div w` minus one
     * when the remainder is negative. The double form `floor(x / w)` loses
     * ulps for |x| ≳ w·2^52 — the long→double cast can round across a band

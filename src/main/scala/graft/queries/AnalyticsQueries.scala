@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.operators.RangeJoin
 import graft.sources.Tables
 
 /** SURVEY.md §2b — the analytics core (bench headliners).
@@ -364,22 +365,39 @@ object AnalyticsQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
     // Gap-based sessionization (30 min) via window lag + running sum.
-    "events_sessionize" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .withColumn("ms", unix_millis(col("ts")))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-      e.withColumn("prev_ms", lag(col("ms"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
-        .withColumn("session_seq",
-          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-          decSumDouble(col("value")).as("total_value"))
-        .orderBy(col("user_id"), col("session_seq"))
-    }))
+    "events_sessionize" -> ((s, dir) =>
+      sessionFrame(s, dir).orderBy(col("user_id"), col("session_seq"))),
+
+    // Interval-OVERLAP join (r9): per session, how many OTHER users'
+    // sessions overlap it in time — the classic temporal/concurrency
+    // join, via the banded interval plan (RangeJoin.overlapCount).
+    "events_session_overlap" -> ((s, dir) =>
+      RangeJoin.overlapCount(
+        sessionFrame(s, dir)
+          .select(col("user_id"), col("session_seq"),
+            col("session_start"), col("session_end")),
+        Seq("user_id", "session_seq"), "session_start", "session_end",
+        "user_id", 3600000L)
+        .orderBy(col("user_id"), col("session_seq"))))
+
+  /** The sessionization frame (30-min gap rule, decimal totals) —
+    * shared by events_sessionize and the interval-overlap join.
+    */
+  private def sessionFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ms", unix_millis(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    e.withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        decSumDouble(col("value")).as("total_value"))
+  }
 
   /** Attribution horizon for events_asof_tolerance, micros — computed once
     * and interpolated into BOTH engines (30 minutes).
@@ -771,6 +789,30 @@ object AnalyticsQueries {
          |FROM t WHERE from_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // overlap replay: the sessionize CTEs + the naive theta join the
+    // banded plan replaces; comparisons on epoch_ms both engines (the
+    // operator bands/verifies on unix_millis — ms floor matches)
+    "events_session_overlap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |  FROM events),
+         |flags AS (
+         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flags),
+         |agg AS (
+         |  SELECT user_id, session_seq, MIN(ms) AS s_ms, MAX(ms) AS e_ms
+         |  FROM sess GROUP BY user_id, session_seq)
+         |SELECT a.user_id, a.session_seq, CAST(COUNT(b.user_id) AS BIGINT) AS n_overlap
+         |FROM agg a LEFT JOIN agg b
+         |  ON a.user_id <> b.user_id AND a.s_ms <= b.e_ms AND b.s_ms <= a.e_ms
+         |GROUP BY a.user_id, a.session_seq
+         |ORDER BY a.user_id, a.session_seq""".stripMargin,
     "events_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",

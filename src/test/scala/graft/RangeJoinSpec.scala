@@ -28,6 +28,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(banded.filter(col("n_in_window") > 0).count() > 0, "fixture must exercise matches")
   }
 
+  test("interval overlap: hand fixture covers multi-band spans and inclusive " +
+      "boundaries; banded count equals the naive theta join on real sessions") {
+    import spark.implicits._
+    val iv = Seq(
+      ("a", 1L, 0L, 7200000L), // 2h — spans three 1h bands
+      ("b", 1L, 3600000L, 5400000L), // inside a1
+      ("b", 2L, 9000000L, 9600000L), // disjoint from everything
+      ("c", 1L, 7200000L, 7300000L), // touches a1 exactly at its end
+      ("a", 2L, 20000000L, 21000000L)) // overlaps nothing
+      .toDF("g", "iid", "sms", "ems")
+      .withColumn("s", timestamp_millis(col("sms")))
+      .withColumn("e", timestamp_millis(col("ems")))
+    val out = RangeJoin.overlapCount(iv, Seq("g", "iid"), "s", "e", "g", 3600000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", 1L) -> 2L, ("b", 1L) -> 1L, ("b", 2L) -> 0L,
+      ("c", 1L) -> 1L, ("a", 2L) -> 0L))
+    // real sessions: banded result == the naive cross-filter join
+    val sess = AnalyticsQueries.queries("events_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end")).cache()
+    val banded = RangeJoin.overlapCount(sess, Seq("user_id", "session_seq"),
+      "session_start", "session_end", "user_id", 3600000L)
+    val a = sess.select(col("user_id").as("au"), col("session_seq").as("as_"),
+      unix_millis(col("session_start")).as("asm"), unix_millis(col("session_end")).as("aem"))
+    val b = sess.select(col("user_id").as("bu"),
+      unix_millis(col("session_start")).as("bsm"), unix_millis(col("session_end")).as("bem"))
+    val naive = a.crossJoin(b)
+      .filter(col("au") =!= col("bu") && col("asm") <= col("bem") && col("bsm") <= col("aem"))
+      .groupBy(col("au").as("user_id"), col("as_").as("session_seq"))
+      .agg(count(lit(1)).as("nn"))
+    val joined = banded.join(naive, Seq("user_id", "session_seq"), "left_outer")
+      .withColumn("nn0", coalesce(col("nn"), lit(0L)))
+    assert(banded.count() === sess.count(), "every interval must surface")
+    assert(joined.filter(col("n_overlap") =!= col("nn0")).count() === 0)
+    sess.unpersist()
+  }
+
   test("window boundary is inclusive at exactly W and exclusive one microsecond past") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
