@@ -121,6 +121,27 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TPC-H Q14 adapted (r9): promo revenue share — what fraction of a
+    // quarter's revenue came from ECONOMY-type parts. The quarter filter
+    // pushes to the lineitem scan; part is a DIMENSION and broadcasts;
+    // both conditional sums are decimal-exact, the share is one IEEE
+    // division of two exact doubles.
+    "q14_promo_share" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.load(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", rev)
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .withColumn("promo_share_pct",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    }),
+
     // Hopping (sliding) windows (r9): Spark's native window() with
     // width 1h / slide 30min — every event lands in exactly width/slide
     // = 2 windows, epoch-aligned starts. The explode-then-aggregate is
@@ -512,6 +533,19 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT promo_revenue, total_revenue,
+         |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+         |FROM (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+         |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+         |    $Revenue AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin,
     "q12_priority_lines" ->
       s"""SELECT l_returnflag,
          |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
