@@ -121,6 +121,22 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TPC-H Q4 adapted (r9): order counts per priority for orders with
+    // at least one RETURNED line — the EXISTS/left-SEMI join shape
+    // (orders_anti_join's complement). The semi join never duplicates an
+    // order however many lines match, and the probe side carries only
+    // the 8-byte order key.
+    "q4_priority_orders" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
     // TPC-H Q14 adapted (r9): promo revenue share — what fraction of a
     // quarter's revenue came from ECONOMY-type parts. The quarter filter
     // pushes to the lineitem scan; part is a DIMENSION and broadcasts;
@@ -533,6 +549,15 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "q4_priority_orders" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q14_promo_share" ->
       s"""SELECT promo_revenue, total_revenue,
          |  100.0 * promo_revenue / total_revenue AS promo_share_pct
