@@ -309,6 +309,48 @@ object TextOps {
       .limit(k)
   }
 
+  /** Association-lift card — PMI's division-friendly sibling over
+    * adjacent word pairs: lift(a,b) = P(ab)/(P(a)·P(b)) =
+    * n_ab·T / (n_a·n_b), top-k by lift at a minimum pair support (the
+    * collocation-mining number: lift ≫ 1 = a genuine collocation,
+    * ≈ 1 = independence — what raw bigram counts can't distinguish
+    * because frequent-word pairs dominate them).
+    *
+    * Engine-exactness: counts are BIGINT; the lift is ONE fixed shape
+    * of IEEE ops — (n_ab·T as doubles) / (n_a·n_b as doubles) — so both
+    * engines compute bit-identical doubles (multiplying the BIGINTs
+    * first would overflow at corpus scale; the double products round
+    * identically in both engines). Ties broken by (a, b).
+    *
+    * Scale shape: same per-doc lead window as [[ngramTopK]] (ONE doc_id
+    * exchange), then vocabulary-keyed hash aggregates with map-side
+    * combine; the support filter runs BEFORE the unigram enrich joins,
+    * and the totals row broadcasts.
+    */
+  def liftTopK(docs: DataFrame, k: Int = 20, minSupport: Long = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")))
+      .toDF("doc_id", "pos", "tok")
+    val pairCounts = toks.withColumn("nb", lead(col("tok"), 1).over(w))
+      .filter(col("nb").isNotNull)
+      .groupBy(col("tok").as("a"), col("nb").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val totals = pairCounts.agg(sum(col("n_ab")).as("t"))
+    pairCounts.filter(col("n_ab") >= minSupport)
+      .join(uni.select(col("tok").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        (col("n_ab").cast("double") * col("t").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select("a", "b", "n_ab", "n_a", "n_b", "lift")
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Token-budget packing: assign each document to a training pack of
     * ≤ `budget` tokens (first-fit in doc_id order; a doc whose exclusive
     * running total crosses a pack boundary starts the next pack, so a

@@ -174,6 +174,10 @@ object PipelineQueries {
     // construction — no UDF, one doc_id shuffle + TakeOrdered.
     "corpus_ngram_topk" -> ((s, dir) =>
       TextOps.ngramTopK(Tables.load(s, dir, "documents"))),
+    // association lift card (r9): top collocations by n_ab·T/(n_a·n_b)
+    // at min support — what raw bigram counts can't rank
+    "corpus_lift_topk" -> ((s, dir) =>
+      TextOps.liftTopK(Tables.load(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -1432,6 +1436,30 @@ object PipelineQueries {
          |        FROM documents))
          |GROUP BY g
          |ORDER BY n_occurrences DESC, ngram
+         |LIMIT 20""".stripMargin,
+
+    // lift replay: same pair/unigram counts; the lift is the SAME fixed
+    // IEEE shape ((n_ab·T) doubles over (n_a·n_b) doubles) both engines
+    "corpus_lift_topk" ->
+      s"""WITH prs AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)),
+         |pc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM prs GROUP BY 1, 2),
+         |uc AS (SELECT tok, COUNT(*) AS n FROM (
+         |         SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |         FROM documents) GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS t FROM pc)
+         |SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+         |  (CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
+         |  (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+         |FROM pc
+         |JOIN uc ua ON ua.tok = a
+         |JOIN uc ub ON ub.tok = b
+         |CROSS JOIN tot
+         |WHERE n_ab >= 5
+         |ORDER BY lift DESC, a, b
          |LIMIT 20""".stripMargin,
 
     "doc_fingerprint" ->
