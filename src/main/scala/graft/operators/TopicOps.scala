@@ -258,6 +258,29 @@ object TopicOps {
       .agg(max(col("offset")).as("committed_offset"), count(lit(1)).as("records"))
       .withColumn("group", lit(group))
 
+  /** Consumer-lag card — THE Kafka operational metric, against the
+    * decisions log as the consumer: per (topic, partition), the log-end
+    * offset, the last decided offset, and how many records sit beyond
+    * it awaiting a decision (a partition with no decisions at all lags
+    * by its full record count).
+    *
+    * Scale shape: the per-partition decision maxima are a
+    * partition-count-sized dim and BROADCAST; ONE aggregate pass over
+    * the log computes end offset, record count and the conditional lag
+    * count together (map-side partial combine — never two scans).
+    */
+  def lag(src: DataFrame, decisions: DataFrame): DataFrame = {
+    val dec = decisions.groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("last_decided_offset"))
+    src.join(broadcast(dec), Seq("topic", "partition"), "left_outer")
+      .groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("log_end_offset"),
+        count(lit(1)).as("records"),
+        max(col("last_decided_offset")).as("last_decided_offset"),
+        count(when(col("offset") >
+          coalesce(col("last_decided_offset"), lit(-1L)), 1)).as("lag_records"))
+  }
+
   /** Topic scan statistics (Print.kt counters generalized). */
   def stats(src: DataFrame): DataFrame =
     src.groupBy(col("topic"), col("partition")).agg(

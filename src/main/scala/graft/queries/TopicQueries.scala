@@ -200,6 +200,15 @@ object TopicQueries {
     "topic_offsets" -> ((s, dir) =>
       TopicOps.committedOffsets(Topics.events(s, dir), "graft")
         .orderBy(col("partition"))),
+    // consumer-lag card (r9): log end vs last decided offset per
+    // partition, records still awaiting a decision (the Kafka ops
+    // metric, with the decisions log as the consumer)
+    "topic_lag" -> ((s, dir) => {
+      val t = Topics.events(s, dir)
+      val decisions = t.filter(col("offset") % 3 === 0)
+        .select(col("topic"), col("partition"), col("offset"))
+      TopicOps.lag(t, decisions).orderBy(col("partition"))
+    }),
     // Avro value serde (MixedValue.kt:30 delegate; Factory.kt:103 Avro
     // wiring): encode→decode round-trip over the events payload — the
     // decoded columns must equal the source columns the datum was built
@@ -399,6 +408,18 @@ object TopicQueries {
          |SELECT topic, "partition", MAX("offset") AS committed_offset,
          |       COUNT(*) AS records, 'graft' AS "group"
          |FROM topic GROUP BY topic, "partition" ORDER BY "partition"""".stripMargin,
+    // lag replay: per-partition decision maxima + one conditional count
+    "topic_lag" ->
+      s"""$TopicCte, dec AS (
+         |  SELECT topic, "partition", MAX("offset") AS last_decided_offset
+         |  FROM topic WHERE "offset" % 3 = 0 GROUP BY topic, "partition")
+         |SELECT t.topic, t."partition", MAX(t."offset") AS log_end_offset,
+         |  COUNT(*) AS records, MAX(d.last_decided_offset) AS last_decided_offset,
+         |  CAST(COUNT(CASE WHEN t."offset" > COALESCE(d.last_decided_offset, -1)
+         |             THEN 1 END) AS BIGINT) AS lag_records
+         |FROM topic t LEFT JOIN dec d USING (topic, "partition")
+         |GROUP BY t.topic, t."partition"
+         |ORDER BY t."partition"""".stripMargin,
     // Round-trip identity: decoded Avro columns == the source columns the
     // datum was encoded from.
     "topic_serde_avro" ->
