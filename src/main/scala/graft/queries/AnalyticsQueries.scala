@@ -172,6 +172,71 @@ object AnalyticsQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // CUBE aggregation (r9): completes events_rollup's subtotal lattice
+    // with the column marginals ROLLUP can't express — all four grouping
+    // sets of (event_type, day) in ONE pass. Spark's Expand operator
+    // blows each row up ×4 MAP-SIDE and partial aggregation collapses
+    // the blowup before the single hash exchange — the shuffle carries
+    // at most 4·|grouping keys| rows, never ×4 events. Per-column
+    // grouping() flags disambiguate a real NULL key from a subtotal row.
+    "events_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("day")).cast("int").as("g_day"),
+          grouping_id(col("event_type"), col("day")).cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          decSumDouble(col("value")).as("total_value"))
+        .orderBy(col("gid"), col("event_type"), col("day"))),
+
+    // PIVOT (r9): event types to columns per day. The value list is
+    // EXPLICIT — pivot without it runs a whole extra distinct job just
+    // to learn the columns, and an unbounded type domain would make the
+    // row width data-dependent; with it, the pivot is a plain map-side
+    // conditional projection collapsed by ONE partial-aggregated hash
+    // exchange on `day` (exactly the conditional-aggregation plan the
+    // oracle spells out).
+    "events_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(decSumDouble(col("value")))
+        .withColumnsRenamed(Map("click" -> "click_total", "error" -> "error_total",
+          "purchase" -> "purchase_total", "signup" -> "signup_total",
+          "view" -> "view_total"))
+        .orderBy(col("day"))),
+
+    // EXACT distributed percentiles (r9) — the histogram-cumsum plan:
+    // nearest-rank p50/p90/p99 per type over integer cents, no global
+    // sort, no per-group serialization of raw rows, no sketch error.
+    // The first hash aggregate crushes the fact to its distinct
+    // (type, cents) grid — bounded by the value domain, NOT the row
+    // count — so the rank-selection window runs over grid cells only.
+    // cents are exact (decimal(12,2)·100), rank = ceil(p·n/100) in
+    // integer arithmetic, so both engines agree bit-for-bit; the
+    // events_approx sketch card is the mergeable-but-approximate
+    // alternative this one out-does when exactness is required.
+    "events_percentiles" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val hist = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("c"))))
+        .withColumn("n", sum(col("cnt")).over(byType))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          min(when(col("cum") >= expr("(50*n + 99) DIV 100"), col("c"))).as("p50_cents"),
+          min(when(col("cum") >= expr("(90*n + 99) DIV 100"), col("c"))).as("p90_cents"),
+          min(when(col("cum") >= expr("(99*n + 99) DIV 100"), col("c"))).as("p99_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Inter-arrival gap card (r8): per-user lag window (ONE exchange on
     // user_id) → integer µs gaps → partial-aggregated per-type stats;
     // sums stay BIGINT so both engines are exact, avg derived once.
@@ -698,6 +763,41 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
          |ORDER BY level, event_type, hour""".stripMargin,
+    "events_cube" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         |         "value"
+         |  FROM events)
+         |SELECT event_type, day,
+         |  CAST(GROUPING(event_type) AS INT) AS g_type,
+         |  CAST(GROUPING(day) AS INT) AS g_day,
+         |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_events, ${sqlDecSum("\"value\"")} AS total_value
+         |FROM e GROUP BY CUBE(event_type, day)
+         |ORDER BY gid, event_type, day""".stripMargin,
+    "events_pivot" ->
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         |  ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+             s"""CAST(SUM(CASE WHEN event_type = '$t' THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE) AS ${t}_total""")
+            .mkString(",\n  ")}
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "events_percentiles" ->
+      s"""WITH cents AS (
+         |  SELECT event_type, CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE "value" IS NOT NULL),
+         |hist AS (
+         |  SELECT event_type, c, COUNT(*) AS cnt FROM cents GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, c,
+         |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM hist)
+         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+         |  MIN(CASE WHEN cum >= (50*n + 99) // 100 THEN c END) AS p50_cents,
+         |  MIN(CASE WHEN cum >= (90*n + 99) // 100 THEN c END) AS p90_cents,
+         |  MIN(CASE WHEN cum >= (99*n + 99) // 100 THEN c END) AS p99_cents
+         |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_asof" ->
       s"""WITH p AS (
          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, "value"

@@ -245,4 +245,68 @@ class PlanSpec extends SparkSpec {
     assert(windows >= 2,
       s"expected salted local + global window stages (single-reducer funnel otherwise):\n$p")
   }
+
+  test("cube: map-side Expand ×4 collapsed by ONE partial-aggregated exchange; " +
+      "every grouping-set slice conserves the event count") {
+    import org.apache.spark.sql.functions._
+    val n = graft.sources.Tables.load(spark, sf, "events").count()
+    val cube = AnalyticsQueries.queries("events_cube")(spark, sf).cache()
+    // each of the four grouping sets partitions the events independently
+    for (gid <- 0 to 3)
+      assert(cube.filter(col("gid") === gid).agg(sum("n_events")).collect()(0).getLong(0) === n,
+        s"grouping set $gid must conserve the event count")
+    // the grand-total row is unique and flagged by both per-column flags
+    assert(cube.filter(col("g_type") === 1 && col("g_day") === 1).count() === 1)
+    cube.unpersist()
+    val p = AnalyticsQueries.queries("events_cube")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"cube must plan the map-side Expand:\n$p")
+    assert(p.contains("partial_count"),
+      s"partial aggregation must collapse the ×4 blowup before the shuffle:\n$p")
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 1, s"cube must hash-shuffle exactly once:\n$p")
+  }
+
+  test("pivot with an explicit value list plans two partial-agg'd hash aggregates " +
+      "(cell sums, pivotfirst collapse) — no distinct job to learn the columns") {
+    val df = AnalyticsQueries.queries("events_pivot")(spark, sf)
+    assert(df.columns.toSeq === Seq("day", "click_total", "error_total",
+      "purchase_total", "signup_total", "view_total"))
+    val p = df.queryExecution.executedPlan.toString
+    // (day, event_type) cell aggregate + the pivotfirst collapse on day;
+    // an implicit-values pivot would ALSO run a separate distinct job
+    // before this plan even exists
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 2, s"pivot is cell agg + pivotfirst agg, nothing more:\n$p")
+    assert(p.contains("partial_pivotfirst"),
+      s"pivot collapse needs map-side combine:\n$p")
+  }
+
+  test("exact percentiles: nearest-rank selection over the value histogram matches " +
+      "a per-type in-memory sort") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val got = AnalyticsQueries.queries("events_percentiles")(spark, sf).collect()
+    assert(got.length === events.size)
+    for (r <- got) {
+      val vs = events(r.getString(0))
+      val n = vs.length
+      assert(r.getLong(1) === n.toLong)
+      def nearestRank(p: Int): Long = vs((p * n + 99) / 100 - 1)
+      assert(r.getLong(2) === nearestRank(50), s"${r.getString(0)} p50")
+      assert(r.getLong(3) === nearestRank(90), s"${r.getString(0)} p90")
+      assert(r.getLong(4) === nearestRank(99), s"${r.getString(0)} p99")
+    }
+    // the histogram aggregate must crush the fact before the rank window:
+    // two hash aggregates (hist, final) + the window, all partial-agg'd
+    val p = AnalyticsQueries.queries("events_percentiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"histogram needs map-side combine:\n$p")
+    assert(p.contains("Window"), s"rank selection rides a window over the grid:\n$p")
+  }
 }
