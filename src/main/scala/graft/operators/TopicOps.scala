@@ -186,6 +186,39 @@ object TopicOps {
         col("value"), col("ts"), col("version"))
   }
 
+  /** Type-2 slowly-changing-dimension HISTORY of the record log — the
+    * time-travel view between the full log (print) and [[compact]]'s
+    * latest-only state: every non-tombstone record becomes a version row
+    * with a validity interval [valid_from, valid_to), closed by the key's
+    * NEXT record of any kind. A tombstone emits no row of its own but
+    * closes the version it deletes — so a purged key's history survives
+    * with every interval closed (`is_current = false` throughout), which
+    * is exactly what the reference's merge-purge tombstones mean for a
+    * warehouse consumer (Pipeline.kt:93). `seq` numbers ALL records of
+    * the key (tombstones included), so version ids are stable under
+    * later purges.
+    *
+    * Scale shape: ONE exchange on (topic, partition, key); both the
+    * `lead` bounds and `seq` ride the SAME window frame — one sort, one
+    * Window operator (plan-asserted in TopicOpsSpec). Per-key state is
+    * the key's own history length; there is no cross-key ordering
+    * anywhere, so hot partitions split freely.
+    */
+  def scd2(src: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("partition"), col("key"))
+      .orderBy(col("offset"))
+    src
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .withColumn("valid_to_offset", lead(col("offset"), 1).over(w))
+      .withColumn("seq", row_number().over(w))
+      .filter(!isTombstone(col("value")))
+      .select(col("topic"), col("partition"), col("key"), col("value"),
+        col("seq"), col("offset").as("valid_from_offset"), col("valid_to_offset"),
+        col("ts").as("valid_from_ts"), col("valid_to_ts"),
+        col("valid_to_offset").isNull.as("is_current"))
+  }
+
   /** Skew-hardened compaction: when a handful of keys dominate (the
     * log-compaction hot-key case AQE's skew handling doesn't cover —
     * aggregation, not join), salt the first aggregate so a hot key spreads

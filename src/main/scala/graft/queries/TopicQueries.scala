@@ -209,6 +209,12 @@ object TopicQueries {
         .select(col("topic"), col("partition"), col("offset"))
       TopicOps.lag(t, decisions).orderBy(col("partition"))
     }),
+    // SCD2 history (r9): every non-tombstone record versioned with a
+    // validity interval closed by the key's next record; tombstones
+    // close intervals without emitting rows.
+    "topic_scd2" -> ((s, dir) =>
+      TopicOps.scd2(Topics.events(s, dir))
+        .orderBy(col("key"), col("seq"))),
     // Avro value serde (MixedValue.kt:30 delegate; Factory.kt:103 Avro
     // wiring): encode→decode round-trip over the events payload — the
     // decoded columns must equal the source columns the datum was built
@@ -420,6 +426,23 @@ object TopicQueries {
          |FROM topic t LEFT JOIN dec d USING (topic, "partition")
          |GROUP BY t.topic, t."partition"
          |ORDER BY t."partition"""".stripMargin,
+    // scd2 replay: lead bounds + row_number over the SAME per-key window;
+    // tombstones participate in the window (closing intervals, keeping
+    // seq stable) but emit no rows
+    "topic_scd2" ->
+      s"""$TopicCte, h AS (
+         |  SELECT topic, "partition", "key", "value", ts, "offset",
+         |         lead(ts) OVER w AS valid_to_ts,
+         |         lead("offset") OVER w AS valid_to_offset,
+         |         CAST(row_number() OVER w AS INT) AS seq
+         |  FROM topic
+         |  WINDOW w AS (PARTITION BY topic, "partition", "key" ORDER BY "offset"))
+         |SELECT topic, "partition", "key", "value", seq,
+         |       "offset" AS valid_from_offset, valid_to_offset,
+         |       ts AS valid_from_ts, valid_to_ts,
+         |       valid_to_offset IS NULL AS is_current
+         |FROM h WHERE "value" IS NOT NULL
+         |ORDER BY "key", seq""".stripMargin,
     // Round-trip identity: decoded Avro columns == the source columns the
     // datum was encoded from.
     "topic_serde_avro" ->

@@ -255,4 +255,39 @@ class TopicOpsSpec extends SparkSpec {
     assert(out.filter(col("value").isNull && col("sink") =!= "clean").count() === 0)
     out.unpersist()
   }
+
+  test("scd2: current versions equal compacted state; intervals chain per key; " +
+      "tombstones close but never emit; one window, one exchange") {
+    val src = topic.cache()
+    val hist = TopicOps.scd2(src).cache()
+    // no tombstone ever surfaces as a version row
+    assert(hist.filter(col("value").isNull).count() === 0)
+    // the open versions ARE the compacted read view (key + value + offset)
+    val current = hist.filter(col("is_current"))
+      .select(col("topic"), col("partition"), col("key"), col("value"),
+        col("valid_from_offset").as("offset"))
+    val compacted = TopicOps.compact(src)
+      .select(col("topic"), col("partition"), col("key"), col("value"), col("offset"))
+    assert(current.exceptAll(compacted).count() === 0)
+    assert(compacted.exceptAll(current).count() === 0)
+    // intervals are well-formed and strictly ordered within a key
+    assert(hist.filter(col("valid_to_offset").isNotNull &&
+      col("valid_to_offset") <= col("valid_from_offset")).count() === 0)
+    assert(hist.filter(col("valid_to_ts").isNotNull &&
+      col("valid_to_ts") < col("valid_from_ts")).count() === 0)
+    // at most one open version per key
+    val multiOpen = hist.filter(col("is_current"))
+      .groupBy(col("key")).count().filter(col("count") > 1)
+    assert(multiOpen.count() === 0)
+    // a key whose LAST record is a tombstone has no open version at all
+    val purgedKeys = TopicOps.retain(src, 1).filter(col("value").isNull).select("key")
+    assert(hist.filter(col("is_current")).join(purgedKeys, "key").count() === 0)
+    hist.unpersist(); src.unpersist()
+    // lead bounds + seq ride ONE window sort and ONE exchange
+    val p = TopicOps.scd2(topic).queryExecution.executedPlan.toString
+    val windows = p.sliding("Window".length).count(_ == "Window")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(windows === 1, s"lead+row_number must share one Window operator:\n$p")
+    assert(exchanges === 1, s"scd2 must shuffle exactly once on the key:\n$p")
+  }
 }
