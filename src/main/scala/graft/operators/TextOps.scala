@@ -918,6 +918,36 @@ object TextOps {
       .select("doc_id", "hkey", "bucket", "pos")
   }
 
+  /** Deterministic per-source document CAP — the RefinedWeb/Dolma
+    * "no host dominates the corpus" stage: keep at most `cap` documents
+    * per source, chosen by hash rank so the sample is (a) uniform over
+    * the source's docs, (b) independent of input order and partitioning,
+    * and (c) reproducible run-to-run — a rand() sample is none of those.
+    * Sources under the cap pass through whole; `rk` is the doc's rank in
+    * its source's keep order, so downstream can tighten the cap by
+    * filtering rk without re-ranking.
+    *
+    * Scale shape: the `row_number <= cap` filter triggers Spark's
+    * InferWindowGroupLimit rewrite — a PARTIAL map-side WindowGroupLimit
+    * prunes every task to `cap` rows per source BEFORE the exchange, so
+    * shuffle volume is bounded by sources×cap×tasks, not corpus size,
+    * and a 10%-hot host costs what any other host costs (plan-asserted
+    * in TextOpsSpec). Id (not content) hashing keeps exact duplicates
+    * independently sampled; `salt` gives fresh draws.
+    */
+  def stratifiedCap(docs: DataFrame, cap: Int = 10,
+                    salt: String = "strat"): DataFrame = {
+    require(cap >= 1, s"stratifiedCap: cap must be >= 1, got $cap")
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    docs
+      .withColumn("hkey", polyhashNative(concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select("doc_id", "source", "lang", "hkey", "rk")
+  }
+
   /** Log2 document-length histogram — the size card that decides
     * pack-budget and min/max-length filter thresholds. Bins are the BIT
     * LENGTH of n_chars (floor(log2)+1), computed as length(bin(n)) —

@@ -330,6 +330,12 @@ object PipelineQueries {
     "pipeline_shuffle" -> ((s, dir) =>
       TextOps.shardedShuffle(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // per-source cap (r9): RefinedWeb/Dolma "no host dominates" — keep
+    // ≤10 docs per source by hash rank; map-side WindowGroupLimit bounds
+    // the shuffle by sources×cap×tasks.
+    "pipeline_sample_stratified" -> ((s, dir) =>
+      TextOps.stratifiedCap(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // Batched mapPartitions decode (r8: oracle-green, was rows-only) —
     // audio blobs are REAL RIFF/WAVE containers whose chunk walk
     // recovers header fields + sample payload; every output column is an
@@ -1651,6 +1657,18 @@ object PipelineQueries {
          |  CAST(row_number() OVER (PARTITION BY hkey % 64
          |    ORDER BY hkey, doc_id) AS INT) AS pos
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "pipeline_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, lang,
+         |         ${poly("'strat:' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY hkey, doc_id) AS INT) AS rk
+         |  FROM h)
+         |SELECT doc_id, source, lang, hkey, rk
+         |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "mm_audiowindow" ->
       s"""WITH blobs AS (

@@ -736,4 +736,32 @@ class TextOpsSpec extends SparkSpec {
     assert(d.filter(exists(col("feature"), f => f < 0.0f || f > 1.0f)).count() === 0)
     d.unpersist()
   }
+
+  test("stratified cap: every source keeps min(cap, n) docs, ranks are contiguous, " +
+      "the draw is salt-deterministic, and the group limit is map-side partial") {
+    val cap = 2
+    val out = TextOps.stratifiedCap(docs, cap = cap).cache()
+    val kept = out.groupBy(col("source")).count()
+    val have = docs.groupBy(col("source")).count().withColumnRenamed("count", "n")
+    // min(cap, n) per source — under-cap sources pass through whole
+    assert(kept.join(have, "source")
+      .filter(col("count") =!= least(lit(cap.toLong), col("n"))).count() === 0)
+    // ranks are 1..k contiguous per source
+    assert(out.filter(col("rk") < 1 || col("rk") > cap).count() === 0)
+    assert(out.groupBy(col("source")).agg(max(col("rk")).as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c")).count() === 0)
+    // same salt → identical draw; different salt → a genuinely different one
+    val again = TextOps.stratifiedCap(docs, cap = cap)
+    assert(out.exceptAll(again).count() === 0)
+    val fresh = TextOps.stratifiedCap(docs, cap = cap, salt = "strat2")
+      .select("doc_id")
+    assert(fresh.exceptAll(out.select("doc_id")).count() > 0)
+    out.unpersist()
+    // rank<=cap must become a PARTIAL map-side WindowGroupLimit so a hot
+    // source is pruned per-task before the exchange
+    val p = TextOps.stratifiedCap(docs, cap = cap)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"group limit must push down:\n$p")
+    assert(p.contains("Partial"), s"the pre-shuffle half must be Partial mode:\n$p")
+  }
 }
