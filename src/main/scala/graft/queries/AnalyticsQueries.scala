@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.RangeJoin
+import graft.operators.{BloomFilterOps, RangeJoin}
 import graft.sources.Tables
 
 /** SURVEY.md §2b — the analytics core (bench headliners).
@@ -235,6 +235,19 @@ object AnalyticsQueries {
           min(when(col("cum") >= expr("(90*n + 99) DIV 100"), col("c"))).as("p90_cents"),
           min(when(col("cum") >= expr("(99*n + 99) DIV 100"), col("c"))).as("p99_cents"))
         .orderBy(col("event_type"))
+    }),
+
+    // Broadcast Bloom runtime-filter card (r9): the join-pruning filter
+    // Spark's planner injects invisibly, built EXPLICITLY and measured —
+    // urgent-order keys → 61,440-bit / k=2 filter (a constant ~1k-word
+    // broadcast dim however many keys), lineitem probed without a
+    // shuffle, quality reported as exact counts + the measured FP rate.
+    "orders_bloom_prune" -> ((s, dir) => {
+      val bkeys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"))
+      val probe = Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      BloomFilterOps.card(probe, bkeys)
     }),
 
     // Inter-arrival gap card (r8): per-user lag window (ONE exchange on
@@ -763,6 +776,41 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
          |ORDER BY level, event_type, hour""".stripMargin,
+    // bloom replay: same LCG positions, same 60-bit word packing; a
+    // missing word reads as 0 on both sides
+    "orders_bloom_prune" -> {
+      val (m, bpw, p) = (61440L, BloomFilterOps.BitsPerWord, BloomFilterOps.P)
+      val Seq((a1, b1), (a2, b2)) = BloomFilterOps.Hashes
+      s"""WITH bkeys AS (
+         |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |pos AS (SELECT unnest([((k % $p)*$a1 + $b1) % $p % $m,
+         |                       ((k % $p)*$a2 + $b2) % $p % $m]) AS h FROM bkeys),
+         |words AS (SELECT h // $bpw AS w,
+         |                 bit_or(CAST(1 AS BIGINT) << CAST(h % $bpw AS INT)) AS word
+         |          FROM pos GROUP BY 1),
+         |probe AS (SELECT l_orderkey AS k,
+         |                 ((l_orderkey % $p)*$a1 + $b1) % $p % $m AS h1,
+         |                 ((l_orderkey % $p)*$a2 + $b2) % $p % $m AS h2 FROM lineitem),
+         |j AS (SELECT p.k,
+         |        ((COALESCE(w1.word, 0) >> CAST(p.h1 % $bpw AS INT)) & 1) = 1
+         |        AND ((COALESCE(w2.word, 0) >> CAST(p.h2 % $bpw AS INT)) & 1) = 1 AS pass
+         |      FROM probe p
+         |      LEFT JOIN words w1 ON w1.w = p.h1 // $bpw
+         |      LEFT JOIN words w2 ON w2.w = p.h2 // $bpw),
+         |truth AS (SELECT COUNT(*) AS n_true FROM lineitem
+         |          WHERE l_orderkey IN (SELECT k FROM bkeys))
+         |SELECT (SELECT COUNT(*) FROM bkeys) AS n_build_keys,
+         |       (SELECT CAST(SUM(bit_count(word)) AS BIGINT) FROM words) AS bits_set,
+         |       COUNT(*) AS n_probe,
+         |       CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
+         |       (SELECT n_true FROM truth) AS n_true,
+         |       CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT)
+         |         - (SELECT n_true FROM truth) AS n_false_pos,
+         |       CAST(CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT)
+         |              - (SELECT n_true FROM truth) AS DOUBLE)
+         |         / CAST(COUNT(*) - (SELECT n_true FROM truth) AS DOUBLE) AS fp_rate
+         |FROM j""".stripMargin
+    },
     "events_cube" ->
       s"""WITH e AS (
          |  SELECT event_type,

@@ -246,6 +246,36 @@ class PlanSpec extends SparkSpec {
       s"expected salted local + global window stages (single-reducer funnel otherwise):\n$p")
   }
 
+  test("bloom prune: zero false negatives, empty filter passes nothing, " +
+      "probe rides broadcast joins with no shuffle of the fact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.BloomFilterOps
+    val m = 61440L
+    val build = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val probeKeys = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    val words = BloomFilterOps.wordTable(build, m)
+    val probed = BloomFilterOps.probe(probeKeys, words, m).cache()
+    // the bloom guarantee: a true member NEVER fails the filter
+    assert(probed.join(build, Seq("k"), "left_semi").filter(!col("pass")).count() === 0)
+    probed.unpersist()
+    // an empty build side passes nothing (missing words read as 0)
+    val emptyWords = BloomFilterOps.wordTable(build.filter(lit(false)), m)
+    assert(BloomFilterOps.probe(probeKeys, emptyWords, m)
+      .filter(col("pass")).count() === 0)
+    // the probe path is broadcast-joined — the fact never shuffles
+    val p = BloomFilterOps.probe(probeKeys, words, m)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"word table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the fact must not shuffle to probe:\n$p")
+    // card arithmetic: pass ⊇ truth on the card itself
+    val row = AnalyticsQueries.queries("orders_bloom_prune")(spark, sf).collect()(0)
+    assert(row.getLong(row.fieldIndex("n_pass")) >= row.getLong(row.fieldIndex("n_true")))
+    assert(row.getLong(row.fieldIndex("n_false_pos")) >= 0)
+  }
+
   test("cube: map-side Expand ×4 collapsed by ONE partial-aggregated exchange; " +
       "every grouping-set slice conserves the event count") {
     import org.apache.spark.sql.functions._
