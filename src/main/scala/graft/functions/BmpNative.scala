@@ -291,3 +291,79 @@ object BmpResizeImpl {
     new GenericArrayData(Array[Long](t, t, 3L * t * t, w, h, hash))
   }
 }
+
+/** blob → [src_w, src_h, mean_luma, phash_hi, phash_lo] — 64-bit
+  * AVERAGE-HASH (aHash) perceptual fingerprint of a genuine 24-bpp BMP:
+  * the 8×8 nearest-neighbor thumbnail ([[BmpResizeImpl]]'s tiling,
+  * exactly), each picked pixel reduced to an integer luma
+  * (B+G+R) div 3, thresholded against the integer mean of the 64 lumas
+  * (strict >, ties → 0), bits packed row-major MSB-first into two
+  * NON-NEGATIVE 32-bit halves (hi = rows 0-3, lo = rows 4-7) so
+  * grouping/banding stays sign-free in every engine — the simhash
+  * convention. Two images that differ by a constant brightness shift
+  * (no clipping) hash IDENTICALLY: the shift moves every luma and the
+  * mean by the same amount, so every comparison is unchanged — that is
+  * the perceptual part, and what byte-exact dedup can never give.
+  * Touches 3·64 source bytes + header: O(1) per image regardless of
+  * dimensions. Null on malformed input ([[BmpImpl.geometry]] is the
+  * shared bounds gate).
+  */
+case class BmpPhash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_phash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bmp_phash expects a binary blob, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    BmpPhashImpl.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BmpPhashImpl.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPhash =
+    copy(child = newChild)
+}
+
+object BmpPhashImpl {
+  /** [src_w, src_h, mean_luma, phash_hi, phash_lo] */
+  val Fields = 5
+  val T = 8
+
+  def compute(blob: Array[Byte]): ArrayData = {
+    val geo = BmpImpl.geometry(blob)
+    if (geo == null) return null
+    val Array(dataOffset, w, h, st) = geo
+    val lumas = new Array[Long](T * T)
+    var r = 0
+    while (r < T) {
+      val base = dataOffset + (r * h / T) * st
+      var c = 0
+      while (c < T) {
+        val p = (base + (c * w / T) * 3).toInt
+        lumas(r * T + c) =
+          ((blob(p) & 0xffL) + (blob(p + 1) & 0xffL) + (blob(p + 2) & 0xffL)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    var sum = 0L
+    var i = 0
+    while (i < T * T) { sum += lumas(i); i += 1 }
+    val mean = sum / (T * T)
+    // MSB-first fold: hi = bits 0..31, lo = bits 32..63 (row-major)
+    var hi = 0L
+    var lo = 0L
+    i = 0
+    while (i < 32) { hi = hi * 2 + (if (lumas(i) > mean) 1L else 0L); i += 1 }
+    while (i < 64) { lo = lo * 2 + (if (lumas(i) > mean) 1L else 0L); i += 1 }
+    new GenericArrayData(Array[Long](w, h, mean, hi, lo))
+  }
+}

@@ -99,6 +99,8 @@ object NativeHash {
       exprs => WavResample(exprs.head, exprs(1))),
     ("graft_bmp_meta", "parse a BMP blob into header fields + decoded-pixel hash; null when malformed",
       exprs => BmpMeta(exprs.head)),
+    ("graft_bmp_phash", "64-bit average-hash perceptual fingerprint of a BMP; null when malformed",
+      exprs => BmpPhash(exprs.head)),
     ("graft_avi_wrap", "wrap a binary payload as a minimal valid uncompressed AVI (DIB frames)",
       exprs => AviWrap(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("graft_avi_meta", "walk an AVI RIFF tree into header/index fields + all-frames pixel hash; null when malformed",

@@ -364,6 +364,40 @@ object Multimodal {
         }: _*)
   }
 
+  /** Perceptual image fingerprint + duplicate grouping — the LAION/Dolma
+    * image-dedup stage: each genuine BMP reduced to a 64-bit average-hash
+    * (graft_bmp_phash — O(1) per image: 64 picked pixels, integer lumas,
+    * mean threshold), then equal fingerprints counted as a dup group.
+    * The hash is invariant to constant brightness shifts (the mean moves
+    * with the pixels), so it groups re-encodes byte dedup can't.
+    *
+    * Scale shape: the fingerprint is a narrow codegen'd projection; the
+    * ONLY shuffle is the dup-group window keyed by the (hi, lo) hash —
+    * 8 bytes per image, and a 64-bit fingerprint domain means no hot
+    * key can exist short of a genuinely duplicated image (which is the
+    * answer, not a skew problem). The two 32-bit halves stay non-negative
+    * (sign-free grouping/banding in any engine); Hamming-near
+    * neighbors would band these halves exactly like dedup_simhash.
+    */
+  def bmpPhash(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val fields = Seq("src_w", "src_h", "mean_luma", "phash_hi", "phash_lo")
+    val (w, h) = imageParams("__cs")
+    val hashed = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__w", w)
+      .withColumn("__h", h)
+      .withColumn("ph", expr("graft_bmp_phash(graft_bmp_wrap(__raw, __w, __h))"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("ph"), i + 1).as(f)
+        }: _*)
+    hashed.withColumn("n_same",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("phash_hi"), col("phash_lo"))))
+  }
+
   /** Column-level AVI round trip — the VIDEO face of the container
     * family, mirroring [[wavMeta]]/[[bmpMeta]]: build the minimal valid
     * uncompressed AVI (thumbnail-strip profile; frame count = [[meta]]'s

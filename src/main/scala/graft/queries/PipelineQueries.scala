@@ -369,6 +369,11 @@ object PipelineQueries {
     "mm_resample" -> ((s, dir) =>
       Multimodal.audioResample(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // perceptual image hash + dup grouping (r9): 64-bit aHash of the
+    // genuine BMP, brightness-shift invariant; equal hashes counted
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.bmpPhash(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // video face (r8): minimal valid uncompressed AVI round trip —
     // RIFF-tree walk, frame/idx1 counts, all-frames pixel hash
     "mm_avi_meta" -> ((s, dir) =>
@@ -1839,6 +1844,44 @@ object PipelineQueries {
          |  CAST(192 AS BIGINT) AS n_pixel_bytes, w AS src_w, h AS src_h,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (hh, x) -> (hh*31+x) % $M) AS pixel_hash
          |FROM bytes ORDER BY doc_id""".stripMargin,
+
+    // phash replay: the 64 picked lumas come from the SAME tiling
+    // formula as mm_resize ((b+g+r) div 3 per picked pixel), the mean
+    // is an integer, and the two 32-bit halves fold MSB-first via
+    // a*2+bit — non-negative in both engines
+    "mm_phash" -> {
+      val byte = (k: Int) =>
+        s"CAST(ascii(substr(text, CAST(((r*h//8)*(w*3) + (c*w//8)*3 + $k) % data_len AS INT) + 1, 1)) AS BIGINT)"
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |a AS (
+         |  SELECT *,
+         |    CAST(16 + checksum % 320 AS BIGINT) AS w,
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |  FROM blobs),
+         |lum AS (
+         |  SELECT doc_id, w, h,
+         |    flatten([[(${byte(0)} + ${byte(1)} + ${byte(2)}) // 3
+         |      for c in generate_series(0, 7)]
+         |      for r in generate_series(0, 7)]) AS ls
+         |  FROM a),
+         |m AS (
+         |  SELECT *, CAST(list_sum(ls) // 64 AS BIGINT) AS mean FROM lum),
+         |packed AS (
+         |  SELECT doc_id, w AS src_w, h AS src_h, mean AS mean_luma,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ls[1:32], x -> CASE WHEN x > mean THEN 1 ELSE 0 END)),
+         |      (acc, b) -> acc*2 + b) AS phash_hi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ls[33:64], x -> CASE WHEN x > mean THEN 1 ELSE 0 END)),
+         |      (acc, b) -> acc*2 + b) AS phash_lo
+         |  FROM m)
+         |SELECT doc_id, src_w, src_h, mean_luma, phash_hi, phash_lo,
+         |  COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same
+         |FROM packed ORDER BY doc_id""".stripMargin
+    },
 
     // resample replay: the WAV data chunk IS the text bytes, so frame f
     // byte k is text[f·ba + k]; picked frames stride 4 (ASCII corpus:

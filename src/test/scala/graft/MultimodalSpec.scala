@@ -372,4 +372,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got.select("bits_per_sample").distinct().count() === 2)
     got.unpersist()
   }
+
+  test("phash: brightness-shift invariant, byte-identity NOT required, halves stay " +
+      "in [0, 2^32), malformed input nulls, dup groups count every member") {
+    import graft.functions.{BmpImpl, BmpPhashImpl}
+    val base = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val (w, h) = (17L, 9L)
+    val ph = BmpPhashImpl.compute(BmpImpl.wrap(base, w, h))
+    assert(ph !== null)
+    assert(ph.getLong(0) === w && ph.getLong(1) === h)
+    for (i <- 3 to 4)
+      assert(ph.getLong(i) >= 0L && ph.getLong(i) < (1L << 32), s"half $i sign-free")
+    // constant brightness shift (no clipping: ASCII stays < 246): every
+    // luma and the mean move together, so the fingerprint is UNCHANGED
+    // while the exact pixel hash moves — the perceptual property
+    val brighter = base.map(b => (b + 9).toByte)
+    val ph2 = BmpPhashImpl.compute(BmpImpl.wrap(brighter, w, h))
+    assert(ph2.getLong(3) === ph.getLong(3) && ph2.getLong(4) === ph.getLong(4),
+      "aHash must survive a constant brightness shift")
+    assert(ph2.getLong(2) === ph.getLong(2) + 9, "mean moves with the shift")
+    assert(BmpImpl.parse(BmpImpl.wrap(brighter, w, h)).getLong(11) !==
+      BmpImpl.parse(BmpImpl.wrap(base, w, h)).getLong(11),
+      "the exact pixel hash must NOT survive it")
+    // a different image hashes differently
+    val other = "a completely different pixel payload with other bytes!".getBytes("UTF-8")
+    val ph3 = BmpPhashImpl.compute(BmpImpl.wrap(other, w, h))
+    assert(ph3.getLong(3) != ph.getLong(3) || ph3.getLong(4) != ph.getLong(4))
+    // malformed → null, never a throw
+    assert(BmpPhashImpl.compute(null) === null)
+    assert(BmpPhashImpl.compute(Array[Byte](1, 2, 3)) === null)
+    assert(BmpPhashImpl.compute(BmpImpl.wrap(base, w, h).take(53)) === null)
+    // corpus pass: every image row appears once, n_same sums to the row
+    // count (each member counts its whole group)
+    val out = Multimodal.bmpPhash(docs).cache()
+    val images = docs.filter(col("doc_id") % 3 === 0).count()
+    assert(out.count() === images)
+    assert(out.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(countDistinct(col("n_same")).as("k")).filter(col("k") =!= 1).count() === 0)
+    out.unpersist()
+  }
 }
