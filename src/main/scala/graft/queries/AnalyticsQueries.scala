@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{BloomFilterOps, RangeJoin}
-import graft.sources.Tables
+import graft.sources.{Bucketing, Tables}
 
 /** SURVEY.md §2b — the analytics core (bench headliners).
   *
@@ -235,6 +235,23 @@ object AnalyticsQueries {
           min(when(col("cum") >= expr("(90*n + 99) DIV 100"), col("c"))).as("p90_cents"),
           min(when(col("cum") >= expr("(99*n + 99) DIV 100"), col("c"))).as("p99_cents"))
         .orderBy(col("event_type"))
+    }),
+
+    // Co-bucketed fact-fact join (r9): the LAYOUT-side answer to the
+    // shuffle — both facts written bucketed+sorted by the order key
+    // (the one-time cost), then joined with ZERO exchange on either
+    // side (BucketingSpec pins the plan under a disabled broadcast
+    // threshold; results are layout-invariant by the same spec). The
+    // oracle is the plain join — the layout must never change answers.
+    "q_join_bucketed" -> ((s, dir) => {
+      Bucketing.writeBucketed(Tables.load(s, dir, "orders"), "orders_bq", 8, "o_orderkey")
+      Bucketing.writeBucketed(Tables.load(s, dir, "lineitem"), "lineitem_bq", 8, "l_orderkey")
+      Bucketing.cobucketedJoin(s, "orders_bq", "lineitem_bq", "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Broadcast Bloom runtime-filter card (r9): the join-pruning filter
@@ -776,6 +793,11 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
          |ORDER BY level, event_type, hour""".stripMargin,
+    // the layout must not change answers: the oracle is the PLAIN join
+    "q_join_bucketed" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines, $Revenue AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // bloom replay: same LCG positions, same 60-bit word packing; a
     // missing word reads as 0 on both sides
     "orders_bloom_prune" -> {
