@@ -220,6 +220,42 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Per-document top-k KEYWORDS by TF-IDF — the lexical keyword-
+    * extraction card (search indexing, topic labeling, dedup
+    * explanations), in FIXED-POINT integer arithmetic: a float
+    * ln(N/df) would make the ranking engine- and order-dependent, so
+    * idf_fp = (scale·N) div df and score = tf·idf_fp — rank-equivalent
+    * to linear TF-IDF, bit-exact everywhere. Bounds: tf ≤ doc tokens
+    * (~1e5), idf_fp ≤ scale·N (1e6·1e9 at 100 TB) ⇒ score < 2^60 —
+    * no overflow in ANSI mode.
+    *
+    * Scale shape: tf is a hash agg on (doc_id, token) — skew-free by
+    * construction; df re-aggregates tf's output on token with MAP-SIDE
+    * combine (a stopword's count partials merge, its rows never pile on
+    * one reducer); the tf⋈df join is token-keyed with ONE row per token
+    * on the build side — AQE skew-split friendly, NOT broadcast (a
+    * 100-TB vocabulary outgrows any broadcast); the per-doc top-k is a
+    * rank window whose `rk <= k` filter becomes a PARTIAL map-side
+    * WindowGroupLimit. N arrives as a one-row crossJoin, never a
+    * driver-side collect.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5, scale: Long = 1000000L): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(n).withColumn("idf_fp", expr(s"($scale * n_docs) DIV df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(idf, "token")
+      .withColumn("score", col("tf") * col("idf_fp"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
   /** Zipf profile card — rank × frequency over the top-k vocabulary:
     * Zipf's law predicts rank·count ≈ constant, so the `zipf_product`
     * column reads as a flatness profile (head deviations = stopword

@@ -178,6 +178,11 @@ object PipelineQueries {
     // at min support — what raw bigram counts can't rank
     "corpus_lift_topk" -> ((s, dir) =>
       TextOps.liftTopK(Tables.load(s, dir, "documents"))),
+    // per-doc keyword extraction (r9): fixed-point integer TF-IDF —
+    // rank-equivalent to the float form, bit-exact in both engines
+    "corpus_tfidf_topk" -> ((s, dir) =>
+      TextOps.tfidfTopK(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rk"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -1448,6 +1453,26 @@ object PipelineQueries {
          |GROUP BY g
          |ORDER BY n_occurrences DESC, ngram
          |LIMIT 20""".stripMargin,
+
+    // tfidf replay: same tokenization, integer idf_fp = (1e6·N) // df,
+    // score = tf·idf_fp, ties broken by token — all BIGINT
+    "corpus_tfidf_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |d AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+         |         tf.tf * ((1000000 * n.n_docs) // d.df) AS score
+         |  FROM tf JOIN d USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rk
+         |  FROM s)
+         |SELECT doc_id, token, tf, df, score, rk
+         |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     // lift replay: same pair/unigram counts; the lift is the SAME fixed
     // IEEE shape ((n_ab·T) doubles over (n_a·n_b) doubles) both engines

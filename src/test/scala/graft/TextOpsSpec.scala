@@ -737,6 +737,33 @@ class TextOpsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("tfidf keywords: min(k, vocab) contiguous ranks per doc, scores descend, " +
+      "an everywhere-token scores tf·scale, group limit is map-side partial") {
+    val k = 5
+    val out = TextOps.tfidfTopK(docs, k = k).cache()
+    // per-doc row count = min(k, distinct tokens); ranks contiguous 1..c
+    val vocabPerDoc = docs
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.words(col("text"))).as("t"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("t")).as("v"))
+    assert(out.groupBy(col("doc_id")).agg(count(lit(1)).as("c"), max(col("rk")).as("m"))
+      .join(vocabPerDoc, "doc_id")
+      .filter(col("c") =!= least(lit(k.toLong), col("v")) || col("m") =!= col("c"))
+      .count() === 0)
+    // scores never increase with rank inside a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rk"))
+    assert(out.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev")).count() === 0)
+    // df = corpus size ⇒ idf_fp = scale exactly ⇒ score = tf·scale
+    val n = docs.count()
+    assert(out.filter(col("df") === n && col("score") =!= col("tf") * 1000000L)
+      .count() === 0)
+    out.unpersist()
+    val p = TextOps.tfidfTopK(docs, k = k).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"per-doc top-k must push down:\n$p")
+    assert(p.contains("partial_count"), s"tf/df aggregates need map-side combine:\n$p")
+  }
+
   test("stratified cap: every source keeps min(cap, n) docs, ranks are contiguous, " +
       "the draw is salt-deterministic, and the group limit is map-side partial") {
     val cap = 2
