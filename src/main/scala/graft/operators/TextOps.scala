@@ -220,6 +220,32 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Out-of-vocabulary rate against a corpus-fitted top-V vocabulary —
+    * the integer-exact stand-in for the KenLM-perplexity quality filter
+    * every public pipeline runs (CCNet §4.2, Gopher, Dolma): a doc whose
+    * tokens keep missing the corpus's own frequent vocabulary is
+    * boilerplate, code, another language, or noise. A real LM score
+    * needs logs (engine-varying floats); the OOV rate ranks similarly at
+    * the tails and is exact counts + ONE final IEEE division.
+    *
+    * Fit/score split (the DSIR/stream_importance shape): the vocabulary
+    * is fitted ONCE (map-side-combined token counts → top-V) and is
+    * BOUNDED BY CONSTRUCTION at V rows — broadcasting it is free and
+    * correct at any corpus size, unlike broadcasting a raw vocabulary.
+    * Scoring is a narrow broadcast left-join + one doc_id-keyed
+    * aggregate. Deterministic: ties at the V boundary break by token.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 200): DataFrame = {
+    val vocab = tokenTopK(docs, vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-document top-k KEYWORDS by TF-IDF — the lexical keyword-
     * extraction card (search indexing, topic labeling, dedup
     * explanations), in FIXED-POINT integer arithmetic: a float

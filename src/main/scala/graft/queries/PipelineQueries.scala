@@ -183,6 +183,11 @@ object PipelineQueries {
     "corpus_tfidf_topk" -> ((s, dir) =>
       TextOps.tfidfTopK(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rk"))),
+    // OOV-rate quality card (r9): the integer-exact KenLM-filter
+    // stand-in — fit top-200 vocab once, score docs by vocabulary miss
+    "text_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -1453,6 +1458,23 @@ object PipelineQueries {
          |GROUP BY g
          |ORDER BY n_occurrences DESC, ngram
          |LIMIT 20""".stripMargin,
+
+    // oov replay: same tokenization, same (count DESC, token) top-200
+    // fit, same miss counts; the rate is one IEEE division of exact longs
+    "text_oov_rate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT token FROM tok GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT 200),
+         |j AS (
+         |  SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok t LEFT JOIN vocab v USING (token))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(CAST(SUM(oov) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // tfidf replay: same tokenization, integer idf_fp = (1e6·N) // df,
     // score = tf·idf_fp, ties broken by token — all BIGINT

@@ -764,6 +764,26 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"tf/df aggregates need map-side combine:\n$p")
   }
 
+  test("oov rate: token conservation, bounds, a full-corpus vocabulary zeroes every " +
+      "rate, and the fitted vocab joins broadcast") {
+    val out = TextOps.oovRate(docs).cache()
+    assert(out.count() === docs.count())
+    assert(out.filter(col("n_oov") < 0 || col("n_oov") > col("n_tokens")).count() === 0)
+    // token conservation: per-doc n_tokens sums to the corpus token count
+    val total = docs.select(explode(graft.functions.TextFunctions.words(col("text"))))
+      .count()
+    assert(out.agg(sum("n_tokens")).collect()(0).getLong(0) === total)
+    out.unpersist()
+    // a vocabulary bigger than the corpus vocabulary ⇒ nothing is OOV
+    val vocabAll = docs.select(explode(graft.functions.TextFunctions.words(col("text"))))
+      .distinct().count().toInt + 1
+    assert(TextOps.oovRate(docs, vocabSize = vocabAll)
+      .filter(col("n_oov") =!= 0L).count() === 0)
+    val p = TextOps.oovRate(docs).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"the V-row vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the token stream must not shuffle to score:\n$p")
+  }
+
   test("stratified cap: every source keeps min(cap, n) docs, ranks are contiguous, " +
       "the draw is salt-deterministic, and the group limit is map-side partial") {
     val cap = 2
