@@ -160,6 +160,19 @@ object StreamQueries {
       graft.operators.TopicOps.reconcileChangelog(changelog)
         .orderBy(col("partition"), col("key"))
     }),
+    // Streaming SCD2 maintenance (r9): each arriving record closes its
+    // key's open version; an offset-ordered 4-file replay (the Kafka
+    // per-partition ordering contract on the file source) must emit
+    // exactly the batch operator's closed versions.
+    "stream_scd2" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_scd2", dir)
+      val split = TopicStream.orderedSplitInput(s, eventsPath(dir), 4, s"$out-input")
+      TopicStream.scdStream(s, split, out, ckpt, maxFilesPerTrigger = Some(1))
+        .select(col("topic"), col("partition"), col("key"), col("value"), col("seq"),
+          col("valid_from_offset"), col("valid_to_offset"),
+          col("valid_from_ts"), col("valid_to_ts"))
+        .orderBy(col("key"), col("seq"))
+    }),
     // Online anomaly flagging vs a history-fitted constant-size stats
     // index; replay = events_anomaly verbatim.
     "stream_anomaly" -> ((s, dir) => {
@@ -195,6 +208,21 @@ object StreamQueries {
     "stream_compact" -> TopicQueries.oracles("topic_compact"),
     // changelog reconciled to final state == batch compaction exactly
     "stream_compact_updates" -> TopicQueries.oracles("topic_compact"),
+    // emitted versions == the batch scd2 history's CLOSED versions
+    // (open versions sit in the state store awaiting their close)
+    "stream_scd2" ->
+      s"""${TopicQueries.TopicCte}, h AS (
+         |  SELECT topic, "partition", "key", "value", ts, "offset",
+         |         lead(ts) OVER w AS valid_to_ts,
+         |         lead("offset") OVER w AS valid_to_offset,
+         |         CAST(row_number() OVER w AS INT) AS seq
+         |  FROM topic
+         |  WINDOW w AS (PARTITION BY topic, "partition", "key" ORDER BY "offset"))
+         |SELECT topic, "partition", "key", "value", seq,
+         |       "offset" AS valid_from_offset, valid_to_offset,
+         |       ts AS valid_from_ts, valid_to_ts
+         |FROM h WHERE "value" IS NOT NULL AND valid_to_offset IS NOT NULL
+         |ORDER BY "key", seq""".stripMargin,
     "stream_window" -> AnalyticsQueries.oracles("events_window"),
     "stream_window_hopping" -> AnalyticsQueries.oracles("events_window_hopping"),
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),

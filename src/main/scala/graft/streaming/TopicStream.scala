@@ -198,6 +198,117 @@ object TopicStream {
       }
   }
 
+  /** An open SCD2 version awaiting its closing record ([[scdUpdates]]). */
+  case class ScdOpen(rec: TopicRecord, seq: Int)
+
+  /** Per-key SCD2 maintenance state: the open version (if the last record
+    * was live), the key's record count (= the next version's `seq`), and
+    * the highest offset applied (the in-order watermark).
+    */
+  case class ScdState(open: Option[ScdOpen], seq: Int, lastOffset: Long)
+
+  /** A CLOSED type-2 version — [[graft.operators.TopicOps.scd2]]'s row
+    * shape minus `is_current` (a streaming emit is by definition closed;
+    * open versions live in the state store until their closing record
+    * arrives).
+    */
+  case class ScdVersion(
+      topic: String, partition: Int, key: String, value: String, seq: Int,
+      valid_from_offset: Long, valid_to_offset: Long,
+      valid_from_ts: java.sql.Timestamp, valid_to_ts: java.sql.Timestamp)
+
+  /** Streaming SCD2 maintenance via flatMapGroupsWithState — the online
+    * twin of [[graft.operators.TopicOps.scd2]]: each arriving record
+    * closes its key's open version (emitting it downstream) and opens a
+    * new one (tombstones close without opening). Emissions are exactly
+    * the batch operator's CLOSED versions, in arrival order — gated
+    * against the batch oracle.
+    *
+    * Ordering contract: per-key records are assumed to arrive in offset
+    * order, which is Kafka's OWN guarantee (a key maps to one partition
+    * and partitions are totally ordered — reference Pipeline.kt:29 polls
+    * in exactly this order); a regressing offset is dropped as stale
+    * rather than corrupting the history. Per-key state is O(1) — one
+    * open version + two counters — NOT the key's history; the emitted
+    * feed is the history.
+    */
+  def scdUpdates(spark: SparkSession, topic: DataFrame): Dataset[ScdVersion] = {
+    import spark.implicits._
+    topic
+      .select(col("topic"), col("partition"), col("offset"), col("ts"), col("key"), col("value"))
+      .as[TopicRecord]
+      .groupByKey(r => (r.topic, r.partition, r.key))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (String, Int, String), rows: Iterator[TopicRecord], state: GroupState[ScdState]) =>
+          var st = state.getOption.getOrElse(ScdState(None, 0, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
+          rows.toSeq.sortBy(_.offset).foreach { r =>
+            if (r.offset > st.lastOffset) {
+              val seq = st.seq + 1
+              st.open.foreach { o =>
+                out += ScdVersion(k._1, k._2, k._3, o.rec.value, o.seq,
+                  o.rec.offset, r.offset, o.rec.ts, r.ts)
+              }
+              val open = if (r.value != null) Some(ScdOpen(r, seq)) else None
+              st = ScdState(open, seq, r.offset)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Runs [[scdUpdates]] to a parquet version feed (foreachBatch — update
+    * mode has no direct file sink) and returns it with batch provenance.
+    */
+  def scdStream(spark: SparkSession, eventsPath: String,
+                outDir: String, checkpointDir: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val versions = scdUpdates(spark, topicStream(spark, eventsPath, maxFilesPerTrigger))
+    val q = versions.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Splits the events parquet into `n` OFFSET-RANGE chunk files with
+    * strictly ascending modification times, so the file-stream source
+    * (which orders by mod time) delivers records in per-key offset order
+    * across micro-batches — the Kafka per-partition ordering contract
+    * that [[scdUpdates]] assumes, reproduced on the file source.
+    */
+  def orderedSplitInput(spark: SparkSession, path: String, n: Int, dir: String): String = {
+    deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    val df = spark.read.parquet(path)
+    val maxId = df.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val chunk = maxId / n + 1
+    val base = System.currentTimeMillis() - n * 60000L
+    for (i <- 0 until n) {
+      val tmp = s"$dir-tmp-$i"
+      df.filter(col("event_id") >= i * chunk && col("event_id") < (i + 1) * chunk)
+        .coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+      val dest = Paths.get(dir, f"chunk-$i%03d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      deleteRecursively(Paths.get(tmp))
+    }
+    dir
+  }
+
   /** Runs [[compactUpdates]] to a parquet changelog (foreachBatch: update
     * mode has no direct file sink) and returns it with batch provenance.
     */

@@ -41,6 +41,74 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming SCD2 over an ordered multi-batch replay emits exactly the batch " +
+      "history's closed versions; closures genuinely cross batches; stale drops") {
+    val ordered = TopicStream.orderedSplitInput(spark, s"$sf/events.parquet", 4,
+      "/root/repo/target/stream-scratch/scd2-ordered-input")
+    val (out, ckpt) = TopicStream.scratchDirs("spec_scd2", ordered)
+    val streamed = TopicStream.scdStream(spark, ordered, out, ckpt,
+      maxFilesPerTrigger = Some(1)).cache()
+    val batchClosed = TopicOps.scd2(Topics.events(spark, sf))
+      .filter(col("valid_to_offset").isNotNull)
+      .select("topic", "partition", "key", "value", "seq",
+        "valid_from_offset", "valid_to_offset", "valid_from_ts", "valid_to_ts")
+    val got = streamed.select("topic", "partition", "key", "value", "seq",
+      "valid_from_offset", "valid_to_offset", "valid_from_ts", "valid_to_ts")
+    assert(got.exceptAll(batchClosed).count() === 0)
+    assert(batchClosed.exceptAll(got).count() === 0)
+    // cross-batch closures actually happened: some version emitted in
+    // batch b opened at an offset belonging to an EARLIER input chunk
+    assert(streamed.select("batch_id").distinct().count() >= 3)
+    val maxId = spark.read.parquet(s"$sf/events.parquet")
+      .agg(max(col("event_id"))).collect()(0).getLong(0)
+    val chunk = maxId / 4 + 1
+    assert(streamed
+      .filter(col("valid_to_offset").divide(chunk).cast("long") >
+        col("valid_from_offset").divide(chunk).cast("long")).count() > 0,
+      "some closure must span an input-chunk boundary")
+    streamed.unpersist()
+    // stale at-least-once redelivery never corrupts the history: offsets
+    // 5 then 10 arrive in batch 1, a regressed 7 is redelivered in batch
+    // 2 — the only emission is the 5→10 closure, 7 is dropped
+    import spark.implicits._
+    val staleDir = "/root/repo/target/stream-scratch/scd2-stale-input"
+    val staleRoot = new java.io.File(staleDir)
+    if (staleRoot.exists()) {
+      java.nio.file.Files.walk(staleRoot.toPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staleDir))
+    def ev(id: Long, t: String): (Long, java.sql.Timestamp, Long, String, String) =
+      (id, new java.sql.Timestamp(1700000000000L + id * 1000), 1L, t, s"""{"k": ${id % 100}}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "props")
+    Seq(ev(5, "click"), ev(10, "view")).toDF(cols: _*)
+      .coalesce(1).write.parquet(s"$staleDir/b0")
+    Seq(ev(7, "click")).toDF(cols: _*)
+      .coalesce(1).write.parquet(s"$staleDir/b1")
+    val b0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$staleDir/b0")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    val b1 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$staleDir/b1")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    val in = java.nio.file.Paths.get(s"$staleDir/in")
+    java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.move(b0, in.resolve("chunk-000.parquet"))
+    java.nio.file.Files.move(b1, in.resolve("chunk-001.parquet"))
+    java.nio.file.Files.setLastModifiedTime(in.resolve("chunk-000.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000))
+    java.nio.file.Files.setLastModifiedTime(in.resolve("chunk-001.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val (out2, ckpt2) = TopicStream.scratchDirs("spec_scd2_stale", in.toString)
+    val emitted = TopicStream.scdStream(spark, in.toString, out2, ckpt2,
+      maxFilesPerTrigger = Some(1))
+    assert(emitted.count() === 1, "only the 5→10 closure may be emitted")
+    val r = emitted.collect()(0)
+    assert(r.getAs[Long]("valid_from_offset") === 5L &&
+      r.getAs[Long]("valid_to_offset") === 10L && r.getAs[Int]("seq") === 1)
+  }
+
   test("flatMapGroupsWithState changelog: reconcileChangelog equals batch compaction") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_updates", splitDir)
     val updates = TopicStream.compactUpdatesStream(spark, splitDir, out, ckpt,
