@@ -385,6 +385,18 @@ object AnalyticsQueries {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
         .orderBy(col("event_type"))),
 
+    // EXACT distinct aggregation (r9): per-type distinct users via
+    // Spark's two-level rewrite — the dedup runs DISTRIBUTED on the
+    // (type, user) key (first aggregate), then collapses to counts per
+    // type; no per-type reducer ever sees all of a type's rows and no
+    // collect_set ever materializes a set. The exact complement of
+    // events_approx's mergeable-but-approximate HLL card.
+    "events_distinct_exact" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))),
+
     // Native session-window operator (30-min gap): one shuffle on user_id,
     // sessions merged by Spark's SessionWindow — the streaming-ready form.
     "events_session_window" -> ((s, dir) =>
@@ -793,6 +805,9 @@ object AnalyticsQueries {
          |FROM events
          |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
          |ORDER BY level, event_type, hour""".stripMargin,
+    "events_distinct_exact" ->
+      s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the layout must not change answers: the oracle is the PLAIN join
     "q_join_bucketed" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, $Revenue AS revenue

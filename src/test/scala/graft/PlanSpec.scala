@@ -276,6 +276,23 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_false_pos")) >= 0)
   }
 
+  test("exact distinct plans the two-level rewrite: dedup keyed (type,user) first, " +
+      "counts second — no collect_set, partials at both levels") {
+    val df = AnalyticsQueries.queries("events_distinct_exact")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"final count needs map-side combine:\n$p")
+    assert(p.contains("user_id") && p.contains("HashAggregate(keys=[event_type"),
+      s"dedup must run keyed (event_type, user_id) before counting:\n$p")
+    assert(!p.contains("collect_set"), s"no set may materialize:\n$p")
+    // matches a distinct-then-count reference
+    import org.apache.spark.sql.functions._
+    val ref = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count()
+    assert(df.join(ref, "event_type")
+      .filter(col("n_users") =!= col("count")).count() === 0)
+  }
+
   test("cube: map-side Expand ×4 collapsed by ONE partial-aggregated exchange; " +
       "every grouping-set slice conserves the event count") {
     import org.apache.spark.sql.functions._
