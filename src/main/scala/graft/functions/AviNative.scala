@@ -137,12 +137,12 @@ object AviImpl {
     out
   }
 
-  private def u16(b: Array[Byte], p: Int): Long =
+  private[functions] def u16(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8)
-  private def u32(b: Array[Byte], p: Int): Long =
+  private[functions] def u32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-  private def tagAt(b: Array[Byte], p: Int): String =
+  private[functions] def tagAt(b: Array[Byte], p: Int): String =
     new String(b, p, 4, "US-ASCII")
 
   /** RIFF-tree walk; null (not an exception) on anything malformed or
@@ -295,4 +295,88 @@ case class AviMeta(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): AviMeta =
     copy(child = newChild)
+}
+
+/** AVI bytes → one [frame_idx, mean_luma, phash_hi, phash_lo] row per
+  * '00db' frame — the per-frame AVERAGE-HASH fingerprint strip (video
+  * near-dup: two videos match when their frame-hash sequences do; a
+  * re-brightened re-encode still matches because each frame's aHash is
+  * brightness-shift invariant, see [[BmpPhashImpl.ahash]]). The blob is
+  * validated by [[AviImpl.parse]] FIRST (one shared bounds/profile gate —
+  * the walk below never runs on a container parse rejected), then a
+  * second movi walk computes the 64-pixel aHash per frame: O(frames)
+  * total, touching 192 bytes per frame regardless of frame size. Null on
+  * malformed input, never a throw.
+  */
+case class AviPhash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_phash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_avi_phash expects a binary blob, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    AviPhashImpl.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AviPhashImpl.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AviPhash =
+    copy(child = newChild)
+}
+
+object AviPhashImpl {
+  def compute(blob: Array[Byte]): ArrayData = {
+    val hdr = AviImpl.parse(blob)
+    if (hdr == null) return null
+    val w = hdr.getLong(3)
+    val h = hdr.getLong(4)
+    val st = hdr.getLong(6)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[ArrayData]
+
+    // parse validated every chunk size/profile above; this walk only
+    // locates the '00db' bodies again (same traversal, same depth cap)
+    def walkFrames(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = AviImpl.tagAt(blob, pos)
+        val size = AviImpl.u32(blob, pos + 4)
+        val body = pos + 8
+        if (body + size > end) return
+        if (id == "00db") {
+          val r = BmpPhashImpl.ahash(blob, body.toLong, w, h, st)
+          frames += new GenericArrayData(
+            Array[Long](frames.length.toLong, r(0), r(1), r(2)))
+        }
+        pos = body + size.toInt + (size & 1L).toInt
+      }
+    }
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = AviImpl.tagAt(blob, pos)
+        val size = AviImpl.u32(blob, pos + 4)
+        val body = pos + 8
+        if (body + size > end) return
+        if (id == "LIST" && size >= 4) {
+          if (AviImpl.tagAt(blob, body) == "movi") walkFrames(body + 4, (body + size).toInt)
+          else walk(body + 4, (body + size).toInt, depth + 1)
+        }
+        pos = body + size.toInt + (size & 1L).toInt
+      }
+    }
+
+    walk(12, blob.length, 0)
+    new GenericArrayData(frames.toArray[Any])
+  }
 }

@@ -337,10 +337,15 @@ object BmpPhashImpl {
   val Fields = 5
   val T = 8
 
-  def compute(blob: Array[Byte]): ArrayData = {
-    val geo = BmpImpl.geometry(blob)
-    if (geo == null) return null
-    val Array(dataOffset, w, h, st) = geo
+  /** The shared 8×8 aHash core over one bottom-up 24-bpp pixel array at
+    * `dataOffset` with row stride `st` — used by the BMP kernel here and
+    * per-frame by [[AviPhashImpl]] (AVI DIB frames are the same layout).
+    * Returns [mean, hi, lo]; bounds are the CALLER's contract
+    * (BmpImpl.geometry / AviImpl.parse both guarantee
+    * dataOffset + st·h ≤ blob.length before this runs).
+    */
+  def ahash(blob: Array[Byte], dataOffset: Long, w: Long, h: Long,
+            st: Long): Array[Long] = {
     val lumas = new Array[Long](T * T)
     var r = 0
     while (r < T) {
@@ -364,6 +369,14 @@ object BmpPhashImpl {
     i = 0
     while (i < 32) { hi = hi * 2 + (if (lumas(i) > mean) 1L else 0L); i += 1 }
     while (i < 64) { lo = lo * 2 + (if (lumas(i) > mean) 1L else 0L); i += 1 }
+    Array[Long](mean, hi, lo)
+  }
+
+  def compute(blob: Array[Byte]): ArrayData = {
+    val geo = BmpImpl.geometry(blob)
+    if (geo == null) return null
+    val Array(dataOffset, w, h, st) = geo
+    val Array(mean, hi, lo) = ahash(blob, dataOffset, w, h, st)
     new GenericArrayData(Array[Long](w, h, mean, hi, lo))
   }
 }

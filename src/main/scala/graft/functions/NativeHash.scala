@@ -104,7 +104,9 @@ object NativeHash {
     ("graft_avi_wrap", "wrap a binary payload as a minimal valid uncompressed AVI (DIB frames)",
       exprs => AviWrap(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("graft_avi_meta", "walk an AVI RIFF tree into header/index fields + all-frames pixel hash; null when malformed",
-      exprs => AviMeta(exprs.head)))
+      exprs => AviMeta(exprs.head)),
+    ("graft_avi_phash", "per-frame average-hash fingerprint strip of an AVI; null when malformed",
+      exprs => AviPhash(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

@@ -398,6 +398,36 @@ object Multimodal {
         .partitionBy(col("phash_hi"), col("phash_lo"))))
   }
 
+  /** Per-frame perceptual fingerprint strip of the genuine AVI — the
+    * VIDEO face of [[bmpPhash]] (frame-hash sequences are how video
+    * near-dup actually works: match the strips, not the bytes). One
+    * codegen'd kernel call per video computes all frames' 64-pixel
+    * aHashes (O(frames), 192 bytes touched per frame regardless of frame
+    * size), then posexplode emits (doc_id, frame_idx) rows — narrow,
+    * zero shuffle, fan-out bounded by n_frames. Each frame hash carries
+    * the same brightness-shift invariance and sign-free 32-bit halves as
+    * the image kernel (shared [[graft.functions.BmpPhashImpl.ahash]]
+    * core — the two modalities can never drift).
+    */
+  def aviPhash(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val (tw, th, nf) = videoParams("__cs")
+    docs.filter(col("doc_id") % 3 === 2)
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__w", tw)
+      .withColumn("__h", th)
+      .withColumn("__n", nf)
+      .withColumn("ph", expr("graft_avi_phash(graft_avi_wrap(__raw, __w, __h, __n))"))
+      .select(col("doc_id"), col("__w").as("frame_w"), col("__h").as("frame_h"),
+        posexplode(col("ph")).as(Seq("pos", "f")))
+      .select(col("doc_id"), col("frame_w"), col("frame_h"),
+        element_at(col("f"), 1).as("frame_idx"),
+        element_at(col("f"), 2).as("mean_luma"),
+        element_at(col("f"), 3).as("phash_hi"),
+        element_at(col("f"), 4).as("phash_lo"))
+  }
+
   /** Column-level AVI round trip — the VIDEO face of the container
     * family, mirroring [[wavMeta]]/[[bmpMeta]]: build the minimal valid
     * uncompressed AVI (thumbnail-strip profile; frame count = [[meta]]'s

@@ -384,6 +384,11 @@ object PipelineQueries {
     "mm_phash" -> ((s, dir) =>
       Multimodal.bmpPhash(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // per-frame video fingerprint strip (r9): one aHash row per AVI
+    // frame — the sequence video near-dup matches on
+    "mm_video_phash" -> ((s, dir) =>
+      Multimodal.aviPhash(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
     // video face (r8): minimal valid uncompressed AVI round trip —
     // RIFF-tree walk, frame/idx1 counts, all-frames pixel hash
     "mm_avi_meta" -> ((s, dir) =>
@@ -1928,6 +1933,45 @@ object PipelineQueries {
          |SELECT doc_id, src_w, src_h, mean_luma, phash_hi, phash_lo,
          |  COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same
          |FROM packed ORDER BY doc_id""".stripMargin
+    },
+
+    // video phash replay: frame f's picked byte (r,c,k) sits at global
+    // unpadded index f·3wh + (r·h div 8)·3w + (c·w div 8)·3 + k of the
+    // tiling; per-frame lumas/mean/packing identical to mm_phash
+    "mm_video_phash" -> {
+      val byte = (k: Int) =>
+        s"CAST(ascii(substr(text, CAST((f*(3*w*h) + (r*h//8)*(w*3) + (c*w//8)*3 + $k) % data_len AS INT) + 1, 1)) AS BIGINT)"
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |a AS (
+         |  SELECT *,
+         |    CAST(8 + checksum % 56 AS BIGINT) AS w,
+         |    CAST(8 + (checksum // 56) % 40 AS BIGINT) AS h,
+         |    CAST(1 + checksum % 16 AS BIGINT) AS n
+         |  FROM blobs),
+         |fr AS (
+         |  SELECT doc_id, text, data_len, w, h,
+         |         unnest(generate_series(0, n - 1)) AS f
+         |  FROM a),
+         |lum AS (
+         |  SELECT doc_id, w, h, f,
+         |    flatten([[(${byte(0)} + ${byte(1)} + ${byte(2)}) // 3
+         |      for c in generate_series(0, 7)]
+         |      for r in generate_series(0, 7)]) AS ls
+         |  FROM fr),
+         |m AS (
+         |  SELECT *, CAST(list_sum(ls) // 64 AS BIGINT) AS mean FROM lum)
+         |SELECT doc_id, w AS frame_w, h AS frame_h, f AS frame_idx,
+         |  mean AS mean_luma,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ls[1:32], x -> CASE WHEN x > mean THEN 1 ELSE 0 END)),
+         |    (acc, b) -> acc*2 + b) AS phash_hi,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ls[33:64], x -> CASE WHEN x > mean THEN 1 ELSE 0 END)),
+         |    (acc, b) -> acc*2 + b) AS phash_lo
+         |FROM m ORDER BY doc_id, frame_idx""".stripMargin
     },
 
     // resample replay: the WAV data chunk IS the text bytes, so frame f

@@ -373,6 +373,44 @@ class MultimodalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("video phash strip: one row per declared frame, per-frame brightness " +
+      "invariance (shared ahash core), malformed nulls") {
+    import graft.functions.{AviImpl, AviPhashImpl}
+    val base = "frame payload bytes for a tiny strip test!".getBytes("UTF-8")
+    val (w, h, n) = (10L, 9L, 4L)
+    val strip = AviPhashImpl.compute(AviImpl.wrap(base, w, h, n))
+    assert(strip !== null)
+    assert(strip.numElements() === n.toInt)
+    for (f <- 0 until n.toInt) {
+      val row = strip.getArray(f)
+      assert(row.getLong(0) === f.toLong, "frame_idx in order")
+      for (i <- 2 to 3) assert(row.getLong(i) >= 0L && row.getLong(i) < (1L << 32))
+    }
+    // +9 brightness on every payload byte: every frame's hash unchanged
+    val strip2 = AviPhashImpl.compute(AviImpl.wrap(base.map(b => (b + 9).toByte), w, h, n))
+    for (f <- 0 until n.toInt) {
+      assert(strip2.getArray(f).getLong(2) === strip.getArray(f).getLong(2) &&
+        strip2.getArray(f).getLong(3) === strip.getArray(f).getLong(3),
+        s"frame $f aHash must survive the shift")
+      assert(strip2.getArray(f).getLong(1) === strip.getArray(f).getLong(1) + 9)
+    }
+    // different frames of a non-repeating payload genuinely differ
+    assert((0 until n.toInt).map(f =>
+      (strip.getArray(f).getLong(2), strip.getArray(f).getLong(3))).distinct.size > 1)
+    // malformed → null, never a throw
+    assert(AviPhashImpl.compute(null) === null)
+    assert(AviPhashImpl.compute(Array[Byte](1, 2, 3)) === null)
+    assert(AviPhashImpl.compute(AviImpl.wrap(base, w, h, n).take(60)) === null)
+    // corpus pass: row count per video == meta's declared n_frames
+    val strips = Multimodal.aviPhash(docs).cache()
+    val meta = Multimodal.meta(docs).filter(col("format") === "video")
+      .select(col("doc_id"), col("n_frames"))
+    assert(strips.groupBy(col("doc_id")).count()
+      .join(meta, "doc_id").filter(col("count") =!= col("n_frames")).count() === 0)
+    assert(strips.filter(col("frame_idx") >= 16L).count() === 0, "n_frames caps at 16")
+    strips.unpersist()
+  }
+
   test("phash: brightness-shift invariant, byte-identity NOT required, halves stay " +
       "in [0, 2^32), malformed input nulls, dup groups count every member") {
     import graft.functions.{BmpImpl, BmpPhashImpl}
