@@ -106,7 +106,9 @@ object NativeHash {
     ("graft_avi_meta", "walk an AVI RIFF tree into header/index fields + all-frames pixel hash; null when malformed",
       exprs => AviMeta(exprs.head)),
     ("graft_avi_phash", "per-frame average-hash fingerprint strip of an AVI; null when malformed",
-      exprs => AviPhash(exprs.head)))
+      exprs => AviPhash(exprs.head)),
+    ("graft_wav_fingerprint", "15-bit energy-delta audio fingerprint of a WAV; null when malformed",
+      exprs => WavFingerprint(exprs.head)))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

@@ -275,3 +275,77 @@ object WavResampleImpl {
     new GenericArrayData(Array[Long](rate / d, ch, bits, ba, nIn, out, hash))
   }
 }
+
+/** blob → [sample_rate, n_frames, window_frames, fingerprint, energy_total]
+  * — 15-bit ENERGY-DELTA audio fingerprint (the Shazam-style sign-of-
+  * derivative idea in its integer skeleton): the decoded data chunk is
+  * cut into 16 equal windows of n_frames div 16 frames (the ragged tail
+  * is ignored so windows stay equal), each window's energy is the
+  * integer sum of its unsigned sample bytes, and bit i (MSB-first) is
+  * 1 iff energy(i+1) > energy(i). Comparisons survive any monotone
+  * per-byte amplitude map — a constant gain/offset shifts every equal-
+  * size window's energy identically, so the fingerprint is level-
+  * invariant the way aHash is brightness-invariant. 15 bits ⇒ always
+  * non-negative (sign-free grouping/banding). Null when malformed or
+  * too short to window (n_frames < 16); never a throw.
+  */
+case class WavFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_fingerprint expects a binary blob, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavFingerprintImpl.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavFingerprintImpl.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavFingerprint =
+    copy(child = newChild)
+}
+
+object WavFingerprintImpl {
+  /** [sample_rate, n_frames, window_frames, fingerprint, energy_total] */
+  val Fields = 5
+  val Windows = 16
+
+  def compute(blob: Array[Byte]): ArrayData = {
+    val hdr = WavImpl.parse(blob)
+    if (hdr == null) return null
+    val data = WavPayload.payload(blob)
+    if (data == null) return null
+    val ba = hdr.getLong(6).toInt
+    val rate = hdr.getLong(4)
+    val nFrames = data.length / ba
+    if (nFrames < Windows) return null
+    val wf = nFrames / Windows
+    val energies = new Array[Long](Windows)
+    var total = 0L
+    var wi = 0
+    while (wi < Windows) {
+      var e = 0L
+      var b = wi * wf * ba
+      val end = (wi + 1) * wf * ba
+      while (b < end) { e += (data(b) & 0xffL); b += 1 }
+      energies(wi) = e
+      total += e
+      wi += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < Windows - 1) {
+      fp = fp * 2 + (if (energies(i + 1) > energies(i)) 1L else 0L)
+      i += 1
+    }
+    new GenericArrayData(Array[Long](rate, nFrames, wf, fp, total))
+  }
+}

@@ -307,6 +307,34 @@ object Multimodal {
         }: _*)
   }
 
+  /** Energy-delta audio fingerprint of the genuine WAV — the AUDIO face
+    * of the perceptual family ([[bmpPhash]]/[[aviPhash]]): 16 equal
+    * windows over the decoded data chunk, integer energy per window,
+    * 15 sign-of-derivative bits (energy rises ⇒ 1). Level-invariant the
+    * way aHash is brightness-invariant: a constant gain/offset moves
+    * every equal-size window's energy identically, so every comparison
+    * — and the fingerprint — is unchanged. Narrow codegen'd projection,
+    * zero shuffle; the 15-bit value stays non-negative (sign-free
+    * grouping/banding — the simhash convention).
+    */
+  def audioFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val checksum = TextFunctions.polyhashNative(col("text"))
+    val (rate, ch, bits) = audioParams(checksum)
+    val fields = Seq("sample_rate", "n_frames", "window_frames",
+      "fingerprint", "energy_total")
+    docs.filter(col("doc_id") % 3 === 1)
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__rate", rate)
+      .withColumn("__ch", ch)
+      .withColumn("__bits", bits)
+      .withColumn("fp", expr("graft_wav_fingerprint(graft_wav_wrap(__raw, __rate, __ch, __bits))"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("fp"), i + 1).as(f)
+        }: _*)
+  }
+
   /** Column-level BMP round trip — the SQL-expressible face of the image
     * decode path, mirroring [[wavMeta]]: build the real 24-bpp BMP with
     * `graft_bmp_wrap` (dimensions = [[meta]]'s declared width/height, so

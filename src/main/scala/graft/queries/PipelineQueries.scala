@@ -389,6 +389,11 @@ object PipelineQueries {
     "mm_video_phash" -> ((s, dir) =>
       Multimodal.aviPhash(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+    // energy-delta audio fingerprint (r9): 15 sign-of-derivative bits
+    // over 16 equal windows — level-invariant, the audio aHash
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // video face (r8): minimal valid uncompressed AVI round trip —
     // RIFF-tree walk, frame/idx1 counts, all-frames pixel hash
     "mm_avi_meta" -> ((s, dir) =>
@@ -1934,6 +1939,40 @@ object PipelineQueries {
          |  COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same
          |FROM packed ORDER BY doc_id""".stripMargin
     },
+
+    // audio fingerprint replay: the data chunk IS the text bytes; window
+    // i's energy = Σ ascii over frames [i·wf, (i+1)·wf); 15 delta bits
+    // fold MSB-first via acc*2+bit
+    "mm_audio_fingerprint" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |a AS (
+         |  SELECT *,
+         |    CAST(8000 + (checksum % 4) * 8000 AS BIGINT) AS sample_rate,
+         |    (1 + checksum % 2) * (8 * (1 + (checksum // 2) % 2)) // 8 AS ba
+         |  FROM blobs),
+         |geo AS (
+         |  SELECT *, data_len // ba AS n_frames, (data_len // ba) // 16 AS wf
+         |  FROM a),
+         |es AS (
+         |  SELECT doc_id, sample_rate, n_frames, wf,
+         |    [CAST(list_sum([ascii(substr(text, CAST(j AS INT) + 1, 1))
+         |        for j in generate_series(i*wf*ba, (i+1)*wf*ba - 1)]) AS BIGINT)
+         |     for i in generate_series(0, 15)] AS e
+         |  FROM geo)
+         |SELECT doc_id,
+         |  CASE WHEN n_frames >= 16 THEN sample_rate END AS sample_rate,
+         |  CASE WHEN n_frames >= 16 THEN n_frames END AS n_frames,
+         |  CASE WHEN n_frames >= 16 THEN wf END AS window_frames,
+         |  CASE WHEN n_frames >= 16 THEN
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(CASE WHEN e[i+2] > e[i+1] THEN 1 ELSE 0 END AS BIGINT)
+         |       for i in generate_series(0, 14)]),
+         |      (acc, b) -> acc*2 + b) END AS fingerprint,
+         |  CASE WHEN n_frames >= 16 THEN CAST(list_sum(e) AS BIGINT) END AS energy_total
+         |FROM es ORDER BY doc_id""".stripMargin,
 
     // video phash replay: frame f's picked byte (r,c,k) sits at global
     // unpadded index f·3wh + (r·h div 8)·3w + (c·w div 8)·3 + k of the

@@ -373,6 +373,34 @@ class MultimodalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("audio fingerprint: level-invariant 15-bit energy-delta signature, short " +
+      "and malformed inputs null, corpus covers every audio doc") {
+    import graft.functions.{WavFingerprintImpl, WavImpl}
+    val base = ("a nontrivial audio payload with enough bytes to cut into sixteen " +
+      "windows of several frames each, plus change").getBytes("UTF-8")
+    val fp = WavFingerprintImpl.compute(WavImpl.wrap(base, 8000L, 1L, 8L))
+    assert(fp !== null)
+    assert(fp.getLong(0) === 8000L && fp.getLong(1) === base.length.toLong)
+    assert(fp.getLong(3) >= 0L && fp.getLong(3) < (1L << 15), "15 bits, sign-free")
+    // constant level shift: every equal-size window's energy moves the
+    // same amount ⇒ the delta bits are unchanged, total moves by n·shift
+    val shifted = WavFingerprintImpl.compute(
+      WavImpl.wrap(base.map(b => (b + 7).toByte), 8000L, 1L, 8L))
+    assert(shifted.getLong(3) === fp.getLong(3), "fingerprint must survive the shift")
+    assert(shifted.getLong(4) === fp.getLong(4) + 7L * 16L * fp.getLong(2))
+    // a different payload fingerprints differently
+    val other = WavFingerprintImpl.compute(
+      WavImpl.wrap(base.reverse, 8000L, 1L, 8L))
+    assert(other.getLong(3) != fp.getLong(3))
+    // too short to window / malformed → null, never a throw
+    assert(WavFingerprintImpl.compute(WavImpl.wrap("tiny".getBytes, 8000L, 1L, 8L)) === null)
+    assert(WavFingerprintImpl.compute(null) === null)
+    assert(WavFingerprintImpl.compute(Array[Byte](1, 2, 3)) === null)
+    // corpus pass: one row per audio doc (nulls ride along, never dropped)
+    val out = Multimodal.audioFingerprint(docs)
+    assert(out.count() === docs.filter(col("doc_id") % 3 === 1).count())
+  }
+
   test("video phash strip: one row per declared frame, per-frame brightness " +
       "invariance (shared ahash core), malformed nulls") {
     import graft.functions.{AviImpl, AviPhashImpl}
