@@ -447,8 +447,16 @@ object Multimodal {
       .withColumn("__h", th)
       .withColumn("__n", nf)
       .withColumn("ph", expr("graft_avi_phash(graft_avi_wrap(__raw, __w, __h, __n))"))
+      // posexplode_OUTER, then filter on the exploded output: the inner
+      // explode would let InferFiltersFromGenerate inline the whole
+      // wrap+walk expression into `isnotnull(ph) AND size(ph) > 0`
+      // filters, evaluating the container build 3× per row (measured
+      // 20.9 s → 7.1 s at sf1 — the CLAUDE.md HOF-inlining landmine in
+      // its Generate form); the outer variant infers nothing, and the
+      // null-row filter below touches only the cheap exploded column
       .select(col("doc_id"), col("__w").as("frame_w"), col("__h").as("frame_h"),
-        posexplode(col("ph")).as(Seq("pos", "f")))
+        posexplode_outer(col("ph")).as(Seq("pos", "f")))
+      .filter(col("f").isNotNull)
       .select(col("doc_id"), col("frame_w"), col("frame_h"),
         element_at(col("f"), 1).as("frame_idx"),
         element_at(col("f"), 2).as("mean_luma"),
