@@ -267,6 +267,30 @@ object AnalyticsQueries {
       BloomFilterOps.card(probe, bkeys)
     }),
 
+    // The Bloom filter USED (r9): prune lineitem by the urgent-order
+    // bloom BEFORE the join — the production runtime-filter shape. The
+    // join itself eliminates the ~1% false positives, so the result is
+    // EXACTLY the plain join's (the oracle): the filter is a lossless
+    // optimization, and at 100 TB the shuffle feeds ~20% of the fact
+    // instead of all of it (n_pass/n_probe from orders_bloom_prune).
+    "orders_bloom_join" -> ((s, dir) => {
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bkeys = urgent.select(col("o_orderkey").as("k"))
+      val words = BloomFilterOps.wordTable(bkeys, 61440L)
+      val probe = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount"))
+      BloomFilterOps.probe(probe, words, 61440L)
+        .filter(col("pass"))
+        .join(urgent.select(col("o_orderkey"), col("o_orderdate")),
+          col("k") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy(col("month"))
+    }),
+
     // Inter-arrival gap card (r8): per-user lag window (ONE exchange on
     // user_id) → integer µs gaps → partial-aggregated per-type stats;
     // sums stay BIGINT so both engines are exact, avg derived once.
@@ -813,6 +837,13 @@ object AnalyticsQueries {
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, $Revenue AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the bloom prune is LOSSLESS through the join: oracle = plain join
+    "orders_bloom_join" ->
+      s"""SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month,
+         |  COUNT(*) AS n_lines, $Revenue AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY month""".stripMargin,
     // bloom replay: same LCG positions, same 60-bit word packing; a
     // missing word reads as 0 on both sides
     "orders_bloom_prune" -> {
