@@ -602,6 +602,28 @@ object Similarity {
     rerankTopKTwoPhase(scored, k)
   }
 
+  /** Maximum-inner-product search (MIPS) — retrieval where the MAGNITUDE
+    * is the signal (recommender user·item scores, reward models,
+    * un-normalized retrieval heads): exact top-k by RAW dot product,
+    * queries broadcast, same two-phase salted rerank as the cosine
+    * baseline. Cosine ANN deliberately throws ‖x‖ away; when that is
+    * wrong, this is the exact baseline. The scale path is the classic
+    * norm-augmentation reduction (Bachrach et al., RecSys'14): append
+    * sqrt(M²−‖x‖²) to each corpus vector (M = max norm), a zero to each
+    * query, and MIPS becomes cosine ANN — every bucketed index in this
+    * file (LSH/IVF/IVF-PQ) then applies unchanged over the augmented
+    * vectors; this operator is what those reductions get recall-checked
+    * against.
+    */
+  def mipsTopK(emb: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+    val v = vectors(emb)
+    val q = v.filter(isQuery).select(col("vec_id").as("query_id"), col("e").as("eq"))
+    val c = v.filter(!isQuery).select(col("vec_id").as("corpus_id"), col("e").as("ec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", expr("graft_dot(eq, ec)"))
+    rerankTopKTwoPhase(scored, k).withColumnRenamed("cos", "ip")
+  }
+
   /** LSH-bucketed ANN: queries and corpus hash into the same sign buckets;
     * only same-bucket candidates are scored and ranked. Recall vs the
     * brute-force baseline is asserted in the spec.

@@ -113,6 +113,11 @@ object PipelineQueries {
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // MIPS (r9): exact top-k by RAW dot product — magnitude-aware
+    // retrieval; the norm-augmentation reduction is the scale path
+    "sim_topk_mips" -> ((s, dir) =>
+      Similarity.mipsTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -828,6 +833,19 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
          |  FROM scored)
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    "sim_topk_mips" -> (NormCte +
+      s"""
+         |, q AS (SELECT * FROM v WHERE vec_id < 8), c AS (SELECT * FROM v WHERE vec_id >= 8),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |         ${dotSql("q.e", "c.e")} AS ip
+         |  FROM q CROSS JOIN c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ip, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
 
     "sim_topk_lsh" -> (NormCte +

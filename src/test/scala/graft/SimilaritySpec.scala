@@ -54,6 +54,52 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("MIPS top-k: magnitude-aware ranking — ip = cos·‖q‖·‖c‖ exactly, and the " +
+      "ordering genuinely differs from cosine's somewhere") {
+    val mips = Similarity.mipsTopK(emb, isQuery, k = 10).cache()
+    assert(mips.groupBy("query_id").count().filter(col("count") =!= 10).count() === 0)
+    assert(mips.filter(col("query_id") === col("corpus_id")).count() === 0)
+    // consistency with the cosine scorer: ip ≈ cos·nq·nc (same graft_dot
+    // fold — only the normalization differs; the divide-then-multiply
+    // round trip costs a few ulps, so the bound is relative)
+    val v = Similarity.vectors(emb)
+    val joined = mips
+      .join(v.select(col("vec_id").as("query_id"), col("nrm").as("nq")), "query_id")
+      .join(v.select(col("vec_id").as("corpus_id"), col("nrm").as("nc")), "corpus_id")
+      .join(Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+        .select(col("query_id"), col("corpus_id"), col("cos")),
+        Seq("query_id", "corpus_id"))
+    assert(joined.filter(
+      abs(col("ip") - col("cos") * col("nq") * col("nc")) >
+        lit(1e-9) * abs(col("ip"))).count() === 0)
+    mips.unpersist()
+    // the distinguishing property: cosine is SCALE-INVARIANT, MIPS is
+    // not — blow one corpus vector up ×10⁴ and it becomes every query's
+    // MIPS top-1 while the cosine ranking does not move at all
+    val boosted = 42L
+    val emb2 = emb.withColumn("embedding",
+      when(col("vec_id") === boosted,
+        transform(col("embedding"), x => x * lit(10000.0f)))
+        .otherwise(col("embedding")))
+    // (the boost amplifies NEGATIVE dots too — the boosted vector must win
+    // exactly the queries it points the same way as)
+    val likers = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .filter(col("corpus_id") === boosted && col("cos") > 0)
+      .select("query_id")
+    assert(likers.count() > 0, "fixture: someone must like vector 42")
+    val mipsTop1 = Similarity.mipsTopK(emb2, isQuery, k = 1)
+    assert(mipsTop1.join(likers, "query_id")
+      .filter(col("corpus_id") =!= boosted).count() === 0,
+      "the boosted vector must win every positively-aligned query under MIPS")
+    val cosBefore = Similarity.bruteForceTopK(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id", "rnk")
+    val cosAfter = Similarity.bruteForceTopK(emb2, isQuery, k = 10)
+      .select("query_id", "corpus_id", "rnk")
+    assert(cosAfter.exceptAll(cosBefore).count() === 0 &&
+      cosBefore.exceptAll(cosAfter).count() === 0,
+      "cosine must not move under a pure magnitude change")
+  }
+
   test("LSH top-k scores candidates identically to brute force (only recall differs)") {
     val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
       .select(col("query_id"), col("corpus_id"), col("cos"))
