@@ -201,6 +201,39 @@ object Dedup {
   /** Distinct band-bucket candidate pairs of the MinHash LSH index —
     * shared by [[minhashPairs]] and the scale-curve measurement.
     */
+  /** MinHash ESTIMATOR-CALIBRATION card — per banded candidate pair, the
+    * signature estimate (matching minima / K) NEXT TO the exact Jaccard
+    * it estimates. The banding/threshold knobs are chosen by trusting
+    * E[matches/K] = J; this card is where that trust is checked on the
+    * actual corpus (a skewed shingle distribution or a too-small K shows
+    * up as bias here long before it shows up as missed dups). K=16 means
+    * the estimate is quantized to 1/16 — visible in the card, which is
+    * the point.
+    *
+    * Scale shape: identical to [[minhashPairs]] (banded candidates, the
+    * same per-doc signature arrays) plus one 16-element zip per pair —
+    * the card costs what the verify join already costs, nothing more.
+    * Every column is either an integer or ONE fixed IEEE division, so
+    * both engines agree bit-for-bit.
+    */
+  def minhashEstimate(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val hashes = shingleHashes(docs)
+    val cand = minhashCandidates(hashes, bands)
+    val sig = hashes.filter(size(col("hs")) > 0).select(col("doc_id"), col("hs"),
+      array((0 until MinhashK).map(j =>
+        minhash(col("hs"), minhashA(j), minhashB(j))): _*).as("sig"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sig").as("sa"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sig").as("sb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("matches",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), v => v)).cast("long"))
+      .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .withColumn("est", col("matches").cast("double") / MinhashK)
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("jaccard"), col("est"))
+  }
+
   private[graft] def minhashCandidates(hashes: DataFrame, bands: Int): DataFrame = {
     val banded = minhashBands(hashes, bands).drop("hs")
     val a = banded.alias("a")

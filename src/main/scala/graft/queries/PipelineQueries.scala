@@ -58,6 +58,11 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), HammingTau, ShBands)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // estimator-calibration card (r9): signature estimate next to the
+    // exact Jaccard it stands in for, per banded candidate
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimate(Tables.load(s, dir, "documents"), MhBands)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // band-occupancy sizing card (r9): per-band buckets, worst bucket,
     // and the in-bucket candidate mass the verify join would pay
     "dedup_band_stats" -> ((s, dir) =>
@@ -671,6 +676,33 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // estimator calibration: same sig/band/candidate CTEs; matches =
+    // positionwise-equal minima count, est = matches/16 one division
+    "dedup_minhash_est" -> (ShingleCte +
+      s"""
+         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
+         |sigarr AS (SELECT doc_id, hs,
+         |  [${(0 until MinhashK).map(j => s"s$j").mkString(", ")}] AS sg FROM sig),
+         |bands AS (SELECT doc_id, $mhBandKeys FROM sig),
+         |ex AS (SELECT doc_id, band_id, band_val FROM bands
+         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |                      AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_filter([sa.sg[i] = sb.sg[i] for i in generate_series(1, $MinhashK)],
+         |      x -> x)) AS BIGINT) AS matches,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+         |    len(sa.hs) AS na, len(sb.hs) AS nb
+         |  FROM cand JOIN sigarr sa ON sa.doc_id = doc_a
+         |            JOIN sigarr sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, matches,
+         |  CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard,
+         |  CAST(matches AS DOUBLE)/$MinhashK AS est
+         |FROM v ORDER BY doc_a, doc_b""".stripMargin),
 
     // band occupancy: the sig/bands CTEs are the dedup_minhash oracle's;
     // UNION ALL branches carry the INTEGER band ids the Spark card emits

@@ -301,4 +301,44 @@ class DedupSpec extends SparkSpec {
     assert(worst <= math.max(4, n * 0.2).toLong,
       s"a 15-bit simhash band bucket holds $worst of $n docs — banding is not spreading")
   }
+
+  test("minhash estimator calibration: exact duplicates estimate 1.0, matches bounded " +
+      "by K, the estimate is unbiased enough to trust the banding math") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val est = Dedup.minhashEstimate(docs).cache()
+    assert(est.count() > 0)
+    assert(est.filter(col("matches") < 0 || col("matches") > 16).count() === 0)
+    assert(est.filter(col("est") =!= col("matches").cast("double") / 16).count() === 0)
+    // an exact-content duplicate pair has identical shingle sets ⇒ every
+    // minimum matches ⇒ est = jaccard = 1 exactly
+    assert(est.filter(col("jaccard") === 1.0 && col("est") =!= 1.0).count() === 0)
+    // over CANDIDATES the estimate is biased UP by construction — the
+    // banding selected pairs for agreeing minima; the card shows that
+    // selection effect, and the spec pins it as such
+    val candBias = est.agg(avg(col("est") - col("jaccard"))).head().getDouble(0)
+    info(f"minhash estimator mean bias over BANDED candidates: $candBias%.4f")
+    assert(candBias > 0.0, "band selection must inflate the conditional estimate")
+    est.unpersist()
+    // UNCONDITIONED calibration (the E[est]=J the threshold math uses):
+    // all pairs of the spec corpus, no banding
+    import graft.operators.Dedup.{minhashA, minhashB, MinhashK}
+    import graft.functions.TextFunctions.minhash
+    val sig = Dedup.shingleHashes(docs).filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"),
+        array((0 until MinhashK).map(j =>
+          minhash(col("hs"), minhashA(j), minhashB(j))): _*).as("sg"))
+    val all = sig.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sg").as("sa"))
+      .crossJoin(sig.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sg").as("sb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), v => v)))
+      .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
+      .withColumn("jac",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+    val bias = all.agg(avg(col("matches").cast("double") / MinhashK - col("jac")))
+      .head().getDouble(0)
+    info(f"minhash estimator mean bias over ALL pairs: $bias%.4f")
+    assert(math.abs(bias) < 0.05,
+      s"unconditioned estimator bias $bias — the threshold math assumes E[est]=J")
+  }
 }
