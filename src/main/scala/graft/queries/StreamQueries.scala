@@ -194,6 +194,17 @@ object StreamQueries {
       ImportanceStream.importanceStream(s, dir, out, ckpt)
         .orderBy(col("doc_id"))
     }),
+    // Per-source ingest quota (r9): first-cap admission with ONE counter
+    // per source; ordered replay makes arrival order = doc_id order, so
+    // the oracle is a plain per-source rank.
+    "stream_quota" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_quota", dir)
+      val split = TopicStream.orderedSplitInput(s, s"$dir/documents.parquet", 4,
+        s"$out-input", idCol = "doc_id")
+      CorpusStream.quotaStream(s, split, out, ckpt, maxFilesPerTrigger = Some(1))
+        .select(col("doc_id"), col("source"), col("admit_seq"))
+        .orderBy(col("doc_id"))
+    }),
     // Streaming span removal vs the bucketed history-fitted dup-span
     // vocabulary; zero cross-batch state; replay = pipeline_span_dedup
     // verbatim.
@@ -208,6 +219,15 @@ object StreamQueries {
     "stream_compact" -> TopicQueries.oracles("topic_compact"),
     // changelog reconciled to final state == batch compaction exactly
     "stream_compact_updates" -> TopicQueries.oracles("topic_compact"),
+    // ordered replay ⇒ admission order == doc_id order per source
+    "stream_quota" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+         |           AS admit_seq
+         |  FROM documents)
+         |SELECT doc_id, source, admit_seq FROM r
+         |WHERE admit_seq <= 10 ORDER BY doc_id""".stripMargin,
     // emitted versions == the batch scd2 history's CLOSED versions
     // (open versions sit in the state store awaiting their close)
     "stream_scd2" ->

@@ -286,16 +286,17 @@ object TopicStream {
     * across micro-batches — the Kafka per-partition ordering contract
     * that [[scdUpdates]] assumes, reproduced on the file source.
     */
-  def orderedSplitInput(spark: SparkSession, path: String, n: Int, dir: String): String = {
+  def orderedSplitInput(spark: SparkSession, path: String, n: Int, dir: String,
+                        idCol: String = "event_id"): String = {
     deleteRecursively(Paths.get(dir))
     Files.createDirectories(Paths.get(dir))
     val df = spark.read.parquet(path)
-    val maxId = df.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val maxId = df.agg(max(col(idCol))).collect()(0).getLong(0)
     val chunk = maxId / n + 1
     val base = System.currentTimeMillis() - n * 60000L
     for (i <- 0 until n) {
       val tmp = s"$dir-tmp-$i"
-      df.filter(col("event_id") >= i * chunk && col("event_id") < (i + 1) * chunk)
+      df.filter(col(idCol) >= i * chunk && col(idCol) < (i + 1) * chunk)
         .coalesce(1).write.parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
         .find(_.getFileName.toString.endsWith(".parquet"))

@@ -109,6 +109,41 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("valid_to_offset") === 10L && r.getAs[Int]("seq") === 1)
   }
 
+  test("streaming ingest quota: per-source cap fills ACROSS batches with one counter " +
+      "of state; at-quota sources admit nothing more") {
+    val ordered = TopicStream.orderedSplitInput(spark, s"$sf/documents.parquet", 4,
+      "/root/repo/target/stream-scratch/quota-ordered-input", idCol = "doc_id")
+    val (out, ckpt) = TopicStream.scratchDirs("spec_quota", ordered)
+    // each input chunk holds ~6 docs per source, so a cap of 20 can only
+    // fill across 3+ micro-batches — the cross-batch counter is exercised
+    val cap = 20
+    val admitted = graft.streaming.CorpusStream.quotaStream(spark, ordered, out, ckpt,
+      cap = cap, maxFilesPerTrigger = Some(1)).cache()
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    // exactly min(cap, n) admitted per source, seqs contiguous 1..k
+    val kept = admitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), max(col("admit_seq")).as("m"))
+    val have = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(kept.join(have, "source")
+      .filter(col("c") =!= least(lit(cap.toLong), col("n")) || col("m") =!= col("c"))
+      .count() === 0)
+    // admission = the FIRST cap by doc_id under the ordered replay
+    val expected = docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"))
+    assert(admitted.select("doc_id").exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(admitted.select("doc_id")).count() === 0)
+    // the counter genuinely carried across batches: some source admits in
+    // more than one micro-batch
+    assert(admitted.select("batch_id").distinct().count() >= 2)
+    assert(admitted.groupBy(col("source"))
+      .agg(countDistinct(col("batch_id")).as("b")).filter(col("b") > 1).count() > 0,
+      "a quota must fill across batch boundaries to prove cross-batch state")
+    admitted.unpersist()
+  }
+
   test("flatMapGroupsWithState changelog: reconcileChangelog equals batch compaction") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_updates", splitDir)
     val updates = TopicStream.compactUpdatesStream(spark, splitDir, out, ckpt,
