@@ -409,6 +409,14 @@ object AnalyticsQueries {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
         .orderBy(col("event_type"))),
 
+    // Fixed-point integer PageRank (r9): co-purchase centrality over the
+    // lineitem part graph — 5 power-iteration rounds, every operation an
+    // integer div/sum so any partitioning and any engine produce the
+    // same bits (float PageRank is neither).
+    "parts_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.partsPageRank(Tables.load(s, dir, "lineitem"))
+        .orderBy(col("rnk"))),
+
     // EXACT distinct aggregation (r9): per-type distinct users via
     // Spark's two-level rewrite — the dedup runs DISTRIBUTED on the
     // (type, user) key (first aggregate), then collapses to counts per
@@ -832,6 +840,38 @@ object AnalyticsQueries {
     "events_distinct_exact" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // pagerank replay: identical integer power iteration, r0..r5 as
+    // chained CTEs (generated, like the codebook CTEs)
+    "parts_pagerank" -> {
+      val S = 1000000000000L
+      val rounds = 5
+      val head =
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |edges AS (
+           |  SELECT pa AS src, pb AS dst FROM pairs
+           |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, CAST($S AS BIGINT) AS r FROM nodes)""".stripMargin
+      val chain = (1 to rounds).map { t =>
+        s""",
+           |r$t AS (
+           |  SELECT n.id,
+           |    CAST((15 * $S) // 100 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM(p.r // d.d) AS m
+           |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString
+      head + chain +
+        s"""
+           |SELECT id AS part_id, r AS rank_fp,
+           |  CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS rnk
+           |FROM r$rounds ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
     // the layout must not change answers: the oracle is the PLAIN join
     "q_join_bucketed" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, $Revenue AS revenue

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank invariants (operators/Graph.scala). */
+class GraphSpec extends SparkSpec {
+
+  private val Scale = 1000000000000L
+  private def lineitem = graft.sources.Tables.load(spark, sf, "lineitem")
+
+  test("co-purchase edges are symmetric, deduplicated, and never self-looped") {
+    val e = Graph.coPurchaseEdges(lineitem).cache()
+    assert(e.filter(col("src") === col("dst")).count() === 0)
+    assert(e.count() === e.distinct().count(), "edge list must be deduplicated")
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    assert(e.exceptAll(rev).count() === 0, "every edge must have its reverse")
+    e.unpersist()
+  }
+
+  test("pagerank: mass conserved to integer-truncation dust, every rank >= the " +
+      "teleport base, bit-identical across runs, and a hub outranks a leaf") {
+    val edges = Graph.coPurchaseEdges(lineitem)
+    val r = Graph.pageRank(edges, rounds = 5, scale = Scale).cache()
+    val n = r.count()
+    // each of the 5 rounds loses < 1 unit per (edge-contrib + node) to
+    // integer division — dust, not drift
+    val mass = r.agg(sum("r")).head().getLong(0)
+    assert(mass <= n * Scale, "integer truncation can only lose mass")
+    assert(n * Scale - mass < n * 500L, s"lost ${n * Scale - mass} — more than dust")
+    val base = 15L * Scale / 100L
+    assert(r.filter(col("r") < base).count() === 0, "teleport mass is a floor")
+    // deterministic: a rerun reproduces every bit
+    val again = Graph.pageRank(edges, rounds = 5, scale = Scale)
+    assert(r.exceptAll(again).count() === 0)
+    r.unpersist()
+    // a hand-built 4-star: the hub must outrank the leaves, leaves tie
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("pa", "pb")
+    val starEdges = star.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(star.select(col("pb").as("src"), col("pa").as("dst")))
+    val sr = Graph.pageRank(starEdges, rounds = 5, scale = Scale)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(sr(1L) > sr(2L), "the hub must outrank a leaf")
+    assert(Set(2L, 3L, 4L, 5L).map(sr).size === 1, "symmetric leaves must tie exactly")
+  }
+}
