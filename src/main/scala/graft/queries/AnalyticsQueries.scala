@@ -409,6 +409,25 @@ object AnalyticsQueries {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
         .orderBy(col("event_type"))),
 
+    // Moving-frame window aggregates (r9): running total + trailing
+    // 5-event sum per user — the ROWS BETWEEN frame surface (rank/lag/
+    // lead/session are covered elsewhere; this is the sliding-frame
+    // form). ONE exchange on user_id carries BOTH frames (same window
+    // sort); sums are integer cents so any partitioning is bit-exact.
+    "events_moving_agg" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("running_cents",
+          sum(col("cents")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("trail5_cents",
+          sum(col("cents")).over(byUser.rowsBetween(-4, 0)))
+        .withColumn("n_seen",
+          count(lit(1)).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("event_id"))
+    }),
+
     // Fixed-point integer PageRank (r9): co-purchase centrality over the
     // lineitem part graph — 5 power-iteration rounds, every operation an
     // integer div/sum so any partitioning and any engine produce the
@@ -840,6 +859,19 @@ object AnalyticsQueries {
     "events_distinct_exact" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_moving_agg" ->
+      s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         |  CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER (
+         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+         |  CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER (
+         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail5_cents,
+         |  CAST(COUNT(*) OVER (
+         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_seen
+         |FROM events ORDER BY event_id""".stripMargin,
     // pagerank replay: identical integer power iteration, r0..r5 as
     // chained CTEs (generated, like the codebook CTEs)
     "parts_pagerank" -> {

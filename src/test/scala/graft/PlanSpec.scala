@@ -276,6 +276,31 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_false_pos")) >= 0)
   }
 
+  test("moving aggregates: both frames ride ONE window sort and ONE exchange; " +
+      "running and trailing frames agree where they overlap") {
+    import org.apache.spark.sql.functions._
+    val df = AnalyticsQueries.queries("events_moving_agg")(spark, sf).cache()
+    // first 5 rows of any user: trailing-5 == running (frames coincide)
+    assert(df.filter(col("n_seen") <= 5 && col("trail5_cents") =!= col("running_cents"))
+      .count() === 0)
+    // beyond that the trailing frame is a strict suffix: trail5 <= running
+    assert(df.filter(col("trail5_cents") > col("running_cents")).count() === 0)
+    // a user's last running total is their exact cent sum
+    val totals = df.groupBy(col("user_id"))
+      .agg(max(col("n_seen")).as("n"), sum(col("cents")).as("total"))
+    val last = df.join(totals, df("user_id") === totals("user_id") &&
+      df("n_seen") === totals("n"))
+    assert(last.filter(col("running_cents") =!= col("total")).count() === 0)
+    df.unpersist()
+    val p = AnalyticsQueries.queries("events_moving_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = p.sliding("Window".length).count(_ == "Window")
+    assert(windows === 1, s"all three frames must share one Window operator:\n$p")
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 1, s"one user_id exchange only:\n$p")
+  }
+
   test("exact distinct plans the two-level rewrite: dedup keyed (type,user) first, " +
       "counts second — no collect_set, partials at both levels") {
     val df = AnalyticsQueries.queries("events_distinct_exact")(spark, sf)
