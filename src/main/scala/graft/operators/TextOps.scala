@@ -220,6 +220,41 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Cross-source MIRROR detection — which hosts republish each other's
+    * content (CommonCrawl-style mirror/syndication discovery, the
+    * source-level face of near-dup dedup): source pairs ranked by how
+    * many RARE shingles they share. "Rare" (source-df ∈ [2, maxSources])
+    * is both the signal and the scale bound: a shingle on 2-10 hosts is
+    * mirror evidence, a shingle on hundreds is boilerplate — and capping
+    * source-df caps the self-join fan-out per shingle at maxSources²/2,
+    * so the ubiquitous-boilerplate key that would otherwise quadratically
+    * dominate the join is EXCLUDED by the semantics, not salted around.
+    *
+    * Scale shape: (source, shingle) pairs deduplicate through one hash
+    * aggregate (map-side combine); the df filter drops the skew mass;
+    * the pair join is shingle-keyed with bounded fan-out; the final
+    * aggregate is source-pair-keyed (a bounded domain). Top-k rides a
+    * 20-row window.
+    */
+  def mirrorPairs(docs: DataFrame, maxSources: Int = 10, k: Int = 20): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val sh = docs
+      .select(col("source"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+      .distinct()
+    val d = sh.groupBy(col("h")).agg(count(lit(1)).as("nsrc"))
+    val keep = sh.join(d.filter(col("nsrc").between(2, maxSources)), "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shared").desc, col("source_a"), col("source_b"))
+    keep.as("a").join(keep.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("source_a"), col("source_b"))
+      .limit(k)
+      .select(col("source_a"), col("source_b"), col("shared"),
+        row_number().over(w).as("rnk"))
+  }
+
   /** Out-of-vocabulary rate against a corpus-fitted top-V vocabulary —
     * the integer-exact stand-in for the KenLM-perplexity quality filter
     * every public pipeline runs (CCNet §4.2, Gopher, Dolma): a doc whose

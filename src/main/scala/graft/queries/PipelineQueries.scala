@@ -198,6 +198,11 @@ object PipelineQueries {
     "text_oov_rate" -> ((s, dir) =>
       TextOps.oovRate(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // cross-source mirror detection (r9): source pairs ranked by shared
+    // RARE shingles — rarity is the signal AND the join's skew bound
+    "corpus_mirror_pairs" -> ((s, dir) =>
+      TextOps.mirrorPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("rnk"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -1518,6 +1523,30 @@ object PipelineQueries {
          |GROUP BY g
          |ORDER BY n_occurrences DESC, ngram
          |LIMIT 20""".stripMargin,
+
+    // mirror replay: same shingle kernel with source carried through;
+    // the [2, 10] source-df band is semantics and skew bound at once
+    "corpus_mirror_pairs" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |whs AS (SELECT doc_id, source, list_transform(w, s -> ${poly("s")}) AS wh FROM ws),
+         |hs0 AS (
+         |  SELECT doc_id, source,
+         |         list_distinct([(((wh[i]*31 + wh[i+1]) % $M) * 31 + wh[i+2]) % $M
+         |                        for i in generate_series(1, greatest(len(wh)-2, 0))]) AS hs
+         |  FROM whs),
+         |sh AS (SELECT DISTINCT source, unnest(hs) AS h FROM hs0),
+         |d AS (SELECT h, COUNT(*) AS nsrc FROM sh GROUP BY 1),
+         |keep AS (SELECT sh.source, sh.h FROM sh JOIN d USING (h)
+         |         WHERE d.nsrc BETWEEN 2 AND 10),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+         |  FROM keep a JOIN keep b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared,
+         |  CAST(row_number() OVER (ORDER BY shared DESC, source_a, source_b) AS INT) AS rnk
+         |FROM pairs ORDER BY shared DESC, source_a, source_b LIMIT 20""".stripMargin,
 
     // oov replay: same tokenization, same (count DESC, token) top-200
     // fit, same miss counts; the rate is one IEEE division of exact longs

@@ -764,6 +764,35 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"tf/df aggregates need map-side combine:\n$p")
   }
 
+  test("mirror pairs: a planted cross-source mirror ranks first; the boilerplate " +
+      "wall excludes ubiquitous shingles from the join") {
+    import spark.implicits._
+    // plant a mirror: five documents republished WHOLE by two fresh
+    // sources — their shingles now have source-df ≥ 2 through the pair,
+    // outweighing any naturally-shared mass between real sources
+    val txts = docs.orderBy(col("n_chars").desc).limit(5)
+      .select("text").collect().map(_.getString(0))
+    val planted = txts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((90001L + 2 * i, t, "xx", "mirrorX", t.length.toLong),
+        (90002L + 2 * i, t, "xx", "mirrorY", t.length.toLong))
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.mirrorPairs(docs.unionByName(planted)).cache()
+    val top = out.filter(col("rnk") === 1).head()
+    assert(Set(top.getString(0), top.getString(1)) === Set("mirrorX", "mirrorY"),
+      s"the planted mirror must rank first, got ${top.mkString(",")}")
+    // rank order is strict on shared counts
+    assert(out.count() === out.select("rnk").distinct().count())
+    out.unpersist()
+    // the boilerplate wall: no surviving shingle joins more than
+    // maxSources sources, so no pair's count can exceed the total kept
+    // shingle population of either source (sanity, not tightness)
+    val base = TextOps.mirrorPairs(docs, maxSources = 2)
+    val wide = TextOps.mirrorPairs(docs, maxSources = 10)
+    assert(base.agg(sum("shared")).head().getLong(0) <=
+      wide.agg(sum("shared")).head().getLong(0),
+      "tightening the df band can only drop evidence")
+  }
+
   test("oov rate: token conservation, bounds, a full-corpus vocabulary zeroes every " +
       "rate, and the fitted vocab joins broadcast") {
     val out = TextOps.oovRate(docs).cache()
