@@ -563,6 +563,42 @@ object AnalyticsQueries {
     "events_sessionize" -> ((s, dir) =>
       sessionFrame(s, dir).orderBy(col("user_id"), col("session_seq"))),
 
+    // Session PATH mining (r9): top navigation paths — each session's
+    // first-5 event-type sequence, counted corpus-wide (the funnel-
+    // discovery complement of events_funnel's fixed chain). The rn<=5
+    // cap bounds the path alphabet AND becomes a map-side
+    // WindowGroupLimit; both windows ((user), (user, session)) ride the
+    // SAME user_id exchange — hashpartitioning(user_id) satisfies the
+    // (user, session) clustering, so sessionizing + ranking is one
+    // shuffle. Paths are rebuilt ORDER-DETERMINISTICALLY: the rank rides
+    // inside the collected struct and array_sort re-imposes it, so
+    // collect_list's partition-order freedom can't leak into the string.
+    "events_paths_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ms"), col("event_id"))
+      val paths = e
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      val wr = Window.orderBy(col("n_sessions").desc, col("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+        .select(col("path"), col("n_sessions"), row_number().over(wr).as("rnk"))
+    }),
+
     // Interval-OVERLAP join (r9): per session, how many OTHER users'
     // sessions overlap it in time — the classic temporal/concurrency
     // join, via the banded interval plan (RangeJoin.overlapCount).
@@ -1160,6 +1196,33 @@ object AnalyticsQueries {
          |  ON a.user_id <> b.user_id AND a.s_ms <= b.e_ms AND b.s_ms <= a.e_ms
          |GROUP BY a.user_id, a.session_seq
          |ORDER BY a.user_id, a.session_seq""".stripMargin,
+    // path replay: same gap rule, same (ms, event_id) total order inside
+    // the session, string_agg with an explicit ORDER BY
+    "events_paths_topk" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+         |  FROM events),
+         |flags AS (
+         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *, SUM(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+         |      AS session_seq
+         |  FROM flags),
+         |rn AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id, session_seq ORDER BY ms, event_id) AS rn
+         |  FROM sess),
+         |paths AS (
+         |  SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM rn WHERE rn <= 5 GROUP BY 1, 2),
+         |agg AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+         |SELECT path, n_sessions,
+         |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rnk
+         |FROM agg ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "events_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",

@@ -301,6 +301,30 @@ class PlanSpec extends SparkSpec {
     assert(hashEx === 1, s"one user_id exchange only:\n$p")
   }
 
+  test("path mining: sessionize + rank + per-session agg all ride ONE user_id " +
+      "exchange; the first-5 cap is a map-side group limit; paths are well-formed") {
+    import org.apache.spark.sql.functions._
+    val df = AnalyticsQueries.queries("events_paths_topk")(spark, sf).cache()
+    val types = Set("click", "view", "purchase", "signup", "error")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val steps = r.getString(0).split(">")
+      assert(steps.length >= 1 && steps.length <= 5, s"path capped at 5: ${r.getString(0)}")
+      assert(steps.forall(types.contains), s"alien step in ${r.getString(0)}")
+    }
+    assert(rows.map(_.getInt(2)).toSeq === (1 to rows.length), "ranks contiguous")
+    df.unpersist()
+    val p = AnalyticsQueries.queries("events_paths_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rn<=5 must push down map-side:\n$p")
+    // hashpartitioning(user_id) satisfies the (user, session) window AND
+    // the per-session aggregate — one user exchange, one path exchange
+    val userEx = p.sliding("Exchange hashpartitioning(user_id".length)
+      .count(_ == "Exchange hashpartitioning(user_id")
+    assert(userEx === 1, s"sessionize+rank+agg must share one user_id shuffle:\n$p")
+  }
+
   test("exact distinct plans the two-level rewrite: dedup keyed (type,user) first, " +
       "counts second — no collect_set, partials at both levels") {
     val df = AnalyticsQueries.queries("events_distinct_exact")(spark, sf)
