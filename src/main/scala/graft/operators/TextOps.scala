@@ -935,6 +935,35 @@ object TextOps {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** ONE-ROW DATASET CARD — the "Datasheets for Datasets" summary every
+    * corpus release ships (Gebru et al., arXiv:1803.09010): volume
+    * (docs/tokens/chars), composition (sources/langs/strata), exact-dup
+    * mass, and the holdout-split census, in a single row of exact
+    * integers. Composes three operators this engine already gates
+    * ([[sourceStats]], [[Dedup.exact]], [[holdoutSplit]]) — the card is
+    * their one-row reductions crossJoined (constant-size frames, the
+    * broadcast-trivial shape), so it costs three scans and aggregates,
+    * no new machinery, and inherits their oracle-exactness.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val strata = sourceStats(docs)
+    val volume = strata.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      count(lit(1)).as("n_strata"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val dups = Dedup.exact(docs).agg(
+      sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(col("n_copies") - 1).as("n_dup_docs"))
+    val splits = holdoutSplit(docs).agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    volume.crossJoin(dups).crossJoin(splits)
+  }
+
   /** Deterministic train/validation/test holdout split by CONTENT-HASH
     * range — the standard eval-set carve-out, done so reruns, engines,
     * and duplicated documents all agree (a rand() split is none of

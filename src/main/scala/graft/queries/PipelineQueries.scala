@@ -203,6 +203,10 @@ object PipelineQueries {
     "corpus_mirror_pairs" -> ((s, dir) =>
       TextOps.mirrorPairs(Tables.load(s, dir, "documents"))
         .orderBy(col("rnk"))),
+    // one-row dataset card (r9): the datasheet summary — volume,
+    // composition, dup mass, split census, all exact integers
+    "pipeline_dataset_card" -> ((s, dir) =>
+      TextOps.datasetCard(Tables.load(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -1523,6 +1527,33 @@ object PipelineQueries {
          |GROUP BY g
          |ORDER BY n_occurrences DESC, ngram
          |LIMIT 20""".stripMargin,
+
+    // dataset-card replay: the source-stats token formula + the exact-dup
+    // grouping + the split coin, reduced to one row of BIGINTs
+    "pipeline_dataset_card" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, text,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tok
+         |  FROM documents),
+         |vol AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |    (SELECT COUNT(*) FROM (SELECT DISTINCT source, lang FROM documents)) AS n_strata,
+         |    COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs
+         |  FROM t),
+         |g AS (SELECT COUNT(*) AS n FROM documents GROUP BY md5(text)),
+         |d AS (
+         |  SELECT CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+         |    CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs
+         |  FROM g),
+         |c AS (SELECT ${poly("text")} % 1000 AS coin FROM documents),
+         |sp AS (
+         |  SELECT CAST(COUNT(CASE WHEN coin >= 20 THEN 1 END) AS BIGINT) AS n_train,
+         |    CAST(COUNT(CASE WHEN coin >= 10 AND coin < 20 THEN 1 END) AS BIGINT) AS n_val,
+         |    CAST(COUNT(CASE WHEN coin < 10 THEN 1 END) AS BIGINT) AS n_test
+         |  FROM c)
+         |SELECT * FROM vol CROSS JOIN d CROSS JOIN sp""".stripMargin,
 
     // mirror replay: same shingle kernel with source carried through;
     // the [2, 10] source-df band is semantics and skew bound at once
