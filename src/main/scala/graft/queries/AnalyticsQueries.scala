@@ -409,6 +409,39 @@ object AnalyticsQueries {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
         .orderBy(col("event_type"))),
 
+    // A/B experiment card (r9): deterministic hash-split arms (user
+    // parity — every user is wholly in one arm, the unit of
+    // randomization), per-type two-sample comparison with the Welch
+    // z statistic. The same decimal two-pass moments as events_anomaly
+    // keep every aggregate engine-exact; the derived doubles (means,
+    // variances, z) are FIXED IEEE shapes over those exact sums, so
+    // both engines produce identical bits. ONE partial-agg'd exchange
+    // on (type, arm), then a types-count pivot — nothing scales with
+    // rows but the first aggregate.
+    "events_abtest" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .withColumn("vd", dec(col("value")))
+      val m = d.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("vd")).as("sv"),
+          sum(col("vd") * col("vd")).as("svv"))
+        .withColumn("mean_v", col("sv").cast("double") / col("n"))
+        .withColumn("var_v", greatest(
+          col("svv").cast("double") / col("n") - col("mean_v") * col("mean_v"),
+          lit(0.0)))
+      def arm(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+      m.groupBy(col("event_type"))
+        .agg(arm(0, "n").as("n_a"), arm(1, "n").as("n_b"),
+          arm(0, "mean_v").as("mean_a"), arm(1, "mean_v").as("mean_b"),
+          arm(0, "var_v").as("var_a"), arm(1, "var_v").as("var_b"))
+        .withColumn("diff", col("mean_a") - col("mean_b"))
+        .withColumn("z", col("diff") /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+        .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "diff", "z")
+        .orderBy(col("event_type"))
+    }),
+
     // Moving-frame window aggregates (r9): running total + trailing
     // 5-event sum per user — the ROWS BETWEEN frame surface (rank/lag/
     // lead/session are covered elsewhere; this is the sliding-frame
@@ -895,6 +928,32 @@ object AnalyticsQueries {
     "events_distinct_exact" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // abtest replay: same parity arms, same decimal moments, same fixed
+    // IEEE shapes for mean/variance/z
+    "events_abtest" ->
+      s"""WITH s AS (
+         |  SELECT event_type, CAST(user_id % 2 AS INT) AS arm, COUNT(*) AS n,
+         |    CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+         |    CAST(SUM(CAST("value" AS DECIMAL(12,2)) *
+         |             CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS svv
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, arm, n, sv / n AS mean_v,
+         |    greatest(svv / n - (sv / n) * (sv / n), 0) AS var_v
+         |  FROM s),
+         |w AS (
+         |  SELECT event_type,
+         |    MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+         |    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+         |    MAX(CASE WHEN arm = 0 THEN mean_v END) AS mean_a,
+         |    MAX(CASE WHEN arm = 1 THEN mean_v END) AS mean_b,
+         |    MAX(CASE WHEN arm = 0 THEN var_v END) AS var_a,
+         |    MAX(CASE WHEN arm = 1 THEN var_v END) AS var_b
+         |  FROM m GROUP BY 1)
+         |SELECT event_type, n_a, n_b, mean_a, mean_b,
+         |  mean_a - mean_b AS diff,
+         |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z
+         |FROM w ORDER BY event_type""".stripMargin,
     "events_moving_agg" ->
       s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
          |  CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,

@@ -301,6 +301,38 @@ class PlanSpec extends SparkSpec {
     assert(hashEx === 1, s"one user_id exchange only:\n$p")
   }
 
+  test("abtest: user-level arms partition the events, null-hypothesis z stays small " +
+      "on the parity split, and a shifted arm is detected") {
+    import org.apache.spark.sql.functions._
+    val df = AnalyticsQueries.queries("events_abtest")(spark, sf).cache()
+    val ev = graft.sources.Tables.load(spark, sf, "events").filter(col("value").isNotNull)
+    // arms partition: n_a + n_b == rows per type
+    val n = ev.groupBy(col("event_type")).count()
+    assert(df.join(n, "event_type")
+      .filter(col("n_a") + col("n_b") =!= col("count")).count() === 0)
+    // user parity is a NULL split — |z| should not scream (< 4 leaves
+    // generous room for chance at spec scale)
+    assert(df.filter(abs(col("z")) > 4.0).count() === 0,
+      s"parity split showed an effect: ${df.collect().mkString(";")}")
+    // inject a real effect: +10.00 to arm 0's values moves every type's
+    // mean difference by EXACTLY +10 over the unshifted card
+    val shifted = ev.withColumn("value",
+      col("value") + when(col("user_id") % 2 === 0, 10.0).otherwise(0.0))
+    val d2 = shifted
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .withColumn("vd", col("value").cast("decimal(12,2)"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("sv"))
+      .withColumn("mean_v", col("sv").cast("double") / col("n"))
+      .groupBy(col("event_type"))
+      .agg((max(when(col("arm") === 0, col("mean_v"))) -
+        max(when(col("arm") === 1, col("mean_v")))).as("shifted_diff"))
+    assert(d2.join(df.select(col("event_type"), col("diff")), "event_type")
+      .filter(abs(col("shifted_diff") - col("diff") - 10.0) > 1e-6).count() === 0,
+      "a +10 arm shift must move the mean difference by exactly +10")
+    df.unpersist()
+  }
+
   test("path mining: sessionize + rank + per-session agg all ride ONE user_id " +
       "exchange; the first-5 cap is a map-side group limit; paths are well-formed") {
     import org.apache.spark.sql.functions._
