@@ -935,6 +935,40 @@ object TextOps {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Weighted-fair INTERLEAVE schedule — the mixture as an ORDERING
+    * (heterogeneous-mixture epoch scheduling): every document gets a
+    * fixed-point virtual time vt = position·SCALE div weight, and
+    * reading in vt order interleaves sources proportionally to their
+    * weights (weighted fair queueing's virtual-clock, deterministic
+    * and resumable — where pipeline_mixture SAMPLES a mixture, this
+    * SCHEDULES one without dropping anything).
+    *
+    * Positions are per-(source, bucket) ranks composed as
+    * p = rank·B + bucket — dense per source in aggregate but computed
+    * in B parallel windows, so a 10%-hot source costs B-way parallel
+    * sorts, never one serialized window partition (the same shard trick
+    * as [[shardedShuffle]], for the same reason). Weights are a
+    * deterministic function of the source id interpolated into both
+    * engines; all arithmetic is integer, so the schedule is bit-stable
+    * under any partitioning.
+    */
+  def interleave(docs: DataFrame, buckets: Int = 16,
+                 scale: Long = 1000000L, salt: String = "ilv1"): DataFrame = {
+    require(buckets >= 1, s"interleave: buckets must be >= 1, got $buckets")
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bucket")).orderBy(col("hkey"), col("doc_id"))
+    docs
+      .withColumn("hkey", polyhashNative(concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("bucket", pmod(col("hkey"), lit(buckets.toLong)).cast("int"))
+      .withColumn("weight",
+        (expr("CAST(substr(source, 4) AS BIGINT)") % 3L + 1L).cast("long"))
+      .withColumn("rank_in_bucket", row_number().over(w).cast("long"))
+      .withColumn("p", (col("rank_in_bucket") - 1) * buckets + col("bucket"))
+      .withColumn("vt", expr(s"(p * $scale) DIV weight"))
+      .select("doc_id", "source", "weight", "bucket", "p", "vt")
+  }
+
   /** ONE-ROW DATASET CARD — the "Datasheets for Datasets" summary every
     * corpus release ships (Gebru et al., arXiv:1803.09010): volume
     * (docs/tokens/chars), composition (sources/langs/strata), exact-dup

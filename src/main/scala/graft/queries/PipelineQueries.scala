@@ -207,6 +207,11 @@ object PipelineQueries {
     // composition, dup mass, split census, all exact integers
     "pipeline_dataset_card" -> ((s, dir) =>
       TextOps.datasetCard(Tables.load(s, dir, "documents"))),
+    // weighted-fair interleave (r9): the mixture as an ORDERING — a
+    // WFQ virtual clock in fixed-point integers, sharded windows
+    "pipeline_interleave" -> ((s, dir) =>
+      TextOps.interleave(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
@@ -1527,6 +1532,27 @@ object PipelineQueries {
          |GROUP BY g
          |ORDER BY n_occurrences DESC, ngram
          |LIMIT 20""".stripMargin,
+
+    // interleave replay: same hash, same (source, bucket) rank, same
+    // integer virtual clock
+    "pipeline_interleave" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         ${poly("'ilv1:' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents),
+         |b AS (
+         |  SELECT *, CAST(hkey % 16 AS INT) AS bucket,
+         |    CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS BIGINT) AS weight
+         |  FROM h),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY source, bucket ORDER BY hkey, doc_id) AS BIGINT)
+         |      AS rank_in_bucket
+         |  FROM b)
+         |SELECT doc_id, source, weight, bucket,
+         |  (rank_in_bucket - 1) * 16 + bucket AS p,
+         |  (((rank_in_bucket - 1) * 16 + bucket) * 1000000) // weight AS vt
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // dataset-card replay: the source-stats token formula + the exact-dup
     // grouping + the split coin, reduced to one row of BIGINTs

@@ -764,6 +764,39 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"tf/df aggregates need map-side combine:\n$p")
   }
 
+  test("interleave: the virtual clock serves every backlogged source within a " +
+      "bucket-width of its weighted fair share; positions stay near-dense") {
+    import org.apache.spark.sql.functions._
+    val B = 16
+    val out = TextOps.interleave(docs, buckets = B).cache()
+    // positions stay near-dense per source: hash imbalance across the B
+    // buckets stretches p by at most ~the worst bucket's excess — 2n+B
+    // is a loose wall that still catches a broken composition (measured
+    // max p = 47 at n = 25, B = 16)
+    val dense = out.groupBy(col("source"))
+      .agg(max(col("p")).as("mp"), count(lit(1)).as("n"))
+    assert(dense.filter(col("mp") >= col("n") * 2 + B).count() === 0,
+      "positions drifted away from dense — fairness would break")
+    // WFQ fairness: at the 100th-smallest virtual time, every source has
+    // been served within ±(B+1) of weight·T/SCALE
+    val t = out.orderBy(col("vt")).limit(100)
+      .agg(max(col("vt"))).head().getLong(0)
+    val served = out.filter(col("vt") <= t)
+      .groupBy(col("source"), col("weight")).agg(count(lit(1)).as("served"))
+    val off = served
+      .withColumn("share", col("weight") * t / 1000000L)
+      .filter(abs(col("served") - col("share")) > B + 1)
+    assert(off.count() === 0,
+      s"unfair prefix: ${off.collect().mkString(";")}")
+    // higher weight ⇒ more service in the prefix, aggregated by class
+    val byW = out.filter(col("vt") <= t).groupBy(col("weight"))
+      .agg((count(lit(1)).cast("double") /
+        countDistinct(col("source"))).as("per_source"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byW(3L) > byW(1L), "a weight-3 source must outpace a weight-1 source")
+    out.unpersist()
+  }
+
   test("mirror pairs: a planted cross-source mirror ranks first; the boilerplate " +
       "wall excludes ubiquitous shingles from the join") {
     import spark.implicits._
