@@ -418,29 +418,8 @@ object AnalyticsQueries {
     // both engines produce identical bits. ONE partial-agg'd exchange
     // on (type, arm), then a types-count pivot — nothing scales with
     // rows but the first aggregate.
-    "events_abtest" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "events")
-        .filter(col("value").isNotNull)
-        .withColumn("arm", (col("user_id") % 2).cast("int"))
-        .withColumn("vd", dec(col("value")))
-      val m = d.groupBy(col("event_type"), col("arm"))
-        .agg(count(lit(1)).as("n"), sum(col("vd")).as("sv"),
-          sum(col("vd") * col("vd")).as("svv"))
-        .withColumn("mean_v", col("sv").cast("double") / col("n"))
-        .withColumn("var_v", greatest(
-          col("svv").cast("double") / col("n") - col("mean_v") * col("mean_v"),
-          lit(0.0)))
-      def arm(a: Int, c: String) = max(when(col("arm") === a, col(c)))
-      m.groupBy(col("event_type"))
-        .agg(arm(0, "n").as("n_a"), arm(1, "n").as("n_b"),
-          arm(0, "mean_v").as("mean_a"), arm(1, "mean_v").as("mean_b"),
-          arm(0, "var_v").as("var_a"), arm(1, "var_v").as("var_b"))
-        .withColumn("diff", col("mean_a") - col("mean_b"))
-        .withColumn("z", col("diff") /
-          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
-        .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "diff", "z")
-        .orderBy(col("event_type"))
-    }),
+    "events_abtest" -> ((s, dir) =>
+      abtestCard(Tables.load(s, dir, "events")).orderBy(col("event_type"))),
 
     // Moving-frame window aggregates (r9): running total + trailing
     // 5-event sum per user — the ROWS BETWEEN frame surface (rank/lag/
@@ -706,6 +685,42 @@ object AnalyticsQueries {
       .select(col("event_type"), col("mean_v"), col("sd"))
   }
 
+  /** A/B experiment card over an events frame — ONE aggregation:
+    * per-arm moments as conditional decimal sums inside a single
+    * per-type aggregate (the two-level groupBy(type, arm) → pivot form
+    * would be a second aggregation — one more exchange in batch and
+    * ILLEGAL in a streaming query, where multiple aggregations are
+    * unsupported; this form is both cheaper and stream-ready, and the
+    * streaming twin rides this exact call). Derived means/variances/z
+    * are fixed IEEE shapes over exact decimal sums — engine-identical
+    * bits. Arms are user parity: the user is the randomization unit.
+    */
+  private[graft] def abtestCard(events: DataFrame): DataFrame = {
+    val d = events.filter(col("value").isNotNull)
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .withColumn("vd", dec(col("value")))
+    def armAgg(a: Int, e: Column) = sum(when(col("arm") === a, e))
+    d.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        armAgg(0, col("vd")).as("sv_a"), armAgg(1, col("vd")).as("sv_b"),
+        armAgg(0, col("vd") * col("vd")).as("svv_a"),
+        armAgg(1, col("vd") * col("vd")).as("svv_b"))
+      .withColumn("mean_a", col("sv_a").cast("double") / col("n_a"))
+      .withColumn("mean_b", col("sv_b").cast("double") / col("n_b"))
+      .withColumn("var_a", greatest(
+        col("svv_a").cast("double") / col("n_a") - col("mean_a") * col("mean_a"),
+        lit(0.0)))
+      .withColumn("var_b", greatest(
+        col("svv_b").cast("double") / col("n_b") - col("mean_b") * col("mean_b"),
+        lit(0.0)))
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("z", col("diff") /
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "diff", "z")
+  }
+
   /** Flag rows beyond 3σ of their type against a precomputed stats dim
     * (broadcast: the dim never grows with data). Works identically on a
     * batch frame and a streaming micro-batch — the streaming twin rides
@@ -928,32 +943,34 @@ object AnalyticsQueries {
     "events_distinct_exact" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // abtest replay: same parity arms, same decimal moments, same fixed
-    // IEEE shapes for mean/variance/z
+    // abtest replay: same parity arms, conditional decimal moments in
+    // ONE aggregate, same fixed IEEE shapes for mean/variance/z
     "events_abtest" ->
       s"""WITH s AS (
-         |  SELECT event_type, CAST(user_id % 2 AS INT) AS arm, COUNT(*) AS n,
-         |    CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sv,
-         |    CAST(SUM(CAST("value" AS DECIMAL(12,2)) *
-         |             CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS svv
-         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
-         |m AS (
-         |  SELECT event_type, arm, n, sv / n AS mean_v,
-         |    greatest(svv / n - (sv / n) * (sv / n), 0) AS var_v
-         |  FROM s),
-         |w AS (
          |  SELECT event_type,
-         |    MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
-         |    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
-         |    MAX(CASE WHEN arm = 0 THEN mean_v END) AS mean_a,
-         |    MAX(CASE WHEN arm = 1 THEN mean_v END) AS mean_b,
-         |    MAX(CASE WHEN arm = 0 THEN var_v END) AS var_a,
-         |    MAX(CASE WHEN arm = 1 THEN var_v END) AS var_b
-         |  FROM m GROUP BY 1)
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0
+         |      THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE) AS sv_a,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1
+         |      THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE) AS sv_b,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0
+         |      THEN CAST("value" AS DECIMAL(12,2)) * CAST("value" AS DECIMAL(12,2))
+         |      END) AS DOUBLE) AS svv_a,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1
+         |      THEN CAST("value" AS DECIMAL(12,2)) * CAST("value" AS DECIMAL(12,2))
+         |      END) AS DOUBLE) AS svv_b
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY event_type),
+         |m AS (
+         |  SELECT event_type, n_a, n_b,
+         |    sv_a / n_a AS mean_a, sv_b / n_b AS mean_b,
+         |    greatest(svv_a / n_a - (sv_a / n_a) * (sv_a / n_a), 0) AS var_a,
+         |    greatest(svv_b / n_b - (sv_b / n_b) * (sv_b / n_b), 0) AS var_b
+         |  FROM s)
          |SELECT event_type, n_a, n_b, mean_a, mean_b,
          |  mean_a - mean_b AS diff,
          |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z
-         |FROM w ORDER BY event_type""".stripMargin,
+         |FROM m ORDER BY event_type""".stripMargin,
     "events_moving_agg" ->
       s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
          |  CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,

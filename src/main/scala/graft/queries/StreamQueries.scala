@@ -194,6 +194,13 @@ object StreamQueries {
       ImportanceStream.importanceStream(s, dir, out, ckpt)
         .orderBy(col("doc_id"))
     }),
+    // Live A/B monitoring (r9): one-aggregation experiment card in
+    // complete mode; replay == events_abtest (oracle verbatim).
+    "stream_abtest" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_abtest", dir)
+      TopicStream.abtestStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("event_type"))
+    }),
     // Per-source ingest quota (r9): first-cap admission with ONE counter
     // per source; ordered replay makes arrival order = doc_id order, so
     // the oracle is a plain per-source rank.
@@ -257,6 +264,8 @@ object StreamQueries {
     "stream_ask_decisions" -> TopicQueries.oracles("topic_ask_table"),
     "stream_source_stats" -> PipelineQueries.oracles("corpus_source_stats"),
     "stream_anomaly" -> AnalyticsQueries.oracles("events_anomaly"),
+    // live experiment card == batch card exactly
+    "stream_abtest" -> AnalyticsQueries.oracles("events_abtest"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization

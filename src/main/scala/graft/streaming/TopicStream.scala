@@ -150,6 +150,24 @@ object TopicStream {
     completeToParquet(spark, agg, outDir, checkpointDir)
   }
 
+  /** Streaming A/B experiment monitoring — the live card every running
+    * experiment keeps on a dashboard, the online twin of events_abtest.
+    * The card is ONE aggregation with conditional per-arm moments
+    * (AnalyticsQueries.abtestCard) precisely so it is streaming-LEGAL:
+    * the two-level groupBy(type, arm)→pivot form would be a second
+    * aggregation, which Structured Streaming rejects. Complete-mode
+    * state is one row of six exact sums per event type — bounded by the
+    * type domain, never by events; the z columns derive after the
+    * aggregate on type-count rows.
+    */
+  def abtestStream(spark: SparkSession, eventsPath: String,
+                   outDir: String, checkpointDir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    completeToParquet(spark,
+      graft.queries.AnalyticsQueries.abtestCard(
+        eventsStream(spark, eventsPath, maxFilesPerTrigger)),
+      outDir, checkpointDir)
+
   /** Watermarked append-mode variant (the unbounded-stream shape: state is
     * dropped once the watermark passes a window). With a finite replay the
     * tail windows stay pending, so output ⊆ the batch result — asserted in

@@ -314,6 +314,12 @@ class PlanSpec extends SparkSpec {
     // generous room for chance at spec scale)
     assert(df.filter(abs(col("z")) > 4.0).count() === 0,
       s"parity split showed an effect: ${df.collect().mkString(";")}")
+    // the card is ONE aggregation (conditional per-arm moments) — one
+    // hash exchange; that is also what makes the streaming twin legal
+    val p = AnalyticsQueries.abtestCard(ev).queryExecution.executedPlan.toString
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 1, s"abtest must be a single aggregation:\n$p")
     // inject a real effect: +10.00 to arm 0's values moves every type's
     // mean difference by EXACTLY +10 over the unshifted card
     val shifted = ev.withColumn("value",

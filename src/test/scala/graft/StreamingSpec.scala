@@ -109,6 +109,16 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("valid_to_offset") === 10L && r.getAs[Int]("seq") === 1)
   }
 
+  test("streaming A/B card over multi-batch replay equals the batch card exactly") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_abtest", splitDir)
+    val streamed = TopicStream.abtestStream(spark, splitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val batch = graft.queries.AnalyticsQueries
+      .abtestCard(Tables.load(spark, sf, "events"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming ingest quota: per-source cap fills ACROSS batches with one counter " +
       "of state; at-quota sources admit nothing more") {
     val ordered = TopicStream.orderedSplitInput(spark, s"$sf/documents.parquet", 4,
