@@ -194,6 +194,17 @@ object StreamQueries {
       ImportanceStream.importanceStream(s, dir, out, ckpt)
         .orderBy(col("doc_id"))
     }),
+    // Streaming running/trailing aggregates (r9): the ROWS frame made
+    // incremental — O(1) per-user state (two counters + a 5-deep
+    // deque); ordered replay == events_moving_agg (oracle verbatim).
+    "stream_moving_agg" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_moving_agg", dir)
+      val split = TopicStream.orderedSplitInput(s, eventsPath(dir), 4, s"$out-input")
+      TopicStream.movingAggStream(s, split, out, ckpt, maxFilesPerTrigger = Some(1))
+        .select(col("event_id"), col("user_id"), col("ts"), col("cents"),
+          col("running_cents"), col("trail5_cents"), col("n_seen"))
+        .orderBy(col("event_id"))
+    }),
     // Live A/B monitoring (r9): one-aggregation experiment card in
     // complete mode; replay == events_abtest (oracle verbatim).
     "stream_abtest" -> ((s, dir) => {
@@ -266,6 +277,8 @@ object StreamQueries {
     "stream_anomaly" -> AnalyticsQueries.oracles("events_anomaly"),
     // live experiment card == batch card exactly
     "stream_abtest" -> AnalyticsQueries.oracles("events_abtest"),
+    // incremental ROWS frame == the batch window verbatim
+    "stream_moving_agg" -> AnalyticsQueries.oracles("events_moving_agg"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization

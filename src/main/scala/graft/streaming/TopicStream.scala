@@ -150,6 +150,70 @@ object TopicStream {
     completeToParquet(spark, agg, outDir, checkpointDir)
   }
 
+  /** A per-event running-aggregate emission ([[movingAggStream]]). */
+  case class MovingAgg(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp, cents: Long,
+      running_cents: Long, trail5_cents: Long, n_seen: Long)
+
+  /** Per-user running-aggregate state: totals + the last-5 cent window. */
+  case class MovingState(n: Long, running: Long, last5: Seq[Long], lastId: Long)
+
+  /** Streaming running/trailing aggregates — the online twin of
+    * events_moving_agg: every arriving event emits its user's running
+    * total, trailing-5 sum and seen-count, maintained in O(1) state per
+    * user (two counters + a 5-deep deque — the ROWS frame made
+    * incremental; a batch window recomputes the frame, the stream
+    * EXTENDS it). Same ordering contract as [[scdUpdates]]: per-user
+    * arrival follows (ts, event_id) — the per-partition delivery order —
+    * and a regressed id is dropped as stale. Ordered replay == the batch
+    * operator verbatim (oracle-gated).
+    */
+  def movingAggUpdates(spark: SparkSession, events: DataFrame): Dataset[MovingAgg] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[MovingState]) =>
+          var st = state.getOption.getOrElse(MovingState(0L, 0L, Seq.empty, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MovingAgg]
+          rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
+            case (id, _, ts, cents) =>
+              if (id > st.lastId) {
+                val last5 = (st.last5 :+ cents).takeRight(5)
+                st = MovingState(st.n + 1, st.running + cents, last5, id)
+                out += MovingAgg(id, user, ts, cents,
+                  st.running, last5.sum, st.n)
+              }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Runs [[movingAggUpdates]] to parquet and reads it back. */
+  def movingAggStream(spark: SparkSession, eventsPath: String,
+                      outDir: String, checkpointDir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val updates = movingAggUpdates(spark, eventsStream(spark, eventsPath, maxFilesPerTrigger))
+    val q = updates.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming A/B experiment monitoring — the live card every running
     * experiment keeps on a dashboard, the online twin of events_abtest.
     * The card is ONE aggregation with conditional per-arm moments

@@ -109,6 +109,30 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("valid_to_offset") === 10L && r.getAs[Int]("seq") === 1)
   }
 
+  test("streaming moving aggregates continue a user's frame ACROSS batches: " +
+      "running totals never reset and the 5-deque spans chunk boundaries") {
+    val ordered = TopicStream.orderedSplitInput(spark, s"$sf/events.parquet", 4,
+      "/root/repo/target/stream-scratch/movagg-ordered-input")
+    val (out, ckpt) = TopicStream.scratchDirs("spec_movagg", ordered)
+    val streamed = TopicStream.movingAggStream(spark, ordered, out, ckpt,
+      maxFilesPerTrigger = Some(1)).cache()
+    assert(streamed.select("batch_id").distinct().count() >= 3)
+    // a later batch's first emission for a user continues the count —
+    // the frame state genuinely crossed the boundary
+    val carried = streamed.filter(col("batch_id") > 0 && col("n_seen") > 1)
+      .join(streamed.filter(col("batch_id") === 0).select(col("user_id")).distinct(),
+        "user_id")
+    assert(carried.count() > 0, "no frame survived a batch boundary")
+    // equality to the batch window is the oracle's job; spot the shape
+    // here: running is non-decreasing per user in event order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_seen"))
+    assert(streamed.withColumn("prev", lag(col("running_cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("running_cents") < col("prev"))
+      .count() === 0)
+    streamed.unpersist()
+  }
+
   test("streaming A/B card over multi-batch replay equals the batch card exactly") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_abtest", splitDir)
     val streamed = TopicStream.abtestStream(spark, splitDir, out, ckpt,
