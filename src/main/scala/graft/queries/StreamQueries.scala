@@ -205,6 +205,14 @@ object StreamQueries {
           col("running_cents"), col("trail5_cents"), col("n_seen"))
         .orderBy(col("event_id"))
     }),
+    // Streaming exact percentiles (r9): complete-mode value-grid
+    // histogram + a batch rank-selection epilogue per trigger — the
+    // legal two-layer form; replay == events_percentiles verbatim.
+    "stream_percentiles" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_percentiles", dir)
+      TopicStream.percentilesStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("event_type"))
+    }),
     // Live A/B monitoring (r9): one-aggregation experiment card in
     // complete mode; replay == events_abtest (oracle verbatim).
     "stream_abtest" -> ((s, dir) => {
@@ -279,6 +287,8 @@ object StreamQueries {
     "stream_abtest" -> AnalyticsQueries.oracles("events_abtest"),
     // incremental ROWS frame == the batch window verbatim
     "stream_moving_agg" -> AnalyticsQueries.oracles("events_moving_agg"),
+    // histogram state + batch epilogue == the batch percentiles verbatim
+    "stream_percentiles" -> AnalyticsQueries.oracles("events_percentiles"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization

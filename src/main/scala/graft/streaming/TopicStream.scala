@@ -214,6 +214,48 @@ object TopicStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming EXACT percentiles — the online twin of events_percentiles
+    * and the pattern for layering a second aggregation on a stream
+    * legally: Structured Streaming rejects two chained aggregations, so
+    * the stream maintains ONLY the (type, cents) histogram in complete
+    * mode (state bounded by the value GRID, not events — the same
+    * property that makes the batch plan scale), and the rank-selection
+    * epilogue runs as a BATCH query on the histogram inside
+    * foreachBatch, where it is just a plan. Replay == the batch
+    * operator verbatim (oracle-gated).
+    */
+  def percentilesStream(spark: SparkSession, eventsPath: String,
+                        outDir: String, checkpointDir: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = eventsStream(spark, eventsPath, maxFilesPerTrigger)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = hist.writeStream
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val byType = Window.partitionBy(col("event_type"))
+        batch
+          .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("c"))))
+          .withColumn("n", sum(col("cnt")).over(byType))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_events"),
+            min(when(col("cum") >= expr("(50*n + 99) DIV 100"), col("c"))).as("p50_cents"),
+            min(when(col("cum") >= expr("(90*n + 99) DIV 100"), col("c"))).as("p90_cents"),
+            min(when(col("cum") >= expr("(99*n + 99) DIV 100"), col("c"))).as("p99_cents"))
+          .write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming A/B experiment monitoring — the live card every running
     * experiment keeps on a dashboard, the online twin of events_abtest.
     * The card is ONE aggregation with conditional per-arm moments

@@ -133,6 +133,17 @@ class StreamingSpec extends SparkSpec {
     streamed.unpersist()
   }
 
+  test("streaming exact percentiles over multi-batch replay equal the batch " +
+      "histogram-cumsum operator exactly") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_pcts", splitDir)
+    val streamed = TopicStream.percentilesStream(spark, splitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val batch = graft.queries.AnalyticsQueries
+      .queries("events_percentiles")(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming A/B card over multi-batch replay equals the batch card exactly") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_abtest", splitDir)
     val streamed = TopicStream.abtestStream(spark, splitDir, out, ckpt,
