@@ -215,6 +215,31 @@ object TopicQueries {
     "topic_scd2" -> ((s, dir) =>
       TopicOps.scd2(Topics.events(s, dir))
         .orderBy(col("key"), col("seq"))),
+    // POINT-IN-TIME lookup (r9) — what SCD2 exists FOR: each decision
+    // enriched with the version valid AT its offset. A backward as-of
+    // join picks the latest version started at-or-before the decision;
+    // a version already CLOSED by then can only mean the key was
+    // tombstoned (a later live version would have been picked instead),
+    // so the payload nulls — dead keys enrich with nothing, they are
+    // not silently given stale values. Rides AsOf.joinAsOf: one union +
+    // one window, no interval explode needed because SCD2 intervals
+    // are disjoint and contiguous per key by construction.
+    "topic_pit_lookup" -> ((s, dir) => {
+      val t = Topics.events(s, dir)
+      val hist = TopicOps.scd2(t)
+        .select(col("key"), col("value"), col("seq"),
+          col("valid_from_offset"), col("valid_to_offset"))
+      val dec = t.filter(col("offset") % 3 === 0).select(col("key"), col("offset"))
+      val live = !(col("valid_to_offset").isNotNull &&
+        col("valid_to_offset") <= col("offset"))
+      graft.operators.AsOf.joinAsOf(dec, hist, Seq("key"),
+          "offset", "valid_from_offset")
+        .select(col("key"), col("offset"),
+          when(live, col("value")).as("value_at"),
+          when(live, col("seq")).as("version"),
+          when(live, col("valid_from_offset")).as("since_offset"))
+        .orderBy(col("key"), col("offset"))
+    }),
     // Avro value serde (MixedValue.kt:30 delegate; Factory.kt:103 Avro
     // wiring): encode→decode round-trip over the events payload — the
     // decoded columns must equal the source columns the datum was built
@@ -443,6 +468,26 @@ object TopicQueries {
          |       valid_to_offset IS NULL AS is_current
          |FROM h WHERE "value" IS NOT NULL
          |ORDER BY "key", seq""".stripMargin,
+    // pit replay: SCD2 intervals are disjoint per key, so the lookup is
+    // a plain interval LEFT join — at most one version contains d_off
+    "topic_pit_lookup" ->
+      s"""$TopicCte, h AS (
+         |  SELECT topic, "partition", "key", "value", ts, "offset",
+         |         lead("offset") OVER w AS valid_to_offset,
+         |         CAST(row_number() OVER w AS INT) AS seq
+         |  FROM topic
+         |  WINDOW w AS (PARTITION BY topic, "partition", "key" ORDER BY "offset")),
+         |versions AS (
+         |  SELECT "key", "value", seq, "offset" AS valid_from_offset, valid_to_offset
+         |  FROM h WHERE "value" IS NOT NULL),
+         |dec AS (SELECT "key", "offset" FROM topic WHERE "offset" % 3 = 0)
+         |SELECT d."key", d."offset",
+         |       v."value" AS value_at, v.seq AS version,
+         |       v.valid_from_offset AS since_offset
+         |FROM dec d LEFT JOIN versions v
+         |  ON v."key" = d."key" AND v.valid_from_offset <= d."offset"
+         |  AND (v.valid_to_offset IS NULL OR v.valid_to_offset > d."offset")
+         |ORDER BY d."key", d."offset"""".stripMargin,
     // Round-trip identity: decoded Avro columns == the source columns the
     // datum was encoded from.
     "topic_serde_avro" ->

@@ -256,6 +256,28 @@ class TopicOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pit lookup: every decision resolves at most one version, a decision on a " +
+      "live record sees exactly that record, a tombstoned key enriches with nothing") {
+    val q = graft.queries.TopicQueries.queries("topic_pit_lookup")(spark, sf).cache()
+    val src = topic.cache()
+    val dec = src.filter(col("offset") % 3 === 0)
+    // exactly one output row per decision (disjoint intervals)
+    assert(q.count() === dec.count())
+    // a decision that IS a live record must see itself
+    val self = q.join(
+      dec.filter(col("value").isNotNull)
+        .select(col("key"), col("offset"), col("value").as("expect")),
+      Seq("key", "offset"))
+    assert(self.filter(col("value_at") =!= col("expect") ||
+      col("since_offset") =!= col("offset")).count() === 0)
+    // a decision that IS a tombstone sees nothing (the key is dead then)
+    val dead = q.join(
+      dec.filter(col("value").isNull).select(col("key"), col("offset")),
+      Seq("key", "offset"))
+    assert(dead.filter(col("value_at").isNotNull).count() === 0)
+    q.unpersist(); src.unpersist()
+  }
+
   test("scd2: current versions equal compacted state; intervals chain per key; " +
       "tombstones close but never emit; one window, one exchange") {
     val src = topic.cache()
