@@ -65,6 +65,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric measure symmetric
+    * Jaccard structurally misses: a short document embedded whole in a
+    * long one has containment max(|A∩B|/|A|, |A∩B|/|B|) ≈ 1 while its
+    * Jaccard ≈ |A|/|B| can sit far below any dedup threshold (quote
+    * farms, scraped snippets, page-in-page syndication — Lee et al.'s
+    * ExactSubstr motivation at the DOCUMENT level). Same exact
+    * shingle-intersection plan as [[ngramJaccardPairs]] — shuffle keys
+    * are 8-byte hashes, candidate pairs are shingle-sharing pairs —
+    * plus one extra fixed IEEE division per pair; `jaccard` ships
+    * alongside so the card shows exactly the asymmetric mass a
+    * Jaccard-τ pass would have kept or lost.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.8): DataFrame = {
+    val ex = shingleHashes(docs).select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val a = ex.alias("a")
+    val b = ex.alias("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / col("na"),
+          col("inter").cast("double") / col("nb")))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("containment"), col("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard (PPJoin-style) — the 100-TB form of
     * [[ngramJaccardPairs]]: each doc indexes only its
     * `n - ceil(tau*n) + 1` globally-rarest shingles (order: document

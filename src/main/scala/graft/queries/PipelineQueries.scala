@@ -63,6 +63,11 @@ object PipelineQueries {
     "dedup_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimate(Tables.load(s, dir, "documents"), MhBands)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // containment pairs (r9): the asymmetric measure — embedded/quoted
+    // documents that symmetric Jaccard structurally misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))),
     // band-occupancy sizing card (r9): per-band buckets, worst bucket,
     // and the in-bucket candidate mass the verify join would pay
     "dedup_band_stats" -> ((s, dir) =>
@@ -689,6 +694,23 @@ object PipelineQueries {
          |            JOIN hashes hb ON hb.doc_id = doc_b)
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // containment replay: same shingle-intersection plan, one extra
+    // fixed division; greatest() is the same max both engines
+    "dedup_containment" -> (ShingleCte +
+      s"""
+         |, ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM hashes),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         MAX(a.n_sh) AS na, MAX(b.n_sh) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) AS containment,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM p
+         |WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // estimator calibration: same sig/band/candidate CTEs; matches =

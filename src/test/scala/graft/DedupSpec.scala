@@ -302,6 +302,34 @@ class DedupSpec extends SparkSpec {
       s"a 15-bit simhash band bucket holds $worst of $n docs — banding is not spreading")
   }
 
+  test("containment: a short doc embedded whole in a long one is found at ~1.0 " +
+      "while symmetric Jaccard misses it; superset of jaccard pairs at equal tau") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    // plant: doc 91001's text appears VERBATIM inside doc 91002
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val long = ("one two three four five six seven eight nine ten " * 12) +
+      short + (" eleven twelve thirteen fourteen fifteen sixteen " * 12)
+    val planted = Seq((91001L, short, "xx", "pl", short.length.toLong),
+      (91002L, long, "xx", "pl", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = docs.unionByName(planted)
+    val cont = Dedup.containmentPairs(all).cache()
+    val hit = cont.filter(col("doc_a") === 91001L && col("doc_b") === 91002L)
+    assert(hit.count() === 1, "the embedded pair must surface")
+    val r = hit.head()
+    assert(r.getAs[Double]("containment") > 0.99, "the short doc is fully contained")
+    assert(r.getAs[Double]("jaccard") < 0.5, "symmetric Jaccard must miss this pair")
+    assert(Dedup.ngramJaccardPairs(all, 0.5)
+      .filter(col("doc_a") === 91001L && col("doc_b") === 91002L).count() === 0)
+    // containment >= jaccard always ⇒ at equal tau the pair set contains
+    // the jaccard pairs
+    assert(cont.filter(col("containment") < col("jaccard")).count() === 0)
+    val jac8 = Dedup.ngramJaccardPairs(all, 0.8).select("doc_a", "doc_b")
+    assert(jac8.exceptAll(cont.select("doc_a", "doc_b")).count() === 0)
+    cont.unpersist()
+  }
+
   test("minhash estimator calibration: exact duplicates estimate 1.0, matches bounded " +
       "by K, the estimate is unbiased enough to trust the banding math") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
