@@ -108,7 +108,9 @@ object NativeHash {
     ("graft_avi_phash", "per-frame average-hash fingerprint strip of an AVI; null when malformed",
       exprs => AviPhash(exprs.head)),
     ("graft_wav_fingerprint", "15-bit energy-delta audio fingerprint of a WAV; null when malformed",
-      exprs => WavFingerprint(exprs.head)))
+      exprs => WavFingerprint(exprs.head)),
+    ("graft_top_k", "mergeable bounded top-k aggregate over bigints, descending array",
+      exprs => TopKLongs(exprs.head, foldableGram(exprs(1))).toAggregateExpression()))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

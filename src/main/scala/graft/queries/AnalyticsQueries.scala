@@ -448,6 +448,23 @@ object AnalyticsQueries {
       graft.operators.Graph.partsPageRank(Tables.load(s, dir, "lineitem"))
         .orderBy(col("rnk"))),
 
+    // Custom Catalyst AGGREGATE (r9): graft_top_k — a mergeable
+    // k-bounded min-heap TypedImperativeAggregate. Where a row_number
+    // window shuffles and sorts ROWS (WindowGroupLimit caps it at
+    // k·tasks but rows still move), this ships k LONGS per partition
+    // per group — sum/count economics for "just the top values".
+    "events_topk_agg" -> ((s, dir) => {
+      graft.functions.NativeHash.register(s)
+      Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(expr("array_join(graft_top_k(cents, 5), ',')").as("top5_cents"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // EXACT distinct aggregation (r9): per-type distinct users via
     // Spark's two-level rewrite — the dedup runs DISTRIBUTED on the
     // (type, user) key (first aggregate), then collapses to counts per
@@ -943,6 +960,21 @@ object AnalyticsQueries {
     "events_distinct_exact" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // top-k agg replay: descending top-5 multiset via a rank window
+    // (ties are equal VALUES, so any tie order yields the same string);
+    // packed as a string for the scalar-only compare
+    "events_topk_agg" ->
+      s"""WITH cents AS (
+         |  SELECT event_type, CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE "value" IS NOT NULL),
+         |n AS (SELECT event_type, COUNT(*) AS n_events FROM cents GROUP BY 1),
+         |r AS (SELECT event_type, c, row_number() OVER (
+         |        PARTITION BY event_type ORDER BY c DESC) AS rn FROM cents),
+         |t AS (SELECT event_type,
+         |        string_agg(CAST(c AS VARCHAR), ',' ORDER BY rn) AS top5_cents
+         |      FROM r WHERE rn <= 5 GROUP BY 1)
+         |SELECT t.event_type, t.top5_cents, n.n_events
+         |FROM t JOIN n USING (event_type) ORDER BY event_type""".stripMargin,
     // abtest replay: same parity arms, conditional decimal moments in
     // ONE aggregate, same fixed IEEE shapes for mean/variance/z
     "events_abtest" ->

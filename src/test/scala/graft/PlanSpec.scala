@@ -380,6 +380,37 @@ class PlanSpec extends SparkSpec {
       .filter(col("n_users") =!= col("count")).count() === 0)
   }
 
+  test("top-k aggregate: matches the window form value-for-value, merges correctly " +
+      "under any partitioning, and plans with a partial (map-side) mode") {
+    import org.apache.spark.sql.functions._
+    graft.functions.NativeHash.register(spark)
+    val cents = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (col("value").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("event_type"))
+      .agg(expr("array_join(graft_top_k(cents, 5), ',')").as("top5"))
+    val base = agg(cents)
+    // the window form computes the same descending top-5 multiset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("cents").desc)
+    val viaWindow = cents.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("event_type"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rn"), col("cents")))),
+        x => x.getField("cents").cast("string")), ",").as("top5"))
+    assert(base.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(base).count() === 0)
+    // merge correctness: a hostile repartitioning changes nothing
+    assert(agg(cents.repartition(17)).exceptAll(base).count() === 0)
+    // the buffer combines map-side like any aggregate
+    val p = base.queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_top_k"),
+      s"top-k aggregate must have a partial (map-side) mode:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+  }
+
   test("cube: map-side Expand ×4 collapsed by ONE partial-aggregated exchange; " +
       "every grouping-set slice conserves the event count") {
     import org.apache.spark.sql.functions._
