@@ -205,6 +205,14 @@ object StreamQueries {
           col("running_cents"), col("trail5_cents"), col("n_seen"))
         .orderBy(col("event_id"))
     }),
+    // Streaming top-k (r9): the custom TypedImperativeAggregate AS
+    // streaming state — mergeable heaps per trigger; replay ==
+    // events_topk_agg verbatim.
+    "stream_topk_agg" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_topk_agg", dir)
+      TopicStream.topKStream(s, eventsPath(dir), out, ckpt)
+        .orderBy(col("event_type"))
+    }),
     // Streaming exact percentiles (r9): complete-mode value-grid
     // histogram + a batch rank-selection epilogue per trigger — the
     // legal two-layer form; replay == events_percentiles verbatim.
@@ -289,6 +297,8 @@ object StreamQueries {
     "stream_moving_agg" -> AnalyticsQueries.oracles("events_moving_agg"),
     // histogram state + batch epilogue == the batch percentiles verbatim
     "stream_percentiles" -> AnalyticsQueries.oracles("events_percentiles"),
+    // streaming heap state == the batch top-k aggregate verbatim
+    "stream_topk_agg" -> AnalyticsQueries.oracles("events_topk_agg"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization

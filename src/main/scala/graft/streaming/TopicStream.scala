@@ -214,6 +214,30 @@ object TopicStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming top-k values — the custom TypedImperativeAggregate
+    * ([[graft.functions.TopKLongs]]) running AS streaming state: the
+    * k-bounded heap is the per-group state object, partial heaps from
+    * each micro-batch merge into it, and complete mode emits the
+    * current top-k per trigger. This is the point of building the
+    * aggregate instead of a window: a window form would be illegal
+    * here (rows would need reordering across triggers), while the
+    * mergeable buffer is exactly what the state store wants. Replay ==
+    * events_topk_agg verbatim (oracle-gated).
+    */
+  def topKStream(spark: SparkSession, eventsPath: String,
+                 outDir: String, checkpointDir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    graft.functions.NativeHash.register(spark)
+    val agg = eventsStream(spark, eventsPath, maxFilesPerTrigger)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(expr("array_join(graft_top_k(cents, 5), ',')").as("top5_cents"),
+        count(lit(1)).as("n_events"))
+    completeToParquet(spark, agg, outDir, checkpointDir)
+  }
+
   /** Streaming EXACT percentiles — the online twin of events_percentiles
     * and the pattern for layering a second aggregation on a stream
     * legally: Structured Streaming rejects two chained aggregations, so

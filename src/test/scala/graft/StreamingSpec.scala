@@ -133,6 +133,17 @@ class StreamingSpec extends SparkSpec {
     streamed.unpersist()
   }
 
+  test("streaming top-k: the custom aggregate's heap state merges across " +
+      "micro-batches to exactly the batch result") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_topk", splitDir)
+    val streamed = TopicStream.topKStream(spark, splitDir, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val batch = graft.queries.AnalyticsQueries
+      .queries("events_topk_agg")(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming exact percentiles over multi-batch replay equal the batch " +
       "histogram-cumsum operator exactly") {
     val (out, ckpt) = TopicStream.scratchDirs("spec_pcts", splitDir)
