@@ -19,29 +19,32 @@ object Bench {
   // 71 entries — the cap is the DRIVER's 2000-byte tail capture: the
   // contract line costs ~len(name)+9 bytes per query plus ~100 envelope
   // and must leave ~75 for sbt's success line (round 5's 2.3 KB line was
-  // front-truncated and unparseable). All 52 round-7-benched queries stay
-  // for round-over-round comparability; round 9 rotates the three
-  // mm_*_meta scan cards (r8 additions — mm_decode parses all three
-  // containers, so their cost is covered) off the contract to make room
-  // for the round-9 pipeline stages. Off-contract cards (narrow
-  // scan-speed/reused-shape reports: topic_retention, mm_*_meta,
-  // pipeline_split/upsample/normalize, embedding_stats,
-  // corpus_length_hist/ngram_novelty/source_stats, events_gap_stats/
-  // retention_cohorts, dedup_pair_hist/cluster_stats) are timed via
-  // BenchOne and recorded in SURVEY §7 prose instead.
+  // front-truncated and unparseable). Round 10 rotates ON the five most
+  // expensive round-9 plans that lived only in §7 BenchOne prose
+  // (round-9 VERDICT #6: topic_scd2, events_percentiles,
+  // sim_knn_join_ivf, parts_pagerank, events_session_overlap) and OFF
+  // five cheap/reused-shape rows: the key-serde pair + topic_dlq +
+  // topic_ask_route (narrow projections; topic_serde_avro keeps serde
+  // kernels benched, topic_ask_table keeps the ask join) and
+  // events_asof_forward (asof/tolerance/nearest keep the family).
+  // Off-contract cards (narrow scan-speed/reused-shape reports:
+  // topic_retention, mm_*_meta, pipeline_split/upsample/normalize,
+  // embedding_stats, corpus_length_hist/ngram_novelty/source_stats,
+  // events_gap_stats/retention_cohorts, dedup_pair_hist/cluster_stats,
+  // the rotated-off five) are timed via BenchOne and recorded in
+  // SURVEY §7 prose instead.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
     "orders_anti_join", "events_rollup", "q18_large_orders", "q10_returned",
     "events_asof", "events_range_join", "events_funnel", "events_anomaly",
-    "topic_merge_all", "topic_ask_route", "topic_ask_table", "topic_compact",
-    "topic_dlq",
-    "topic_serde_avro", "topic_key_serde", "topic_key_serde_avro",
+    "topic_merge_all", "topic_ask_table", "topic_compact",
+    "topic_serde_avro", "topic_scd2",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
-    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq",
-    "events_approx", "events_asof_tolerance",
-    "events_asof_forward", "events_asof_nearest",
+    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf",
+    "events_approx", "events_asof_tolerance", "events_asof_nearest",
+    "events_percentiles", "parts_pagerank", "events_session_overlap",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
     "corpus_token_topk", "corpus_ngram_topk",
     "dedup_components", "dedup_components_star",
@@ -60,6 +63,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev override for A/B runs (e.g. r8-list vs r9-list in ONE session,
+    // round-9 VERDICT #2): comma-separated names replace the contract
+    // list. The driver never sets this — the contract stays `headliners`.
+    val queryList = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headliners)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,8 +91,8 @@ object Bench {
     // time windows spread across the whole bench run, so a noise window
     // inflates at most one rep of each affected query and the min stays
     // noise-free.
-    val timed = Array.fill(headliners.size, reps)(0.0)
-    for (rep <- 0 until reps; (name, qi) <- headliners.zipWithIndex) {
+    val timed = Array.fill(queryList.size, reps)(0.0)
+    for (rep <- 0 until reps; (name, qi) <- queryList.zipWithIndex) {
       val t0 = System.nanoTime()
       timed(qi)(rep) =
         try {
@@ -96,7 +105,7 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
     }
-    val results = headliners.zipWithIndex.map { case (name, qi) => name -> timed(qi).toSeq }
+    val results = queryList.zipWithIndex.map { case (name, qi) => name -> timed(qi).toSeq }
     // 3-decimal values keep the contract line short: the driver's tail
     // capture holds ~2 KB and round 5's full-precision line (~2.3 KB) was
     // truncated from the front, leaving BENCH_r05.json unparseable

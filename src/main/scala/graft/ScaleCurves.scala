@@ -66,6 +66,12 @@ object ScaleCurves {
     val (mhC, mhP, mhTc, mhTp) = family(
       Dedup.minhashCandidates(hashes, 4).count(),
       Dedup.minhashPairs(docs).count())
+    // the sized plan (round-10): same banding, size + est pre-filters
+    // with kEst = sizedEstK(n) — candidates the verify join actually pays
+    val kEstSized = Dedup.sizedEstK(nDocs)
+    val (mhsC, mhsP, mhsTc, mhsTp) = family(
+      Dedup.minhashCandidatesSized(hashes, 4, 0.5, kEstSized).count(),
+      Dedup.minhashPairs(docs, kEst = kEstSized).count())
     val (shC, shP, shTc, shTp) = family(
       Dedup.simhashPairs(docs, tau = Dedup.SimhashBits).count(),
       Dedup.simhashPairs(docs).count())
@@ -93,6 +99,7 @@ object ScaleCurves {
       s""""ngram_full":${fam(fullC, fullP, fullTc, fullTp)},""" +
       s""""ngram_prefix":${fam(preC, preP, preTc, preTp)},"prefix_index_rows":$prefixRows,""" +
       s""""minhash":${fam(mhC, mhP, mhTc, mhTp)},""" +
+      s""""minhash_sized":${fam(mhsC, mhsP, mhsTc, mhsTp)},"k_est":$kEstSized,""" +
       s""""simhash":${fam(shC, shP, shTc, shTp)},""" +
       s""""embedding":${fam(embC, embP, embTc, embTp)},""" +
       f""""embedding_t90":{"pairs":$emb9P,"pairs_sec":$emb9Tp%.2f},""" +

@@ -168,12 +168,70 @@ object SkewBench {
     val sumOff = banded.agg(sum("n_in_window")).collect()(0).getLong(0)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
+    // TWO-SIDED flash burst (round-10 VERDICT #5): 10% of BOTH sides on
+    // one key AND one window — the partition hot on both sides that
+    // OptimizeSkewedJoin skips entirely (one-sided only, §5). The salted
+    // variant is the mitigation: per-bucket candidate mass drops ~S×
+    // while counts stay identical.
+    val p2 = p0.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) === 0, lit(-1L)).otherwise(col("user_id")))
+      .withColumn("ts",
+        when(col("user_id") === -1L, burstTs("event_id")).otherwise(col("ts")))
+      .repartition(32)
+      .localCheckpoint(true)
+    val c2 = c0.withColumn("user_id",
+      when(pmod(col("click_id"), lit(10)) === 0, lit(-1L)).otherwise(col("user_id")))
+      .withColumn("click_ts",
+        when(col("user_id") === -1L, burstTs("click_id")).otherwise(col("click_ts")))
+      .repartition(32)
+      .localCheckpoint(true)
+    def plain2 = RangeJoin.countInWindow(p2, c2, Seq("user_id"), "ts", "click_ts", W,
+      leftId = Some("event_id"))
+    def salted2 = RangeJoin.countInWindowSalted(p2, c2, Seq("user_id"), "ts", "click_ts", W,
+      leftId = Some("event_id"), saltBuckets = 8)
+    val twoPlainSec = minOf(reps)(run(plain2))
+    val twoSaltedSec = minOf(reps)(run(salted2))
+    val twoFired = {
+      val df = plain2
+      df.collect()
+      df.queryExecution.executedPlan.toString.contains("skew=true")
+    }
+    val sumP2 = plain2.agg(sum("n_in_window")).collect()(0).getLong(0)
+    val sumS2 = salted2.agg(sum("n_in_window")).collect()(0).getLong(0)
+    // the straggler, measured as in-bucket candidate mass (what one task
+    // pays at scale): max over join buckets of |probe rows|·|index rows|,
+    // plain (key, band) vs salted (key, band, salt) — same band formula
+    // as the operator (floorDiv in exact long arithmetic)
+    def bandCol(t: String) = {
+      val x = unix_micros(col(t))
+      val q = call_function("div", x, lit(W))
+      when(x % W < 0, q - 1).otherwise(q)
+    }
+    val probes2 = p2.select(col("user_id"), col("ts"))
+      .withColumn("__band", explode(array(bandCol("ts") - 1, bandCol("ts"), bandCol("ts") + 1)))
+      .withColumn("__salt", pmod(hash(col("user_id"), col("ts")), lit(8)))
+    val index2 = c2.select(col("user_id"), bandCol("click_ts").as("__band"))
+    // each salted bucket sees np/S probe rows against a FULL index copy
+    // (the index replicates across salts), so per-bucket mass is np·ni
+    // grouped by the bucket key of each plan
+    def maxBucket(keys: Seq[String]): Long = {
+      val pc = probes2.groupBy(keys.map(col): _*).agg(count(lit(1)).as("np"))
+      val ic = index2.groupBy(col("user_id"), col("__band")).agg(count(lit(1)).as("ni"))
+      pc.join(ic, Seq("user_id", "__band"))
+        .agg(max(col("np") * col("ni"))).collect()(0).getLong(0)
+    }
+    val plainMaxBucket = maxBucket(Seq("user_id", "__band"))
+    val saltedMaxBucket = maxBucket(Seq("user_id", "__band", "__salt"))
+
     def s3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(
       s"""{"dir":"$dir","hot_share":${s3(hotShare)},"reps":$reps,""" +
       s""""compact_sec":${s3(plain)},"compact_salted_sec":${s3(salted)},""" +
       s""""banded_join_skewsplit_sec":${s3(skewOn)},"banded_join_noskewsplit_sec":${s3(skewOff)},""" +
-      s""""aqe_skew_split_fired":$aqeSplit,"smj":$smj,"results_equal":${sumOn == sumOff}}""")
+      s""""aqe_skew_split_fired":$aqeSplit,"smj":$smj,"results_equal":${sumOn == sumOff},""" +
+      s""""twosided_plain_sec":${s3(twoPlainSec)},"twosided_salted_sec":${s3(twoSaltedSec)},""" +
+      s""""twosided_aqe_fired":$twoFired,"twosided_equal":${sumP2 == sumS2},""" +
+      s""""twosided_max_bucket_plain":$plainMaxBucket,"twosided_max_bucket_salted":$saltedMaxBucket}""")
     spark.stop()
   }
 }

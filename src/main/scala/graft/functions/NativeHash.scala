@@ -57,6 +57,11 @@ object NativeHash {
       exprs => LangScores(exprs.head)),
     ("graft_intersect_size", "|A ∩ B| of two long-array set columns",
       exprs => IntersectSize(exprs.head, exprs(1))),
+    ("graft_minhash_sig", "first-k MinHash signature minima of a shingle-hash array",
+      exprs => MinhashSig(exprs.head,
+        if (exprs.length > 1) foldableGram(exprs(1)) else 16)),
+    ("graft_match_count", "positionwise-equal element count of two long arrays",
+      exprs => MatchCount(exprs.head, exprs(1))),
     ("graft_dot", "dot product of two double-array columns, index-order fold",
       exprs => DotProduct(exprs.head, exprs(1))),
     ("graft_text_stats", "[n_words, n_uniq, word_chars, stop_hits, alpha_chars, re_tokens] in one pass",
@@ -1129,5 +1134,96 @@ object SimHashImpl {
       b += 1
     }
     sim
+  }
+}
+
+/** shingle hashes → the first-k MinHash signature minima (array<long>),
+  * one pass over the input per row: each element contributes k universal
+  * hashes (h·Aⱼ+Bⱼ mod 2³¹−1, the same Knuth-multiplier family as
+  * Dedup.minhashA/B — the length-16 banding signature is the prefix of
+  * this array). The whole array is built in one JVM call so projection
+  * collapsing can never re-evaluate it per reference (the interpreted-HOF
+  * landmine in SURVEY §5); consumers reference it exactly once (the est
+  * pre-filter join in Dedup.minhashCandidatesSized).
+  */
+case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSigImpl.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashSigImpl.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSigImpl {
+  private val P = TextFunctions.MinhashP
+  val MaxK = 256
+  /** (j+1)·2654435761 mod p (0 → 1) and (j+1)·1013904223 mod p — the
+    * Dedup.minhashA/B formula extended to MaxK (prefix-compatible: the
+    * first 16 entries ARE the banding params).
+    */
+  val A: Array[Long] = Array.tabulate(MaxK) { j =>
+    ((j + 1) * 2654435761L) % P match { case 0L => 1L; case a => a }
+  }
+  val B: Array[Long] = Array.tabulate(MaxK)(j => ((j + 1) * 1013904223L) % P)
+
+  def compute(hs: ArrayData, k: Int): ArrayData = {
+    require(k >= 1 && k <= MaxK, s"graft_minhash_sig: k must be in [1, $MaxK], got $k")
+    val n = hs.numElements()
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, P)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * A(j) + B(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** positionwise-equal element count of two long-array columns — the
+  * MinHash signature-agreement estimator numerator (est = matches/k).
+  * Null-length mismatch is a caller bug surfaced as an exception, not a
+  * silent zero.
+  */
+case class MatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MatchCountImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MatchCountImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatchCountImpl {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"graft_match_count: signature lengths differ ($n vs ${b.numElements()})")
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 }

@@ -167,15 +167,70 @@ object Dedup {
   def minhashBands(hashes: DataFrame, bands: Int = 4): DataFrame = {
     val rows = MinhashK / bands
     val sig = hashes.filter(size(col("hs")) > 0).select(
-      col("doc_id") +: col("hs") +:
+      col("doc_id") +: col("hs") +: col("n_sh") +:
         (0 until MinhashK).map(j => minhash(col("hs"), minhashA(j), minhashB(j)).as(s"s$j")): _*)
-    sig.select(col("doc_id"), col("hs"),
+    sig.select(col("doc_id"), col("hs"), col("n_sh"),
       explode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band_id"),
           concat_ws(",", (0 until rows).map(r => col(s"s${bd * rows + r}")): _*).as("band_val"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("hs"),
+      .select(col("doc_id"), col("hs"), col("n_sh"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+  }
+
+  /** Corpus-sized estimator length for the MinHash candidate pre-filter
+    * (round-9 VERDICT #3). The banding geometry (4×4 over K=16) is NOT
+    * resized with the corpus — widening rows was measured to LOSE
+    * moderate-J recall (sf1: 2,020 → 1,699 true pairs at 8×8) — instead
+    * the signature is EXTENDED and candidates are pre-filtered on
+    * signature agreement est = matches/kEst ≥ tau/2 before the verify
+    * join ships any shingle array. Random band collisions (measured
+    * 99.1% of sf1 candidates sit at J < 0.1) fail the cut with
+    * overwhelming probability while a true pair at J ≥ tau sits ≥ 4σ
+    * above it (σ = √(J(1−J)/kEst)). One decade of corpus growth doubles
+    * kEst because random-collision mass grows ~N² while filter
+    * sharpness grows only as √kEst. At kEst = 16 the cut is vacuous by
+    * construction (a shared 4-row band already implies 4 = ⌈16·tau/2⌉
+    * matches at tau = 0.5), so small corpora keep the exact round-8
+    * plan. Measured (tools/proto sf1, 50k docs): banded 241,897 →
+    * filtered 67,874 candidates, true pairs 2,020 → 2,020 (zero loss;
+    * ratio 120:1 → 33.6:1).
+    */
+  def sizedEstK(n: Long): Int =
+    if (n <= 2000) MinhashK else if (n <= 20000) 32 else 64
+
+  /** Banded MinHash candidates with the two pre-verify filters of the
+    * sized plan: the LOSSLESS length filter (J ≥ tau forces
+    * min(n_sh) ≥ tau·max(n_sh), so the predicate rides the band join and
+    * prunes before the distinct) and the signature-agreement estimator
+    * cut (matches ≥ ⌈kEst·tau/2⌉ over the extended kEst-long signature,
+    * computed by the one-pass codegen'd kernel so the big hs arrays ship
+    * only for est-passing pairs). Thresholds are Scala-computed integers
+    * interpolated into both engines.
+    */
+  private[graft] def minhashCandidatesSized(hashes: DataFrame, bands: Int,
+                                            tau: Double, kEst: Int): DataFrame = {
+    require(kEst >= MinhashK && kEst <= graft.functions.MinhashSigImpl.MaxK,
+      s"minhashCandidatesSized: kEst=$kEst outside [$MinhashK, ${graft.functions.MinhashSigImpl.MaxK}]")
+    val minMatches = math.ceil(kEst * tau / 2).toLong
+    val banded = minhashBands(hashes, bands)
+      .select(col("doc_id"), col("n_sh"), col("band_id"), col("band_val"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            lit(tau) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sig = hashes.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), expr(s"graft_minhash_sig(hs, $kEst)").as("sg"))
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sg").as("sga"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sg").as("sgb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(expr("graft_match_count(sga, sgb)") >= minMatches)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash+LSH near-dup: k=16 signature in 4 bands of 4 rows; candidate
@@ -184,9 +239,15 @@ object Dedup {
     * key is (band_id, band_val) and the verify join touches candidates
     * only.
     */
-  def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame = {
+  def minhashPairs(docs: DataFrame, tau: Double = 0.5, bands: Int = 4,
+                   kEst: Int = MinhashK): DataFrame = {
     val hashes = shingleHashes(docs)
-    val cand = minhashCandidates(hashes, bands)
+    // kEst == MinhashK keeps the exact unfiltered plan (both sized-plan
+    // filters are no-ops there — see sizedEstK); larger corpora pass
+    // kEst = sizedEstK(n) and candidates are pre-filtered before the
+    // verify join ships shingle arrays
+    val cand = if (kEst > MinhashK) minhashCandidatesSized(hashes, bands, tau, kEst)
+               else minhashCandidates(hashes, bands)
     val ha = hashes.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb = hashes.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -259,6 +320,31 @@ object Dedup {
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .withColumn("est", col("matches").cast("double") / MinhashK)
       .select(col("doc_a"), col("doc_b"), col("matches"), col("jaccard"), col("est"))
+  }
+
+  /** The corpus-sizing decision card — what [[sizedEstK]] chose for THIS
+    * corpus and what it bought: the derived parameters (k_est,
+    * min_matches) next to the measured per-stage candidate mass (raw
+    * banded pairs → size+est filtered pairs → verified true pairs). Run
+    * it before a dedup campaign the way [[bandStats]] is run before a
+    * band join — when cand_sized still dwarfs pairs_verified, the next
+    * kEst step is due. Three aggregate-only passes over the same banded
+    * index; all counts integer-exact.
+    */
+  def sizingCard(docs: DataFrame, tau: Double, bands: Int, n: Long): DataFrame = {
+    val kEst = sizedEstK(n)
+    val minMatches = math.ceil(kEst * tau / 2).toLong
+    val hashes = shingleHashes(docs)
+    val banded = minhashCandidates(hashes, bands).agg(count(lit(1)).as("cand_banded"))
+    val sized = minhashCandidatesSized(hashes, bands, tau, kEst)
+      .agg(count(lit(1)).as("cand_sized"))
+    val verified = minhashPairs(docs, tau, bands, kEst)
+      .agg(count(lit(1)).as("pairs_verified"))
+    banded.crossJoin(sized).crossJoin(verified)
+      .select(lit(n).as("n_docs"), lit(MinhashK.toLong).as("k_band"),
+        lit(bands.toLong).as("n_bands"), lit(kEst.toLong).as("k_est"),
+        lit(minMatches).as("min_matches"),
+        col("cand_banded"), col("cand_sized"), col("pairs_verified"))
   }
 
   private[graft] def minhashCandidates(hashes: DataFrame, bands: Int): DataFrame = {
@@ -346,8 +432,8 @@ object Dedup {
     * oracle replays it as a recursive transitive closure.
     */
   def components(docs: DataFrame, tau: Double = 0.5, bands: Int = 4,
-                 maxIter: Int = 20): DataFrame = {
-    val pairs = minhashPairs(docs, tau, bands).select("doc_a", "doc_b")
+                 maxIter: Int = 20, kEst: Int = MinhashK): DataFrame = {
+    val pairs = minhashPairs(docs, tau, bands, kEst).select("doc_a", "doc_b")
     joinBackLabels(docs, propagateMinLabels(pairs, maxIter))
   }
 
@@ -360,8 +446,8 @@ object Dedup {
     * chain, clique and random graphs).
     */
   def componentsLogN(docs: DataFrame, tau: Double = 0.5, bands: Int = 4,
-                     maxIter: Int = 25): DataFrame = {
-    val pairs = minhashPairs(docs, tau, bands).select("doc_a", "doc_b")
+                     maxIter: Int = 25, kEst: Int = MinhashK): DataFrame = {
+    val pairs = minhashPairs(docs, tau, bands, kEst).select("doc_a", "doc_b")
     joinBackLabels(docs, starContract(pairs, maxIter))
   }
 
@@ -380,8 +466,9 @@ object Dedup {
     * anyone looks at pairs. Two small aggregates over the component
     * labels; cluster_size=1 rows count the unduplicated corpus.
     */
-  def clusterStats(docs: DataFrame, tau: Double = 0.5, bands: Int = 4): DataFrame =
-    componentsLogN(docs, tau, bands)
+  def clusterStats(docs: DataFrame, tau: Double = 0.5, bands: Int = 4,
+                   kEst: Int = MinhashK): DataFrame =
+    componentsLogN(docs, tau, bands, kEst = kEst)
       .groupBy(col("component_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))

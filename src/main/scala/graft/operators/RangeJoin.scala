@@ -78,6 +78,57 @@ object RangeJoin {
         coalesce(col("n_in_window"), lit(0L)).as("n_in_window"): _*)
   }
 
+  /** [[countInWindow]] with SALTED join buckets — the two-sided-skew form
+    * (round-9 VERDICT #5). SURVEY §5's AQE study proved
+    * OptimizeSkewedJoin handles ONE-sided skew only: a flash burst (one
+    * key, one time window, both fact sides hot) lands its whole mass in
+    * a single (key, band) bucket that AQE skips entirely. Salting splits
+    * that bucket `saltBuckets` ways: each left probe row carries a
+    * deterministic salt (hash of its id and time), the right side
+    * replicates every row across all salts, and the equi-join runs on
+    * (key, band, salt) — per-task candidate work drops to 1/S of the
+    * burst while every candidate pair still meets in exactly one salt
+    * bucket (the left row's), so counts are identical to the plain plan
+    * (RangeJoinSpec asserts equality; SkewBench measures the straggler
+    * split). The cost is an S× replication of the (narrow: key + time +
+    * band) right index — pay it only when the burst is real; the plain
+    * plan stays the default.
+    */
+  def countInWindowSalted(left: DataFrame, right: DataFrame, key: Seq[String],
+                          leftTime: String, rightTime: String,
+                          widthUs: Long, leftId: Option[String] = None,
+                          saltBuckets: Int = 8): DataFrame = {
+    require(widthUs > 0, s"countInWindowSalted: widthUs must be positive, got $widthUs")
+    require(saltBuckets > 0, s"countInWindowSalted: saltBuckets must be positive, got $saltBuckets")
+    val lCols = left.columns.toSeq
+    val (tagged, idCol) = leftId match {
+      case Some(c) =>
+        require(lCols.contains(c), s"countInWindowSalted: left side lacks id column $c")
+        (left, c)
+      case None =>
+        (left.withColumn("__lid", monotonically_increasing_id())
+          .localCheckpoint(false), "__lid")
+    }
+    val band = (t: Column) => floorDivLong(unix_micros(t), widthUs)
+    val probes = tagged
+      .select((idCol +: (key :+ leftTime)).distinct.map(col): _*)
+      .withColumn("__band", explode(array(
+        band(col(leftTime)) - 1, band(col(leftTime)), band(col(leftTime)) + 1)))
+      .withColumn("__salt", pmod(hash(col(idCol), col(leftTime)), lit(saltBuckets)))
+    val indexed = right.select(
+      key.map(col) :+ col(rightTime).as("__rt") :+ band(col(rightTime)).as("__band"): _*)
+      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    val matched = probes
+      .join(indexed, key ++ Seq("__band", "__salt"))
+      .filter(abs(unix_micros(col(leftTime)) - unix_micros(col("__rt"))) <= widthUs)
+    val counts = matched
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_in_window"))
+    tagged.join(counts, Seq(idCol), "left_outer")
+      .select(lCols.map(col) :+
+        coalesce(col("n_in_window"), lit(0L)).as("n_in_window"): _*)
+  }
+
   /** Interval-OVERLAP self-join, banded — for every interval, the count
     * of intervals from OTHER groups that overlap it in time (the classic
     * temporal/concurrency join: concurrent sessions, reservation

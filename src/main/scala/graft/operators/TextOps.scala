@@ -117,7 +117,8 @@ object TextOps {
     * a pair's doc_b, so CC survivors ⊆ pairwise survivors (spec).
     */
   def cleanCorpusComponents(docs: DataFrame, minQuality: Double = 0.48,
-                            tau: Double = 0.5): DataFrame = {
+                            tau: Double = 0.5,
+                            kEst: Int = Dedup.MinhashK): DataFrame = {
     // the quality+exact-dedup subtree feeds BOTH the pair stage inside
     // components (whose label loop materializes it eagerly, per round
     // without the cache — round-7 VERDICT #6) and the final keeper join:
@@ -125,7 +126,7 @@ object TextOps {
     // survivors-only) result eagerly, then free the cache.
     val afterExact = qualityExactSurvivors(docs, minQuality).persist()
     try {
-      val comp = Dedup.components(afterExact, tau)
+      val comp = Dedup.components(afterExact, tau, kEst = kEst)
       afterExact.join(comp, "doc_id")
         .filter(col("component_id") === col("doc_id"))
         .select("doc_id", "quality")
@@ -142,8 +143,9 @@ object TextOps {
     * DedupSpec); gate-checked against its own DuckDB oracle.
     */
   def cleanCorpusMinhash(docs: DataFrame, minQuality: Double = 0.48,
-                         tau: Double = 0.5): DataFrame =
-    cleanCorpus(docs, minQuality, tau, Dedup.minhashPairs(_, _))
+                         tau: Double = 0.5,
+                         kEst: Int = Dedup.MinhashK): DataFrame =
+    cleanCorpus(docs, minQuality, tau, Dedup.minhashPairs(_, _, 4, kEst))
 
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
     * Documented contract of the fused re_tokens count in [[graft.functions.TextStats]].

@@ -546,6 +546,16 @@ object AnalyticsQueries {
           leftId = Some("event_id"))
         .orderBy(col("event_id"))
     }),
+    // salted two-sided-skew form (r10): identical counts through
+    // (key, band, salt) buckets — the flash-burst mitigation AQE's
+    // one-sided skew split cannot provide; shares the plain oracle
+    "events_range_join_salted" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.RangeJoin.countInWindowSalted(p, c, key = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts", widthUs = RangeWidthUs,
+          leftId = Some("event_id"))
+        .orderBy(col("event_id"))
+    }),
 
     // Funnel resolution by CHAINED as-of joins: purchase ← its latest
     // prior click ← THAT click's latest prior view. Two single-shuffle
@@ -754,7 +764,13 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
-  def oracles: Map[String, String] = Map(
+  // the salted range join is count-identical to the plain plan by
+  // construction (every candidate pair meets in exactly one salt
+  // bucket), so it replays the same oracle
+  def oracles: Map[String, String] = oracleEntries +
+    ("events_range_join_salted" -> oracleEntries("events_range_join"))
+
+  private def oracleEntries: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDecSum("l_quantity")} AS sum_qty,

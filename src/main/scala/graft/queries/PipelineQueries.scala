@@ -43,6 +43,13 @@ object PipelineQueries {
 
   private def queryPred = col("vec_id") < 8
 
+  /** Corpus row count for the sized-banding queries, cached per sf dir —
+    * parquet metadata count, one tiny job; bench reps reuse the cache.
+    */
+  private val nDocsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nDocs(s: SparkSession, dir: String): Long =
+    nDocsCache.getOrElseUpdate(dir, Tables.load(s, dir, "documents").count())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents")).orderBy(col("content_hash"))),
@@ -53,8 +60,14 @@ object PipelineQueries {
       Dedup.ngramJaccardPrefixPairs(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), JaccardTau, MhBands,
+          Dedup.sizedEstK(nDocs(s, dir)))
         .orderBy(col("doc_a"), col("doc_b"))),
+    // the sizing decision card (r10): what sizedEstK chose for THIS
+    // corpus and the per-stage candidate mass it bought
+    "dedup_sizing_card" -> ((s, dir) =>
+      Dedup.sizingCard(Tables.load(s, dir, "documents"), JaccardTau, MhBands,
+        nDocs(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), HammingTau, ShBands)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -77,18 +90,21 @@ object PipelineQueries {
     // near-dup graph by iterative min-label propagation — the
     // transitively-correct keeper rule (oracle: recursive closure).
     "dedup_components" -> ((s, dir) =>
-      Dedup.components(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
+      Dedup.components(Tables.load(s, dir, "documents"), JaccardTau, MhBands,
+          kEst = Dedup.sizedEstK(nDocs(s, dir)))
         .orderBy(col("doc_id"))),
     // same components, O(log n) rounds: alternating large-star/small-star
     // contraction (r8) — provably equal labels, diameter-independent
     // round count; shares dedup_components' recursive-closure oracle.
     "dedup_components_star" -> ((s, dir) =>
-      Dedup.componentsLogN(Tables.load(s, dir, "documents"), JaccardTau, MhBands)
+      Dedup.componentsLogN(Tables.load(s, dir, "documents"), JaccardTau, MhBands,
+          kEst = Dedup.sizedEstK(nDocs(s, dir)))
         .orderBy(col("doc_id"))),
     // the duplication report (r8): clusters per size, docs per size —
     // two tiny aggregates over the component labels.
     "dedup_cluster_stats" -> ((s, dir) =>
-      Dedup.clusterStats(Tables.load(s, dir, "documents"), JaccardTau, MhBands)),
+      Dedup.clusterStats(Tables.load(s, dir, "documents"), JaccardTau, MhBands,
+        kEst = Dedup.sizedEstK(nDocs(s, dir)))),
     // similarity histogram over UNthresholded banded candidates (r8):
     // the tuning card for the tau decision; min/max only per bin, so the
     // doubles stay order-independent.
@@ -242,11 +258,14 @@ object PipelineQueries {
     // the 100-TB form: same pipeline, near-dup stage = banded MinHash
     // (round-3 VERDICT #2 — the flagship must ride a scale-safe stage)
     "pipeline_clean_corpus_minhash" -> ((s, dir) =>
-      TextOps.cleanCorpusMinhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+      TextOps.cleanCorpusMinhash(Tables.load(s, dir, "documents"),
+          kEst = Dedup.sizedEstK(nDocs(s, dir)))
+        .orderBy(col("doc_id"))),
     // transitively-correct flagship (r7): near-dup stage keeps one doc
     // per connected component instead of dropping pairwise losers
     "pipeline_clean_corpus_cc" -> ((s, dir) =>
-      TextOps.cleanCorpusComponents(Tables.load(s, dir, "documents"))
+      TextOps.cleanCorpusComponents(Tables.load(s, dir, "documents"),
+          kEst = Dedup.sizedEstK(nDocs(s, dir)))
         .orderBy(col("doc_id"))),
     "pipeline_token_pack" -> ((s, dir) =>
       TextOps.tokenPack(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -398,6 +417,13 @@ object PipelineQueries {
     "mm_bmp_meta" -> ((s, dir) =>
       Multimodal.bmpMeta(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // REAL PNG decode (r10): the tiled raster crosses an actual zlib
+    // codec (javax.imageio) in the batched seam; lossless roundtrip ⇒
+    // the pixel hash keeps the BMP closed form; truncated-byte arm ⇒
+    // nulls, never a throw
+    "mm_decode_png" -> ((s, dir) =>
+      Multimodal.pngDecode(s, Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // image resize (r9): nearest-neighbor 8×8 thumbnail of the genuine
     // BMP; picked-pixel hash replayed byte-by-byte from the tiling
     "mm_resize" -> ((s, dir) =>
@@ -489,6 +515,54 @@ object PipelineQueries {
 
   private def bandList(n: Int): String = (0 until n).map(b => s"band$b").mkString(", ")
 
+  /** The SIZED MinHash pair stage (round-9 VERDICT #3) as one shared CTE
+    * block — `sizing` through `verify` — replayed verbatim by every
+    * oracle that embeds the dedup_minhash candidate machinery (pairs,
+    * components ×2, cluster stats, both clean-corpus flagships, the
+    * sizing card). kest is derived IN SQL from count(documents) with the
+    * same step rule as Dedup.sizedEstK, the extended signature is
+    * generated from the same (j·2654435761, j·1013904223) mod p params
+    * by list comprehension (never unrolled columns), and the two
+    * pre-verify filters mirror Dedup.minhashCandidatesSized: the
+    * lossless length filter on the band join and the
+    * ⌈kest·tau/2⌉-matches estimator cut (kest/4 for tau = 1/2 — exact in
+    * both engines). Expects a `hashes(doc_id, hs, n_sh)` CTE in scope.
+    */
+  private def sizedMhCtes: String =
+    s"""sizing AS (SELECT CASE WHEN COUNT(*) <= 2000 THEN 16
+       |  WHEN COUNT(*) <= 20000 THEN 32 ELSE 64 END AS kest FROM documents),
+       |sig AS (SELECT doc_id, hs, n_sh, $mhSig FROM hashes WHERE len(hs) > 0),
+       |mh_sg AS (SELECT doc_id,
+       |  [list_min(list_transform(hs, h -> (h * (CASE WHEN (j*2654435761) % $P = 0
+       |     THEN 1 ELSE (j*2654435761) % $P END) + (j*1013904223) % $P) % $P))
+       |   for j in generate_series(1, kest)] AS sg
+       |  FROM sig CROSS JOIN sizing),
+       |bands AS (SELECT doc_id, n_sh, $mhBandKeys FROM sig),
+       |mh_ex AS (SELECT doc_id, n_sh, band_id, band_val FROM bands
+       |          UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+       |mh_cand0 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n_sh AS na0, b.n_sh AS nb0
+       |  FROM mh_ex a JOIN mh_ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |                            AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM mh_cand0
+       |  WHERE least(na0, nb0) >= $JaccardTau * greatest(na0, nb0)),
+       |candf AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN mh_sg sa ON sa.doc_id = doc_a
+       |            JOIN mh_sg sb ON sb.doc_id = doc_b
+       |            CROSS JOIN sizing
+       |  WHERE CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+       |          for i in generate_series(1, kest)], x -> x)) AS BIGINT)
+       |        >= CAST(ceil(kest * $JaccardTau / 2) AS BIGINT)),
+       |verify AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+       |         len(ha.hs) AS na, len(hb.hs) AS nb
+       |  FROM candf JOIN hashes ha ON ha.doc_id = doc_a
+       |             JOIN hashes hb ON hb.doc_id = doc_b)""".stripMargin
+
   /** The tiled-polyhash closed form for BMP pixel hashes, as two CTEs
     * following a `geo` CTE with (doc_id, text, checksum, data_len,
     * total): pixels tile the payload k = total//n times plus an r-byte
@@ -532,20 +606,7 @@ object PipelineQueries {
   private def componentsLabelCtes: String =
     "WITH RECURSIVE " + shingleCteBody("documents") +
       s"""
-         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
-         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
-         |ex AS (SELECT doc_id, band_id, band_val FROM bands
-         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |                      AND a.doc_id < b.doc_id),
-         |verify AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-         |         len(ha.hs) AS na, len(hb.hs) AS nb
-         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
-         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |, $sizedMhCtes,
          |pairs AS (
          |  SELECT doc_a, doc_b FROM verify
          |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau),
@@ -678,23 +739,24 @@ object PipelineQueries {
 
     "dedup_minhash" -> (ShingleCte +
       s"""
-         |, sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
-         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
-         |ex AS (SELECT doc_id, band_id, band_val FROM bands
-         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |                      AND a.doc_id < b.doc_id),
-         |verify AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-         |         len(ha.hs) AS na, len(hb.hs) AS nb
-         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
-         |            JOIN hashes hb ON hb.doc_id = doc_b)
+         |, $sizedMhCtes
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard
          |FROM verify WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // sizing decision card: the sized pair stage replayed with per-stage
+    // counts surfaced (raw banded pairs / filtered pairs / true pairs)
+    "dedup_sizing_card" -> (ShingleCte +
+      s"""
+         |, $sizedMhCtes
+         |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  CAST($MinhashK AS BIGINT) AS k_band, CAST($MhBands AS BIGINT) AS n_bands,
+         |  (SELECT CAST(kest AS BIGINT) FROM sizing) AS k_est,
+         |  (SELECT CAST(ceil(kest * $JaccardTau / 2) AS BIGINT) FROM sizing) AS min_matches,
+         |  (SELECT COUNT(*) FROM mh_cand0) AS cand_banded,
+         |  (SELECT COUNT(*) FROM candf) AS cand_sized,
+         |  (SELECT COUNT(*) FROM verify
+         |   WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau) AS pairs_verified""".stripMargin),
 
     // containment replay: same shingle-intersection plan, one extra
     // fixed division; greatest() is the same max both engines
@@ -1067,20 +1129,7 @@ object PipelineQueries {
     // cluster's minimum member only
     "pipeline_clean_corpus_cc" -> (cleanCorpusPrefix.replaceFirst("WITH ", "WITH RECURSIVE ") +
       s""",
-         |sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
-         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
-         |exb AS (SELECT doc_id, band_id, band_val FROM bands
-         |        UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM exb a JOIN exb b ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |                        AND a.doc_id < b.doc_id),
-         |verify AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-         |         len(ha.hs) AS na, len(hb.hs) AS nb
-         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
-         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |$sizedMhCtes,
          |pairs AS (
          |  SELECT doc_a, doc_b FROM verify
          |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau),
@@ -1100,20 +1149,7 @@ object PipelineQueries {
     // over the exact-dedup survivor set
     "pipeline_clean_corpus_minhash" -> (cleanCorpusPrefix +
       s""",
-         |sig AS (SELECT doc_id, hs, $mhSig FROM hashes WHERE len(hs) > 0),
-         |bands AS (SELECT doc_id, hs, $mhBandKeys FROM sig),
-         |ex AS (SELECT doc_id, band_id, band_val FROM bands
-         |       UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |                      AND a.doc_id < b.doc_id),
-         |verify AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-         |         len(ha.hs) AS na, len(hb.hs) AS nb
-         |  FROM cand JOIN hashes ha ON ha.doc_id = doc_a
-         |            JOIN hashes hb ON hb.doc_id = doc_b),
+         |$sizedMhCtes,
          |losers AS (
          |  SELECT DISTINCT doc_b AS doc_id FROM verify
          |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
@@ -2031,6 +2067,33 @@ object PipelineQueries {
          |  w*3*h AS n_pixel_bytes,
          |  COALESCE(p.pixel_hash, CAST(0 AS BIGINT)) AS pixel_hash,
          |  54 + st*h AS bmp_bytes
+         |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // PNG decode replay: PNG is lossless, so the decoded raster IS the
+    // tiled payload and the pixel hash is the same closed-form fold as
+    // mm_bmp_meta (total = w*3*h, no stride padding in a PNG raster);
+    // the (doc_id % 7 = 3) truncation arm nulls every decode-derived
+    // column. PNG byte length is encoder-dependent — deliberately absent.
+    "mm_decode_png" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |a AS (
+         |  SELECT *,
+         |    CAST(16 + checksum % 320 AS BIGINT) AS w,
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |  FROM blobs),
+         |geo AS (SELECT *, w*3*h AS total FROM a),
+         |${bmpPixelCtes("")}
+         |SELECT g.doc_id,
+         |  CASE WHEN g.doc_id % 7 = 3 THEN NULL ELSE w END AS width,
+         |  CASE WHEN g.doc_id % 7 = 3 THEN NULL ELSE h END AS height,
+         |  CASE WHEN g.doc_id % 7 = 3 THEN NULL ELSE w*3*h END AS n_pixel_bytes,
+         |  CASE WHEN g.doc_id % 7 = 3 THEN NULL
+         |       ELSE COALESCE(p.pixel_hash, CAST(0 AS BIGINT)) END AS pixel_hash,
+         |  CASE WHEN g.doc_id % 7 = 3 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(1 AS BIGINT) END AS decode_ok
          |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // resize replay: output pixel (r,c) reads source pixel

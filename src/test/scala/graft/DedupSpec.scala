@@ -369,4 +369,59 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(bias) < 0.05,
       s"unconditioned estimator bias $bias — the threshold math assumes E[est]=J")
   }
+
+  test("corpus-sized candidate filters leave the verified pair set unchanged " +
+      "(recall spec for sizedEstK: the est cut and length filter drop only " +
+      "pairs the verify join would reject)") {
+    def pairSet(kEst: Int) =
+      Dedup.minhashPairs(docs, 0.5, 4, kEst).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = pairSet(Dedup.MinhashK) // est cut vacuous at 16 = the r9 plan
+    assert(base.nonEmpty, "fixture must contain near-dup pairs")
+    assert(pairSet(32) == base)
+    assert(pairSet(64) == base)
+  }
+
+  test("sizedEstK steps one doubling per corpus decade and the est cut is " +
+      "vacuous by construction at the base K (a shared 4-row band implies " +
+      "ceil(16*tau/2) = 4 matches at tau = 0.5)") {
+    assert(Dedup.sizedEstK(500) == 16)
+    assert(Dedup.sizedEstK(2000) == 16)
+    assert(Dedup.sizedEstK(2001) == 32)
+    assert(Dedup.sizedEstK(20000) == 32)
+    assert(Dedup.sizedEstK(20001) == 64)
+    assert(Dedup.sizedEstK(50000) == 64)
+    assert(math.ceil(16 * 0.5 / 2).toLong == (Dedup.MinhashK / 4).toLong)
+  }
+
+  test("sizing card: stage counts telescope (banded >= sized >= verified) and " +
+      "the verified count is the pair operator's own") {
+    val n = docs.count()
+    val row = Dedup.sizingCard(docs, 0.5, 4, n).collect()(0)
+    assert(row.getAs[Long]("n_docs") == n)
+    val banded = row.getAs[Long]("cand_banded")
+    val sized = row.getAs[Long]("cand_sized")
+    val verified = row.getAs[Long]("pairs_verified")
+    assert(banded >= sized && sized >= verified)
+    assert(verified ==
+      Dedup.minhashPairs(docs, 0.5, 4, row.getAs[Long]("k_est").toInt).count())
+  }
+
+  test("native minhash signature kernel: the first 16 positions equal the " +
+      "declarative banding minima, and graft_match_count agrees with the " +
+      "zip_with formulation") {
+    graft.functions.NativeHash.register(spark)
+    val hashes = Dedup.shingleHashes(docs).filter(size(col("hs")) > 0).limit(50)
+    val both = hashes.select(
+      col("doc_id"),
+      expr("graft_minhash_sig(hs, 64)").as("sg"),
+      array((0 until Dedup.MinhashK).map(j =>
+        TextFunctions.minhash(col("hs"), Dedup.minhashA(j), Dedup.minhashB(j))): _*).as("legacy"))
+    assert(both.filter(expr("slice(sg, 1, 16)") =!= col("legacy")).isEmpty)
+    val pairs = both.limit(10).alias("a").crossJoin(both.limit(10).alias("b"))
+      .select(expr("graft_match_count(a.sg, b.sg)").as("native"),
+        expr("size(filter(zip_with(a.sg, b.sg, (x, y) -> x = y), v -> v))")
+          .cast("long").as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).isEmpty)
+  }
 }

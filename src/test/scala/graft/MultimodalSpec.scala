@@ -477,4 +477,37 @@ class MultimodalSpec extends SparkSpec {
       .agg(countDistinct(col("n_same")).as("k")).filter(col("k") =!= 1).count() === 0)
     out.unpersist()
   }
+
+  test("PNG codec: lossless roundtrip reproduces the tiled polyhash closed " +
+      "form; malformed bytes are a value (None), never a throw") {
+    import graft.functions.PngCodec
+    val data = "the quick brown fox".getBytes("UTF-8")
+    val (w, h) = (7, 5)
+    val png = PngCodec.encodeTiled(data, w, h)
+    assert(png.length > 8 && (png(1) & 0xff) == 'P'.toInt, "must be a real PNG")
+    val Some((dw, dh, hash)) = PngCodec.decodeHash(png)
+    assert(dw == w && dh == h)
+    // closed form: polyhash over the payload tiled to w*3*h bytes
+    val M = graft.functions.TextFunctions.HashMod
+    var expect = 0L
+    for (i <- 0 until w * 3 * h) expect = (expect * 31 + (data(i % data.length) & 0xff)) % M
+    assert(hash == expect)
+    // malformed arms: truncation, garbage, null
+    assert(PngCodec.decodeHash(java.util.Arrays.copyOf(png, 16)).isEmpty)
+    assert(PngCodec.decodeHash(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(PngCodec.decodeHash(null).isEmpty)
+  }
+
+  test("pngDecode: the (doc_id % 7 == 3) truncation arm nulls every " +
+      "decode-derived column while clean rows decode with the BMP-formula hash") {
+    val out = Multimodal.pngDecode(spark, Tables.load(spark, sf, "documents")).cache()
+    val bad = out.filter(col("doc_id") % 7 === 3)
+    assert(bad.count() > 0, "fixture must exercise the malformed arm")
+    assert(bad.filter(col("pixel_hash").isNotNull || col("width").isNotNull ||
+      col("decode_ok") =!= 0L).count() === 0)
+    val good = out.filter(col("doc_id") % 7 =!= 3)
+    assert(good.count() > 0)
+    assert(good.filter(col("pixel_hash").isNull || col("decode_ok") =!= 1L).count() === 0)
+    out.unpersist()
+  }
 }

@@ -193,4 +193,19 @@ class RangeJoinSpec extends SparkSpec {
       s"range join must stay an equi-join:\n$plan")
     assert(plan.contains("__band"), s"band key missing from the join:\n$plan")
   }
+
+  test("salted variant equals the plain banded plan row-for-row (every " +
+      "candidate pair meets in exactly one salt bucket) and its join keys " +
+      "carry the salt") {
+    val (p, c) = AnalyticsQueries.asofSides(spark, sf)
+    val plain = RangeJoin.countInWindow(p, c, Seq("user_id"), "ts", "click_ts", W,
+      leftId = Some("event_id")).select("event_id", "n_in_window")
+    val salted = RangeJoin.countInWindowSalted(p, c, Seq("user_id"), "ts", "click_ts", W,
+      leftId = Some("event_id"), saltBuckets = 8).select("event_id", "n_in_window")
+    assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
+    assert(salted.filter(col("n_in_window") > 0).count() > 0, "fixture must exercise matches")
+    // the physical join must key on the salt — that IS the skew split
+    val joined = salted.queryExecution.executedPlan.toString
+    assert(joined.contains("__salt"), "salted plan lost its salt key")
+  }
 }

@@ -654,4 +654,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     streamed.unpersist()
   }
+
+  // round-10 (r9 VERDICT #7): the stateful streams whose per-key state is
+  // the 100-TB risk (SCD2 current-row, moving-window buffers, open
+  // sessions, top-k heaps) each replay identically under the RocksDB
+  // provider — the deployment setting for state >> executor heap. The
+  // provider changes WHERE state lives, never what the operators emit.
+  for (name <- Seq("stream_scd2", "stream_moving_agg", "stream_sessionize",
+      "stream_topk_agg")) {
+    test(s"$name replays identically under the RocksDB state store provider") {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val default = graft.SparkEntry.queries(name)(spark, sf).collect().toSeq
+      assert(default.nonEmpty, s"$name fixture must emit rows")
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks =
+        try graft.SparkEntry.queries(name)(spark, sf).collect().toSeq
+        finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      assert(rocks.size == default.size)
+      assert(rocks.toSet == default.toSet)
+    }
+  }
 }
