@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forward sbt's stdin to the forked runMain JVM so graft.Cli's
+// interactive ask (per-record m/p/s prompts) works under `sbt runMain`
+// and piped input; batch mains never read stdin, so this is inert for
+// Bench/Verify.
+run / connectInput := true

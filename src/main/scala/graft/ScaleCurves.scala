@@ -84,6 +84,18 @@ object ScaleCurves {
     // the operator's output scaling with the match count, not N²
     val (emb9P, emb9Tp) = timed(Similarity.embeddingPairs(emb, tau = 0.9).count())
 
+    // topic/events family (round-9 VERDICT #8): wall time of the four
+    // stateful/join shapes at each scale — compaction (hash agg),
+    // SCD2 (window over key history), as-of (union + window), banded
+    // range join — through the exact registered query plans
+    val nEvents = Tables.load(spark, dir, "events").count()
+    val topicFamily = Seq("topic_compact", "topic_scd2", "events_asof",
+      "events_range_join").map { name =>
+      val (_, sec) = timed(
+        SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save())
+      name -> sec
+    }
+
     val pairs = Dedup.minhashPairs(docs).select("doc_a", "doc_b").cache()
     val edgePairs = pairs.count()
     val (_, propSec) = timed(Dedup.propagateMinLabels(pairs).count())
@@ -103,6 +115,8 @@ object ScaleCurves {
       s""""simhash":${fam(shC, shP, shTc, shTp)},""" +
       s""""embedding":${fam(embC, embP, embTc, embTp)},""" +
       f""""embedding_t90":{"pairs":$emb9P,"pairs_sec":$emb9Tp%.2f},""" +
+      s""""n_events":$nEvents,"topic_family":{${topicFamily.map { case (n, sec) =>
+        f""""$n":$sec%.2f""" }.mkString(",")}},""" +
       f""""components":{"edge_pairs":$edgePairs,"prop_rounds":$propRounds,"prop_sec":$propSec%.2f,"star_rounds":$starRounds,"star_sec":$starSec%.2f}}""")
     spark.stop()
   }

@@ -95,11 +95,37 @@ object ScaleGen {
     } else (id, v, label)
   }
 
+  private val EventTypes = Array("view", "click", "purchase", "signup", "error")
+
+  /** Driver-shaped event row (round-9 VERDICT #8): users number n/66 and
+    * are drawn uniformly (the driver tables' own key shape — its top user
+    * holds ~1.5× the mean, exactly a multinomial tail, not a planted hot
+    * key; SkewBench owns the adversarial hot-key remap), five uniform
+    * event types, timestamps uniform over the driver's 30-day January
+    * window, value uniform to the driver's ~560 ceiling at 2 decimals,
+    * props the driver's {"k": int} JSON. Everything regenerates from the
+    * id via the same LCG discipline as [[docRow]].
+    */
+  private[graft] def eventRow(id: Long, nUsers: Long): (Long, java.sql.Timestamp, Long, String, Double, String) = {
+    val r = rng(id + 23000000L)
+    val user = (r.nextDouble() * nUsers).toLong.min(nUsers - 1)
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val ts = new java.sql.Timestamp(0L)
+    val us = baseUs + (r.nextDouble() * 30L * 86400 * 1000000L).toLong
+    ts.setTime(us / 1000L)
+    ts.setNanos(((us % 1000000L) * 1000L).toInt)
+    val value = math.round(r.nextDouble() * 560.0 * 100.0) / 100.0
+    (id, ts, user, EventTypes(r.nextInt(EventTypes.length)), value,
+      s"""{"k": ${r.nextInt(100)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val nDocs = if (args.length > 1) args(1).toLong else 50000L
     val nVecs = if (args.length > 2) args(2).toLong else 20000L
     val copyFrom = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    val nEvents = if (args.length > 4) args(4).toLong else 1000000L
+    val nUsers = (nEvents / 66L).max(1L)
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -125,11 +151,15 @@ object ScaleGen {
       .toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
     writeSingle(spark.range(nVecs).map(i => vecRow(i))
       .toDF("vec_id", "embedding", "label"), "embeddings")
-    for (t <- graft.sources.Tables.names if t != "documents" && t != "embeddings") {
+    writeSingle(spark.range(nEvents).map(i => eventRow(i, nUsers))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events")
+    for (t <- graft.sources.Tables.names
+         if t != "documents" && t != "embeddings" && t != "events") {
       Files.copy(Paths.get(s"$copyFrom/$t.parquet"), Paths.get(s"$outDir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"ScaleGen: $nDocs docs, $nVecs vecs -> $outDir")
+    println(s"ScaleGen: $nDocs docs, $nVecs vecs, $nEvents events -> $outDir")
     spark.stop()
   }
 }

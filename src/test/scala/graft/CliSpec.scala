@@ -1,0 +1,135 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopicOps
+import graft.sources.Topics
+
+/** The command surface (reference CLI.kt / commands dir): arg parsing,
+  * the interactive ActionSource contract, and each command's output
+  * against the library operator it rides.
+  */
+class CliSpec extends SparkSpec {
+
+  private def outDir(name: String): String = {
+    val d = s"target/cli-spec/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  test("arg parsing: globals, arity errors, unknown flags/commands") {
+    val ok = Cli.parse(Seq("-d", "/x", "-T", "-n", "-l", "5", "merge-all", "events", "dest"))
+    assert(ok == Right(Cli.Opts(dir = "/x", out = "/x/out", mergeTombstones = true,
+      noCommit = Some(true), limit = 5, command = "merge-all",
+      positional = List("events", "dest"))))
+    assert(Cli.parse(Seq("print", "events")).isLeft) // missing -d
+    assert(Cli.parse(Seq("-d", "/x", "merge-all", "events")).isLeft) // arity
+    assert(Cli.parse(Seq("-d", "/x", "--bogus", "print", "events")).isLeft)
+    assert(Cli.parse(Seq("-d", "/x", "frobnicate", "events")).isLeft)
+    // -n arity 0..1: explicit false makes print commit
+    assert(Cli.parse(Seq("-d", "/x", "-n", "false", "print", "events"))
+      .toOption.get.noCommit == Some(false))
+  }
+
+  test("action source: default merge on empty line, unknown input reprompts, " +
+      "exhausted stream defaults to merge (the reference's default)") {
+    val lines = new ByteArrayInputStream("\np\nzzz\ns\n".getBytes("UTF-8"))
+    val prompts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val next = Cli.actionSource(lines, prompts += _)
+    assert(next() == "merge") // empty line
+    assert(next() == "purge")
+    assert(next() == "skip") // zzz repromopts, then s
+    assert(prompts.count(_.startsWith("Unknown option")) == 1)
+    assert(next() == "merge") // stream exhausted
+  }
+
+  test("merge-all writes the operator's produced records and the counter line") {
+    val out = outDir("mergeall")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark, Seq("-d", sf, "-O", out, "merge-all", "events", "dest"),
+      print = lines += _)
+    assert(code == 0)
+    val produced = spark.read.parquet(s"$out/produced")
+    val expect = TopicOps.mergeAll(Topics.events(spark, sf), "dest")
+    assert(produced.count() == expect.count())
+    assert(produced.exceptAll(expect.select(produced.columns.map(col): _*)).isEmpty)
+    val m = expect.filter(col("kind") === "merge").count()
+    val p = expect.filter(col("kind") === "purge").count()
+    assert(lines.contains(s"Successfully processed records: $m merged, $p purged"))
+    // processing commands commit by default
+    assert(spark.read.parquet(s"$out/offsets").count() > 0)
+  }
+
+  test("print honors --limit, emits the reference record block, and does NOT " +
+      "commit by default") {
+    val out = outDir("print")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark, Seq("-d", sf, "-O", out, "-l", "3", "print", "events"),
+      print = lines += _)
+    assert(code == 0)
+    assert(lines.count(_.startsWith("Record at offset #")) == 3)
+    assert(lines.exists(_.startsWith("Finished printing 3 record(s)")))
+    assert(!new java.io.File(s"$out/offsets").exists())
+    // --no-commit false flips print to committing (reference -n arity 0..1)
+    val out2 = outDir("print2")
+    Cli.run(spark, Seq("-d", sf, "-O", out2, "-n", "false", "-l", "1", "print", "events"),
+      print = _ => ())
+    assert(spark.read.parquet(s"$out2/offsets").count() > 0)
+  }
+
+  test("interactive ask: stdin decisions route through the decisions-table " +
+      "plan; tombstones skip without consuming an action") {
+    val out = outDir("ask")
+    val src = Topics.events(spark, sf)
+    val live = src.filter(col("value").isNotNull).count()
+    val tombs = src.filter(col("value").isNull).count()
+    assert(tombs > 0, "fixture must contain tombstones")
+    // purge the first record, skip the second, merge everything after
+    // (exhausted stream defaults to merge)
+    val stdin = new ByteArrayInputStream("p\ns\n".getBytes("UTF-8"))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark, Seq("-d", sf, "-O", out, "ask", "events", "dest"),
+      in = stdin, print = lines += _)
+    assert(code == 0)
+    // one prompt per LIVE record only — tombstones never consumed input
+    assert(lines.count(_.startsWith("Would you like to")) == live)
+    assert(lines.contains(
+      s"Successfully processed records: ${live - 2} merged, 1 purged, 1 skipped"))
+    val decisions = spark.read.parquet(s"$out/decisions")
+    assert(decisions.count() == live)
+    // the produced output IS routeWithDecisions over those decisions
+    val produced = spark.read.parquet(s"$out/produced")
+    val expect = TopicOps.routeWithDecisions(src, decisions, "dest")
+    assert(produced.count() == expect.count())
+    assert(produced.exceptAll(expect.select(produced.columns.map(col): _*)).isEmpty)
+  }
+
+  test("dlq splits on the serde error predicates and names the dlq topic") {
+    val out = outDir("dlq")
+    val code = Cli.run(spark, Seq("-d", sf, "-O", out, "dlq", "events", "events.dlq"),
+      print = _ => ())
+    assert(code == 0)
+    val dlq = spark.read.parquet(s"$out/dlq")
+    val clean = spark.read.parquet(s"$out/clean")
+    val src = Topics.events(spark, sf)
+    assert(dlq.count() + clean.count() == src.count())
+    // this fixture's bytes all decode (corrupt-byte arms live in the serde
+    // specs), so the dlq side is empty — the routed count and the named
+    // dlq_topic column are still the command's contract
+    assert(dlq.columns.contains("dlq_topic"))
+    assert(dlq.filter(col("dlq_topic") =!= "events.dlq").isEmpty)
+    assert(clean.count() ==
+      TopicOps.dlqSplit(src, graft.sources.Serdes.Utf8JsonSerde.error(col("raw")),
+        graft.sources.Serdes.Utf8LongKeySerde.error(col("key_raw")))
+        .filter(col("sink") === "clean").count())
+  }
+
+  test("unknown topic is an error exit, not a throw") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark, Seq("-d", sf, "print", "nope"), print = lines += _)
+    assert(code == 1)
+    assert(lines.exists(_.contains("unknown topic")))
+  }
+}
