@@ -474,4 +474,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"histogram needs map-side combine:\n$p")
     assert(p.contains("Window"), s"rank selection rides a window over the grid:\n$p")
   }
+
+  test("sized minhash candidates: the est pre-filter join appears only when " +
+      "kEst exceeds the banding K, the length filter rides the band join " +
+      "condition, and the signature kernel is the one-pass native call") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.load(spark, sf, "documents")
+    def planOf(kEst: Int): String =
+      Dedup.minhashPairs(docs, 0.5, 4, kEst).queryExecution.executedPlan.toString
+    val plain = planOf(Dedup.MinhashK)
+    val sized = planOf(64)
+    // both thresholded plans apply the lossless length filter in the band
+    // join; only the extended-signature plan adds the est kernel join
+    assert(sized.contains("graft_minhash_sig") && sized.contains("graft_match_count"),
+      s"sized plan must run the native est kernels:\n$sized")
+    assert(!plain.contains("graft_match_count") || plain.contains("graft_minhash_sig"),
+      "kEst == MinhashK must keep the est cut vacuous (no extra refutation path)")
+    assert(sized.contains("n_sh"), s"length filter must ride the candidate join:\n$sized")
+    // the interpreted-HOF landmine guard: the BANDING's 16 per-j minima
+    // are legitimate single-reference HOF folds, but the 64-wide est
+    // signature must be the ONE-pass kernel — the sized plan adds ZERO
+    // HOF folds over the plain plan
+    def hofFolds(p: String): Int = "array_min\\(transform".r.findAllIn(p).length
+    assert(hofFolds(sized) <= hofFolds(plain),
+      s"est signature must be the one-pass kernel, not per-j HOF folds " +
+        s"(plain=${hofFolds(plain)}, sized=${hofFolds(sized)})")
+  }
+
+  test("salted range join: probes and the replicated index join on the salt, " +
+      "and the probe salt is deterministic (hash of id and time)") {
+    val (p0, c0) = AnalyticsQueries.asofSides(spark, sf)
+    val plan = graft.operators.RangeJoin.countInWindowSalted(
+      p0, c0, Seq("user_id"), "ts", "click_ts", 1800000000L,
+      leftId = Some("event_id"), saltBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"join must key on the salt:\n$plan")
+    assert(plan.contains("__band"), s"join must keep the band key:\n$plan")
+  }
 }
