@@ -45,4 +45,13 @@ class GraphSpec extends SparkSpec {
     assert(sr(1L) > sr(2L), "the hub must outrank a leaf")
     assert(Set(2L, 3L, 4L, 5L).map(sr).size === 1, "symmetric leaves must tie exactly")
   }
+
+  test("broadcast-ranks variant is bit-identical to the shuffle-join plan " +
+      "(the dimension-graph fast path changes the exchange, never the math)") {
+    val edges = Graph.coPurchaseEdges(
+      graft.sources.Tables.load(spark, sf, "lineitem"))
+    val plain = Graph.pageRank(edges, rounds = 3)
+    val bcast = Graph.pageRank(edges, rounds = 3, broadcastRanks = true)
+    assert(bcast.exceptAll(plain).isEmpty && plain.exceptAll(bcast).isEmpty)
+  }
 }
