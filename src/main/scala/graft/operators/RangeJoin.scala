@@ -157,8 +157,18 @@ object RangeJoin {
     require(bandMs > 0, s"overlapCount: bandMs must be positive, got $bandMs")
     val sMs = unix_millis(col(startCol))
     val eMs = unix_millis(col(endCol))
-    val banded = intervals.select(
+    // the interval frame is typically the OUTPUT of a whole upstream plan
+    // (a sessionization window here) and this operator reads it three
+    // times — both self-join sides and the zero-carrier join-back. A lazy
+    // localCheckpoint materializes it once at job time and all three
+    // subtrees read the same blocks (a self-join's two sides project
+    // different aliases, so ReusedExchange can never fire on its own);
+    // sessions are orders of magnitude smaller than the events that made
+    // them, so the pinned blocks are the cheap side of the trade.
+    val base = intervals.select(
       (id.map(col) :+ col(group) :+ sMs.as("__s") :+ eMs.as("__e")).distinct: _*)
+      .localCheckpoint(false)
+    val banded = base
       .withColumn("__band",
         explode(sequence(floorDivLong(col("__s"), bandMs),
           floorDivLong(col("__e"), bandMs))))
@@ -175,7 +185,7 @@ object RangeJoin {
       .distinct()
     val counts = pairs.groupBy(id.map(c => col(s"a_$c").as(c)): _*)
       .agg(count(lit(1)).as("n_overlap"))
-    intervals.select(id.map(col): _*)
+    base.select(id.map(col): _*)
       .join(counts, id, "left_outer")
       .select(id.map(col) :+
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"): _*)
