@@ -97,4 +97,70 @@ class HashLawsSpec extends AnyFunSuite {
         hdr.getLong(7) == bits && hdr.getLong(8) == data.length.toLong
     })
   }
+
+  test("minhash signature kernel laws: prefix stability, the per-j " +
+      "universal-hash formula, and permutation invariance") {
+    import graft.functions.MinhashSigImpl
+    val P = 2147483647L
+    def arr(xs: Seq[Long]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+    val hsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000006L))
+    check(Prop.forAll(hsGen, Gen.chooseNum(1, 64)) { (hs, k) =>
+      val sig = MinhashSigImpl.compute(arr(hs), 64)
+      val pre = MinhashSigImpl.compute(arr(hs), k)
+      // a shorter signature is the longer one's prefix (what makes the
+      // 16-long banding signature the est signature's prefix)
+      (0 until k).forall(j => sig.getLong(j) == pre.getLong(j)) &&
+        // each position is the formula's minimum
+        (0 until 64).forall { j =>
+          sig.getLong(j) ==
+            hs.map(h => (h * MinhashSigImpl.A(j) + MinhashSigImpl.B(j)) % P).min
+        }
+    })
+    // min over a SET: element order and duplication never change the sig
+    check(Prop.forAll(hsGen) { hs =>
+      val a = MinhashSigImpl.compute(arr(hs), 32)
+      val b = MinhashSigImpl.compute(arr(scala.util.Random.shuffle(hs ++ hs.headOption)), 32)
+      (0 until 32).forall(j => a.getLong(j) == b.getLong(j))
+    })
+  }
+
+  test("match count laws: bounded by length, reflexive on equal arrays, " +
+      "symmetric, and exact under controlled corruption") {
+    import graft.functions.MatchCountImpl
+    def arr(xs: Seq[Long]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(gen) { xs =>
+      MatchCountImpl.compute(arr(xs), arr(xs)) == xs.length
+    })
+    val pair = for {
+      xs <- gen
+      flips <- Gen.someOf(xs.indices)
+    } yield (xs, flips.toSet)
+    check(Prop.forAll(pair) { case (xs, flips) =>
+      val ys = xs.zipWithIndex.map { case (x, i) => if (flips(i)) x + 1 else x }
+      val expect = xs.indices.count(i => xs(i) == ys(i))
+      MatchCountImpl.compute(arr(xs), arr(ys)) == expect &&
+        MatchCountImpl.compute(arr(ys), arr(xs)) == expect
+    })
+  }
+
+  test("png codec laws: lossless roundtrip equals the tiled byte fold for " +
+      "arbitrary payloads and dimensions, including 1x1 and empty payload") {
+    import graft.functions.PngCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      data <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, data.toArray)
+    check(Prop.forAll(gen) { case (w, h, data) =>
+      val Some((dw, dh, hash)) = PngCodec.decodeHash(PngCodec.encodeTiled(data, w, h))
+      val expect = (0 until w * 3 * h).foldLeft(0L) { (acc, i) =>
+        val b = if (data.isEmpty) 0L else data(i % data.length) & 0xffL
+        (acc * 31 + b) % M
+      }
+      dw == w && dh == h && hash == expect
+    })
+  }
 }
