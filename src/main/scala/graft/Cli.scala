@@ -31,7 +31,9 @@ import graft.sources.{Serdes, Topics}
   *   -A, --avro-key         Avro key serde (reference -A/--avro-key)
   *   -T, --merge-tombstones merge tombstones too (MergeAll.kt:24, Ask.kt)
   *   -n, --no-commit        do not write the committed-offsets table
-  *   -l, --limit N          records printed by `print` (default 20)
+  *   -l, --limit N          records printed by `print` (default 20; 0
+  *                          prints none — pass the topic size for a full
+  *                          dump, collect() is driver-bounded by N)
   *   -y, --actions SRC      ask action source: '-' = interactive stdin
   *                          (m/p/s prompt per record, default merge,
   *                          unknown retries — streamActionSource semantics),
@@ -163,8 +165,13 @@ object Cli {
     }
   }
 
-  private def produceCounters(produced: DataFrame): (Long, Long) = {
-    val counts = produced.groupBy(col("kind")).agg(count(lit(1)).as("n"))
+  /** Counters come from the parquet ALREADY written by the command — one
+    * evaluation of the produce plan total, never a second pass over the
+    * source (the reference counts during its single poll loop too).
+    */
+  private def produceCounters(spark: SparkSession, out: String): (Long, Long) = {
+    val counts = spark.read.parquet(s"$out/produced")
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (counts.getOrElse("merge", 0L), counts.getOrElse("purge", 0L))
   }
@@ -185,11 +192,17 @@ object Cli {
             val src = topicView(spark, o.dir, o.positional.head)
             val view = TopicOps.serdeView(src, valueSerde.decoded(col("raw")))
               .orderBy(col("partition"), col("offset"))
-            val rows = (if (o.limit > 0) view.limit(o.limit) else view).collect()
+            val decodedCols = valueSerde.decoded(col("raw")).keys.toSeq.sorted
+            val rows = view.limit(o.limit).collect()
             rows.foreach { r =>
               print(prettyRecord(r.getAs[String]("topic"), r.getAs[Int]("partition"),
                 r.getAs[Long]("offset"), r.getAs[String]("key"),
                 r.getAs[String]("value")))
+              // MixedValue's dual view: the serde's decoded fields print
+              // under the raw pair, so -a/-A visibly change the output
+              decodedCols.foreach { c =>
+                print(s"    $c = ${Option(r.getAs[Any](c)).getOrElse("<null>")}")
+              }
             }
             print(s"Finished printing ${rows.length} record(s) from '${o.positional.head}'")
             commitOffsets(o, src, default = false, print) // print does not commit by default
@@ -202,17 +215,15 @@ object Cli {
           case "merge-all" =>
             val Seq(srcName, dest) = o.positional.toSeq
             val src = topicView(spark, o.dir, srcName)
-            val produced = TopicOps.mergeAll(src, dest, o.mergeTombstones)
-            writeOut(produced, o.out, "produced")
-            val (m, p) = produceCounters(produced)
+            writeOut(TopicOps.mergeAll(src, dest, o.mergeTombstones), o.out, "produced")
+            val (m, p) = produceCounters(spark, o.out)
             print(s"Successfully processed records: $m merged, $p purged")
             commitOffsets(o, src, default = true, print)
             0
           case "purge-all" =>
             val src = topicView(spark, o.dir, o.positional.head)
-            val produced = TopicOps.purgeAll(src)
-            writeOut(produced, o.out, "produced")
-            val (_, p) = produceCounters(produced)
+            writeOut(TopicOps.purgeAll(src), o.out, "produced")
+            val (_, p) = produceCounters(spark, o.out)
             print(s"Successfully processed records: $p purged")
             commitOffsets(o, src, default = true, print)
             0
@@ -226,10 +237,16 @@ object Cli {
             val src = topicView(spark, o.dir, srcName)
             val split = TopicOps.dlqSplit(src, valueSerde.error(col("raw")),
               keySerde.error(col("key_raw")))
-            writeOut(split.filter(col("sink") === "dlq")
-              .withColumn("dlq_topic", lit(dlqDest)), o.out, "dlq")
-            writeOut(split.filter(col("sink") === "clean"), o.out, "clean")
-            val n = split.filter(col("sink") === "dlq").count()
+            // both sinks and the counter come from ONE evaluation of the
+            // split plan: write the routed view once, then read the
+            // written parquet back for the per-sink outputs and count
+            writeOut(split.withColumn("dlq_topic",
+              when(col("sink") === "dlq", lit(dlqDest))), o.out, "routed")
+            val routed = spark.read.parquet(s"${o.out}/routed")
+            writeOut(routed.filter(col("sink") === "dlq"), o.out, "dlq")
+            writeOut(routed.filter(col("sink") === "clean").drop("dlq_topic"),
+              o.out, "clean")
+            val n = routed.filter(col("sink") === "dlq").count()
             print(s"Routed $n record(s) to '$dlqDest'")
             commitOffsets(o, src, default = true, print)
             0
@@ -239,7 +256,12 @@ object Cli {
             askCommand(spark, o, src, dest, in, print)
         }
       } catch {
-        case e: IllegalArgumentException => print(s"error: ${e.getMessage}"); 1
+        // the CLI contract is error + exit code, never a stack trace:
+        // unknown topic (IllegalArgument), missing table dir
+        // (AnalysisException), unreadable actions file (IOException)
+        case e @ (_: IllegalArgumentException | _: java.io.IOException |
+                  _: org.apache.spark.sql.AnalysisException) =>
+          print(s"error: ${e.getMessage}"); 1
       }
   }
 
@@ -257,13 +279,12 @@ object Cli {
   private def askCommand(spark: SparkSession, o: Opts, src: DataFrame,
                          dest: String, in: InputStream,
                          print: String => Unit): Int = {
-    val next: () => String = o.actions match {
-      case "-" => actionSource(in, print)
-      case path =>
-        val it = scala.io.Source.fromFile(path).getLines()
-        actionSource(new java.io.ByteArrayInputStream(
-          it.mkString("\n").getBytes("UTF-8")), _ => ())
+    val fileIn: Option[java.io.InputStream] = o.actions match {
+      case "-" => None
+      case path => Some(new java.io.FileInputStream(path))
     }
+    val next: () => String =
+      fileIn.map(actionSource(_, _ => ())).getOrElse(actionSource(in, print))
     val ordered = src
       .select(col("topic"), col("partition"), col("offset"), col("key"), col("value"))
       .orderBy(col("partition"), col("offset"))
@@ -288,6 +309,7 @@ object Cli {
           r.getAs[Long]("offset"), action))
       }
     }
+    fileIn.foreach(_.close())
     import spark.implicits._
     val dTable = decisions.toSeq.toDF("topic", "partition", "offset", "action")
     val produced = TopicOps.routeWithDecisions(src, dTable, dest, o.mergeTombstones)

@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   * same ~30-word vocabulary, and planted duplication at the rates
   * measured on the driver data (≈0.3% exact-dup docs, ≈5% near-dup docs
   * across strong/borderline/below-threshold perturbations; embeddings in
-  * 10 label clusters with ≈3% scaled near-copies). The remaining tables
-  * are copied from sf0.1 so the directory gates through tools/check.py
-  * unchanged.
+  * 10 label clusters with ≈3% scaled near-copies), plus a GENERATED
+  * driver-shaped events topic (round 10 — see [[eventRow]]). The
+  * remaining (TPC-H) tables are copied from sf0.1 so the directory
+  * gates through tools/check.py unchanged.
   *
   * Everything derives from the row id via an LCG, so any row regenerates
   * identically regardless of partitioning — near-dups rebuild their base
@@ -21,6 +22,8 @@ import org.apache.spark.sql.SparkSession
   * the engine surface.
   *
   * Usage: runMain graft.ScaleGen <outDir> [nDocs] [nVecs] [copyFromDir]
+  *        [nEvents]  (default 1,000,000 — events is GENERATED
+  *        driver-shaped, round 10; only the TPC-H tables are copied)
   */
 object ScaleGen {
 

@@ -505,9 +505,10 @@ object Multimodal {
     * decoder sees it → all-null metrics and decode_ok = 0, never a
     * throw (MultimodalSpec). PNG byte length is NOT emitted: unlike the
     * formula-layout containers it is encoder-dependent. Narrow
-    * per-partition work — zero shuffle.
+    * per-partition work — zero shuffle; per-IMAGE codec calls (imageio
+    * has no batch API — [[decodeFeatures]] owns the batch-call seam).
     */
-  def pngDecode(spark: SparkSession, docs: DataFrame, batchSize: Int = 64): DataFrame = {
+  def pngDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.NativeHash.register(spark)
     val (w, h) = imageParams("__cs")
@@ -517,7 +518,10 @@ object Multimodal {
         w.cast("int").as("w"), h.cast("int").as("h"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap(_.map { case (docId, raw, pw, ph) =>
+        // per-IMAGE codec calls (javax.imageio has no batch API) — the
+        // partition iterator is the memory bound; decodeFeatures keeps
+        // the grouped() form because its seam models a batch-call codec
+        it.map { case (docId, raw, pw, ph) =>
           val png = graft.functions.PngCodec.encodeTiled(raw, pw, ph)
           val bytes =
             if (docId % 7 == 3) java.util.Arrays.copyOf(png, math.min(16, png.length))
@@ -529,7 +533,7 @@ object Multimodal {
             case None => (docId, Option.empty[Long], Option.empty[Long],
               Option.empty[Long], Option.empty[Long], 0L)
           }
-        })
+        }
       }
       .toDF("doc_id", "width", "height", "n_pixel_bytes", "pixel_hash", "decode_ok")
   }

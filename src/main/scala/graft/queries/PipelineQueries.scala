@@ -43,12 +43,18 @@ object PipelineQueries {
 
   private def queryPred = col("vec_id") < 8
 
-  /** Corpus row count for the sized-banding queries, cached per sf dir —
-    * parquet metadata count, one tiny job; bench reps reuse the cache.
+  /** Corpus row count for the sized-banding queries — parquet metadata
+    * count, one tiny job; bench reps reuse the cache. Keyed by the
+    * parquet file's (path, length, mtime) so a REGENERATED directory in
+    * a warm JVM (ScaleGen rewrites) re-derives kEst instead of gating a
+    * stale plan against the oracle's live COUNT(*).
     */
-  private val nDocsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def nDocs(s: SparkSession, dir: String): Long =
-    nDocsCache.getOrElseUpdate(dir, Tables.load(s, dir, "documents").count())
+  private val nDocsCache = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+  private def nDocs(s: SparkSession, dir: String): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    nDocsCache.getOrElseUpdate((f.getPath, f.length, f.lastModified),
+      Tables.load(s, dir, "documents").count())
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
