@@ -407,6 +407,75 @@ object Dedup {
       .withColumn("contaminated", coalesce(col("best_jaccard") >= tau, lit(false)))
   }
 
+  /** INCREMENTAL snapshot delta — the recurring-ingestion workflow: a
+    * NEW shard classified against the BASE corpus as exact_dup (same
+    * content hash as a base doc), near_dup (banded-MinHash candidate
+    * verified at Jaccard ≥ tau against a base doc), or novel. The scale
+    * property is the asymmetry: the new shard probes base indexes and is
+    * NEVER self-joined — at 100 TB the base band/hash tables are
+    * materialized once (Bucketing / DedupStream.writeNearDupIndex is the
+    * streaming twin) and per-ingest cost tracks the SHARD, not the
+    * corpus. New-vs-new duplication is deliberately out of scope (that
+    * is the full dedup pass's job); a doc can be both exact- and
+    * near-dup — exact wins. The sized est pre-filter applies exactly as
+    * in [[minhashCandidatesSized]] (pass kEst = sizedEstK(corpus n)).
+    *
+    * Output per NEW doc: (doc_id, status, base_id, jaccard) — base_id =
+    * the smallest matching base doc (exact) or the best verified match
+    * by (jaccard DESC, base_id ASC) (near); jaccard = 1.0 for exact
+    * (byte-identical text), null for novel.
+    */
+  def snapshotDelta(docs: DataFrame, isNew: Column, tau: Double = 0.5,
+                    bands: Int = 4, kEst: Int = MinhashK): DataFrame = {
+    val minMatches = math.ceil(kEst * tau / 2).toLong
+    val withHash = docs.withColumn("__ch", md5(col("text").cast("binary")))
+    val nw = withHash.filter(isNew)
+    val base = withHash.filter(!isNew)
+    val exact = nw.select(col("doc_id"), col("__ch"))
+      .join(base.groupBy(col("__ch")).agg(min(col("doc_id")).as("base_id")), "__ch")
+      .select(col("doc_id"), col("base_id"))
+    val hashes = shingleHashes(docs)
+    val banded = minhashBands(hashes, bands)
+      .select(col("doc_id"), col("n_sh"), col("band_id"), col("band_val"))
+    val newB = banded.join(nw.select(col("doc_id")), "doc_id")
+    val baseB = banded.join(base.select(col("doc_id")), "doc_id")
+      .select(col("doc_id").as("base_id"), col("n_sh").as("base_n_sh"),
+        col("band_id"), col("band_val"))
+    val cand = newB.join(baseB, Seq("band_id", "band_val"))
+      .filter(least(col("n_sh"), col("base_n_sh")).cast("double") >=
+        lit(tau) * greatest(col("n_sh"), col("base_n_sh")))
+      .select(col("doc_id"), col("base_id")).distinct()
+    val sig = hashes.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), expr(s"graft_minhash_sig(hs, $kEst)").as("sg"))
+    val candEst = cand
+      .join(sig.select(col("doc_id"), col("sg").as("sga")), "doc_id")
+      .join(sig.select(col("doc_id").as("base_id"), col("sg").as("sgb")), "base_id")
+      .filter(expr("graft_match_count(sga, sgb)") >= minMatches)
+      .select(col("doc_id"), col("base_id"))
+    val ha = hashes.select(col("doc_id"), col("hs").as("ha"))
+    val hb = hashes.select(col("doc_id").as("base_id"), col("hs").as("hb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("base_id"))
+    val near = candEst.join(ha, "doc_id").join(hb, "base_id")
+      .withColumn("inter", expr("graft_intersect_size(ha, hb)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("base_id").as("near_id"), col("jaccard"))
+    nw.select(col("doc_id"))
+      .join(exact.select(col("doc_id"), col("base_id").as("exact_id")), Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("base_id"),
+        when(col("exact_id").isNotNull, lit(1.0)).otherwise(col("jaccard")).as("jaccard"))
+  }
+
   /** Connected components of the banded-MinHash near-dup graph —
     * CLUSTER-level dedup. Pairwise loser-dropping is not transitive (in a
     * chain a~b~c it drops b AND c even though c only resembles b, and a

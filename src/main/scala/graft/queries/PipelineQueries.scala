@@ -74,6 +74,15 @@ object PipelineQueries {
     "dedup_sizing_card" -> ((s, dir) =>
       Dedup.sizingCard(Tables.load(s, dir, "documents"), JaccardTau, MhBands,
         nDocs(s, dir))),
+    // incremental snapshot delta (r10): the recurring-ingestion
+    // classification — each NEW-shard doc vs the BASE corpus only
+    // (exact_dup / near_dup / novel); the new side probes base indexes,
+    // never itself
+    "corpus_delta" -> ((s, dir) =>
+      Dedup.snapshotDelta(Tables.load(s, dir, "documents"),
+          col("doc_id") % 5 === 4, JaccardTau, MhBands,
+          Dedup.sizedEstK(nDocs(s, dir)))
+        .orderBy(col("doc_id"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), HammingTau, ShBands)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -763,6 +772,68 @@ object PipelineQueries {
          |  (SELECT COUNT(*) FROM candf) AS cand_sized,
          |  (SELECT COUNT(*) FROM verify
          |   WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau) AS pairs_verified""".stripMargin),
+
+    // snapshot delta: the sized pair machinery applied ASYMMETRICALLY —
+    // new docs probe base bands; exact = content-hash join; best near
+    // match by (jaccard DESC, base_id); exact wins the status CASE
+    "corpus_delta" -> (ShingleCte +
+      s"""
+         |, sizing AS (SELECT CASE WHEN COUNT(*) <= 2000 THEN 16
+         |  WHEN COUNT(*) <= 20000 THEN 32 ELSE 64 END AS kest FROM documents),
+         |ch AS (SELECT doc_id, md5(text) AS chash, doc_id % 5 = 4 AS is_new
+         |       FROM documents),
+         |exact AS (
+         |  SELECT n.doc_id, MIN(b.doc_id) AS exact_id
+         |  FROM ch n JOIN ch b ON n.chash = b.chash AND n.is_new AND NOT b.is_new
+         |  GROUP BY n.doc_id),
+         |sig AS (SELECT doc_id, hs, n_sh, $mhSig FROM hashes WHERE len(hs) > 0),
+         |mh_sg AS (SELECT doc_id,
+         |  [list_min(list_transform(hs, h -> (h * (CASE WHEN (j*2654435761) % $P = 0
+         |     THEN 1 ELSE (j*2654435761) % $P END) + (j*1013904223) % $P) % $P))
+         |   for j in generate_series(1, kest)] AS sg
+         |  FROM sig CROSS JOIN sizing),
+         |bands AS (SELECT doc_id, n_sh, $mhBandKeys FROM sig),
+         |mh_ex AS (SELECT doc_id, n_sh, band_id, band_val FROM bands
+         |          UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS base_id
+         |  FROM mh_ex a JOIN ch ca ON ca.doc_id = a.doc_id AND ca.is_new
+         |       JOIN mh_ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |       JOIN ch cb ON cb.doc_id = b.doc_id AND NOT cb.is_new
+         |  WHERE least(a.n_sh, b.n_sh) >= $JaccardTau * greatest(a.n_sh, b.n_sh)),
+         |candf AS (
+         |  SELECT cand.doc_id AS doc_id, cand.base_id AS base_id
+         |  FROM cand JOIN mh_sg sa ON sa.doc_id = cand.doc_id
+         |            JOIN mh_sg sb ON sb.doc_id = cand.base_id
+         |            CROSS JOIN sizing
+         |  WHERE CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+         |          for i in generate_series(1, kest)], x -> x)) AS BIGINT)
+         |        >= CAST(ceil(kest * $JaccardTau / 2) AS BIGINT)),
+         |near0 AS (
+         |  SELECT candf.doc_id AS doc_id, candf.base_id AS base_id,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM candf JOIN hashes ha ON ha.doc_id = candf.doc_id
+         |             JOIN hashes hb ON hb.doc_id = candf.base_id),
+         |near AS (
+         |  SELECT doc_id, base_id AS near_id, jaccard FROM (
+         |    SELECT doc_id, base_id,
+         |      CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY CAST(inter AS DOUBLE)/(na+nb-inter) DESC, base_id) AS rk
+         |    FROM near0 WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
+         |  WHERE rk = 1)
+         |SELECT n.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN r.near_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'novel' END AS status,
+         |  COALESCE(e.exact_id, r.near_id) AS base_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |       ELSE r.jaccard END AS jaccard
+         |FROM ch n LEFT JOIN exact e ON e.doc_id = n.doc_id
+         |          LEFT JOIN near r ON r.doc_id = n.doc_id
+         |WHERE n.is_new
+         |ORDER BY n.doc_id""".stripMargin),
 
     // containment replay: same shingle-intersection plan, one extra
     // fixed division; greatest() is the same max both engines

@@ -424,4 +424,35 @@ class DedupSpec extends SparkSpec {
           .cast("long").as("hof"))
     assert(pairs.filter(col("native") =!= col("hof")).isEmpty)
   }
+
+  test("snapshot delta: exact beats near, base matches are deterministic, " +
+      "and new-vs-new duplication is out of scope by construction") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (0L, base),                                  // base
+      (1L, base + " lambda mu nu xi"),             // base
+      (2L, "totally different words entirely here now ok fine yes"), // base
+      (10L, base),                                 // new: exact dup of 0
+      (11L, base + " lambda mu nu XI"),            // new: near dup of 1
+      (12L, "unrelated fresh content nothing shared with anything at all"), // new
+      (13L, "unrelated fresh content nothing shared with anything at all")  // new: dup of 12 — but NEW
+    ).toDF("doc_id", "text")
+    val out = Dedup.snapshotDelta(fixture, col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(10L)._1 == "exact_dup" && out(10L)._2.contains(0L))
+    assert(out(11L)._1 == "near_dup" && out(11L)._2.contains(1L))
+    assert(out(12L)._1 == "novel" && out(12L)._2.isEmpty)
+    // 13 duplicates 12 but both are NEW — the delta is vs base only
+    assert(out(13L)._1 == "novel")
+    // exact rows carry jaccard 1.0
+    val j10 = Dedup.snapshotDelta(fixture, col("doc_id") >= 10L)
+      .filter(col("doc_id") === 10L).collect()(0).getDouble(3)
+    assert(j10 == 1.0)
+    // sized est filter changes nothing on true matches
+    val sized = Dedup.snapshotDelta(fixture, col("doc_id") >= 10L, kEst = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sized == out.map { case (k, v) => k -> v._1 })
+  }
 }
