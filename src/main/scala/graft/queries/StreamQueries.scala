@@ -57,6 +57,14 @@ object StreamQueries {
     }),
     // Streaming set-similarity join: near-dup-on-ingest; self-ingest
     // replay reproduces the batch MinHash pairs (batch oracle verbatim).
+    // online snapshot delta (r10): new-shard docs classified per
+    // micro-batch against the materialized base indexes; replay == the
+    // batch corpus_delta exactly (oracle verbatim)
+    "stream_delta" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_delta", dir)
+      DedupStream.snapshotDeltaStream(s, s"$dir/documents.parquet", out, ckpt)
+        .orderBy(col("doc_id"))
+    }),
     "stream_dedup_ingest" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_dedup_ingest", dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -281,6 +289,9 @@ object StreamQueries {
     "stream_window_hopping" -> AnalyticsQueries.oracles("events_window_hopping"),
     "stream_dlq" -> TopicQueries.oracles("topic_dlq"),
     "stream_dedup_ingest" -> PipelineQueries.oracles("dedup_minhash"),
+    // per-batch classification vs static base indexes == the batch
+    // snapshot delta verbatim
+    "stream_delta" -> PipelineQueries.oracles("corpus_delta"),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),

@@ -301,4 +301,114 @@ object DedupStream {
     TopicStream.awaitAndCapturePlan(q)
     spark.read.parquet(outDir)
   }
+
+  /** ONLINE snapshot delta — the streaming twin of
+    * [[graft.operators.Dedup.snapshotDelta]]: new-shard docs arrive as a
+    * stream and each micro-batch classifies against the BASE corpus
+    * (exact_dup / near_dup / novel) by probing four indexes MATERIALIZED
+    * ONCE as bucketed tables — the content-hash table (by chash), the
+    * band index (by (band_id, band_val)), the extended-signature table
+    * and the shingle-set table (both by base_id). Per-trigger cost
+    * tracks the BATCH; the base corpus never reshuffles. Classification
+    * (the best-match window + exact-over-near precedence) runs in
+    * foreachBatch — the lawful place for a window on a stream, complete
+    * per batch because a doc's rows never span batches. Replay equals
+    * the batch operator exactly (corpus_delta oracle verbatim).
+    */
+  def snapshotDeltaStream(spark: SparkSession, docsPath: String,
+                          outDir: String, checkpointDir: String,
+                          splits: Int = 4,
+                          tablePrefix: String = "graft_delta"): DataFrame = {
+    import graft.streaming.TopicStream
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    java.nio.file.Files.createDirectories(Paths.get(outDir))
+    graft.functions.NativeHash.register(spark)
+    val isNew = col("doc_id") % 5 === 4
+    val docs = spark.read.parquet(docsPath)
+    val kEst = Dedup.sizedEstK(docs.count())
+    val minMatches = math.ceil(kEst * 0.5 / 2).toLong
+    val base = docs.filter(!isNew)
+    val baseHashes = Dedup.shingleHashes(base)
+    Bucketing.writeBucketed(
+      base.groupBy(md5(col("text").cast("binary")).as("chash"))
+        .agg(min(col("doc_id")).as("exact_id")),
+      s"${tablePrefix}_hashes", IndexBuckets, "chash")
+    Bucketing.writeBucketed(
+      Dedup.minhashBands(baseHashes, 4)
+        .select(col("doc_id").as("base_id"), col("n_sh").as("base_n_sh"),
+          col("band_id"), col("band_val")),
+      s"${tablePrefix}_bands", IndexBuckets, "band_id", "band_val")
+    Bucketing.writeBucketed(
+      baseHashes.filter(size(col("hs")) > 0)
+        .select(col("doc_id").as("base_id"),
+          expr(s"graft_minhash_sig(hs, $kEst)").as("sgb")),
+      s"${tablePrefix}_sigs", IndexBuckets, "base_id")
+    Bucketing.writeBucketed(
+      baseHashes.select(col("doc_id").as("base_id"), col("hs").as("base_hs")),
+      s"${tablePrefix}_sets", IndexBuckets, "base_id")
+    val splitDir = TopicStream.orderedSplitInput(spark, docsPath, splits,
+      s"$outDir-input", idCol = "doc_id")
+    val incoming = TopicStream.fileStream(spark, splitDir,
+      maxFilesPerTrigger = Some(1))
+    val q = incoming.filter(isNew).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        classifyDeltaBatch(spark, batch, kEst, minMatches, tablePrefix)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    spark.read.parquet(outDir)
+  }
+
+  /** One micro-batch of the delta classification: the batch-side shingle/
+    * hash/band/signature projections are the batch operator's own; every
+    * join probes a bucketed static table on its bucket key.
+    */
+  private def classifyDeltaBatch(spark: SparkSession, batch: DataFrame,
+                                 kEst: Int, minMatches: Long,
+                                 tablePrefix: String): DataFrame = {
+    val nw = batch.withColumn("chash", md5(col("text").cast("binary")))
+    val exact = nw.select(col("doc_id"), col("chash"))
+      .join(spark.table(s"${tablePrefix}_hashes"), "chash")
+      .select(col("doc_id"), col("exact_id"))
+    val hashes = Dedup.shingleHashes(batch)
+    val cand = Dedup.minhashBands(hashes, 4)
+      .select(col("doc_id"), col("n_sh"), col("band_id"), col("band_val"))
+      .join(spark.table(s"${tablePrefix}_bands"), Seq("band_id", "band_val"))
+      .filter(least(col("n_sh"), col("base_n_sh")).cast("double") >=
+        lit(0.5) * greatest(col("n_sh"), col("base_n_sh")))
+      .select(col("doc_id"), col("base_id")).distinct()
+    val sig = hashes.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), expr(s"graft_minhash_sig(hs, $kEst)").as("sga"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("base_id"))
+    val near = cand
+      .join(sig, "doc_id")
+      .join(spark.table(s"${tablePrefix}_sigs"), "base_id")
+      .filter(expr("graft_match_count(sga, sgb)") >= minMatches)
+      .join(hashes.select(col("doc_id"), col("hs").as("ha")), "doc_id")
+      .join(spark.table(s"${tablePrefix}_sets"), "base_id")
+      .withColumn("inter", expr("graft_intersect_size(ha, base_hs)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("ha")) + size(col("base_hs")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("base_id").as("near_id"), col("jaccard"))
+    nw.select(col("doc_id"))
+      .join(exact.select(col("doc_id"), col("exact_id")), Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("base_id"),
+        when(col("exact_id").isNotNull, lit(1.0)).otherwise(col("jaccard")).as("jaccard"))
+  }
 }

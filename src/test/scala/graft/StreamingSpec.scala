@@ -676,4 +676,19 @@ class StreamingSpec extends SparkSpec {
       assert(rocks.toSet == default.toSet)
     }
   }
+
+  test("online snapshot delta: multi-batch replay equals the batch operator " +
+      "row-for-row (per-batch probes of the materialized base indexes)") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_stream_delta", sf)
+    val streamed = graft.streaming.DedupStream.snapshotDeltaStream(
+      spark, s"$sf/documents.parquet", out, ckpt, splits = 3,
+      tablePrefix = "spec_graft_delta")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val batch = graft.operators.Dedup.snapshotDelta(docs,
+      col("doc_id") % 5 === 4,
+      kEst = graft.operators.Dedup.sizedEstK(docs.count()))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
 }
