@@ -28,12 +28,13 @@ object PngCodec {
   // put executor-thread disk I/O on the decode hot path
   ImageIO.setUseCache(false)
 
-  /** The w×h RGB raster with `data` tiled row-major (r,g,b = consecutive
-    * payload bytes, wrapping), encoded as a real PNG.
+  /** The w×h TYPE_INT_RGB raster with `data` tiled row-major (r,g,b =
+    * consecutive payload bytes, wrapping) — the shared fixture builder
+    * for every codec seam (PNG here, JPEG in [[JpegCodec]]).
     */
-  def encodeTiled(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def tiledImage(data: Array[Byte], w: Int, h: Int): java.awt.image.BufferedImage = {
     require(w > 0 && h > 0 && w <= 16384 && h <= 16384,
-      s"PngCodec.encodeTiled: invalid dimensions ${w}x$h")
+      s"PngCodec.tiledImage: invalid dimensions ${w}x$h")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val n = data.length
@@ -53,18 +54,51 @@ object PngCodec {
       }
       y += 1
     }
+    img
+  }
+
+  /** The tiled raster encoded as a real PNG. */
+  def encodeTiled(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream(64 + w * h)
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(tiledImage(data, w, h), "png", bos)
     bos.toByteArray
+  }
+
+  private val MaxDim = 16384
+
+  /** The declared IHDR (width, height), or None when the header is
+    * shorter than signature+IHDR or either dimension is outside
+    * (0, MaxDim]. Read BEFORE ImageIO.read: a crafted header claiming a
+    * huge w×h would otherwise drive a gigabyte BufferedImage allocation
+    * whose OutOfMemoryError is an Error — not the caught exceptions —
+    * and escape as a crash (the container-kernel contract: bounds-check
+    * every declared size, malformed → null, never a throw or a hang).
+    * Bound matches what encodeTiled enforces on the write side.
+    */
+  private def declaredDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    // 8-byte signature, 4-byte chunk length, "IHDR", 4-byte w, 4-byte h
+    if (bytes.length < 24) return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R')
+      return None
+    val w = be32(16)
+    val h = be32(20)
+    if (w < 1 || h < 1 || w > MaxDim || h > MaxDim) None
+    else Some((w.toInt, h.toInt))
   }
 
   /** Decode a PNG and fold the row-major (r,g,b) byte stream with the
     * corpus polyhash. None on anything ImageIO rejects (truncated bytes,
-    * wrong magic, null input) — malformed is a value, never a throw.
+    * wrong magic, null input) and on any header whose DECLARED dimensions
+    * fall outside the encodeTiled bound — malformed is a value, never a
+    * throw.
     */
   def decodeHash(bytes: Array[Byte]): Option[(Int, Int, Long)] =
     try {
       if (bytes == null) return None
+      if (declaredDims(bytes).isEmpty) return None
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null) None
       else {

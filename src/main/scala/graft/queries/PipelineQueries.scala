@@ -439,6 +439,12 @@ object PipelineQueries {
     "mm_decode_png" -> ((s, dir) =>
       Multimodal.pngDecode(s, Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // First LOSSY codec (r11): real JPEG encode/decode; only the exact
+    // columns (dims, byte count, decode_ok) are gated — the
+    // reconstruction-error bound lives in MultimodalSpec
+    "mm_decode_jpeg" -> ((s, dir) =>
+      Multimodal.jpegDecode(s, Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // image resize (r9): nearest-neighbor 8×8 thumbnail of the genuine
     // BMP; picked-pixel hash replayed byte-by-byte from the tiling
     "mm_resize" -> ((s, dir) =>
@@ -2172,6 +2178,29 @@ object PipelineQueries {
          |  CASE WHEN g.doc_id % 7 = 3 THEN CAST(0 AS BIGINT)
          |       ELSE CAST(1 AS BIGINT) END AS decode_ok
          |FROM geo g LEFT JOIN px p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // LOSSY JPEG decode replay — only the exact face: SOF dims survive
+    // quantization bit-for-bit (they're header fields, not pixels), the
+    // raster byte count is pure w*3*h arithmetic, and the truncation arm
+    // nulls every decode-derived column. No pixel hash: the decoded
+    // bytes are DCT approximations with no closed form (spec-bounded
+    // error instead).
+    "mm_decode_jpeg" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, ${poly("text")} AS checksum
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |a AS (
+         |  SELECT doc_id,
+         |    CAST(16 + checksum % 320 AS BIGINT) AS w,
+         |    CAST(16 + (checksum // 320) % 200 AS BIGINT) AS h
+         |  FROM blobs)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE w END AS width,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE h END AS height,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE w*3*h END AS n_pixel_bytes,
+         |  CASE WHEN doc_id % 7 = 3 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(1 AS BIGINT) END AS decode_ok
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // resize replay: output pixel (r,c) reads source pixel
     // (r·h div 8, c·w div 8); the source byte at (row, col, k) is

@@ -46,12 +46,12 @@ object AnomalyStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TopicStream.writeBatchIdempotent(batch, batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 }

@@ -81,23 +81,23 @@ object AsOfStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a purchase's full candidate history lands in its arrival batch
         // → the batch-local max(struct) reduction is the complete as-of
         // answer: latest click_ts wins, click_id breaks ties, all-null
         // candidates reduce to a null match
-        batch
+        val out = batch
           .groupBy(col("event_id"), col("user_id"), col("ts"), col("value"))
           .agg(max(col("m")).as("m"))
           .select(col("event_id"), col("user_id"), col("ts"), col("value"),
             col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"),
             col("m.click_value").as("click_value"))
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(out, batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 
   /** Streaming funnel resolution — the online face of events_funnel:
@@ -145,19 +145,18 @@ object AsOfStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s1 = batch
           .groupBy(col("event_id"), col("user_id"), col("ts"), col("value"))
           .agg(max(col("m")).as("m"))
           .select(col("event_id"), col("user_id"), col("ts"), col("value"),
             col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"))
-        resolveViews(s1, views)
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(resolveViews(s1, views), batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 
   /** Stage 2 of the streaming funnel: the reduced (one-click) batch rows

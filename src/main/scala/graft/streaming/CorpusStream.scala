@@ -74,12 +74,12 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(
+          batch.withColumn("batch_id", lit(batchId)), batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 }

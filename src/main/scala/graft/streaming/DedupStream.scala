@@ -218,22 +218,22 @@ object DedupStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         // EXACT inverted-index probe, not the banded one: the batch
         // pipeline removes every Jaccard >= tau pair, and a lossy
         // candidate stage here would keep docs the batch drops
         val losers = exactJaccardProbeIndexed(corpusEx, Dedup.shingleHashes(b), tau)
           .select(col("doc_b").as("doc_id")).distinct()
-        b.join(losers, Seq("doc_id"), "left_anti")
-          .select("doc_id", "quality")
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(
+          b.join(losers, Seq("doc_id"), "left_anti").select("doc_id", "quality"),
+          batchId, outDir)
         b.unpersist()
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 
   /** Exact Jaccard pairs between an incoming (doc_id, hs, n_sh) frame and
@@ -290,16 +290,16 @@ object DedupStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // multi-band hits duplicate within the batch; distinct here is
         // complete because one doc's bands never span batches
-        batch.dropDuplicates("doc_a", "doc_b")
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(
+          batch.dropDuplicates("doc_a", "doc_b"), batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 
   /** ONLINE snapshot delta — the streaming twin of
@@ -318,6 +318,7 @@ object DedupStream {
   def snapshotDeltaStream(spark: SparkSession, docsPath: String,
                           outDir: String, checkpointDir: String,
                           splits: Int = 4,
+                          tau: Double = 0.5,
                           tablePrefix: String = "graft_delta"): DataFrame = {
     import graft.streaming.TopicStream
     TopicStream.deleteRecursively(Paths.get(outDir))
@@ -326,7 +327,7 @@ object DedupStream {
     val isNew = col("doc_id") % 5 === 4
     val docs = spark.read.parquet(docsPath)
     val kEst = Dedup.sizedEstK(docs.count())
-    val minMatches = math.ceil(kEst * 0.5 / 2).toLong
+    val minMatches = math.ceil(kEst * tau / 2).toLong
     val base = docs.filter(!isNew)
     val baseHashes = Dedup.shingleHashes(base)
     Bucketing.writeBucketed(
@@ -354,14 +355,15 @@ object DedupStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        classifyDeltaBatch(spark, batch, kEst, minMatches, tablePrefix)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TopicStream.writeBatchIdempotent(
+          classifyDeltaBatch(spark, batch, kEst, minMatches, tau, tablePrefix),
+          batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 
   /** One micro-batch of the delta classification: the batch-side shingle/
@@ -369,7 +371,7 @@ object DedupStream {
     * join probes a bucketed static table on its bucket key.
     */
   private def classifyDeltaBatch(spark: SparkSession, batch: DataFrame,
-                                 kEst: Int, minMatches: Long,
+                                 kEst: Int, minMatches: Long, tau: Double,
                                  tablePrefix: String): DataFrame = {
     val nw = batch.withColumn("chash", md5(col("text").cast("binary")))
     val exact = nw.select(col("doc_id"), col("chash"))
@@ -380,7 +382,7 @@ object DedupStream {
       .select(col("doc_id"), col("n_sh"), col("band_id"), col("band_val"))
       .join(spark.table(s"${tablePrefix}_bands"), Seq("band_id", "band_val"))
       .filter(least(col("n_sh"), col("base_n_sh")).cast("double") >=
-        lit(0.5) * greatest(col("n_sh"), col("base_n_sh")))
+        lit(tau) * greatest(col("n_sh"), col("base_n_sh")))
       .select(col("doc_id"), col("base_id")).distinct()
     val sig = hashes.filter(size(col("hs")) > 0)
       .select(col("doc_id"), expr(s"graft_minhash_sig(hs, $kEst)").as("sga"))
@@ -397,7 +399,7 @@ object DedupStream {
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("ha")) + size(col("base_hs")) - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= tau)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("base_id").as("near_id"), col("jaccard"))

@@ -69,13 +69,13 @@ object ImportanceStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TextOps.reduceImportance(batch, Scale)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TopicStream.writeBatchIdempotent(
+          TextOps.reduceImportance(batch, Scale), batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 }

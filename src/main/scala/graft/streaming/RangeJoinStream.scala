@@ -62,17 +62,18 @@ object RangeJoinStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // count(__rt) skips the null carriers, so a zero-match purchase
         // reduces to n_in_window = 0 instead of disappearing
-        batch
-          .groupBy(col("event_id"), col("user_id"), col("ts"), col("value"))
-          .agg(count(col("__rt")).as("n_in_window"))
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(
+          batch
+            .groupBy(col("event_id"), col("user_id"), col("ts"), col("value"))
+            .agg(count(col("__rt")).as("n_in_window")),
+          batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 }

@@ -74,19 +74,20 @@ object SimilarityStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a query's candidates all land in its arrival batch → batch-local
         // dedup + rerank is the complete per-query top-k
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
-        batch.dropDuplicates("query_id", "corpus_id")
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= k)
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(
+          batch.dropDuplicates("query_id", "corpus_id")
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= k),
+          batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 
   /** Streaming ANN serving over the COMPACT IVF-PQ index — the online
@@ -140,7 +141,7 @@ object SimilarityStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a query's candidates all arrive in its batch: shortlist the
         // top k·refine by PQ score, then exact-rerank ONLY those
         // against the full vectors — batch-local, complete per query
@@ -152,16 +153,17 @@ object SimilarityStream {
           .drop("srnk", "acos")
         val wr = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("corpus_id"))
-        short.join(corpusVecs, "corpus_id")
-          .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
-          .withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= k)
-          .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
-          .write.mode("append").parquet(outDir)
+        TopicStream.writeBatchIdempotent(
+          short.join(corpusVecs, "corpus_id")
+            .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+            .withColumn("rnk", row_number().over(wr))
+            .filter(col("rnk") <= k)
+            .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk")),
+          batchId, outDir)
         ()
       }
       .start()
     TopicStream.awaitAndCapturePlan(q)
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 }

@@ -63,13 +63,13 @@ object SpanStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TextOps.spanDedupWithVocab(batch, vocab)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TopicStream.writeBatchIdempotent(
+          TextOps.spanDedupWithVocab(batch, vocab), batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    TopicStream.readBatchedOutput(spark, outDir)
   }
 }

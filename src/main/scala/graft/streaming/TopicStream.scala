@@ -811,6 +811,24 @@ object TopicStream {
     lastBatchPlan = buf.toString("UTF-8")
   }
 
+  /** Idempotent foreachBatch parquet sink: foreachBatch is at-least-once,
+    * so a task/driver retry of a batch would double-append with a plain
+    * `mode("append")` write. Writing each batch to a batchId-named
+    * subdirectory in overwrite mode makes replay rewrite (not duplicate)
+    * the batch's rows. Read the result back with [[readBatchedOutput]].
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+    ()
+  }
+
+  /** Reads the union of every batch subdirectory a
+    * [[writeBatchIdempotent]] sink produced (recursive lookup — the
+    * subdirs are not partition-valued and carry no extra column).
+    */
+  def readBatchedOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+
   /** Fresh scratch area per (queryName, input) under the repo's target dir;
     * wiped on entry so reruns don't resume stale checkpoints.
     */

@@ -54,4 +54,27 @@ class GraphSpec extends SparkSpec {
     val bcast = Graph.pageRank(edges, rounds = 3, broadcastRanks = true)
     assert(bcast.exceptAll(plain).isEmpty && plain.exceptAll(bcast).isEmpty)
   }
+
+  test("chunked-adjacency pagerank is bit-identical to the edge-list form — " +
+      "on the symmetric co-purchase graph (both fast-path flags) and on a " +
+      "DIRECTED chain where no-in-edge nodes must re-enter at the teleport base") {
+    val edges = Graph.coPurchaseEdges(lineitem)
+    val ref = Graph.pageRank(edges, rounds = 3).cache()
+    // chunk = 4 forces real multi-chunk splits at any degree > 4
+    val adjacency = Graph.pageRankAdjacency(edges, rounds = 3, chunk = 4)
+    assert(adjacency.exceptAll(ref).isEmpty && ref.exceptAll(adjacency).isEmpty)
+    val fast = Graph.pageRankAdjacency(edges, rounds = 3, chunk = 4,
+      broadcastRanks = true, symmetric = true)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+    ref.unpersist()
+    // directed chain 1→2→3→4: node 1 has no in-edges and must hold the
+    // teleport base every round — the completion join symmetric=true drops
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val chainRef = Graph.pageRank(chain, rounds = 3)
+    val chainAdj = Graph.pageRankAdjacency(chain, rounds = 3, chunk = 4)
+    assert(chainAdj.exceptAll(chainRef).isEmpty && chainRef.exceptAll(chainAdj).isEmpty)
+    val base = 15L * Scale / 100L
+    assert(chainAdj.filter(col("id") === 1L).head().getLong(1) === base)
+  }
 }

@@ -510,4 +510,74 @@ class MultimodalSpec extends SparkSpec {
     assert(good.filter(col("pixel_hash").isNull || col("decode_ok") =!= 1L).count() === 0)
     out.unpersist()
   }
+
+  test("codec headers: a crafted PNG IHDR / JPEG SOF declaring huge " +
+      "dimensions is rejected BEFORE decode allocates (None, no OOM, no throw)") {
+    import graft.functions.{JpegCodec, PngCodec}
+    val data = "payload for the crafted header arm".getBytes("UTF-8")
+    // PNG: width lives at offset 16 (big-endian 32-bit), height at 20
+    val png = PngCodec.encodeTiled(data, 7, 5)
+    val hugePng = png.clone()
+    hugePng(16) = 0x7f.toByte; hugePng(17) = 0xff.toByte // w = 2^31-ish
+    hugePng(20) = 0x7f.toByte; hugePng(21) = 0xff.toByte
+    assert(PngCodec.decodeHash(hugePng).isEmpty)
+    // JPEG: find the SOF0 segment and patch its declared h/w fields
+    val jpg = JpegCodec.encodeTiled(data, 7, 5)
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < jpg.length) {
+      if ((jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0) sof = i
+      else i += 1
+    }
+    assert(sof > 0, "encoder must emit a baseline SOF0")
+    val hugeJpg = jpg.clone()
+    hugeJpg(sof + 5) = 0x7f.toByte; hugeJpg(sof + 6) = 0xff.toByte // h
+    hugeJpg(sof + 7) = 0x7f.toByte; hugeJpg(sof + 8) = 0xff.toByte // w
+    assert(JpegCodec.decodeHash(hugeJpg).isEmpty)
+  }
+
+  test("JPEG codec: lossy roundtrip keeps dims exact and per-pixel error " +
+      "bounded (the honest lossy contract); malformed bytes are None, never a throw") {
+    import graft.functions.{JpegCodec, PngCodec}
+    val data = ("The quick brown fox jumps over the lazy dog 0123456789 " +
+      "lorem ipsum dolor sit amet, consectetur adipiscing elit").getBytes("UTF-8")
+    for ((w, h) <- Seq((16, 36), (48, 33))) {
+      val src = PngCodec.tiledImage(data, w, h)
+      val jpg = JpegCodec.encodeTiled(data, w, h)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "must be a real JPEG")
+      val dec = JpegCodec.decodeRaster(jpg).get
+      assert(dec.getWidth == w && dec.getHeight == h, "SOF dims survive quantization")
+      var maxErr = 0L; var sumErr = 0L; var n = 0L
+      for (y <- 0 until h; x <- 0 until w; s <- Seq(16, 8, 0)) {
+        val e = math.abs(((src.getRGB(x, y) >> s) & 0xff) - ((dec.getRGB(x, y) >> s) & 0xff))
+        maxErr = math.max(maxErr, e); sumErr += e; n += 1
+      }
+      // measured on the ASCII tiling at default writer quality: max ≈ 99,
+      // mean ≈ 20 — the pinned contract leaves honest margin, and a
+      // quality regression (or an accidental identity "codec") trips it
+      assert(maxErr <= 128, s"max per-channel error $maxErr exceeds the lossy bound")
+      assert(sumErr.toDouble / n <= 40.0, "mean per-channel error exceeds the lossy bound")
+      assert(sumErr > 0, "a truly lossless JPEG means the codec was bypassed")
+    }
+    val jpg = JpegCodec.encodeTiled(data, 16, 36)
+    assert(JpegCodec.decodeHash(java.util.Arrays.copyOf(jpg, 16)).isEmpty)
+    assert(JpegCodec.decodeHash(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(JpegCodec.decodeHash(null).isEmpty)
+    // determinism of the ungated fold: same bytes → same hash
+    assert(JpegCodec.decodeHash(jpg) == JpegCodec.decodeHash(jpg.clone()))
+  }
+
+  test("jpegDecode: truncation arm nulls the decode-derived columns; clean " +
+      "rows carry exact dims and decode_ok = 1") {
+    val out = Multimodal.jpegDecode(spark, Tables.load(spark, sf, "documents")).cache()
+    val bad = out.filter(col("doc_id") % 7 === 3)
+    assert(bad.count() > 0, "fixture must exercise the malformed arm")
+    assert(bad.filter(col("width").isNotNull || col("n_pixel_bytes").isNotNull ||
+      col("decode_ok") =!= 0L).count() === 0)
+    val good = out.filter(col("doc_id") % 7 =!= 3)
+    assert(good.count() > 0)
+    assert(good.filter(col("width").isNull || col("decode_ok") =!= 1L ||
+      col("n_pixel_bytes") =!= col("width") * 3 * col("height")).count() === 0)
+    out.unpersist()
+  }
 }

@@ -502,6 +502,22 @@ class PlanSpec extends SparkSpec {
         s"(plain=${hofFolds(plain)}, sized=${hofFolds(sized)})")
   }
 
+  test("co-purchase edge build is join-free: one collect_set aggregate + " +
+      "map-side pair explode + one distinct — no orderkey self-join") {
+    val edges = graft.operators.Graph.coPurchaseEdges(
+      graft.sources.Tables.load(spark, sf, "lineitem"))
+    val p = edges.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"edge build must not self-join:\n$p")
+    // two wide stages total: the per-order set aggregate and the pair
+    // distinct (each = partial + final HashAggregate around one Exchange)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges === 2, s"edge build must shuffle exactly twice, saw $exchanges:\n$p")
+    // explode_outer (not explode): InferFiltersFromGenerate must not
+    // inline the pair-builder array into an inferred size() filter
+    assert(!p.toLowerCase.contains("size(flatten(transform"),
+      s"pair builder must not be re-evaluated in an inferred filter:\n$p")
+  }
+
   test("salted range join: probes and the replicated index join on the salt, " +
       "and the probe salt is deterministic (hash of id and time)") {
     val (p0, c0) = AnalyticsQueries.asofSides(spark, sf)
