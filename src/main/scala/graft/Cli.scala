@@ -133,16 +133,27 @@ object Cli {
     * (ActionSource.kt:9): empty line defaults to merge, unknown input
     * reprompts. Pulls from `in` so specs can drive it with a fixture
     * stream; `print` receives the prompt/echo lines.
+    *
+    * EOF behavior splits by source: an exhausted FILE source is an error
+    * (`eofIsError = true`) — the reference's streamActionSource throws at
+    * EOF (Scanner.nextLine NoSuchElementException) and Ask fails with
+    * exit code 1, so an actions file shorter than the record count must
+    * NOT silently merge the tail. Interactive stdin keeps the lenient
+    * default (a closed terminal stream reads as all-default answers).
     */
-  private[graft] def actionSource(in: InputStream, print: String => Unit): () => String = {
+  private[graft] def actionSource(in: InputStream, print: String => Unit,
+                                  eofIsError: Boolean = false): () => String = {
     val scanner = new java.util.Scanner(in)
     () => {
       var action: String = null
       while (action == null) {
         print("Would you like to (m)erge, (p)urge or (s)kip the record? (default: merge)")
-        val line =
-          if (scanner.hasNextLine) scanner.nextLine().trim.toLowerCase else "m"
-        line match {
+        if (!scanner.hasNextLine) {
+          if (eofIsError)
+            throw new java.util.NoSuchElementException(
+              "action source exhausted before all records were answered")
+          action = "merge"
+        } else scanner.nextLine().trim.toLowerCase match {
           case "" | "m" => action = "merge"
           case "p" => action = "purge"
           case "s" => action = "skip"
@@ -284,30 +295,43 @@ object Cli {
       case path => Some(new java.io.FileInputStream(path))
     }
     val next: () => String =
-      fileIn.map(actionSource(_, _ => ())).getOrElse(actionSource(in, print))
+      fileIn.map(actionSource(_, _ => (), eofIsError = true))
+        .getOrElse(actionSource(in, print))
     val ordered = src
       .select(col("topic"), col("partition"), col("offset"), col("key"), col("value"))
       .orderBy(col("partition"), col("offset"))
     val decisions = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, String)]
     val it = ordered.toLocalIterator()
     var merged = 0L; var purged = 0L; var skipped = 0L
-    while (it.hasNext) {
-      val r = it.next()
-      val tomb = r.getAs[String]("value") == null
-      if (tomb && !o.mergeTombstones) {
-        // reference: tombstones skip silently without consuming an action
-      } else {
-        print(prettyRecord(r.getAs[String]("topic"), r.getAs[Int]("partition"),
-          r.getAs[Long]("offset"), r.getAs[String]("key"), r.getAs[String]("value")))
-        val action = next()
-        action match {
-          case "merge" => merged += 1
-          case "purge" => purged += 1
-          case _ => skipped += 1
+    try {
+      while (it.hasNext) {
+        val r = it.next()
+        val tomb = r.getAs[String]("value") == null
+        if (tomb && !o.mergeTombstones) {
+          // reference: tombstones skip silently without consuming an action
+        } else {
+          print(prettyRecord(r.getAs[String]("topic"), r.getAs[Int]("partition"),
+            r.getAs[Long]("offset"), r.getAs[String]("key"), r.getAs[String]("value")))
+          val action = next()
+          action match {
+            case "merge" => merged += 1
+            case "purge" => purged += 1
+            case _ => skipped += 1
+          }
+          decisions += ((r.getAs[String]("topic"), r.getAs[Int]("partition"),
+            r.getAs[Long]("offset"), action))
         }
-        decisions += ((r.getAs[String]("topic"), r.getAs[Int]("partition"),
-          r.getAs[Long]("offset"), action))
       }
+    } catch {
+      // an actions FILE that runs dry mid-topic: fail like the reference
+      // (EOF throw → failure report + exit 1), after reporting how far
+      // the run got — no produced output is written
+      case e: java.util.NoSuchElementException =>
+        fileIn.foreach(_.close())
+        print(s"error: ${e.getMessage}")
+        print(s"Successfully processed records: $merged merged, $purged purged, " +
+          s"$skipped skipped")
+        return 1
     }
     fileIn.foreach(_.close())
     import spark.implicits._

@@ -549,6 +549,89 @@ object PipelineQueries {
     * ⌈kest·tau/2⌉-matches estimator cut (kest/4 for tau = 1/2 — exact in
     * both engines). Expects a `hashes(doc_id, hs, n_sh)` CTE in scope.
     */
+  /** Oracle for the snapshot-ADVANCING delta stream: the corpus_delta
+    * machinery unrolled over `splits` sequential shards, with the base
+    * membership set accumulating each stage's novel docs —
+    * base(k+1) = base(k) ∪ novel(k). The shard id replays
+    * TopicStream.orderedSplitInput's offset-range rule
+    * (chunk = max(doc_id) DIV splits + 1; shard = doc_id DIV chunk).
+    * The global CTEs (shingles, sizing, signatures, band explosion) are
+    * corpus_delta's verbatim; only the per-stage base joins differ.
+    */
+  def deltaAdvanceOracleSql(splits: Int): String = {
+    val global =
+      s"""
+         |, sizing AS (SELECT CASE WHEN COUNT(*) <= 2000 THEN 16
+         |  WHEN COUNT(*) <= 20000 THEN 32 ELSE 64 END AS kest FROM documents),
+         |chunk AS (SELECT MAX(doc_id) // $splits + 1 AS c FROM documents),
+         |ch AS (SELECT doc_id, md5(text) AS chash, doc_id % 5 = 4 AS is_new,
+         |       doc_id // (SELECT c FROM chunk) AS shard FROM documents),
+         |sig AS (SELECT doc_id, hs, n_sh, $mhSig FROM hashes WHERE len(hs) > 0),
+         |mh_sg AS (SELECT doc_id,
+         |  [list_min(list_transform(hs, h -> (h * (CASE WHEN (j*2654435761) % $P = 0
+         |     THEN 1 ELSE (j*2654435761) % $P END) + (j*1013904223) % $P) % $P))
+         |   for j in generate_series(1, kest)] AS sg
+         |  FROM sig CROSS JOIN sizing),
+         |bands AS (SELECT doc_id, n_sh, $mhBandKeys FROM sig),
+         |mh_ex AS (SELECT doc_id, n_sh, band_id, band_val FROM bands
+         |          UNPIVOT (band_val FOR band_id IN (${bandList(MhBands)}))),
+         |base0 AS (SELECT doc_id FROM ch WHERE NOT is_new)""".stripMargin
+    val stages = (0 until splits).map { k =>
+      s"""
+         |, exact$k AS (
+         |  SELECT n.doc_id, MIN(b.doc_id) AS exact_id
+         |  FROM ch n JOIN ch b ON n.chash = b.chash
+         |       JOIN base$k bs ON bs.doc_id = b.doc_id
+         |  WHERE n.is_new AND n.shard = $k
+         |  GROUP BY n.doc_id),
+         |cand$k AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS base_id
+         |  FROM mh_ex a JOIN ch ca ON ca.doc_id = a.doc_id AND ca.is_new
+         |                           AND ca.shard = $k
+         |       JOIN mh_ex b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |       JOIN base$k cb ON cb.doc_id = b.doc_id
+         |  WHERE least(a.n_sh, b.n_sh) >= $JaccardTau * greatest(a.n_sh, b.n_sh)),
+         |candf$k AS (
+         |  SELECT cand$k.doc_id AS doc_id, cand$k.base_id AS base_id
+         |  FROM cand$k JOIN mh_sg sa ON sa.doc_id = cand$k.doc_id
+         |              JOIN mh_sg sb ON sb.doc_id = cand$k.base_id
+         |              CROSS JOIN sizing
+         |  WHERE CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+         |          for i in generate_series(1, kest)], x -> x)) AS BIGINT)
+         |        >= CAST(ceil(kest * $JaccardTau / 2) AS BIGINT)),
+         |near0$k AS (
+         |  SELECT candf$k.doc_id AS doc_id, candf$k.base_id AS base_id,
+         |         CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |         len(ha.hs) AS na, len(hb.hs) AS nb
+         |  FROM candf$k JOIN hashes ha ON ha.doc_id = candf$k.doc_id
+         |               JOIN hashes hb ON hb.doc_id = candf$k.base_id),
+         |near$k AS (
+         |  SELECT doc_id, base_id AS near_id, jaccard FROM (
+         |    SELECT doc_id, base_id,
+         |      CAST(inter AS DOUBLE)/(na+nb-inter) AS jaccard,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY CAST(inter AS DOUBLE)/(na+nb-inter) DESC, base_id) AS rk
+         |    FROM near0$k WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= $JaccardTau)
+         |  WHERE rk = 1),
+         |cls$k AS (
+         |  SELECT n.doc_id, n.shard,
+         |    CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |         WHEN r.near_id IS NOT NULL THEN 'near_dup'
+         |         ELSE 'novel' END AS status,
+         |    COALESCE(e.exact_id, r.near_id) AS base_id,
+         |    CASE WHEN e.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |         ELSE r.jaccard END AS jaccard
+         |  FROM ch n LEFT JOIN exact$k e ON e.doc_id = n.doc_id
+         |            LEFT JOIN near$k r ON r.doc_id = n.doc_id
+         |  WHERE n.is_new AND n.shard = $k),
+         |base${k + 1} AS (SELECT doc_id FROM base$k UNION ALL
+         |  SELECT doc_id FROM cls$k WHERE status = 'novel')""".stripMargin
+    }.mkString
+    val union = (0 until splits).map(k => s"SELECT * FROM cls$k").mkString(" UNION ALL ")
+    ShingleCte + global + stages +
+      s"\nSELECT doc_id, shard, status, base_id, jaccard FROM ($union) ORDER BY doc_id"
+  }
+
   private def sizedMhCtes: String =
     s"""sizing AS (SELECT CASE WHEN COUNT(*) <= 2000 THEN 16
        |  WHEN COUNT(*) <= 20000 THEN 32 ELSE 64 END AS kest FROM documents),

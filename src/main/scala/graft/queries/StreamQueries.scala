@@ -65,6 +65,14 @@ object StreamQueries {
       DedupStream.snapshotDeltaStream(s, s"$dir/documents.parquet", out, ckpt)
         .orderBy(col("doc_id"))
     }),
+    // snapshot-ADVANCING delta (r11): each shard's novel docs are
+    // appended to the probe indexes, so shard k classifies against
+    // base ∪ novel(<k) — the oracle unrolls the recurrence in SQL
+    "stream_delta_advance" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_delta_advance", dir)
+      DedupStream.snapshotDeltaAdvancingStream(s, s"$dir/documents.parquet", out, ckpt)
+        .orderBy(col("doc_id"))
+    }),
     "stream_dedup_ingest" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_dedup_ingest", dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -292,6 +300,7 @@ object StreamQueries {
     // per-batch classification vs static base indexes == the batch
     // snapshot delta verbatim
     "stream_delta" -> PipelineQueries.oracles("corpus_delta"),
+    "stream_delta_advance" -> PipelineQueries.deltaAdvanceOracleSql(3),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),

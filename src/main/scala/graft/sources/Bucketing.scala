@@ -68,6 +68,31 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Appends rows to an EXISTING bucketed table with the same bucket
+    * spec — the index-maintenance half of the layout story: an
+    * incremental ingest (e.g. the snapshot-advancing delta stream)
+    * appends only the new rows' bucket files, and every subsequent
+    * co-bucketed probe keeps its zero-Exchange plan. The bucket count
+    * and keys MUST match the original [[writeBucketed]] call (Spark
+    * validates and refuses a mismatched spec).
+    */
+  def appendBucketed(df: DataFrame, table: String, numBuckets: Int,
+                     key: String, moreKeys: String*): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"appendBucketed: table name must match [A-Za-z0-9_]+, got '$table'")
+    df.write.mode("append")
+      .format("parquet")
+      .bucketBy(numBuckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .saveAsTable(table)
+    // the session catalog caches the resolved relation (file listing
+    // included) — without an explicit refresh, a reader that already
+    // touched this table keeps probing the PRE-append file set and the
+    // maintenance silently never lands (observed: the advancing delta's
+    // batch k+1 missing batch k's novels)
+    df.sparkSession.catalog.refreshTable(table)
+  }
+
   /** Co-located equi-join of two bucketed tables on their bucket key.
     * Plain `join` — the zero-shuffle plan falls out of the matching
     * bucket partitionings, not special code. Join columns are resolved

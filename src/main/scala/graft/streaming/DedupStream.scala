@@ -328,25 +328,7 @@ object DedupStream {
     val docs = spark.read.parquet(docsPath)
     val kEst = Dedup.sizedEstK(docs.count())
     val minMatches = math.ceil(kEst * tau / 2).toLong
-    val base = docs.filter(!isNew)
-    val baseHashes = Dedup.shingleHashes(base)
-    Bucketing.writeBucketed(
-      base.groupBy(md5(col("text").cast("binary")).as("chash"))
-        .agg(min(col("doc_id")).as("exact_id")),
-      s"${tablePrefix}_hashes", IndexBuckets, "chash")
-    Bucketing.writeBucketed(
-      Dedup.minhashBands(baseHashes, 4)
-        .select(col("doc_id").as("base_id"), col("n_sh").as("base_n_sh"),
-          col("band_id"), col("band_val")),
-      s"${tablePrefix}_bands", IndexBuckets, "band_id", "band_val")
-    Bucketing.writeBucketed(
-      baseHashes.filter(size(col("hs")) > 0)
-        .select(col("doc_id").as("base_id"),
-          expr(s"graft_minhash_sig(hs, $kEst)").as("sgb")),
-      s"${tablePrefix}_sigs", IndexBuckets, "base_id")
-    Bucketing.writeBucketed(
-      baseHashes.select(col("doc_id").as("base_id"), col("hs").as("base_hs")),
-      s"${tablePrefix}_sets", IndexBuckets, "base_id")
+    writeDeltaIndexes(docs.filter(!isNew), kEst, tablePrefix)
     val splitDir = TopicStream.orderedSplitInput(spark, docsPath, splits,
       s"$outDir-input", idCol = "doc_id")
     val incoming = TopicStream.fileStream(spark, splitDir,
@@ -366,17 +348,146 @@ object DedupStream {
     TopicStream.readBatchedOutput(spark, outDir)
   }
 
+  /** Materializes the four snapshot-delta probe indexes for a BASE
+    * corpus as bucketed tables: content hashes by chash, the MinHash
+    * band index by (band_id, band_val), the extended signatures and the
+    * shingle sets by base_id.
+    */
+  private def writeDeltaIndexes(base: DataFrame, kEst: Int,
+                                tablePrefix: String): Unit = {
+    val baseHashes = Dedup.shingleHashes(base)
+    Bucketing.writeBucketed(
+      base.groupBy(md5(col("text").cast("binary")).as("chash"))
+        .agg(min(col("doc_id")).as("exact_id")),
+      s"${tablePrefix}_hashes", IndexBuckets, "chash")
+    Bucketing.writeBucketed(
+      Dedup.minhashBands(baseHashes, 4)
+        .select(col("doc_id").as("base_id"), col("n_sh").as("base_n_sh"),
+          col("band_id"), col("band_val")),
+      s"${tablePrefix}_bands", IndexBuckets, "band_id", "band_val")
+    Bucketing.writeBucketed(
+      baseHashes.filter(size(col("hs")) > 0)
+        .select(col("doc_id").as("base_id"),
+          expr(s"graft_minhash_sig(hs, $kEst)").as("sgb")),
+      s"${tablePrefix}_sigs", IndexBuckets, "base_id")
+    Bucketing.writeBucketed(
+      baseHashes.select(col("doc_id").as("base_id"), col("hs").as("base_hs")),
+      s"${tablePrefix}_sets", IndexBuckets, "base_id")
+  }
+
+  /** Appends one ingested shard's NOVEL docs to the four delta indexes —
+    * the snapshot-advance step (round-10 VERDICT #3): after this, the
+    * NEXT shard classifies against base ∪ novel(processed shards). Same
+    * bucket specs as [[writeDeltaIndexes]], so every probe keeps its
+    * zero-Exchange static side; the append cost tracks the SHARD's novel
+    * rows, never the accumulated corpus. Replay-safe by semantics, not
+    * by bookkeeping: a re-appended batch can only duplicate rows, and
+    * every probe is set-shaped (min-agg on the hash table, distinct on
+    * band candidates, rank-1 window on near matches), so duplicated
+    * index rows never change a classification (spec'd).
+    */
+  private[graft] def appendDeltaIndexes(novel: DataFrame, kEst: Int,
+                                        tablePrefix: String): Unit = {
+    val nh = Dedup.shingleHashes(novel)
+    Bucketing.appendBucketed(
+      novel.groupBy(md5(col("text").cast("binary")).as("chash"))
+        .agg(min(col("doc_id")).as("exact_id")),
+      s"${tablePrefix}_hashes", IndexBuckets, "chash")
+    Bucketing.appendBucketed(
+      Dedup.minhashBands(nh, 4)
+        .select(col("doc_id").as("base_id"), col("n_sh").as("base_n_sh"),
+          col("band_id"), col("band_val")),
+      s"${tablePrefix}_bands", IndexBuckets, "band_id", "band_val")
+    Bucketing.appendBucketed(
+      nh.filter(size(col("hs")) > 0)
+        .select(col("doc_id").as("base_id"),
+          expr(s"graft_minhash_sig(hs, $kEst)").as("sgb")),
+      s"${tablePrefix}_sigs", IndexBuckets, "base_id")
+    Bucketing.appendBucketed(
+      nh.select(col("doc_id").as("base_id"), col("hs").as("base_hs")),
+      s"${tablePrefix}_sets", IndexBuckets, "base_id")
+  }
+
+  /** Snapshot delta with BASE-INDEX MAINTENANCE — the full recurring-
+    * crawl workflow (round-10 VERDICT #3): shard k classifies against
+    * base ∪ novel(shards < k), because each micro-batch's novel docs are
+    * appended to the bucketed probe indexes before the next shard
+    * arrives. The multi-snapshot replay therefore equals the SEQUENTIAL
+    * batch computation — k applications of [[graft.operators.Dedup
+    * .snapshotDelta]] with the base accumulating each round's novels
+    * (spec'd in StreamingSpec; the registered `stream_delta_advance`
+    * oracle unrolls the same recurrence in SQL). Output adds the shard
+    * id (doc_id DIV chunk — the same offset-range rule
+    * [[TopicStream.orderedSplitInput]] splits by, derived from the data
+    * rather than the batchId so a re-batched replay cannot mislabel).
+    */
+  def snapshotDeltaAdvancingStream(spark: SparkSession, docsPath: String,
+                                   outDir: String, checkpointDir: String,
+                                   splits: Int = 3,
+                                   tau: Double = 0.5,
+                                   tablePrefix: String = "graft_delta_adv"): DataFrame = {
+    import graft.streaming.TopicStream
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    java.nio.file.Files.createDirectories(Paths.get(outDir))
+    graft.functions.NativeHash.register(spark)
+    val isNew = col("doc_id") % 5 === 4
+    val docs = spark.read.parquet(docsPath)
+    val kEst = Dedup.sizedEstK(docs.count())
+    val minMatches = math.ceil(kEst * tau / 2).toLong
+    val chunk = docs.agg(max(col("doc_id"))).head().getLong(0) / splits + 1
+    writeDeltaIndexes(docs.filter(!isNew), kEst, tablePrefix)
+    val splitDir = TopicStream.orderedSplitInput(spark, docsPath, splits,
+      s"$outDir-input", idCol = "doc_id")
+    val incoming = TopicStream.fileStream(spark, splitDir,
+      maxFilesPerTrigger = Some(1))
+    val q = incoming.filter(isNew).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        // refresh on THIS session: the foreachBatch frames live in a
+        // micro-batch session clone with its own relation cache, so the
+        // append's own refresh (Bucketing.appendBucketed) invalidates the
+        // clone's catalog, not the one classifyDeltaBatch reads through —
+        // without this, batch k+1 probes batch k's file listing and the
+        // advance silently never lands
+        Seq("_hashes", "_bands", "_sigs", "_sets")
+          .foreach(sfx => spark.catalog.refreshTable(s"$tablePrefix$sfx"))
+        TopicStream.writeBatchIdempotent(
+          classifyDeltaBatch(spark, b, kEst, minMatches, tau, tablePrefix)
+            .withColumn("shard", expr(s"doc_id DIV $chunk")),
+          batchId, outDir)
+        // advance off the WRITTEN classification (one evaluation, no
+        // re-probe of tables that are about to change)
+        val novel = b.join(
+          spark.read.parquet(s"$outDir/batch_$batchId")
+            .filter(col("status") === "novel").select(col("doc_id")),
+          "doc_id")
+        appendDeltaIndexes(novel, kEst, tablePrefix)
+        b.unpersist()
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    TopicStream.readBatchedOutput(spark, outDir)
+  }
+
   /** One micro-batch of the delta classification: the batch-side shingle/
     * hash/band/signature projections are the batch operator's own; every
     * join probes a bucketed static table on its bucket key.
     */
-  private def classifyDeltaBatch(spark: SparkSession, batch: DataFrame,
-                                 kEst: Int, minMatches: Long, tau: Double,
-                                 tablePrefix: String): DataFrame = {
+  private[graft] def classifyDeltaBatch(spark: SparkSession, batch: DataFrame,
+                                        kEst: Int, minMatches: Long, tau: Double,
+                                        tablePrefix: String): DataFrame = {
     val nw = batch.withColumn("chash", md5(col("text").cast("binary")))
+    // min-agg rather than a bare projection: the snapshot-ADVANCING
+    // variant appends to the hash table, so a replayed batch can leave a
+    // chash duplicated — the min collapses it to the one keeper the batch
+    // operator would pick (and is a no-op on the unique base-only table)
     val exact = nw.select(col("doc_id"), col("chash"))
       .join(spark.table(s"${tablePrefix}_hashes"), "chash")
-      .select(col("doc_id"), col("exact_id"))
+      .groupBy(col("doc_id")).agg(min(col("exact_id")).as("exact_id"))
     val hashes = Dedup.shingleHashes(batch)
     val cand = Dedup.minhashBands(hashes, 4)
       .select(col("doc_id"), col("n_sh"), col("band_id"), col("band_val"))

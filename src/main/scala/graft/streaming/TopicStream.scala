@@ -205,13 +205,13 @@ object TopicStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        writeBatchIdempotent(batch.withColumn("batch_id", lit(batchId)),
+          batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    readBatchedOutput(spark, outDir)
   }
 
   /** Streaming top-k values — the custom TypedImperativeAggregate
@@ -419,13 +419,13 @@ object TopicStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        writeBatchIdempotent(batch.withColumn("batch_id", lit(batchId)),
+          batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    readBatchedOutput(spark, outDir)
   }
 
   /** Splits the events parquet into `n` OFFSET-RANGE chunk files with
@@ -471,13 +471,13 @@ object TopicStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        writeBatchIdempotent(batch.withColumn("batch_id", lit(batchId)),
+          batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    readBatchedOutput(spark, outDir)
   }
 
   /** Streaming DLQ split with per-sink destinations — the reference's
@@ -495,18 +495,18 @@ object TopicStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        b.filter(col("sink") === "clean").drop("sink")
-          .write.mode("append").parquet(cleanDir)
-        b.filter(col("sink") === "dlq").drop("sink")
-          .write.mode("append").parquet(dlqDir)
+        writeBatchIdempotent(b.filter(col("sink") === "clean").drop("sink"),
+          batchId, cleanDir)
+        writeBatchIdempotent(b.filter(col("sink") === "dlq").drop("sink"),
+          batchId, dlqDir)
         b.unpersist()
         ()
       }
       .start()
     q.awaitTermination()
-    (spark.read.parquet(cleanDir), spark.read.parquet(dlqDir))
+    (readBatchedOutput(spark, cleanDir), readBatchedOutput(spark, dlqDir))
   }
 
   /** DLQ replay reconciliation — a watermarked STREAM-STREAM join. The
@@ -748,13 +748,13 @@ object TopicStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    readBatchedOutput(spark, outDir)
   }
 
   /** Kafka wiring for production (the reference's native transport). The

@@ -126,6 +126,26 @@ class CliSpec extends SparkSpec {
         .filter(col("sink") === "clean").count())
   }
 
+  test("ask with a short actions FILE fails at EOF with exit 1 (reference " +
+      "streamActionSource throw), reporting the counts reached — no silent " +
+      "merge of the unanswered tail, no produced output") {
+    val out = outDir("ask-short")
+    val live = Topics.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(live > 2, "fixture must have more live records than the actions file")
+    val actions = java.nio.file.Files.createTempFile("graft-actions", ".txt")
+    java.nio.file.Files.write(actions, "p\ns\n".getBytes("UTF-8"))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "-y", actions.toString, "ask", "events", "dest"),
+      print = lines += _)
+    assert(code == 1)
+    assert(lines.exists(_.contains("action source exhausted")))
+    assert(lines.contains("Successfully processed records: 0 merged, 1 purged, 1 skipped"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/produced")),
+      "a failed ask must not write produced output")
+    java.nio.file.Files.delete(actions)
+  }
+
   test("unknown topic is an error exit, not a throw") {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val code = Cli.run(spark, Seq("-d", sf, "print", "nope"), print = lines += _)

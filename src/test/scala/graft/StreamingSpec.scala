@@ -691,4 +691,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     assert(streamed.count() > 0)
   }
+
+  test("snapshot-ADVANCING delta: 3-shard replay equals the sequential batch " +
+      "recurrence (base accumulates novels), discriminates from the static-base " +
+      "stream, and a replayed index append changes nothing") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.DedupStream
+    // planted fixture: maxId 29 → chunk 10 → shards [0,10), [10,20), [20,30);
+    // new docs are %5==4: 4,9 | 14,19 | 24,29
+    val tNovel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tBase = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      0L -> tBase,
+      1L -> "red orange yellow green blue indigo violet pink brown black",
+      4L -> tNovel, // shard-0 novel: the doc later shards must match
+      9L -> tBase, // exact copy of a BASE doc — dup in both modes
+      11L -> "cat dog fish bird horse mouse goat sheep cow hen",
+      14L -> tNovel, // exact copy of shard-0's NOVEL doc
+      19L -> "solo unique text with completely fresh tokens nothing shared here",
+      21L -> "sun moon star cloud rain snow wind storm fog dew",
+      24L -> tNovel, // another copy, two shards later
+      29L -> (tNovel + " lambda") // near-dup of the shard-0 novel
+    ).toDF("doc_id", "text")
+    val dir = "/root/repo/target/stream-scratch/delta-advance-fixture"
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_delta_advance", dir)
+    val adv = DedupStream.snapshotDeltaAdvancingStream(spark, dir, out, ckpt,
+      splits = 3, tablePrefix = "spec_graft_adv").cache()
+    def row(id: Long) = adv.filter(col("doc_id") === id)
+      .select("status", "base_id").head()
+    // discrimination: 14 and 24 match the shard-0 NOVEL doc 4 — only
+    // possible because the advance appended it to the base indexes
+    assert(row(14L).getString(0) == "exact_dup" && row(14L).getLong(1) == 4L)
+    assert(row(24L).getString(0) == "exact_dup" && row(24L).getLong(1) == 4L)
+    assert(row(9L).getString(0) == "exact_dup" && row(9L).getLong(1) == 0L)
+    assert(row(4L).getString(0) == "novel")
+    // the static-base stream calls them novel — the advance is load-bearing
+    val (out2, ckpt2) = TopicStream.scratchDirs("spec_delta_static", dir)
+    val static0 = DedupStream.snapshotDeltaStream(spark, dir, out2, ckpt2,
+      splits = 3, tablePrefix = "spec_graft_static")
+    assert(static0.filter(col("doc_id") === 14L).select("status").head().getString(0)
+      == "novel")
+    // sequential batch recurrence: base(k+1) = base(k) ∪ novel(k)
+    val kEst = Dedup.sizedEstK(docs.count())
+    val isNew = col("doc_id") % 5 === 4
+    var baseIds = docs.filter(!isNew).select("doc_id")
+    val batchRows = (0 until 3).flatMap { k =>
+      val inShard = isNew && expr("doc_id DIV 10") === k
+      val sub = docs.join(
+        baseIds.unionByName(docs.filter(inShard).select("doc_id")).distinct(), "doc_id")
+      val cls = Dedup.snapshotDelta(sub, inShard, kEst = kEst)
+        .withColumn("shard", expr("doc_id DIV 10")).cache()
+      baseIds = baseIds.unionByName(
+        cls.filter(col("status") === "novel").select("doc_id")).localCheckpoint(true)
+      cls.collect().toSeq
+    }
+    val batch = batchRows.map(r => (r.getLong(r.fieldIndex("doc_id")),
+      r.getLong(r.fieldIndex("shard")), r.getString(r.fieldIndex("status")),
+      Option(r.get(r.fieldIndex("base_id"))), Option(r.get(r.fieldIndex("jaccard")))))
+    val streamRows = adv.collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+      r.getLong(r.fieldIndex("shard")), r.getString(r.fieldIndex("status")),
+      Option(r.get(r.fieldIndex("base_id"))), Option(r.get(r.fieldIndex("jaccard")))))
+    assert(streamRows.toSet == batch.toSet,
+      s"stream=${streamRows.sortBy(_._1).mkString(",")} batch=${batch.sortBy(_._1).mkString(",")}")
+    // replay idempotency: double-appending shard-0's novel rows (a retried
+    // batch) must not change a later shard's classification
+    val novel0 = docs.filter(col("doc_id") === 4L)
+    DedupStream.appendDeltaIndexes(novel0, kEst, "spec_graft_adv")
+    val reclass = DedupStream.classifyDeltaBatch(spark,
+      docs.filter(col("doc_id") === 24L || col("doc_id") === 29L), kEst,
+      math.ceil(kEst * 0.5 / 2).toLong, 0.5, "spec_graft_adv")
+    val expect = adv.filter(col("doc_id") === 24L || col("doc_id") === 29L)
+      .select("doc_id", "status", "base_id", "jaccard")
+    assert(reclass.exceptAll(expect).isEmpty && expect.exceptAll(reclass).isEmpty)
+    adv.unpersist()
+  }
 }
