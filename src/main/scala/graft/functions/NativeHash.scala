@@ -114,6 +114,8 @@ object NativeHash {
       exprs => AviPhash(exprs.head)),
     ("graft_wav_fingerprint", "15-bit energy-delta audio fingerprint of a WAV; null when malformed",
       exprs => WavFingerprint(exprs.head)),
+    ("graft_bpe_merge", "one greedy left-to-right BPE merge pass over a symbol array",
+      exprs => BpeMerge(exprs.head, exprs(1), exprs(2))),
     ("graft_top_k", "mergeable bounded top-k aggregate over bigints, descending array",
       exprs => TopKLongs(exprs.head, foldableGram(exprs(1))).toAggregateExpression()))
 

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-fitted BPE tokenizer (Sennrich et al. arXiv:1508.07909) — the
+  * fit/score split the text family already uses for vocabularies
+  * (TextOps `text_oov_rate`):
+  *
+  *   - FIT: learn the top-M merge table over the corpus's top-V word
+  *     types, weighted by corpus frequency. Fixed merge rounds (the
+  *     pageRank fixed-power-rounds pattern) keep the fit deterministic
+  *     and oracle-expressible; every round is one pair-count aggregate
+  *     over the V-row vocabulary (map-side combinable, integer-exact)
+  *     plus one narrow merge-pass kernel call, with the V-sized state
+  *     localCheckpoint-truncated per round.
+  *   - SCORE: tokens-per-doc under the fitted merges — a single fused
+  *     kernel call per document ([[graft.functions.BpeTokens]], the
+  *     merge table baked in as a codegen reference), zero shuffle.
+  *
+  * Scale shape: the fit state is BOUNDED BY CONSTRUCTION at V rows
+  * (top-V by (count DESC, word ASC) — the OOV-vocabulary bound), so the
+  * per-round aggregate is a V-row reduce no matter the corpus size; the
+  * corpus-sized work is exactly one word-count aggregate (the
+  * corpus_token_topk plan) before the loop and one narrow scoring pass
+  * after it. Determinism: pair counts are integers; argmax ties break by
+  * (count DESC, left ASC, right ASC) — byte order in both engines.
+  */
+object Bpe {
+
+  /** Default fit-vocabulary bound and merge-round count. */
+  val VocabSize = 256
+  val MergeRounds = 16
+
+  /** The corpus word-frequency table under the shared tokenization. */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Learns the merge table: `rounds` greedy merges over the top-V word
+    * types. Returns (rank, left, right, count) in fit order — possibly
+    * fewer than `rounds` rows if the vocabulary runs out of adjacent
+    * pairs (single-symbol saturation).
+    */
+  def fit(docs: DataFrame, vocabSize: Int = VocabSize,
+          rounds: Int = MergeRounds): Seq[(Int, String, String, Long)] = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    var vocab = wordCounts(docs)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabSize)
+      // explicit char extraction, not split(word, "") — the empty-regex
+      // split's trailing-empty behavior differs across engines; this form
+      // is unambiguous and runs once over V rows
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // adjacent-pair counts weighted by word frequency; explode_outer +
+      // null filter (the Generate-inference guard) over the STORED syms
+      val best = vocab
+        .select(col("freq"), explode_outer(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))")).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1, a, b, cnt))
+        val prev = vocab
+        vocab = vocab
+          .withColumn("syms", expr(s"graft_bpe_merge(syms, ${sqlStr(a)}, ${sqlStr(b)})"))
+          .localCheckpoint(true)
+        unpersistLocalCheckpoint(prev)
+      }
+      r += 1
+    }
+    unpersistLocalCheckpoint(vocab)
+    merges.toSeq
+  }
+
+  /** The fitted merge table as a DataFrame — the `tokenizer_fit` row:
+    * (merge_rank, lhs, rhs, merged, pair_count).
+    */
+  def fitTable(docs: DataFrame, vocabSize: Int = VocabSize,
+               rounds: Int = MergeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fit(docs, vocabSize, rounds)
+      .map { case (r, a, b, c) => (r.toLong, a, b, a + b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Score face: (doc_id, n_words, n_bpe_tokens) per document under the
+    * fitted merges — docs with zero (nonempty) words are dropped, so the
+    * output joins cleanly against word-level oracles.
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val name = registerFitted(spark, merges)
+    docs
+      .withColumn("st", call_function(name, col("text")))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_words"),
+        element_at(col("st"), 2).as("n_bpe_tokens"))
+      .filter(col("n_words") > 0)
+  }
+
+  /** Fit + score in one call — the registered `text_bpe_tokens` query. */
+  def fitAndScore(docs: DataFrame, vocabSize: Int = VocabSize,
+                  rounds: Int = MergeRounds): DataFrame =
+    tokenCounts(docs, fit(docs, vocabSize, rounds).map(m => (m._2, m._3)))
+
+  private val fitIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh-name registration per fit (the Similarity registerFitFunction
+    * pattern): the builder closes over THIS fit's merge table, so
+    * concurrent fits can't cross-contaminate and nothing is re-registered.
+    */
+  private def registerFitted(spark: org.apache.spark.sql.SparkSession,
+                             merges: Seq[(String, String)]): String = {
+    val name = s"graft_bpe_tokens_${fitIds.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.BpeTokens(exprs.head, merges), "built-in")
+    name
+  }
+
+  /** Single-quoted SQL string literal (symbols are corpus word
+    * characters; quotes doubled defensively).
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Frees a superseded localCheckpoint (the Dedup loop pattern): the
+    * frame is never referenced again, so the truncated lineage can't be
+    * recomputed — unpersist is safe and keeps the loop from accumulating
+    * one cached V-row table per round.
+    */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+}

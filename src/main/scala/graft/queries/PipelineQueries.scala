@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** SURVEY.md §2c — the LLM-training-data pipeline ops over `documents` /
@@ -202,6 +202,15 @@ object PipelineQueries {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables.load(s, dir, "documents"), Dup2Max, TopTokMax)
         .orderBy(col("doc_id"))),
+    // Corpus-fitted BPE tokenizer (r11): FIT = 16 greedy merges over the
+    // top-256 word types (pair counts integer-exact, fixed rounds); the
+    // oracle replays each round's argmax + greedy merge pass in SQL
+    "tokenizer_fit" -> ((s, dir) =>
+      Bpe.fitTable(Tables.load(s, dir, "documents")).orderBy(col("merge_rank"))),
+    // SCORE face: tokens-per-doc under the fitted merges — one fused
+    // kernel call per doc, merge table baked in (fit/score split)
+    "text_bpe_tokens" -> ((s, dir) =>
+      Bpe.fitAndScore(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // Zipf profile card (r8): rank x frequency products over the top-k
     // vocabulary — flatness reads as Zipf conformance; all integers.
     "corpus_zipf_card" -> ((s, dir) =>
@@ -630,6 +639,63 @@ object PipelineQueries {
     val union = (0 until splits).map(k => s"SELECT * FROM cls$k").mkString(" UNION ALL ")
     ShingleCte + global + stages +
       s"\nSELECT doc_id, shard, status, base_id, jaccard FROM ($union) ORDER BY doc_id"
+  }
+
+
+  /** Non-printing separator for BPE segment strings in the oracle (a
+    * symbol list folded into one VARCHAR — list_reduce's accumulator must
+    * share the element type). Corpus words are printable tokens, so the
+    * unit separator can never appear inside a symbol.
+    */
+  private val BpeSep = "\u001f"
+
+  /** One greedy BPE merge pass as a DuckDB string fold: merge when the
+    * incoming symbol equals `bRef` and the last UNCONSUMED symbol equals
+    * `aRef` — scanning resumes after a merged symbol, exactly
+    * BpeImpl.mergePass. A NULL (a, b) — the no-pairs-left stage — makes
+    * every WHEN comparison NULL, so the fold rebuilds seg unchanged.
+    */
+  private def bpeFold(segCol: String, aRef: String, bRef: String): String =
+    // single line: this fragment is interpolated into strings that run
+    // stripMargin AFTERWARDS, which would eat the first pipe of any
+    // line-leading `||`
+    s"list_reduce(list_prepend('', string_split($segCol, '$BpeSep')), " +
+      "(acc, s) -> CASE WHEN acc = '' THEN s " +
+      s"WHEN s = $bRef AND (CASE WHEN strpos(acc, '$BpeSep') = 0 THEN acc " +
+      s"ELSE string_split(acc, '$BpeSep')[-1] END) = $aRef " +
+      s"THEN CASE WHEN strpos(acc, '$BpeSep') = 0 THEN acc || s " +
+      s"ELSE substr(acc, 1, length(acc) - length($aRef) - 1) || " +
+      s"'$BpeSep' || $aRef || s END " +
+      s"ELSE acc || '$BpeSep' || s END)"
+
+  /** The BPE fit unrolled: word counts -> top-V fit vocabulary -> per
+    * round r the weighted adjacent-pair argmax (count DESC, a, b — the
+    * deterministic tie) and the greedy merge application. Produces CTEs
+    * pr0/best0/fv1 ... up to fv`rounds`.
+    */
+  private def bpeFitCtes(vocabSize: Int, rounds: Int): String = {
+    val head =
+      s"""WITH wc AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents) WHERE word <> '' GROUP BY word),
+         |topv AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $vocabSize),
+         |fv0 AS MATERIALIZED (SELECT word, freq,
+         |  array_to_string(string_split(word, ''), '$BpeSep') AS seg FROM topv)""".stripMargin
+    val stages = (0 until rounds).map { r =>
+      s"""
+         |, pr$r AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest([{'a': ss[i], 'b': ss[i+1]}
+         |      for i in generate_series(1, len(ss)-1)]) AS p
+         |    FROM (SELECT freq, string_split(seg, '$BpeSep') AS ss FROM fv$r))
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT a, b, cnt FROM pr$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |fv${r + 1} AS MATERIALIZED (
+         |  SELECT word, freq, ${bpeFold("seg", "b.a", "b.b")} AS seg
+         |  FROM fv$r LEFT JOIN best$r b ON TRUE)""".stripMargin
+    }.mkString
+    head + stages
   }
 
   private def sizedMhCtes: String =
@@ -1713,6 +1779,40 @@ object PipelineQueries {
          |  (n >= 2 AND CAST(n-1-uniq2 AS DOUBLE)/(n-1) <= $Dup2Max
          |    AND CAST(max_cnt AS DOUBLE)/n <= $TopTokMax) AS kept
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // BPE fit replay: 16 unrolled argmax+merge rounds over the top-256
+    // fit vocabulary; a round with no pairs left yields an empty best_r
+    // that contributes no merge row and applies as identity
+    "tokenizer_fit" -> (bpeFitCtes(Bpe.VocabSize, Bpe.MergeRounds) +
+      "\n" + (0 until Bpe.MergeRounds).map { r =>
+        s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+           |  a || b AS merged, cnt AS pair_count FROM best$r""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"),
+
+    // BPE score replay: the fit CTEs verbatim, then every DISTINCT corpus
+    // word runs the same 16 merge folds and docs aggregate token counts
+    // over their (nonempty) word instances
+    "text_bpe_tokens" -> {
+      val aw = (0 until Bpe.MergeRounds).map { r =>
+        s"""
+           |, aw${r + 1} AS MATERIALIZED (
+           |  SELECT word, ${bpeFold("seg", "b.a", "b.b")} AS seg
+           |  FROM aw$r LEFT JOIN best$r b ON TRUE)""".stripMargin
+      }.mkString
+      bpeFitCtes(Bpe.VocabSize, Bpe.MergeRounds) +
+        s"""
+           |, dwf AS MATERIALIZED (
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           |    FROM documents) WHERE word <> ''),
+           |aw0 AS MATERIALIZED (SELECT word, array_to_string(string_split(word, ''), '$BpeSep') AS seg
+           |        FROM (SELECT DISTINCT word FROM dwf))""".stripMargin + aw +
+        s"""
+           |SELECT d.doc_id, COUNT(*) AS n_words,
+           |  CAST(SUM(len(string_split(a.seg, '$BpeSep'))) AS BIGINT) AS n_bpe_tokens
+           |FROM dwf d JOIN aw${Bpe.MergeRounds} a USING (word)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
 
     // cf/df per top token; integer counts, IEEE quotient
     "corpus_burstiness" ->

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeImpl
+import graft.operators.Bpe
+
+/** Corpus-fitted BPE tokenizer invariants (operators/Bpe.scala,
+  * functions/BpeNative.scala).
+  */
+class BpeSpec extends SparkSpec {
+
+  test("merge pass is greedy left-to-right without overlap (the Sennrich scan)") {
+    def m(word: String, a: String, b: String): Seq[String] =
+      BpeImpl.mergePassStr(word.map(_.toString).toArray, a, b).toSeq
+    assert(m("aaa", "a", "a") === Seq("aa", "a"))
+    assert(m("aaaa", "a", "a") === Seq("aa", "aa"))
+    assert(m("abab", "a", "b") === Seq("ab", "ab"))
+    assert(m("aab", "a", "b") === Seq("a", "ab"))
+    assert(m("aba", "a", "b") === Seq("ab", "a"))
+    assert(m("xyz", "a", "b") === Seq("x", "y", "z"))
+    // a symbol merged this pass is consumed — it can't re-match as `a`
+    assert(BpeImpl.mergePassStr(Array("x", "x", "x"), "x", "x").toSeq === Seq("xx", "x"))
+  }
+
+  test("fit learns the hand-computable merge sequence on a tiny corpus and " +
+      "stops when pairs run out") {
+    import spark.implicits._
+    // words: aa ×3, ab ×1, b ×1 → round 1 argmax (a,a,3); round 2 (a,b,1);
+    // round 3 finds no adjacent pairs anywhere → fit stops at 2 merges
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val merges = Bpe.fit(docs, vocabSize = 10, rounds = 16)
+    assert(merges === Seq((1, "a", "a", 3L), (2, "a", "b", 1L)))
+  }
+
+  test("score face: token counts under fitted merges are exact per word") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab b aaa"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(docs, Seq(("a", "a"), ("a", "b"))).collect()
+    // doc 2 has zero nonempty words and is dropped (oracle join parity)
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    // aa→[aa]=1, ab→[ab]=1, b→[b]=1, aaa→[aa,a]=2 ⇒ 4 words, 5 tokens
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 5L)
+  }
+
+  test("corpus fit/score sanity: merges strictly compress, token counts are " +
+      "bounded by chars below and words above, and the fit is deterministic") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val merges = Bpe.fit(docs)
+    assert(merges.nonEmpty && merges.size <= Bpe.MergeRounds)
+    // pair counts are non-increasing in rank ties aside — each round's
+    // argmax can only see counts the previous round's merge left behind
+    assert(merges === Bpe.fit(docs), "fit must be deterministic")
+    val scored = Bpe.tokenCounts(docs, merges.map(m => (m._2, m._3)))
+      .join(Bpe.tokenCounts(docs, Seq.empty)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_chars")), "doc_id")
+      .cache()
+    assert(scored.filter(col("n_bpe_tokens") > col("n_chars")).count() === 0,
+      "merges can never increase the token count")
+    assert(scored.filter(col("n_bpe_tokens") < col("n_words")).count() === 0,
+      "a word is at least one token")
+    assert(scored.filter(col("n_bpe_tokens") === col("n_chars")).count() < scored.count(),
+      "16 corpus-fitted merges must compress SOMETHING")
+    scored.unpersist()
+  }
+}
