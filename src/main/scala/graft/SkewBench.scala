@@ -187,8 +187,11 @@ object SkewBench {
       .localCheckpoint(true)
     def plain2 = RangeJoin.countInWindow(p2, c2, Seq("user_id"), "ts", "click_ts", W,
       leftId = Some("event_id"))
+    // S now derives from the replicated side (sizedSaltBuckets) — the
+    // measured mass curve below shows where the derived value lands
+    val saltDerived = RangeJoin.sizedSaltBuckets(c2.count())
     def salted2 = RangeJoin.countInWindowSalted(p2, c2, Seq("user_id"), "ts", "click_ts", W,
-      leftId = Some("event_id"), saltBuckets = 8)
+      leftId = Some("event_id"))
     val twoPlainSec = minOf(reps)(run(plain2))
     val twoSaltedSec = minOf(reps)(run(salted2))
     val twoFired = {
@@ -207,21 +210,26 @@ object SkewBench {
       val q = call_function("div", x, lit(W))
       when(x % W < 0, q - 1).otherwise(q)
     }
-    val probes2 = p2.select(col("user_id"), col("ts"))
+    def probes2At(salts: Int) = p2.select(col("user_id"), col("ts"))
       .withColumn("__band", explode(array(bandCol("ts") - 1, bandCol("ts"), bandCol("ts") + 1)))
-      .withColumn("__salt", pmod(hash(col("user_id"), col("ts")), lit(8)))
+      .withColumn("__salt", pmod(hash(col("user_id"), col("ts")), lit(salts)))
     val index2 = c2.select(col("user_id"), bandCol("click_ts").as("__band"))
     // each salted bucket sees np/S probe rows against a FULL index copy
     // (the index replicates across salts), so per-bucket mass is np·ni
     // grouped by the bucket key of each plan
-    def maxBucket(keys: Seq[String]): Long = {
-      val pc = probes2.groupBy(keys.map(col): _*).agg(count(lit(1)).as("np"))
+    def maxBucket(salts: Int, keys: Seq[String]): Long = {
+      val pc = probes2At(salts).groupBy(keys.map(col): _*).agg(count(lit(1)).as("np"))
       val ic = index2.groupBy(col("user_id"), col("__band")).agg(count(lit(1)).as("ni"))
       pc.join(ic, Seq("user_id", "__band"))
         .agg(max(col("np") * col("ni"))).collect()(0).getLong(0)
     }
-    val plainMaxBucket = maxBucket(Seq("user_id", "__band"))
-    val saltedMaxBucket = maxBucket(Seq("user_id", "__band", "__salt"))
+    val plainMaxBucket = maxBucket(8, Seq("user_id", "__band"))
+    val saltedMaxBucket = maxBucket(saltDerived, Seq("user_id", "__band", "__salt"))
+    // the knee curve: per-bucket mass by salt count — where the derived
+    // S lands relative to diminishing returns goes to SURVEY §5 verbatim
+    val massBySalt = Seq(2, 4, 8, 16, 32).map { sc =>
+      sc -> maxBucket(sc, Seq("user_id", "__band", "__salt"))
+    }
 
     def s3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(
@@ -231,7 +239,9 @@ object SkewBench {
       s""""aqe_skew_split_fired":$aqeSplit,"smj":$smj,"results_equal":${sumOn == sumOff},""" +
       s""""twosided_plain_sec":${s3(twoPlainSec)},"twosided_salted_sec":${s3(twoSaltedSec)},""" +
       s""""twosided_aqe_fired":$twoFired,"twosided_equal":${sumP2 == sumS2},""" +
-      s""""twosided_max_bucket_plain":$plainMaxBucket,"twosided_max_bucket_salted":$saltedMaxBucket}""")
+      s""""twosided_max_bucket_plain":$plainMaxBucket,"twosided_max_bucket_salted":$saltedMaxBucket,""" +
+      s""""salt_derived":$saltDerived,"mass_by_salt":{""" +
+      massBySalt.map { case (sc, m) => s""""$sc":$m""" }.mkString(",") + "}}")
     spark.stop()
   }
 }

@@ -174,6 +174,44 @@ object Graph {
     out
   }
 
+  /** PageRank centrality over the ANN kNN SIMILARITY graph — the
+    * curation variant the header promises: edges are
+    * [[Similarity.knnJoinIvf]]'s top-k neighbor pairs, symmetrized and
+    * deduplicated (least/greatest normalization + one distinct, then the
+    * map-side two-orientation explode — the coPurchaseEdges shape), and
+    * ranks are the same fixed-point integer power iteration. High rank =
+    * a vector many other vectors count among their nearest neighbors —
+    * the standard representative-selection / diversity signal over an
+    * embedding corpus (densest-cluster cores surface first; spec'd on a
+    * planted-cluster fixture).
+    *
+    * Scale: the node set is the EMBEDDING CORPUS (not a bounded
+    * dimension), so ranks stay a shuffle join (`broadcastRanks = false`)
+    * and the adjacency is the chunked form; the kNN edge list is
+    * bounded at 2·k·N rows by construction.
+    */
+  def knnPageRank(emb: DataFrame, k: Int = 5, probes: Int = 2,
+                  rounds: Int = 5, topK: Int = 20,
+                  scale: Long = 1000000000000L): DataFrame = {
+    val knn = Similarity.knnJoinIvf(emb, k, probes)
+    val pairs = knn
+      .select(least(col("query_id"), col("corpus_id")).as("pa"),
+        greatest(col("query_id"), col("corpus_id")).as("pb"))
+      .distinct()
+    val edges = pairs
+      .select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst")),
+        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r").desc, col("id"))
+    pageRankAdjacency(edges, rounds, scale, symmetric = true)
+      .orderBy(col("r").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as("vec_id"), col("r").as("rank_fp"),
+        row_number().over(w).as("rnk"))
+  }
+
   /** The top-k co-purchase-centrality card over the lineitem graph. */
   def partsPageRank(lineitem: DataFrame, rounds: Int = 5, k: Int = 20,
                     scale: Long = 1000000000000L): DataFrame = {

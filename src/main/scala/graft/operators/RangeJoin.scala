@@ -94,12 +94,38 @@ object RangeJoin {
     * band) right index — pay it only when the burst is real; the plain
     * plan stays the default.
     */
+  /** N-ADAPTIVE salt count (round-10 VERDICT #6) — the sizedEstK shape
+    * applied to skew: the burst bucket's candidate mass grows with the
+    * replicated side's row count, so the salt count steps up one power
+    * of two per data decade to keep per-task mass bounded, while the
+    * replication overhead (S× the narrow index) stays proportionate.
+    * Anchored to SkewBench's measured mass curve at the sf0.1 burst
+    * (index ≈ 20k rows): each salt doubling up to S = 8 still cuts the
+    * max in-bucket candidate mass ≥ 1.6× (4.01M plain → 726k at 8),
+    * after which returns diminish against the S× index replication — so
+    * 20k derives 8, one decade less 4, one more 16: n ≤ 1250 → 2,
+    * ≤ 12.5k → 4, ≤ 125k → 8, ≤ 1.25M → 16, … clamped at 64. Derived in
+    * Scala from one count(*) — S never changes answers (every candidate
+    * pair still meets in exactly one salt bucket), so the shared plain
+    * oracle gates every choice of S.
+    */
+  def sizedSaltBuckets(n: Long): Int = {
+    var s = 2
+    var t = 1250L
+    while (n > t && s < 64) { s *= 2; t *= 10 }
+    s
+  }
+
   def countInWindowSalted(left: DataFrame, right: DataFrame, key: Seq[String],
                           leftTime: String, rightTime: String,
                           widthUs: Long, leftId: Option[String] = None,
-                          saltBuckets: Int = 8): DataFrame = {
+                          saltBuckets: Int = 0): DataFrame = {
     require(widthUs > 0, s"countInWindowSalted: widthUs must be positive, got $widthUs")
-    require(saltBuckets > 0, s"countInWindowSalted: saltBuckets must be positive, got $saltBuckets")
+    require(saltBuckets >= 0,
+      s"countInWindowSalted: saltBuckets must be >= 0 (0 = derive), got $saltBuckets")
+    // 0 = derive from the replicated side (one sizing count, the
+    // dedup_sizing_card pattern)
+    val salts = if (saltBuckets > 0) saltBuckets else sizedSaltBuckets(right.count())
     val lCols = left.columns.toSeq
     val (tagged, idCol) = leftId match {
       case Some(c) =>
@@ -114,10 +140,10 @@ object RangeJoin {
       .select((idCol +: (key :+ leftTime)).distinct.map(col): _*)
       .withColumn("__band", explode(array(
         band(col(leftTime)) - 1, band(col(leftTime)), band(col(leftTime)) + 1)))
-      .withColumn("__salt", pmod(hash(col(idCol), col(leftTime)), lit(saltBuckets)))
+      .withColumn("__salt", pmod(hash(col(idCol), col(leftTime)), lit(salts)))
     val indexed = right.select(
       key.map(col) :+ col(rightTime).as("__rt") :+ band(col(rightTime)).as("__band"): _*)
-      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     val matched = probes
       .join(indexed, key ++ Seq("__band", "__salt"))
       .filter(abs(unix_micros(col(leftTime)) - unix_micros(col("__rt"))) <= widthUs)

@@ -170,6 +170,12 @@ object PipelineQueries {
     "sim_knn_join_ivf" -> ((s, dir) =>
       Similarity.knnJoinIvf(Tables.load(s, dir, "embeddings"), KnnK, KnnProbes)
         .orderBy(col("query_id"), col("rnk"))),
+    // PageRank over the kNN similarity graph (r11): the ANN edge list
+    // symmetrized into the fixed-point power iteration — representative/
+    // diversity selection over the embedding corpus
+    "knn_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.knnPageRank(Tables.load(s, dir, "embeddings"),
+        KnnK, KnnProbes).orderBy(col("rnk"))),
     // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
     // residual codes) alone; full vectors only for the exact rerank of
     // the top k·refine shortlist (round-3 §7 stretch).
@@ -1276,6 +1282,58 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $KnnK
          |ORDER BY query_id, rnk""".stripMargin),
+
+    // kNN-graph pagerank replay: the sim_knn_join_ivf CTEs build the
+    // top-k neighbor pairs, then the parts_pagerank integer power
+    // iteration runs over the symmetrized edge list (r0..r5 chained)
+    "knn_pagerank" -> {
+      val S = 1000000000000L
+      val rounds = 5
+      val head = NormCte +
+        s"""
+           |, $ivfCentroidCtes,
+           |corpus AS (
+           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+           |probes AS (
+           |  SELECT vec_id AS query_id,
+           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+           |                 for p in generate_series(1, $KnnProbes)]) AS bucket
+           |  FROM ccs),
+           |cand AS (
+           |  SELECT DISTINCT query_id, corpus_id
+           |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
+           |scored AS (
+           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+           |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+           |  FROM scored),
+           |pairs AS (
+           |  SELECT DISTINCT least(query_id, corpus_id) AS pa,
+           |         greatest(query_id, corpus_id) AS pb
+           |  FROM ranked WHERE rnk <= $KnnK),
+           |edges AS (
+           |  SELECT pa AS src, pb AS dst FROM pairs
+           |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, CAST($S AS BIGINT) AS r FROM nodes)""".stripMargin
+      val chain = (1 to rounds).map { t =>
+        s""",
+           |r$t AS (
+           |  SELECT n.id,
+           |    CAST((15 * $S) // 100 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM(p.r // d.d) AS m
+           |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString
+      head + chain +
+        s"""
+           |SELECT id AS vec_id, r AS rank_fp,
+           |  CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS rnk
+           |FROM r$rounds ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
 
     // IVF-PQ: codes and the approximate score replayed with the SAME
     // fold orders as the kernels (continuous accumulation: coarse term,

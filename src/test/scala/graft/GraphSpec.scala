@@ -55,6 +55,29 @@ class GraphSpec extends SparkSpec {
     assert(bcast.exceptAll(plain).isEmpty && plain.exceptAll(bcast).isEmpty)
   }
 
+  test("knn pagerank: planted dense-cluster members outrank scattered " +
+      "periphery vectors (the representative-selection contract)") {
+    import spark.implicits._
+    val dim = graft.operators.Similarity.Dim
+    // cluster: 8 near-identical unit vectors along e0 (tiny distinct
+    // perturbations); periphery: 12 vectors each along its own axis with
+    // a 0.3 pull toward the cluster — their nearest neighbors are cluster
+    // members, never each other
+    val cluster = (0 until 8).map { j =>
+      val v = Array.fill(dim)(0.0f); v(0) = 1.0f; v(j + 1) = 0.05f
+      (j.toLong, v.toSeq, 0)
+    }
+    val periphery = (0 until 12).map { j =>
+      val v = Array.fill(dim)(0.0f); v(0) = 0.3f; v(j + 20) = 1.0f
+      (100L + j, v.toSeq, 1)
+    }
+    val emb = (cluster ++ periphery).toDF("vec_id", "embedding", "label")
+    val top = graft.operators.Graph.knnPageRank(emb, k = 5, probes = 2, topK = 8)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(top === (0L until 8L).toSet,
+      s"the dense cluster must fill the top-8 representatives, got $top")
+  }
+
   test("chunked-adjacency pagerank is bit-identical to the edge-list form — " +
       "on the symmetric co-purchase graph (both fast-path flags) and on a " +
       "DIRECTED chain where no-in-edge nodes must re-enter at the teleport base") {

@@ -207,5 +207,21 @@ class RangeJoinSpec extends SparkSpec {
     // the physical join must key on the salt — that IS the skew split
     val joined = salted.queryExecution.executedPlan.toString
     assert(joined.contains("__salt"), "salted plan lost its salt key")
+    // the DERIVED salt count (default) is another S — counts stay equal
+    val derived = RangeJoin.countInWindowSalted(p, c, Seq("user_id"), "ts", "click_ts", W,
+      leftId = Some("event_id")).select("event_id", "n_in_window")
+    assert(derived.exceptAll(plain).count() === 0 && plain.exceptAll(derived).count() === 0)
+  }
+
+  test("sizedSaltBuckets: one doubling per data decade from the measured " +
+      "sf0.1 knee (20k index rows -> 8), clamped to [2, 64]") {
+    assert(RangeJoin.sizedSaltBuckets(0L) === 2)
+    assert(RangeJoin.sizedSaltBuckets(1250L) === 2)
+    assert(RangeJoin.sizedSaltBuckets(1251L) === 4)
+    assert(RangeJoin.sizedSaltBuckets(12500L) === 4)
+    assert(RangeJoin.sizedSaltBuckets(20000L) === 8)
+    assert(RangeJoin.sizedSaltBuckets(125000L) === 8)
+    assert(RangeJoin.sizedSaltBuckets(1000000L) === 16)
+    assert(RangeJoin.sizedSaltBuckets(Long.MaxValue) === 64)
   }
 }
