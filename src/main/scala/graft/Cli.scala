@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.TopicOps
 import graft.sources.{Serdes, Topics}
+import graft.streaming.TopicStream
 
 /** The reference's end-user command surface (CLI.kt, main.kt,
   * commands/Print.kt, MergeAll.kt, PurgeAll.kt, Ask.kt) re-expressed over
@@ -57,6 +58,7 @@ object Cli {
     noCommit: Option[Boolean] = None,
     limit: Int = 20,
     actions: String = "-",
+    maxFiles: Option[Int] = None,
     command: String = null,
     positional: List[String] = Nil)
 
@@ -64,7 +66,8 @@ object Cli {
     """usage: graft.Cli -d DIR [-O DIR] [-g GROUP] [-a] [-A] [-T] [-n[=false]] [-l N] [-y SRC]
       |                 (print <topic> | stats <topic> | merge-all <src> <dst> |
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
-      |                  dlq <topic> <dlq-topic>)""".stripMargin
+      |                  dlq <topic> <dlq-topic> |
+      |                  stream (merge-all|dlq) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
     var o = Opts()
@@ -85,6 +88,10 @@ object Cli {
         if (n < 0) return Left(s"bad --limit: $v")
         o = o.copy(limit = n); rest = t
       case ("-y" | "--actions") :: v :: t => o = o.copy(actions = v); rest = t
+      case ("-m" | "--max-files") :: v :: t =>
+        val n = try v.toInt catch { case _: NumberFormatException => return Left(s"bad --max-files: $v") }
+        if (n < 1) return Left(s"bad --max-files: $v")
+        o = o.copy(maxFiles = Some(n)); rest = t
       case flag :: _ if flag.startsWith("-") => return Left(s"unknown option $flag\n$usage")
       case cmd :: t if o.command == null => o = o.copy(command = cmd); rest = t
       case p :: t => o = o.copy(positional = o.positional :+ p); rest = t
@@ -93,7 +100,7 @@ object Cli {
     else if (o.command == null) Left(s"missing command\n$usage")
     else {
       val arity = Map("print" -> 1, "stats" -> 1, "merge-all" -> 2,
-        "purge-all" -> 1, "ask" -> 2, "compact" -> 1, "dlq" -> 2)
+        "purge-all" -> 1, "ask" -> 2, "compact" -> 1, "dlq" -> 2, "stream" -> 3)
       arity.get(o.command) match {
         case None => Left(s"unknown command ${o.command}\n$usage")
         case Some(n) if o.positional.length != n =>
@@ -265,6 +272,9 @@ object Cli {
             val Seq(srcName, dest) = o.positional.toSeq
             val src = topicView(spark, o.dir, srcName)
             askCommand(spark, o, src, dest, in, print)
+          case "stream" =>
+            val Seq(sub, srcName, dest) = o.positional.toSeq
+            streamCommand(spark, o, sub, srcName, dest, valueSerde, print)
         }
       } catch {
         // the CLI contract is error + exit code, never a stack trace:
@@ -342,6 +352,49 @@ object Cli {
     print(s"Successfully processed records: $merged merged, $purged purged, $skipped skipped")
     commitOffsets(o, src, default = true, print)
     0
+  }
+
+  /** The reference IS a long-running poll loop (Pipeline.kt:29) — this
+    * verb is that face: a Structured Streaming run of the same gated
+    * operator chains (TopicStream.mergeAllStream / dlqStream) with the
+    * checkpoint as the offset commit. AvailableNow, so one invocation
+    * drains the topic and exits like the batch commands — point it at a
+    * growing directory (or swap the file source for Kafka) and the same
+    * checkpoint resumes incrementally. The checkpoint and sink dirs are
+    * wiped per run because the CLI contract here is one-shot
+    * batch-equivalence (CliSpec: a 2-batch run equals the batch
+    * command); a real deployment keeps the checkpoint.
+    */
+  private def streamCommand(spark: SparkSession, o: Opts, sub: String,
+                            srcName: String, dest: String,
+                            valueSerde: Serdes.ValueSerde,
+                            print: String => Unit): Int = {
+    require(srcName == "events",
+      s"unknown topic '$srcName' — this directory serves the 'events' record table")
+    val srcPath = s"${o.dir}/events.parquet"
+    val ckpt = s"${o.out}/checkpoint"
+    TopicStream.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    sub match {
+      case "merge-all" =>
+        TopicStream.deleteRecursively(java.nio.file.Paths.get(s"${o.out}/produced"))
+        TopicStream.mergeAllStream(spark, srcPath, dest, s"${o.out}/produced", ckpt,
+          o.maxFiles, o.mergeTombstones)
+        val (m, p) = produceCounters(spark, o.out)
+        print(s"Successfully processed records: $m merged, $p purged")
+        commitOffsets(o, topicView(spark, o.dir, srcName), default = true, print)
+        0
+      case "dlq" =>
+        val (_, dlq) = TopicStream.dlqStream(spark, srcPath,
+          valueSerde.error(col("raw")), s"${o.out}/clean", s"${o.out}/dlq", ckpt,
+          o.maxFiles)
+        val n = dlq.count()
+        print(s"Routed $n record(s) to '$dest'")
+        commitOffsets(o, topicView(spark, o.dir, srcName), default = true, print)
+        0
+      case other =>
+        print(s"unknown stream subcommand '$other' (merge-all | dlq)\n$usage")
+        1
+    }
   }
 
   def main(args: Array[String]): Unit = {

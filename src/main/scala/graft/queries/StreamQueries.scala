@@ -17,6 +17,35 @@ import graft.streaming.{AnomalyStream, AsOfStream, CorpusStream, DedupStream, Im
   */
 object StreamQueries {
 
+  /** The COMPLETE-MODE sinks, classified by what their streaming state
+    * scales with — the §5 rule made machine-checkable (round-10 VERDICT
+    * #7): complete mode re-emits full state per trigger, so it is the
+    * production form ONLY when state is bounded by a value DOMAIN
+    * (types, strata, sources — constant as data grows). A TIME-GRID
+    * state (windows × types) is legal while the covered time range is
+    * bounded — the watermarked append form is the unbounded-time path
+    * (TopicStream.windowStreamAppend). KEY-CARDINALITY state grows with
+    * the data and MUST ship a changelog twin as the production default —
+    * the complete face stays as the oracle-checkable read surface.
+    * StreamingSpec enforces all three empirically (output growth across
+    * a 10× input step) and structurally (every key-cardinality entry has
+    * its registered changelog twin).
+    */
+  val completeModeDomains: Map[String, String] = Map(
+    "stream_compact" -> "key-cardinality",
+    "stream_window" -> "time-grid",
+    "stream_window_hopping" -> "time-grid",
+    "stream_topk_agg" -> "domain-bounded",
+    "stream_percentiles" -> "domain-bounded",
+    "stream_abtest" -> "domain-bounded",
+    "stream_source_stats" -> "domain-bounded")
+
+  /** The changelog production default for each key-cardinality
+    * complete-mode surface.
+    */
+  val changelogTwins: Map[String, String] = Map(
+    "stream_compact" -> "stream_compact_updates")
+
   private def eventsPath(dir: String) = s"$dir/events.parquet"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -92,8 +92,10 @@ object TopicStream {
     */
   def mergeAllStream(spark: SparkSession, eventsPath: String, dest: String,
                      outDir: String, checkpointDir: String,
-                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val out = TopicOps.mergeAll(topicStream(spark, eventsPath, maxFilesPerTrigger), dest)
+                     maxFilesPerTrigger: Option[Int] = None,
+                     mergeTombstones: Boolean = false): DataFrame = {
+    val out = TopicOps.mergeAll(topicStream(spark, eventsPath, maxFilesPerTrigger),
+      dest, mergeTombstones)
     val q = out.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -841,7 +843,7 @@ object TopicStream {
     (leaf.resolve("out").toString, leaf.resolve("checkpoint").toString)
   }
 
-  private[streaming] def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }

@@ -146,6 +146,51 @@ class CliSpec extends SparkSpec {
     java.nio.file.Files.delete(actions)
   }
 
+  test("stream verb: a multi-batch merge-all run equals the batch command " +
+      "output and commits offsets; stream dlq covers the full record set") {
+    // a source directory whose events table is 4 parquet files so -m 2
+    // drives the run through more than one micro-batch
+    val srcDir = "target/cli-spec/stream-src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    graft.sources.Tables.load(spark, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val out = outDir("stream-mergeall")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", srcDir, "-O", out, "-m", "2", "stream", "merge-all", "events", "dest"),
+      print = lines += _)
+    assert(code == 0)
+    val produced = spark.read.parquet(s"$out/produced")
+    val expect = TopicOps.mergeAll(Topics.events(spark, sf), "dest")
+    assert(produced.count() == expect.count())
+    assert(produced.exceptAll(expect.select(produced.columns.map(col): _*)).isEmpty)
+    val m = expect.filter(col("kind") === "merge").count()
+    val p = expect.filter(col("kind") === "purge").count()
+    assert(lines.contains(s"Successfully processed records: $m merged, $p purged"))
+    assert(spark.read.parquet(s"$out/offsets").count() > 0)
+    // the checkpoint really drove a multi-batch incremental run
+    val commits = new java.io.File(s"$out/checkpoint/commits").listFiles()
+    assert(commits != null && commits.count(!_.getName.startsWith(".")) >= 2,
+      "expected >= 2 committed micro-batches under -m 2 over 4 files")
+
+    val out2 = outDir("stream-dlq")
+    val lines2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code2 = Cli.run(spark,
+      Seq("-d", srcDir, "-O", out2, "stream", "dlq", "events", "events.dlq"),
+      print = lines2 += _)
+    assert(code2 == 0)
+    val clean = graft.streaming.TopicStream.readBatchedOutput(spark, s"$out2/clean")
+    val dlqN = Topics.events(spark, sf).count() - clean.count()
+    assert(lines2.contains(s"Routed $dlqN record(s) to 'events.dlq'"))
+
+    // arity + unknown-subcommand arms stay CLI errors, not throws
+    assert(Cli.parse(Seq("-d", srcDir, "stream", "merge-all", "events")).isLeft)
+    val code3 = Cli.run(spark,
+      Seq("-d", srcDir, "-O", outDir("stream-bad"), "stream", "nope", "events", "d"),
+      print = _ => ())
+    assert(code3 == 1)
+  }
+
   test("unknown topic is an error exit, not a throw") {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val code = Cli.run(spark, Seq("-d", sf, "print", "nope"), print = lines += _)

@@ -692,6 +692,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("complete-mode guard: state-domain classes hold empirically across a " +
+      "10× input step, and every key-cardinality surface ships its changelog twin") {
+    import graft.queries.StreamQueries
+    val sfSmall = "/root/testdata/sf0.001"
+    val sfBig = "/root/testdata/sf0.01"
+    val counts = StreamQueries.completeModeDomains.keys.map { name =>
+      name -> ((SparkEntry.queries(name)(spark, sfSmall).count(),
+        SparkEntry.queries(name)(spark, sfBig).count()))
+    }.toMap
+    for ((name, cls) <- StreamQueries.completeModeDomains) {
+      val (small, big) = counts(name)
+      val ratio = big.toDouble / small
+      cls match {
+        case "domain-bounded" =>
+          // the domain (types/strata/sources) is constant as data grows
+          assert(ratio <= 2.0,
+            s"$name claims a bounded domain but grew $small -> $big under 10× input")
+        case "time-grid" =>
+          // grows with covered TIME, strictly sublinear in row count
+          assert(ratio <= 6.0,
+            s"$name claims time-grid state but grew $small -> $big under 10× input")
+        case "key-cardinality" =>
+          // full linear growth is EXPECTED — the guard is the twin below
+          assert(ratio >= 6.0,
+            s"$name is declared key-cardinality yet grew only $small -> $big — reclassify")
+          val twin = StreamQueries.changelogTwins.get(name)
+          assert(twin.isDefined, s"$name needs a changelog twin as the production default")
+          assert(SparkEntry.queries.contains(twin.get),
+            s"$name's changelog twin ${twin.get} is not a registered query")
+        case other => fail(s"unknown state-domain class $other for $name")
+      }
+    }
+    // the registry itself must stay in sync with the sink modes: every
+    // completeToParquet/Complete-mode query name is classified
+    assert(StreamQueries.completeModeDomains.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("snapshot-ADVANCING delta: 3-shard replay equals the sequential batch " +
       "recurrence (base accumulates novels), discriminates from the static-base " +
       "stream, and a replayed index append changes nothing") {
