@@ -102,6 +102,8 @@ object NativeHash {
       exprs => BmpResize(exprs.head, exprs(1))),
     ("graft_wav_resample", "WAV decimation by d: [rate_out, format, frame counts, picked-sample hash]",
       exprs => WavResample(exprs.head, exprs(1))),
+    ("graft_wav_ulaw", "G.711 mu-law companding roundtrip of a WAV: [format, n_samples, code/decoded hashes, max abs error]",
+      exprs => WavUlaw(exprs.head)),
     ("graft_bmp_meta", "parse a BMP blob into header fields + decoded-pixel hash; null when malformed",
       exprs => BmpMeta(exprs.head)),
     ("graft_bmp_phash", "64-bit average-hash perceptual fingerprint of a BMP; null when malformed",

@@ -349,3 +349,110 @@ object WavFingerprintImpl {
     new GenericArrayData(Array[Long](rate, nFrames, wf, fp, total))
   }
 }
+
+/** blob → [channels, bits_per_sample, n_samples, ulaw_hash, decoded_hash,
+  * max_abs_err] — G.711 μ-law companding ROUNDTRIP of a genuine WAV's
+  * sample stream: every linear sample is encoded to its 8-bit μ-law code
+  * (ITU-T G.711: sign + 3-bit segment + 4-bit mantissa over a biased
+  * logarithmic ladder) and decoded back; the op emits the encoded-byte
+  * hash, the reconstructed-sample hash, and the worst reconstruction
+  * error. The audio-CODEC data point of the decode-seam family
+  * (mm_decode_png lossless / mm_decode_jpeg lossy-opaque / this one
+  * LOSSY-BUT-CLOSED-FORM — G.711 is a published integer formula, so
+  * unlike JPEG the full roundtrip is oracle-replayable, encoded bytes
+  * included). 8-bit sources promote u8 → s16 ((b−128)·256, the standard
+  * lift); 16-bit sources read little-endian signed; a ragged trailing
+  * byte under 16-bit is ignored (floor). Header/payload ride the same
+  * bounds-checked chunk walks as graft_wav_meta: malformed → null,
+  * never a throw. MultimodalSpec cross-checks the encoder byte-for-byte
+  * against the JDK's own G.711 converter (javax.sound.sampled ULAW)
+  * and pins the companding fixed point dec∘enc∘dec∘enc = dec∘enc.
+  */
+case class WavUlaw(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_ulaw"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_ulaw expects a binary blob, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavUlawImpl.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavUlawImpl.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavUlaw =
+    copy(child = newChild)
+}
+
+object WavUlawImpl {
+  /** [channels, bits_per_sample, n_samples, ulaw_hash, decoded_hash,
+    * max_abs_err]
+    */
+  val Fields = 6
+  private val M = TextFunctions.HashMod
+  private val Bias = 0x84
+  private val Clip = 32635
+
+  /** s16 linear → 8-bit μ-law code (G.711). Segment = position of the
+    * highest set bit of the biased magnitude within bits 7..14 — the
+    * classic 256-entry LUT is exactly bitlength((mag+BIAS) >> 7) − 1,
+    * which is how the DuckDB oracle replays it (length(bin(x)) − 1).
+    */
+  def encode(pcm: Int): Int = {
+    var x = pcm
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > Clip) x = Clip
+    x += Bias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)) & 0xff
+  }
+
+  /** 8-bit μ-law code → s16 linear (G.711 segment midpoint ladder). */
+  def decode(u: Int): Int = {
+    val v = (~u) & 0xff
+    val exp = (v >> 4) & 0x07
+    val mant = v & 0x0f
+    val t = (((mant << 3) + Bias) << exp) - Bias
+    if ((v & 0x80) != 0) -t else t
+  }
+
+  def compute(blob: Array[Byte]): ArrayData = {
+    val hdr = WavImpl.parse(blob)
+    if (hdr == null) return null
+    val data = WavPayload.payload(blob)
+    if (data == null) return null
+    val ch = hdr.getLong(3)
+    val bits = hdr.getLong(7)
+    if (bits != 8 && bits != 16) return null
+    val step = (bits / 8).toInt
+    val n = data.length / step
+    var uHash = 0L
+    var dHash = 0L
+    var maxErr = 0L
+    var i = 0
+    while (i < n) {
+      val lin =
+        if (step == 1) ((data(i) & 0xff) - 128) << 8
+        else ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)) // sign via byte
+      val u = encode(lin)
+      val dec = decode(u)
+      uHash = (uHash * 31L + u) % M
+      dHash = (dHash * 31L + (dec & 0xffff)) % M
+      val err = math.abs(dec.toLong - lin.toLong)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new GenericArrayData(Array[Long](ch, bits, n, uHash, dHash, maxErr))
+  }
+}

@@ -307,6 +307,34 @@ object Multimodal {
         }: _*)
   }
 
+  /** G.711 mu-law companding roundtrip of the genuine WAV — the audio
+    * CODEC data point of the decode-seam family ([[pngDecode]] lossless,
+    * [[jpegDecode]] lossy-opaque, this one LOSSY-BUT-CLOSED-FORM: G.711
+    * is a published integer formula, so the encoded bytes, the
+    * reconstructed samples, AND the worst-case reconstruction error are
+    * all oracle-replayable — the strongest gate a lossy codec can have).
+    * One codegen'd kernel call per row over the wrapped WAV; purely
+    * narrow, zero shuffle. Malformed containers → null row arms (spec),
+    * never a throw.
+    */
+  def ulawRoundtrip(docs: DataFrame): DataFrame = {
+    graft.functions.NativeHash.register(docs.sparkSession)
+    val checksum = TextFunctions.polyhashNative(col("text"))
+    val (rate, ch, bits) = audioParams(checksum)
+    val fields = Seq("channels", "bits_per_sample", "n_samples",
+      "ulaw_hash", "decoded_hash", "max_abs_err")
+    docs.filter(col("doc_id") % 3 === 1)
+      .withColumn("__raw", encode(col("text"), "UTF-8"))
+      .withColumn("__rate", rate)
+      .withColumn("__ch", ch)
+      .withColumn("__bits", bits)
+      .withColumn("ul", expr("graft_wav_ulaw(graft_wav_wrap(__raw, __rate, __ch, __bits))"))
+      .select(col("doc_id") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("ul"), i + 1).as(f)
+        }: _*)
+  }
+
   /** Energy-delta audio fingerprint of the genuine WAV — the AUDIO face
     * of the perceptual family ([[bmpPhash]]/[[aviPhash]]): 16 equal
     * windows over the decoded data chunk, integer energy per window,

@@ -470,6 +470,12 @@ object PipelineQueries {
     "mm_resample" -> ((s, dir) =>
       Multimodal.audioResample(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // G.711 mu-law companding roundtrip (r11): the audio-CODEC data
+    // point — lossy but CLOSED-FORM, so codes, reconstruction, and the
+    // worst error are all oracle-gated (the strongest lossy gate)
+    "mm_ulaw" -> ((s, dir) =>
+      Multimodal.ulawRoundtrip(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // perceptual image hash + dup grouping (r9): 64-bit aHash of the
     // genuine BMP, brightness-shift invariant; equal hashes counted
     "mm_phash" -> ((s, dir) =>
@@ -2610,6 +2616,68 @@ object PipelineQueries {
          |  CAST((n_in + 3) // 4 AS BIGINT) AS n_frames_out,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (hh, x) -> (hh*31+x) % $M) AS sample_hash
          |FROM bytes ORDER BY doc_id""".stripMargin,
+
+    // G.711 mu-law is a published INTEGER formula, so the full lossy
+    // roundtrip replays in SQL: segment = bitlength(biasedMag >> 7) - 1
+    // (the classic 256-entry LUT in closed form, the corpus_length_hist
+    // bin()-trick), code = complemented sign|seg|mantissa byte, decode =
+    // the segment ladder; hashes fold codes / unsigned-16 reconstructions
+    // and max_abs_err is exact.
+    "mm_ulaw" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, text, ${poly("text")} AS checksum,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |a AS (
+         |  SELECT doc_id, text, data_len,
+         |    CAST(1 + checksum % 2 AS BIGINT) AS channels,
+         |    CAST(8 * (1 + (checksum // 2) % 2) AS BIGINT) AS bits
+         |  FROM blobs),
+         |b AS (
+         |  SELECT doc_id, channels, bits,
+         |    data_len // (bits // 8) AS n_samples,
+         |    CASE WHEN bits = 8 THEN
+         |      [(CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) - 128) * 256
+         |       for i in generate_series(0, CAST(data_len AS INT) - 1)]
+         |    ELSE
+         |      [CASE WHEN ascii(substr(text, 2*i + 2, 1)) >= 128
+         |            THEN CAST(ascii(substr(text, 2*i + 1, 1)) AS BIGINT)
+         |                 + (CAST(ascii(substr(text, 2*i + 2, 1)) AS BIGINT) - 256) * 256
+         |            ELSE CAST(ascii(substr(text, 2*i + 1, 1)) AS BIGINT)
+         |                 + CAST(ascii(substr(text, 2*i + 2, 1)) AS BIGINT) * 256 END
+         |       for i in generate_series(0, CAST(data_len // 2 AS INT) - 1)]
+         |    END AS lin
+         |  FROM a),
+         |c AS (
+         |  SELECT *, [least(abs(s), 32635) + 132 for s in lin] AS mag2
+         |  FROM b),
+         |d AS (
+         |  SELECT *, [length(bin(m >> 7)) - 1 for m in mag2] AS exps
+         |  FROM c),
+         |e AS (
+         |  SELECT doc_id, channels, bits, n_samples, lin,
+         |    [255 - ((CASE WHEN lin[i] < 0 THEN 128 ELSE 0 END)
+         |            + exps[i] * 16 + ((mag2[i] >> (exps[i] + 3)) % 16))
+         |     for i in generate_series(1, CAST(n_samples AS INT))] AS codes
+         |  FROM d),
+         |f AS (
+         |  SELECT *, [255 - cd for cd in codes] AS vs FROM e),
+         |g AS (
+         |  SELECT doc_id, channels, bits, n_samples, lin, codes,
+         |    [CASE WHEN v >= 128
+         |          THEN -((((v % 16) * 8 + 132) << ((v // 16) % 8)) - 132)
+         |          ELSE (((v % 16) * 8 + 132) << ((v // 16) % 8)) - 132 END
+         |     for v in vs] AS dec
+         |  FROM f)
+         |SELECT doc_id, channels, bits AS bits_per_sample, n_samples,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+         |              (h, x) -> (h*31 + x) % $M) AS ulaw_hash,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), [d & 65535 for d in dec]),
+         |              (h, x) -> (h*31 + x) % $M) AS decoded_hash,
+         |  coalesce(list_max([abs(dec[i] - lin[i])
+         |                     for i in generate_series(1, CAST(n_samples AS INT))]),
+         |           0) AS max_abs_err
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // Same round-trip-by-formula argument for the column-level face; the
     // canonical PCM header makes every field a closed-form integer.

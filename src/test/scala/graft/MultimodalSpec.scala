@@ -580,4 +580,91 @@ class MultimodalSpec extends SparkSpec {
       col("n_pixel_bytes") =!= col("width") * 3 * col("height")).count() === 0)
     out.unpersist()
   }
+
+  test("WavUlawImpl: byte-for-byte agreement with the JDK's own G.711 " +
+      "mu-law converter on every non-clipped sample; above the CCITT clip " +
+      "the JDK wraps (overflow) while ours clips — pinned exactly") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // all 65536 16-bit samples, little-endian PCM_SIGNED mono
+    val n = 65536
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = i - 32768
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val srcFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val dstFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong)
+    val conv = AudioSystem.getAudioInputStream(dstFmt, src)
+    val jdk = conv.readAllBytes()
+    assert(jdk.length == n)
+    var inRangeMismatches = 0
+    var clippedMismatches = 0
+    i = 0
+    while (i < n) {
+      val s = i - 32768
+      val ours = graft.functions.WavUlawImpl.encode(s)
+      if (ours != (jdk(i) & 0xff)) {
+        if (math.abs(s) <= 32635) inRangeMismatches += 1
+        else clippedMismatches += 1
+      }
+      i += 1
+    }
+    assert(inRangeMismatches == 0,
+      s"$inRangeMismatches non-clipped mu-law codes differ from the JDK G.711 encoder")
+    // |s| > 32635: the CCITT reference clips to the top segment (ours);
+    // the JDK adds the bias UNCLIPPED, its 15-bit segment lookup wraps,
+    // and full-scale samples come back as near-zero codes — a known
+    // fidelity quirk we deliberately do NOT reproduce. Pin the
+    // divergence to exactly that range (132 positive + 133 negative).
+    assert(clippedMismatches == 265,
+      s"clipped-range divergence changed: $clippedMismatches (expected 265)")
+  }
+
+  test("WavUlawImpl: companding fixed point (dec-enc idempotent), error " +
+      "bound over the full range, clip arm, and malformed-container nulls") {
+    import graft.functions.WavUlawImpl.{decode, encode}
+    var x = -32768
+    var maxErr = 0L
+    while (x < 32768) {
+      val d = decode(encode(x))
+      // dec(enc(x)) is a fixed point: re-companding reproduces it exactly
+      assert(decode(encode(d)) == d, s"not idempotent at $x")
+      // reconstruction error: <= half the segment step for in-range
+      // samples, worst at the clip ceiling (|x| > 32635 -> 644)
+      maxErr = math.max(maxErr, math.abs(d.toLong - x))
+      x += 1
+    }
+    assert(maxErr <= 644L, s"max reconstruction error $maxErr exceeds G.711 bound")
+    // malformed containers degrade to null, never a throw
+    assert(graft.functions.WavUlawImpl.compute(Array[Byte](1, 2, 3)) == null)
+    val wav = WavImpl.wrap("abcdef".getBytes("US-ASCII"), 8000, 1, 16)
+    assert(graft.functions.WavUlawImpl.compute(
+      java.util.Arrays.copyOf(wav, 20)) == null)
+    assert(graft.functions.WavUlawImpl.compute(wav) != null)
+  }
+
+  test("ulawRoundtrip: every fixture row decodes (no nulls on the audio " +
+      "arm), n_samples matches the declared geometry, and the error stays " +
+      "in the G.711 bound") {
+    val out = Multimodal.ulawRoundtrip(Tables.load(spark, sf, "documents")).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_samples").isNull).count() === 0)
+    assert(out.filter(col("max_abs_err") > 644L).count() === 0)
+    // 8-bit: one sample per byte; 16-bit: floor(bytes/2) (ragged tail dropped)
+    val geo = Multimodal.ulawRoundtrip(Tables.load(spark, sf, "documents"))
+      .join(Tables.load(spark, sf, "documents").select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("len")), "doc_id")
+    assert(geo.filter(
+      (col("bits_per_sample") === 8 && col("n_samples") =!= col("len")) ||
+      (col("bits_per_sample") === 16 && col("n_samples") =!= expr("len DIV 2")))
+      .count() === 0)
+    out.unpersist()
+  }
 }
