@@ -542,6 +542,51 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** SEMANTIC snapshot delta — the embedding-space face of
+    * [[graft.operators.Dedup.snapshotDelta]]'s recurring-ingestion
+    * workflow (SemDeDup-on-ingest): each NEW-shard vector is classified
+    * against the BASE corpus as near_dup (best same-cluster base match
+    * with exact cosine ≥ tau, ranked cos DESC / base_id ASC) or novel.
+    * Candidates are confined to the vector's nearest-centroid IVF bucket
+    * — [[semanticPairs]]'s cluster confinement made ASYMMETRIC: the new
+    * shard probes the base assignment, and is NEVER self-joined (new-vs-
+    * new duplicates are the NEXT ingest's problem, exactly as in the
+    * text-side delta).
+    *
+    * Scale shape: per-ingest cost tracks |shard| × the probed bucket's
+    * base population (≈ N/nlist), never |base|²; the base assignment
+    * table is the once-materialized bucket index a deployment keeps
+    * (bucketed by `bucket`, the shuffle key) and the snapshot-advance
+    * step is an append of the novel vectors' assignment rows — the
+    * DedupStream.snapshotDeltaAdvancingStream recurrence, unchanged.
+    * One vec_id window carries n_cand AND the best-match rank (a single
+    * exchange); the final enrich joins ride the 8-byte vec_id.
+    */
+  def semanticDelta(emb: DataFrame, isNew: Column, tau: Double = 0.4): DataFrame = {
+    val v = vectors(emb)
+    val assigned = v.select(col("vec_id"), expr("graft_ivf_bucket(e)").as("bucket"))
+    val cand = assigned.filter(isNew)
+      .join(assigned.filter(!isNew)
+        .select(col("vec_id").as("base_id"), col("bucket")), "bucket")
+      .select(col("vec_id"), col("base_id"))
+    val vn = v.select(col("vec_id"), col("e").as("en"), col("nrm").as("nn"))
+    val vb = v.select(col("vec_id").as("base_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+    val best = cand.join(vn, "vec_id").join(vb, "base_id")
+      .withColumn("cos", expr("graft_dot(en, eb)") / (col("nn") * col("nb")))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("cos").desc, col("base_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("n_cand"), col("base_id").as("best_base"),
+        col("cos").as("best_cos"))
+    v.filter(isNew).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_base"), col("best_cos"),
+        when(col("best_cos") >= tau, "near_dup").otherwise("novel").as("verdict"))
+  }
+
   /** Embedding-space benchmark decontamination — the semantic twin of
     * [[graft.operators.Dedup.decontaminateFuzzy]] (SemDeDup precedent:
     * Abbas et al., arXiv:2303.09540). A PARAPHRASED eval leak keeps its

@@ -142,6 +142,13 @@ object PipelineQueries {
     // SemDeDup-style semantic dedup (r6): candidates confined to each
     // vector's nearest-centroid CLUSTER (one bucket per vector) instead
     // of LSH bands — the smallest candidate index of the family.
+    // SEMANTIC snapshot delta (r11): the embedding-space face of
+    // corpus_delta — new-shard vectors classified vs the base via
+    // cluster-confined exact cosine; new is never self-joined
+    "embedding_delta" -> ((s, dir) =>
+      Similarity.semanticDelta(Tables.load(s, dir, "embeddings"),
+          col("vec_id") % 5 === 4, CosTau)
+        .orderBy(col("vec_id"))),
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticPairs(Tables.load(s, dir, "embeddings"), CosTau)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -1171,6 +1178,33 @@ object PipelineQueries {
          |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
          |SELECT vec_a, vec_b, cos FROM verify WHERE cos >= $CosTau
          |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // Semantic snapshot delta: the dedup_semantic bucket assignment made
+    // asymmetric (new probes base, never itself); best match + verdict
+    // follow the decontaminate_semantic ranked-window shape
+    "embedding_delta" -> (NormCte +
+      s"""
+         |, $ivfCentroidCtes,
+         |assigned AS (
+         |  SELECT vec_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+         |cand AS (
+         |  SELECT n.vec_id, b.vec_id AS base_id
+         |  FROM assigned n JOIN assigned b ON n.bucket = b.bucket
+         |  WHERE n.vec_id % 5 = 4 AND b.vec_id % 5 <> 4),
+         |verify AS (
+         |  SELECT c.vec_id, c.base_id,
+         |         ${dotSql("vn.e", "vb.e")} / (vn.nrm * vb.nrm) AS cos
+         |  FROM cand c JOIN v vn ON vn.vec_id = c.vec_id
+         |              JOIN v vb ON vb.vec_id = c.base_id),
+         |ranked AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY vec_id) AS n_cand,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, base_id) AS rk
+         |  FROM verify)
+         |SELECT v.vec_id, CAST(COALESCE(r.n_cand, 0) AS BIGINT) AS n_cand,
+         |       r.base_id AS best_base, r.cos AS best_cos,
+         |       CASE WHEN r.cos >= $CosTau THEN 'near_dup' ELSE 'novel' END AS verdict
+         |FROM v LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r USING (vec_id)
+         |WHERE v.vec_id % 5 = 4 ORDER BY v.vec_id""".stripMargin),
 
     // embedding decontamination: eval bands + exact-cosine verify, best
     // match per corpus vector (cos DESC, eval_id tie-break), LEFT join

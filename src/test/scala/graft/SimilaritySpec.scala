@@ -339,4 +339,44 @@ class SimilaritySpec extends SparkSpec {
       "every semantic pair must appear in the exhaustive pair set with identical cosine")
     assigned.unpersist(); p.unpersist()
   }
+
+  test("semantic delta: every NEW vector classified exactly once, both arms " +
+      "populated, asymmetry real (new never matches new), and the verdict " +
+      "agrees with the bucket-confined brute force") {
+    val isNew = col("vec_id") % 5 === 4
+    val d = Similarity.semanticDelta(emb, isNew, tau = 0.4).cache()
+    val nNew = Similarity.vectors(emb).filter(isNew).count()
+    assert(d.count() === nNew, "one classification per new vector")
+    assert(d.filter(col("verdict") === "near_dup").count() > 0)
+    assert(d.filter(col("verdict") === "novel").count() > 0)
+    // a near_dup's best match is a BASE vector with cos >= tau; a novel
+    // either had no same-bucket base candidates or none above tau
+    assert(d.filter(col("verdict") === "near_dup" &&
+      (col("best_base") % 5 === 4 || col("best_cos") < 0.4)).count() === 0)
+    assert(d.filter(col("verdict") === "novel" && col("best_cos") >= 0.4)
+      .count() === 0)
+    // candidate-less new vectors surface as n_cand = 0 + null best match
+    assert(d.filter(col("n_cand") === 0 && col("best_base").isNotNull).count() === 0)
+    // brute-force cross-check: the best base match within the bucket, by
+    // (cos DESC, base_id), with the bit-identical kernel cosine
+    val vv = Similarity.vectors(emb)
+    val assigned = vv.select(col("vec_id"), expr("graft_ivf_bucket(e)").as("bucket"))
+    val nw = assigned.filter(isNew)
+    val base = assigned.filter(!isNew)
+      .select(col("vec_id").as("base_id"), col("bucket"))
+    val xa = vv.select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"))
+    val xb = vv.select(col("vec_id").as("base_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("base_id"))
+    val brute = nw.join(base, "bucket").join(xa, "vec_id").join(xb, "base_id")
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("base_id").as("best_base"), col("cos").as("best_cos"))
+    assert(d.filter(col("best_base").isNotNull)
+      .select("vec_id", "best_base", "best_cos")
+      .except(brute).count() === 0,
+      "best matches must equal the bucket-confined brute force exactly")
+    d.unpersist()
+  }
 }
