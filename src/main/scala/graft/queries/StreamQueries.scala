@@ -110,6 +110,15 @@ object StreamQueries {
     }),
     // Streaming ANN serving: query vectors probe the static IVF index;
     // replay reproduces sim_topk_ivf (batch oracle verbatim).
+    // ONLINE semantic snapshot delta (r11): new-shard vectors classified
+    // per micro-batch against the once-materialized bucketed base
+    // assignment; replay == embedding_delta (oracle verbatim)
+    "stream_embedding_delta" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_embedding_delta", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.semanticDeltaStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("vec_id"))
+    }),
     "stream_sim_ivf" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf", dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -330,6 +339,7 @@ object StreamQueries {
     // snapshot delta verbatim
     "stream_delta" -> PipelineQueries.oracles("corpus_delta"),
     "stream_delta_advance" -> PipelineQueries.deltaAdvanceOracleSql(3),
+    "stream_embedding_delta" -> PipelineQueries.oracles("embedding_delta"),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),

@@ -166,4 +166,70 @@ object SimilarityStream {
     TopicStream.awaitAndCapturePlan(q)
     TopicStream.readBatchedOutput(spark, outDir)
   }
+
+  /** ONLINE semantic snapshot delta — the streaming twin of
+    * [[Similarity.semanticDelta]] (the embedding-space face of
+    * DedupStream.snapshotDeltaStream): new-shard vectors arrive as a
+    * stream and each micro-batch classifies against the BASE corpus's
+    * nearest-centroid bucket assignment, materialized ONCE as a table
+    * bucketed by `bucket` — zero static-side Exchange per trigger, the
+    * index shuffle paid at write time. The stream side is stateless
+    * (bucket kernel + stream-static LEFT join, so candidate-less
+    * vectors survive as novel); the n_cand/best-match window runs in
+    * foreachBatch, complete per batch because a vector's candidates
+    * never span batches. Replay equals the batch operator exactly
+    * (embedding_delta oracle verbatim).
+    */
+  def semanticDeltaStream(spark: SparkSession, embPath: String,
+                          outDir: String, checkpointDir: String,
+                          tau: Double = 0.4,
+                          maxFilesPerTrigger: Option[Int] = None,
+                          tablePrefix: String = "graft_semdelta"): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    val corpus = spark.read.parquet(embPath)
+    val isNew = col("vec_id") % 5 === 4
+
+    val idxTable = s"${tablePrefix}_idx"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus.filter(!isNew))
+        .withColumn("bucket", expr("graft_ivf_bucket(e)"))
+        .select(col("vec_id").as("base_id"), col("e").as("eb"),
+          col("nrm").as("nb"), col("bucket")),
+      idxTable, IndexBuckets, "bucket")
+    val baseIndex = spark.table(idxTable)
+
+    val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isNew)
+    val probed = Similarity.vectors(incoming)
+      .withColumn("bucket", expr("graft_ivf_bucket(e)"))
+      .select(col("vec_id"), col("e").as("en"), col("nrm").as("nn"), col("bucket"))
+    // LEFT join keeps candidate-less vectors in the stream — they are
+    // the novel arm, not dropped rows
+    val scored = probed.join(baseIndex, Seq("bucket"), "left_outer")
+      .withColumn("cos", expr("graft_dot(en, eb)") / (col("nn") * col("nb")))
+      .select(col("vec_id"), col("base_id"), col("cos"))
+
+    val q = scored.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy(col("vec_id"))
+        val wr = w.orderBy(col("cos").desc_nulls_last, col("base_id"))
+        TopicStream.writeBatchIdempotent(
+          batch
+            .withColumn("n_cand", count(col("base_id")).over(w))
+            .withColumn("rk", row_number().over(wr))
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("n_cand"),
+              col("base_id").as("best_base"), col("cos").as("best_cos"),
+              when(col("cos") >= tau, "near_dup").otherwise("novel")
+                .as("verdict")),
+          batchId, outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    TopicStream.readBatchedOutput(spark, outDir)
+  }
 }

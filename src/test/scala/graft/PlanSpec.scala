@@ -236,6 +236,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang"), s"untouched columns must be pruned:\n$p")
   }
 
+  test("mu-law roundtrip is a shuffle-free projection with the scan pruned") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val p = graft.operators.Multimodal.ulawRoundtrip(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ulawRoundtrip must not shuffle:\n$p")
+    assert(!p.contains("lang"), s"untouched columns must be pruned:\n$p")
+  }
+
+  test("semantic delta: candidates meet on the bucket shuffle key, never a " +
+      "cartesian/broadcast-nested-loop; new-vs-new is structurally absent") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    // at corpus scale NEITHER side of the candidate join broadcasts (both
+    // are the corpus); disable the size-based broadcast the toy sf takes
+    // so the plan shows its 100-TB shape
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.operators.Similarity
+        .semanticDelta(emb, col("vec_id") % 5 === 4)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"no theta join:\n$p")
+      // the candidate join is keyed on the coarse cluster — the 100-TB
+      // shuffle key (bucket population ~ N/nlist per task)
+      assert(p.contains("hashpartitioning(bucket"),
+        s"candidate join must shuffle on bucket:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("brute-force rerank is two-phase: salted local top-k before the per-query window") {
     val p = graft.operators.Similarity
       .bruteForceTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
