@@ -661,6 +661,58 @@ object PipelineQueries {
   }
 
 
+  /** Oracle for the semantic snapshot-ADVANCING delta stream: the
+    * embedding_delta machinery unrolled over `splits` sequential shards
+    * with the base membership accumulating each stage's novel VECTORS —
+    * base(k+1) = base(k) ∪ novel(k). Shard id replays the
+    * orderedSplitInput offset-range rule (chunk = max(vec_id) DIV splits
+    * + 1). The centroid/assignment CTEs are embedding_delta's verbatim;
+    * only the per-stage base joins differ (the deltaAdvanceOracleSql
+    * pattern in embedding space).
+    */
+  def semanticDeltaAdvanceOracleSql(splits: Int): String = {
+    val global =
+      s"""
+         |, $ivfCentroidCtes,
+         |chunk AS (SELECT MAX(vec_id) // $splits + 1 AS c FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, list_position(cc, list_max(cc)) AS bucket,
+         |         vec_id % 5 = 4 AS is_new,
+         |         vec_id // (SELECT c FROM chunk) AS shard
+         |  FROM ccs),
+         |base0 AS (SELECT vec_id FROM assigned WHERE NOT is_new)""".stripMargin
+    val stages = (0 until splits).map { k =>
+      s"""
+         |, cand$k AS (
+         |  SELECT n.vec_id, b.vec_id AS base_id
+         |  FROM assigned n JOIN assigned b ON n.bucket = b.bucket
+         |       JOIN base$k bs ON bs.vec_id = b.vec_id
+         |  WHERE n.is_new AND n.shard = $k),
+         |verify$k AS (
+         |  SELECT c.vec_id, c.base_id,
+         |         ${dotSql("vn.e", "vb.e")} / (vn.nrm * vb.nrm) AS cos
+         |  FROM cand$k c JOIN v vn ON vn.vec_id = c.vec_id
+         |                JOIN v vb ON vb.vec_id = c.base_id),
+         |ranked$k AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY vec_id) AS n_cand,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, base_id) AS rk
+         |  FROM verify$k),
+         |cls$k AS (
+         |  SELECT a.vec_id, CAST(COALESCE(r.n_cand, 0) AS BIGINT) AS n_cand,
+         |         r.base_id AS best_base, r.cos AS best_cos,
+         |         CASE WHEN r.cos >= $CosTau THEN 'near_dup' ELSE 'novel' END AS verdict,
+         |         a.shard
+         |  FROM assigned a LEFT JOIN (SELECT * FROM ranked$k WHERE rk = 1) r
+         |       ON r.vec_id = a.vec_id
+         |  WHERE a.is_new AND a.shard = $k),
+         |base${k + 1} AS (SELECT vec_id FROM base$k UNION ALL
+         |  SELECT vec_id FROM cls$k WHERE verdict = 'novel')""".stripMargin
+    }.mkString
+    val union = (0 until splits).map(k => s"SELECT * FROM cls$k").mkString(" UNION ALL ")
+    NormCte + global + stages +
+      s"\nSELECT vec_id, n_cand, best_base, best_cos, verdict, shard FROM ($union) ORDER BY vec_id"
+  }
+
   /** Non-printing separator for BPE segment strings in the oracle (a
     * symbol list folded into one VARCHAR — list_reduce's accumulator must
     * share the element type). Corpus words are printable tokens, so the

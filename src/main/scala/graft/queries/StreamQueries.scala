@@ -119,6 +119,15 @@ object StreamQueries {
       SimilarityStream.semanticDeltaStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("vec_id"))
     }),
+    // semantic snapshot-ADVANCING delta (r11): each shard's novel
+    // vectors are appended to the bucketed assignment, so shard k
+    // classifies against base ∪ novel(<k) — the oracle unrolls the
+    // recurrence in SQL (embedding-space deltaAdvance pattern)
+    "stream_embedding_delta_advance" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_embedding_delta_advance", dir)
+      SimilarityStream.semanticDeltaAdvancingStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("vec_id"))
+    }),
     "stream_sim_ivf" -> ((s, dir) => {
       val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf", dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -340,6 +349,7 @@ object StreamQueries {
     "stream_delta" -> PipelineQueries.oracles("corpus_delta"),
     "stream_delta_advance" -> PipelineQueries.deltaAdvanceOracleSql(3),
     "stream_embedding_delta" -> PipelineQueries.oracles("embedding_delta"),
+    "stream_embedding_delta_advance" -> PipelineQueries.semanticDeltaAdvanceOracleSql(3),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),

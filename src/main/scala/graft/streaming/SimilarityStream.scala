@@ -232,4 +232,100 @@ object SimilarityStream {
     TopicStream.awaitAndCapturePlan(q)
     TopicStream.readBatchedOutput(spark, outDir)
   }
+
+  /** One shard's classification against the CURRENT base assignment
+    * table — the whole probe runs inside foreachBatch so each batch
+    * reads the table state its predecessors advanced. Candidates are
+    * deduplicated on (vec_id, base_id) before the window: a replayed
+    * append can only duplicate identical assignment rows, and the dedup
+    * makes duplicated index rows unable to change n_cand or the best
+    * match (the set-shaped-probe rule of the text-side advance).
+    */
+  private[graft] def classifySemanticBatch(spark: SparkSession, batch: DataFrame,
+                                    tau: Double, idxTable: String): DataFrame = {
+    val probed = Similarity.vectors(batch)
+      .withColumn("bucket", expr("graft_ivf_bucket(e)"))
+      .select(col("vec_id"), col("e").as("en"), col("nrm").as("nn"), col("bucket"))
+    val w = Window.partitionBy(col("vec_id"))
+    val wr = w.orderBy(col("cos").desc_nulls_last, col("base_id"))
+    probed.join(spark.table(idxTable), Seq("bucket"), "left_outer")
+      .withColumn("cos", expr("graft_dot(en, eb)") / (col("nn") * col("nb")))
+      .select(col("vec_id"), col("base_id"), col("cos"))
+      .dropDuplicates("vec_id", "base_id")
+      .withColumn("n_cand", count(col("base_id")).over(w))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("n_cand"),
+        col("base_id").as("best_base"), col("cos").as("best_cos"),
+        when(col("cos") >= tau, "near_dup").otherwise("novel").as("verdict"))
+  }
+
+  /** The base vectors' bucket-assignment rows for `df` — the ONE index
+    * the semantic delta maintains (vs the text delta's four).
+    */
+  private[graft] def assignmentRows(df: DataFrame): DataFrame =
+    Similarity.vectors(df)
+      .withColumn("bucket", expr("graft_ivf_bucket(e)"))
+      .select(col("vec_id").as("base_id"), col("e").as("eb"),
+        col("nrm").as("nb"), col("bucket"))
+
+  /** Semantic delta with BASE-INDEX MAINTENANCE — the embedding-space
+    * face of [[DedupStream.snapshotDeltaAdvancingStream]]: shard k
+    * classifies against base ∪ novel(shards < k), because each
+    * micro-batch appends its NOVEL vectors' assignment rows to the
+    * bucketed table before the next shard arrives. The advance is
+    * derived from the WRITTEN classification (one evaluation — sink and
+    * advance can never disagree) and costs the shard's novel rows, never
+    * the accumulated corpus. Output adds the shard id (vec_id DIV chunk,
+    * the orderedSplitInput offset-range rule — data-derived, so a
+    * re-batched replay cannot mislabel). The multi-snapshot replay
+    * equals the SEQUENTIAL batch recurrence (spec'd; the registered
+    * `stream_embedding_delta_advance` oracle unrolls it in SQL).
+    */
+  def semanticDeltaAdvancingStream(spark: SparkSession, embPath: String,
+                                   outDir: String, checkpointDir: String,
+                                   splits: Int = 3,
+                                   tau: Double = 0.4,
+                                   tablePrefix: String = "graft_semdelta_adv"): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    val corpus = spark.read.parquet(embPath)
+    val isNew = col("vec_id") % 5 === 4
+    val chunk = corpus.agg(max(col("vec_id"))).head().getLong(0) / splits + 1
+    val idxTable = s"${tablePrefix}_idx"
+    Bucketing.writeBucketed(assignmentRows(corpus.filter(!isNew)),
+      idxTable, IndexBuckets, "bucket")
+    val splitDir = TopicStream.orderedSplitInput(spark, embPath, splits,
+      s"$outDir-input", idCol = "vec_id")
+    val incoming = TopicStream.fileStream(spark, splitDir,
+      maxFilesPerTrigger = Some(1))
+    val q = incoming.filter(isNew).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        // refresh on THIS session: foreachBatch frames live in a
+        // micro-batch session clone with its own relation cache — the
+        // append refreshed the clone's catalog, not the one
+        // classifySemanticBatch reads through (the text-advance rule)
+        spark.catalog.refreshTable(idxTable)
+        TopicStream.writeBatchIdempotent(
+          classifySemanticBatch(spark, b, tau, idxTable)
+            .withColumn("shard", expr(s"vec_id DIV $chunk")),
+          batchId, outDir)
+        // advance off the WRITTEN classification
+        val novel = b.join(
+          spark.read.parquet(s"$outDir/batch_$batchId")
+            .filter(col("verdict") === "novel").select(col("vec_id")),
+          "vec_id")
+        Bucketing.appendBucketed(assignmentRows(novel), idxTable,
+          IndexBuckets, "bucket")
+        b.unpersist()
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    TopicStream.readBatchedOutput(spark, outDir)
+  }
 }
