@@ -67,7 +67,7 @@ object Cli {
       |                 (print <topic> | stats <topic> | merge-all <src> <dst> |
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
-      |                  stream (merge-all|dlq) <topic> <dst>)""".stripMargin
+      |                  stream (merge-all|dlq|compact) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
     var o = Opts()
@@ -391,8 +391,19 @@ object Cli {
         print(s"Routed $n record(s) to '$dest'")
         commitOffsets(o, topicView(spark, o.dir, srcName), default = true, print)
         0
+      case "compact" =>
+        // ships the CHANGELOG form — the §5 complete-mode rule's
+        // production default for key-cardinality state (the complete-mode
+        // face re-emits full state per trigger and is the batch verb)
+        val changelog = TopicStream.compactUpdatesStream(spark, srcPath,
+          s"${o.out}/changelog", ckpt, o.maxFiles)
+        val up = changelog.filter(col("live")).count()
+        val del = changelog.filter(!col("live")).count()
+        print(s"Emitted ${up + del} change(s) to '$dest': $up upsert(s), $del delete(s)")
+        commitOffsets(o, topicView(spark, o.dir, srcName), default = true, print)
+        0
       case other =>
-        print(s"unknown stream subcommand '$other' (merge-all | dlq)\n$usage")
+        print(s"unknown stream subcommand '$other' (merge-all | dlq | compact)\n$usage")
         1
     }
   }

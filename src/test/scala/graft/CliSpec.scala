@@ -183,6 +183,25 @@ class CliSpec extends SparkSpec {
     val dlqN = Topics.events(spark, sf).count() - clean.count()
     assert(lines2.contains(s"Routed $dlqN record(s) to 'events.dlq'"))
 
+    // stream compact ships the CHANGELOG form (the §5 complete-mode
+    // rule's production default): reconciled, it equals batch compaction
+    val out3 = outDir("stream-compact")
+    val lines3 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code4 = Cli.run(spark,
+      Seq("-d", srcDir, "-O", out3, "-m", "2", "stream", "compact", "events", "events.compact"),
+      print = lines3 += _)
+    assert(code4 == 0)
+    val changelog = graft.streaming.TopicStream
+      .readBatchedOutput(spark, s"$out3/changelog")
+    val reconciled = TopicOps.reconcileChangelog(changelog)
+    val compacted = TopicOps.compact(Topics.events(spark, sf))
+    assert(reconciled.count() == compacted.count())
+    assert(reconciled.exceptAll(compacted.select(reconciled.columns.map(col): _*)).isEmpty)
+    val up = changelog.filter(col("live")).count()
+    val del = changelog.filter(!col("live")).count()
+    assert(lines3.contains(
+      s"Emitted ${up + del} change(s) to 'events.compact': $up upsert(s), $del delete(s)"))
+
     // arity + unknown-subcommand arms stay CLI errors, not throws
     assert(Cli.parse(Seq("-d", srcDir, "stream", "merge-all", "events")).isLeft)
     val code3 = Cli.run(spark,
