@@ -87,6 +87,72 @@ object BpeImpl {
     }
     new GenericArrayData(Array(nw, nt))
   }
+
+  /** text → segmented-document string (see [[BpeSegments]]); null when
+    * no words survive the split.
+    */
+  def segments(text: UTF8String, merges: Array[String]): UTF8String = {
+    val words = text.trim().toLowerCase().toString.split("[ \t\n\f\r]+", -1)
+    val sb = new java.lang.StringBuilder
+    var any = false
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        if (any) sb.append('\u001e')
+        any = true
+        var syms = new Array[String](w.length)
+        var ci = 0
+        while (ci < w.length) { syms(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
+        var m = 0
+        while (m + 1 < merges.length) {
+          syms = mergePassStr(syms, merges(m), merges(m + 1))
+          m += 2
+        }
+        var si = 0
+        while (si < syms.length) {
+          if (si > 0) sb.append('\u001f')
+          sb.append(syms(si))
+          si += 1
+        }
+      }
+      wi += 1
+    }
+    if (!any) null else UTF8String.fromString(sb.toString)
+  }
+}
+
+/** text → the SEGMENTED document under a fitted merge table: each
+  * word's final symbols joined by US (\u001f, the oracle's BpeSep),
+  * words joined by RS (\u001e); empty tokens skipped; null when the
+  * text has no words (the score face's n_words > 0 filter as a null).
+  * Corpus symbols are printable, so the separators cannot collide and
+  * stripping them reconstructs the normalized text exactly
+  * (spec-pinned) — this string IS the shippable tokenizer artifact,
+  * where [[BpeTokens]] only bills it.
+  */
+case class BpeSegments(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_segments"
+
+  @transient private lazy val flat: Array[String] =
+    merges.flatMap(p => Seq(p._1, p._2)).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.segments(input.asInstanceOf[UTF8String], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BpeImpl.segments($c, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegments =
+    copy(child = newChild)
 }
 
 /** (symbols, a, b) → symbols after one greedy merge pass. */

@@ -114,6 +114,34 @@ object Bpe {
       .filter(col("n_words") > 0)
   }
 
+  /** Per-document SEGMENTATION under a fitted merge table — the
+    * tokenizer ARTIFACT face ([[tokenCounts]] only bills the result;
+    * this emits it): `segments` is each word's final symbols joined by
+    * US with words joined by RS (the oracle's separator convention), and
+    * `n_bpe_tokens` is recomputed FROM the string (one split) so the two
+    * columns can never disagree. Same fused one-call-per-row kernel
+    * shape as the score face; zero shuffle.
+    */
+  def segmentDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val name = s"graft_bpe_segments_${fitIds.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.BpeSegments(exprs.head, merges), "built-in")
+    docs
+      .withColumn("segments", call_function(name, col("text")))
+      .filter(col("segments").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("segments"), "[\u001f\u001e]")).cast("long").as("n_bpe_tokens"),
+        col("segments"))
+  }
+
+  /** Fit + segment in one call — the registered `text_bpe_segments`
+    * query.
+    */
+  def fitAndSegment(docs: DataFrame, vocabSize: Int = VocabSize,
+                    rounds: Int = MergeRounds): DataFrame =
+    segmentDocs(docs, fit(docs, vocabSize, rounds).map(m => (m._2, m._3)))
+
   /** Fit + score in one call — the registered `text_bpe_tokens` query. */
   def fitAndScore(docs: DataFrame, vocabSize: Int = VocabSize,
                   rounds: Int = MergeRounds): DataFrame =

@@ -224,6 +224,10 @@ object PipelineQueries {
     // kernel call per doc, merge table baked in (fit/score split)
     "text_bpe_tokens" -> ((s, dir) =>
       Bpe.fitAndScore(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+    // the tokenizer ARTIFACT face (r11): the actual segmentation string
+    // (US within words, RS between), count recomputed FROM the string
+    "text_bpe_segments" -> ((s, dir) =>
+      Bpe.fitAndSegment(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     // Zipf profile card (r8): rank x frequency products over the top-k
     // vocabulary — flatness reads as Zipf conformance; all integers.
     "corpus_zipf_card" -> ((s, dir) =>
@@ -718,6 +722,11 @@ object PipelineQueries {
     * share the element type). Corpus words are printable tokens, so the
     * unit separator can never appear inside a symbol.
     */
+  /** Word separator for the segmented-document artifact (record
+    * separator - BpeSep separates symbols WITHIN a word).
+    */
+  private val BpeRS = "\u001e"
+
   private val BpeSep = "\u001f"
 
   /** One greedy BPE merge pass as a DuckDB string fold: merge when the
@@ -1961,6 +1970,34 @@ object PipelineQueries {
            |SELECT d.doc_id, COUNT(*) AS n_words,
            |  CAST(SUM(len(string_split(a.seg, '$BpeSep'))) AS BIGINT) AS n_bpe_tokens
            |FROM dwf d JOIN aw${Bpe.MergeRounds} a USING (word)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
+    // The segmentation artifact: the aw word chain verbatim, plus a
+    // word-ORDER index (ws[i] via an unnested generate_series) so the
+    // per-doc string_agg replays the document sequence exactly
+    "text_bpe_segments" -> {
+      val aw = (0 until Bpe.MergeRounds).map { r =>
+        s"""
+           |, aw${r + 1} AS MATERIALIZED (
+           |  SELECT word, ${bpeFold("seg", "b.a", "b.b")} AS seg
+           |  FROM aw$r LEFT JOIN best$r b ON TRUE)""".stripMargin
+      }.mkString
+      bpeFitCtes(Bpe.VocabSize, Bpe.MergeRounds) +
+        s"""
+           |, dwi AS MATERIALIZED (
+           |  SELECT doc_id, i, ws[i] AS word FROM (
+           |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
+           |      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           |      FROM documents))
+           |  WHERE ws[i] <> ''),
+           |aw0 AS MATERIALIZED (SELECT word, array_to_string(string_split(word, ''), '$BpeSep') AS seg
+           |        FROM (SELECT DISTINCT word FROM dwi))""".stripMargin + aw +
+        s"""
+           |SELECT d.doc_id,
+           |  CAST(SUM(len(string_split(a.seg, '$BpeSep'))) AS BIGINT) AS n_bpe_tokens,
+           |  string_agg(a.seg, '$BpeRS' ORDER BY d.i) AS segments
+           |FROM dwi d JOIN aw${Bpe.MergeRounds} a USING (word)
            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
 

@@ -66,4 +66,34 @@ class BpeSpec extends SparkSpec {
       "16 corpus-fitted merges must compress SOMETHING")
     scored.unpersist()
   }
+
+  test("segments face: hand segmentation exact, separators strip back to the " +
+      "normalized text, and the string-derived count equals the score face " +
+      "on the whole corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab b aaa"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Bpe.segmentDocs(docs, Seq(("a", "a"), ("a", "b"))).collect()
+    assert(out.length === 1) // the all-whitespace doc drops (score-face parity)
+    // aa->[aa], ab->[ab], b->[b], aaa->[aa,a]: words RS-joined, symbols US-joined
+    assert(out.head.getString(2) === "aa\u001eab\u001eb\u001eaa\u001fa")
+    assert(out.head.getLong(1) === 5L)
+
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val seg = Bpe.fitAndSegment(corpus).cache()
+    // loss-free: stripping both separators reconstructs the normalized text
+    val recon = seg.join(corpus, "doc_id")
+      .withColumn("stripped",
+        regexp_replace(regexp_replace(col("segments"), "\u001f", ""), "\u001e", " "))
+      .withColumn("norm",
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    assert(recon.filter(col("stripped") =!= col("norm")).count() === 0,
+      "segmentation must be loss-free over the corpus")
+    // the artifact and the bill can never disagree
+    val counts = Bpe.fitAndScore(corpus)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_score"))
+    assert(seg.join(counts, "doc_id")
+      .filter(col("n_bpe_tokens") =!= col("n_score")).count() === 0)
+    assert(seg.count() === counts.count())
+    seg.unpersist()
+  }
 }
