@@ -35,6 +35,8 @@ import graft.streaming.TopicStream
   *   -l, --limit N          records printed by `print` (default 20; 0
   *                          prints none — pass the topic size for a full
   *                          dump, collect() is driver-bounded by N)
+  *   -m, --max-files N      stream verb: maxFilesPerTrigger for the
+  *                          AvailableNow run (default: drain in one batch)
   *   -y, --actions SRC      ask action source: '-' = interactive stdin
   *                          (m/p/s prompt per record, default merge,
   *                          unknown retries — streamActionSource semantics),
@@ -63,7 +65,7 @@ object Cli {
     positional: List[String] = Nil)
 
   def usage: String =
-    """usage: graft.Cli -d DIR [-O DIR] [-g GROUP] [-a] [-A] [-T] [-n[=false]] [-l N] [-y SRC]
+    """usage: graft.Cli -d DIR [-O DIR] [-g GROUP] [-a] [-A] [-T] [-n[=false]] [-l N] [-y SRC] [-m N]
       |                 (print <topic> | stats <topic> | merge-all <src> <dst> |
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
