@@ -193,7 +193,10 @@ object Graph {
   def knnPageRank(emb: DataFrame, k: Int = 5, probes: Int = 2,
                   rounds: Int = 5, topK: Int = 20,
                   scale: Long = 1000000000000L): DataFrame = {
-    val knn = Similarity.knnJoinIvf(emb, k, probes)
+    // nlist derived from the corpus (sizedNlist): the graph build is the
+    // corpus-scale op, so its quantizer tracks sqrt(N) — identical graph at
+    // gate scales, halved per-bucket mass at sf1+
+    val knn = Similarity.knnJoinIvfSized(emb, k, probes)
     val pairs = knn
       .select(least(col("query_id"), col("corpus_id")).as("pa"),
         greatest(col("query_id"), col("corpus_id")).as("pb"))

@@ -136,12 +136,28 @@ object Similarity {
     * against the vector table twice on the 8-byte vec_id, and the
     * two-phase salted rerank caps the per-query window population.
     */
-  def knnJoinIvf(emb: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
+  def knnJoinIvf(emb: DataFrame, k: Int = 5, probes: Int = 2,
+                 nlist: Int = NCentroids): DataFrame = {
     val v = vectors(emb)
-    val corpus = v.select(col("vec_id").as("corpus_id"),
-      expr("graft_ivf_bucket(e)").as("bucket"))
+    val (bucketCol, probesCol) =
+      if (nlist == NCentroids)
+        (expr("graft_ivf_bucket(e)"), expr(s"graft_ivf_probes(e, $probes)"))
+      else {
+        // the codebook is a pure function of nlist (LCG rows), so the
+        // name-keyed registration can safely be once-per-session (the
+        // ivfTopK wiring)
+        val cents = Codebooks.centroidsFor(nlist).map(_.toArray).toArray
+        val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+        registerOnce(emb, s"graft_ivf_bucket_$nlist")(
+          exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
+        registerOnce(emb, s"graft_ivf_probes_${nlist}_$probes")(
+          exprs => graft.functions.IvfProbes(exprs.head, probes, cents, cnorms))
+        (call_function(s"graft_ivf_bucket_$nlist", col("e")),
+          call_function(s"graft_ivf_probes_${nlist}_$probes", col("e")))
+      }
+    val corpus = v.select(col("vec_id").as("corpus_id"), bucketCol.as("bucket"))
     val queries = v.select(col("vec_id").as("query_id"),
-      explode(expr(s"graft_ivf_probes(e, $probes)")).as("bucket"))
+      explode(probesCol).as("bucket"))
     val cand = corpus.join(queries, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id")).distinct()
@@ -151,6 +167,23 @@ object Similarity {
       .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
     rerankTopKTwoPhase(scored, k)
   }
+
+  /** The kNN graph's N-ADAPTIVE coarse-quantizer size: one nlist
+    * doubling per 16x corpus growth keeps nlist tracking √N (the
+    * documented ANN-graph scale knob — candidates ≈ probes·N²/nlist stay
+    * ≈ probes·N^1.5) within the LCG generator's 200-row coarse budget.
+    * ≤ 4096 vectors keeps the serving default 64, so every driver-gate
+    * scale (500 / 2,000 vectors) produces the IDENTICAL graph and the
+    * existing oracles hold unchanged; the derivation only engages at
+    * sf1+ — mirrored verbatim in the oracle's nlsizing CTE (the
+    * sizedEstK / sizedSaltBuckets pattern).
+    */
+  def sizedNlist(n: Long): Int =
+    if (n <= 4096) NCentroids else if (n <= 65536) 128 else 200
+
+  /** [[knnJoinIvf]] with nlist derived from the corpus (one count). */
+  def knnJoinIvfSized(emb: DataFrame, k: Int = 5, probes: Int = 2): DataFrame =
+    knnJoinIvf(emb, k, probes, sizedNlist(emb.count()))
 
   /** IVF-bucketed ANN: corpus vectors live in their nearest-centroid
     * bucket (argmax cosine, first-index tie-break); each query probes its

@@ -175,7 +175,7 @@ object PipelineQueries {
     // kNN SELF-join (r9): every vector's top-k neighbors over its
     // probed IVF buckets — the ANN-graph construction pass
     "sim_knn_join_ivf" -> ((s, dir) =>
-      Similarity.knnJoinIvf(Tables.load(s, dir, "embeddings"), KnnK, KnnProbes)
+      Similarity.knnJoinIvfSized(Tables.load(s, dir, "embeddings"), KnnK, KnnProbes)
         .orderBy(col("query_id"), col("rnk"))),
     // PageRank over the kNN similarity graph (r11): the ANN edge list
     // symmetrized into the fixed-point power iteration — representative/
@@ -897,6 +897,25 @@ object PipelineQueries {
        |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
        |  FROM v CROSS JOIN cn GROUP BY vec_id)""".stripMargin
 
+  /** The kNN-graph variant of [[ivfCentroidCtes]]: nlist derived from
+    * count(embeddings) exactly as Similarity.sizedNlist derives it —
+    * generate the LCG budget's 200 rows and keep c < nl (a table
+    * function cannot take a subquery bound). ≤ 4096 vectors yields the
+    * serving default, so gate-scale results are bit-identical to the
+    * fixed CTE's.
+    */
+  private def ivfCentroidCtesSized: String =
+    s"""nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+       |  WHEN COUNT(*) <= 65536 THEN 128 ELSE 200 END AS nl FROM embeddings),
+       |cent AS (
+       |  SELECT c, [CAST((((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+       |             for i in generate_series(0, ${Dim - 1})] AS cv
+       |  FROM generate_series(0, 199) AS t(c), nlsizing WHERE c < nl),
+       |cn AS (SELECT c, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cent),
+       |ccs AS (
+       |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
+       |  FROM v CROSS JOIN cn GROUP BY vec_id)""".stripMargin
+
   /** Sign-LSH band index, with the hyperplane codebook GENERATED in SQL
     * from the same LCG formula as Codebooks.planes — the oracle scales to
     * any bands × planes without inlining thousands of literals. Yields
@@ -1364,7 +1383,7 @@ object PipelineQueries {
     // self-pairs excluded; probe/rank replay identical to sim_topk_ivf
     "sim_knn_join_ivf" -> (NormCte +
       s"""
-         |, $ivfCentroidCtes,
+         |, $ivfCentroidCtesSized,
          |corpus AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
          |probes AS (
@@ -1392,7 +1411,7 @@ object PipelineQueries {
       val rounds = 5
       val head = NormCte +
         s"""
-           |, $ivfCentroidCtes,
+           |, $ivfCentroidCtesSized,
            |corpus AS (
            |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
            |probes AS (
@@ -1409,15 +1428,15 @@ object PipelineQueries {
            |ranked AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
            |  FROM scored),
-           |pairs AS (
+           |pairs AS MATERIALIZED (
            |  SELECT DISTINCT least(query_id, corpus_id) AS pa,
            |         greatest(query_id, corpus_id) AS pb
            |  FROM ranked WHERE rnk <= $KnnK),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT pa AS src, pb AS dst FROM pairs
            |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
-           |nodes AS (SELECT DISTINCT src AS id FROM edges),
-           |deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+           |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
            |r0 AS (SELECT id, CAST($S AS BIGINT) AS r FROM nodes)""".stripMargin
       val chain = (1 to rounds).map { t =>
         s""",

@@ -340,6 +340,20 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist(); p.unpersist()
   }
 
+  test("sized kNN nlist: the ladder tracks sqrt(N) within the LCG budget, " +
+      "and at gate scales the sized graph is IDENTICAL to the fixed-64 one") {
+    assert(Similarity.sizedNlist(0L) === 64)
+    assert(Similarity.sizedNlist(4096L) === 64)
+    assert(Similarity.sizedNlist(4097L) === 128)
+    assert(Similarity.sizedNlist(65536L) === 128)
+    assert(Similarity.sizedNlist(65537L) === 200)
+    assert(Similarity.sizedNlist(Long.MaxValue) === 200)
+    val fixed = Similarity.knnJoinIvf(emb)
+    val sized = Similarity.knnJoinIvfSized(emb)
+    assert(sized.except(fixed).count() === 0 && fixed.except(sized).count() === 0,
+      "<= 4096 vectors must produce the identical kNN graph")
+  }
+
   test("semantic delta: every NEW vector classified exactly once, both arms " +
       "populated, asymmetry real (new never matches new), and the verdict " +
       "agrees with the bucket-confined brute force") {
