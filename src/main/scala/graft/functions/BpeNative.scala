@@ -60,12 +60,13 @@ object BpeImpl {
 
   /** text → [n_words, n_bpe_tokens] under a fitted merge table (flat
     * [a0, b0, a1, b1, …], applied in rank order). Tokenization matches
-    * the corpus word rule exactly (lower, trim, \s+ split — the
-    * ShingleHashImpl convention); empty tokens are skipped so an
-    * all-whitespace text scores (0, 0).
+    * the corpus word rule exactly (lower, trim, whitespace+US/RS split —
+    * the Bpe.wordCounts class; US/RS are separators so the segment
+    * artifact's structure bytes can never appear inside a symbol);
+    * empty tokens are skipped so an all-whitespace text scores (0, 0).
     */
   def tokenStats(text: UTF8String, merges: Array[String]): ArrayData = {
-    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r\\u001F\\u001E]+", -1)
     var nw = 0L
     var nt = 0L
     var wi = 0
@@ -92,7 +93,7 @@ object BpeImpl {
     * no words survive the split.
     */
   def segments(text: UTF8String, merges: Array[String]): UTF8String = {
-    val words = text.trim().toLowerCase().toString.split("[ \t\n\f\r]+", -1)
+    val words = text.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r\\u001F\\u001E]+", -1)
     val sb = new java.lang.StringBuilder
     var any = false
     var wi = 0
@@ -126,9 +127,10 @@ object BpeImpl {
   * word's final symbols joined by US (\u001f, the oracle's BpeSep),
   * words joined by RS (\u001e); empty tokens skipped; null when the
   * text has no words (the score face's n_words > 0 filter as a null).
-  * Corpus symbols are printable, so the separators cannot collide and
-  * stripping them reconstructs the normalized text exactly
-  * (spec-pinned) — this string IS the shippable tokenizer artifact,
+  * US/RS are part of the word-SPLIT class, so no input — printable or
+  * not — can carry either code point into a symbol: the separators
+  * cannot collide by construction and stripping them reconstructs the
+  * normalized text exactly (spec-pinned) — this string IS the shippable tokenizer artifact,
   * where [[BpeTokens]] only bills it.
   */
 case class BpeSegments(child: Expression, merges: Seq[(String, String)])

@@ -40,7 +40,12 @@ object JpegCodec {
 
   /** Declared (width, height) from the first SOF marker segment, or None
     * when the marker stream is malformed, truncated, reaches SOS/EOI
-    * before any SOF, or declares a dimension outside (0, MaxDim].
+    * before any SOF, declares a dimension outside (0, MaxDim], or
+    * declares more than [[PngCodec.MaxPixels]] total pixels — the AREA
+    * bound is what actually limits the decode-side raster allocation
+    * (round-11 ADVICE: per-dimension caps alone admit a crafted
+    * 16384×16384 ≈ 1 GiB TYPE_INT_RGB allocation whose
+    * OutOfMemoryError escapes the catch as an Error).
     */
   private[functions] def declaredDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.length < 4) return None
@@ -66,7 +71,8 @@ object JpegCodec {
           if (len < 7) return None
           val h = be16(i + 5)
           val w = be16(i + 7)
-          return if (w < 1 || h < 1 || w > MaxDim || h > MaxDim) None
+          return if (w < 1 || h < 1 || w > MaxDim || h > MaxDim ||
+            w.toLong * h > PngCodec.MaxPixels) None
           else Some((w, h))
         }
         if (marker == 0xda) return None // SOS before any SOF: malformed

@@ -66,14 +66,25 @@ object PngCodec {
 
   private val MaxDim = 16384
 
+  /** Pixel-count budget for a DECODE-side allocation: a TYPE_INT_RGB
+    * raster costs 4 bytes/pixel, so per-dimension caps alone still admit
+    * a crafted 16384×16384 header — a ~1 GiB allocation inside
+    * ImageIO.read whose OutOfMemoryError is an Error and escapes the
+    * IOException/RuntimeException catch (round-11 ADVICE). 2M pixels
+    * (≈8 MB) is comfortably above every fixture (335×215 ≈ 72k) and the
+    * area bound, not the side bounds, is what actually limits the
+    * allocation. Shared by [[JpegCodec]].
+    */
+  private[functions] val MaxPixels = 2000000L
+
   /** The declared IHDR (width, height), or None when the header is
-    * shorter than signature+IHDR or either dimension is outside
-    * (0, MaxDim]. Read BEFORE ImageIO.read: a crafted header claiming a
-    * huge w×h would otherwise drive a gigabyte BufferedImage allocation
-    * whose OutOfMemoryError is an Error — not the caught exceptions —
-    * and escape as a crash (the container-kernel contract: bounds-check
-    * every declared size, malformed → null, never a throw or a hang).
-    * Bound matches what encodeTiled enforces on the write side.
+    * shorter than signature+IHDR, either dimension is outside
+    * (0, MaxDim], or w·h exceeds [[MaxPixels]]. Read BEFORE
+    * ImageIO.read: a crafted header claiming a huge w×h would otherwise
+    * drive a gigabyte BufferedImage allocation whose OutOfMemoryError is
+    * an Error — not the caught exceptions — and escape as a crash (the
+    * container-kernel contract: bounds-check every declared size,
+    * malformed → null, never a throw or a hang).
     */
   private def declaredDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     // 8-byte signature, 4-byte chunk length, "IHDR", 4-byte w, 4-byte h
@@ -85,7 +96,7 @@ object PngCodec {
       return None
     val w = be32(16)
     val h = be32(20)
-    if (w < 1 || h < 1 || w > MaxDim || h > MaxDim) None
+    if (w < 1 || h < 1 || w > MaxDim || h > MaxDim || w * h > MaxPixels) None
     else Some((w.toInt, h.toInt))
   }
 

@@ -32,9 +32,17 @@ object Bpe {
   val VocabSize = 256
   val MergeRounds = 16
 
-  /** The corpus word-frequency table under the shared tokenization. */
+  /** The corpus word-frequency table under the shared tokenization.
+    * The split class is whitespace PLUS the segment separators US/RS
+    * (U+001F / U+001E): [[segmentDocs]]'s artifact string uses those two
+    * code points as structure, so the word rule must guarantee they can
+    * never survive INSIDE a symbol — treating them as separators makes
+    * the no-collision invariant input-true, not fixture-true (round-11
+    * ADVICE). Mirrored in [[graft.functions.BpeImpl]] and the oracle's
+    * word-split regex.
+    */
   private def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")).as("word"))
+    docs.select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\u001F\\u001E]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
@@ -77,7 +85,12 @@ object Bpe {
         merges += ((r + 1, a, b, cnt))
         val prev = vocab
         vocab = vocab
-          .withColumn("syms", expr(s"graft_bpe_merge(syms, ${sqlStr(a)}, ${sqlStr(b)})"))
+          // typed literals, never SQL interpolation: a corpus symbol
+          // containing a backslash (or any parser metacharacter) passes
+          // through call_function untouched, where an interpolated string
+          // literal would hit Spark's backslash-escape parsing (r11 ADVICE)
+          .withColumn("syms",
+            call_function("graft_bpe_merge", col("syms"), lit(a), lit(b)))
           .localCheckpoint(true)
         unpersistLocalCheckpoint(prev)
       }
@@ -119,7 +132,10 @@ object Bpe {
     * this emits it): `segments` is each word's final symbols joined by
     * US with words joined by RS (the oracle's separator convention), and
     * `n_bpe_tokens` is recomputed FROM the string (one split) so the two
-    * columns can never disagree. Same fused one-call-per-row kernel
+    * columns can never disagree. The recount is exact for ANY input
+    * because US/RS are word separators in the tokenization itself
+    * ([[wordCounts]]) — a document containing them cannot smuggle either
+    * code point into a symbol. Same fused one-call-per-row kernel
     * shape as the score face; zero shuffle.
     */
   def segmentDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
@@ -160,11 +176,6 @@ object Bpe {
       name, exprs => graft.functions.BpeTokens(exprs.head, merges), "built-in")
     name
   }
-
-  /** Single-quoted SQL string literal (symbols are corpus word
-    * characters; quotes doubled defensively).
-    */
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Frees a superseded localCheckpoint (the Dedup loop pattern): the
     * frame is never referenced again, so the truncated lineage can't be

@@ -381,10 +381,15 @@ object DedupStream {
     * bucket specs as [[writeDeltaIndexes]], so every probe keeps its
     * zero-Exchange static side; the append cost tracks the SHARD's novel
     * rows, never the accumulated corpus. Replay-safe by semantics, not
-    * by bookkeeping: a re-appended batch can only duplicate rows, and
-    * every probe is set-shaped (min-agg on the hash table, distinct on
-    * band candidates, rank-1 window on near matches), so duplicated
-    * index rows never change a classification (spec'd).
+    * by bookkeeping, against BOTH retry shapes: (a) a re-appended batch
+    * seen by LATER shards can only duplicate rows, and every probe is
+    * set-shaped (min-agg on the hash table, distinct on band candidates,
+    * rank-1 window on near matches), so duplicated index rows never
+    * change a classification; (b) a batch REPLAYED after its own append
+    * (retry between append and checkpoint commit) is guarded in
+    * [[classifyDeltaBatch]] by the own-id anti-join — its own appended
+    * rows are invisible to its probes, so the replay classifies exactly
+    * as the first run did (both spec'd).
     */
   private[graft] def appendDeltaIndexes(novel: DataFrame, kEst: Int,
                                         tablePrefix: String): Unit = {
@@ -476,22 +481,41 @@ object DedupStream {
   /** One micro-batch of the delta classification: the batch-side shingle/
     * hash/band/signature projections are the batch operator's own; every
     * join probes a bucketed static table on its bucket key.
+    *
+    * Replay-safety against the batch's OWN prior append (round-11
+    * ADVICE, the medium finding): if the driver retries a micro-batch
+    * AFTER its appendDeltaIndexes ran but BEFORE the checkpoint commit,
+    * the batch's novel rows are already in the probe tables — without a
+    * guard each such doc would match ITSELF (chash self-hit, band
+    * self-hit at jaccard 1.0) and the replay would overwrite 'novel'
+    * with 'exact_dup of itself'. Every probe therefore anti-joins the
+    * index against the batch's own doc ids first: in a first run the
+    * anti-join removes nothing (the append hasn't happened yet), and in
+    * a same-batch replay it removes exactly the batch's own appended
+    * rows — including same-batch SIBLINGS, which the original run's
+    * classify-then-append ordering never saw either. The batch side
+    * broadcasts (it is the small side), so the static scans stay
+    * Exchange-free.
     */
   private[graft] def classifyDeltaBatch(spark: SparkSession, batch: DataFrame,
                                         kEst: Int, minMatches: Long, tau: Double,
                                         tablePrefix: String): DataFrame = {
+    val ownIds = batch.select(col("doc_id").as("own_id"))
+    def notOwn(tbl: String, key: String): DataFrame =
+      spark.table(tbl).join(broadcast(ownIds),
+        col(key) === col("own_id"), "left_anti")
     val nw = batch.withColumn("chash", md5(col("text").cast("binary")))
     // min-agg rather than a bare projection: the snapshot-ADVANCING
     // variant appends to the hash table, so a replayed batch can leave a
     // chash duplicated — the min collapses it to the one keeper the batch
     // operator would pick (and is a no-op on the unique base-only table)
     val exact = nw.select(col("doc_id"), col("chash"))
-      .join(spark.table(s"${tablePrefix}_hashes"), "chash")
+      .join(notOwn(s"${tablePrefix}_hashes", "exact_id"), "chash")
       .groupBy(col("doc_id")).agg(min(col("exact_id")).as("exact_id"))
     val hashes = Dedup.shingleHashes(batch)
     val cand = Dedup.minhashBands(hashes, 4)
       .select(col("doc_id"), col("n_sh"), col("band_id"), col("band_val"))
-      .join(spark.table(s"${tablePrefix}_bands"), Seq("band_id", "band_val"))
+      .join(notOwn(s"${tablePrefix}_bands", "base_id"), Seq("band_id", "band_val"))
       .filter(least(col("n_sh"), col("base_n_sh")).cast("double") >=
         lit(tau) * greatest(col("n_sh"), col("base_n_sh")))
       .select(col("doc_id"), col("base_id")).distinct()

@@ -240,15 +240,29 @@ object SimilarityStream {
     * append can only duplicate identical assignment rows, and the dedup
     * makes duplicated index rows unable to change n_cand or the best
     * match (the set-shaped-probe rule of the text-side advance).
+    *
+    * Same-batch replay guard (round-11 ADVICE): a batch retried AFTER
+    * its own novel rows were appended (driver retry between append and
+    * checkpoint commit) would otherwise find itself in the table —
+    * every vector matching itself at cos 1.0, flipping 'novel' to
+    * 'near_dup of itself'. The index is anti-joined against the batch's
+    * own vec_ids before probing: a no-op on the first run, and on a
+    * replay it removes exactly the batch's own appended rows (including
+    * same-batch siblings the original classify-then-append order never
+    * saw), so replay == first run. The batch side broadcasts; the
+    * bucketed static scan stays Exchange-free.
     */
   private[graft] def classifySemanticBatch(spark: SparkSession, batch: DataFrame,
                                     tau: Double, idxTable: String): DataFrame = {
+    val ownIds = batch.select(col("vec_id").as("own_id"))
+    val idx = spark.table(idxTable).join(broadcast(ownIds),
+      col("base_id") === col("own_id"), "left_anti")
     val probed = Similarity.vectors(batch)
       .withColumn("bucket", expr("graft_ivf_bucket(e)"))
       .select(col("vec_id"), col("e").as("en"), col("nrm").as("nn"), col("bucket"))
     val w = Window.partitionBy(col("vec_id"))
     val wr = w.orderBy(col("cos").desc_nulls_last, col("base_id"))
-    probed.join(spark.table(idxTable), Seq("bucket"), "left_outer")
+    probed.join(idx, Seq("bucket"), "left_outer")
       .withColumn("cos", expr("graft_dot(en, eb)") / (col("nn") * col("nb")))
       .select(col("vec_id"), col("base_id"), col("cos"))
       .dropDuplicates("vec_id", "base_id")

@@ -67,6 +67,35 @@ class BpeSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("hostile symbols: backslash words survive the fit (typed literals, " +
+      "not SQL interpolation) and US/RS in a document act as separators") {
+    import spark.implicits._
+    // words contain backslashes: the round-1 argmax is ('\', '\') —
+    // interpolating that into a SQL literal would corrupt the merge pair
+    // or fail to parse (r11 ADVICE); call_function must pass it through
+    val bs = Seq((1L, "a\\\\b a\\\\b"), (2L, "a\\\\b")).toDF("doc_id", "text")
+    val m1 = Bpe.fit(bs, vocabSize = 10, rounds = 2)
+    assert(m1.head._2 == "\\" && m1.head._3 == "\\",
+      s"backslash pair must fit cleanly: $m1")
+    assert(Bpe.tokenCounts(bs, m1.map(m => (m._2, m._3)))
+      .filter(col("doc_id") === 1L).head().getLong(2) ===
+      2L * ("a\\\\b".length - m1.size),
+      "each fitted merge shortens each backslash word by one symbol")
+
+    // US/RS inside a document are SEPARATORS (the split-class guarantee):
+    // they can never land inside a symbol, the fit sees the same words as
+    // a space-separated twin, and the segment artifact stays exact
+    val hostile = Seq((1L, "aa\u001faa\u001eab b"), (2L, "aa aa ab b"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.fit(hostile, vocabSize = 10, rounds = 16)
+    assert(merges.head._2 == "a" && merges.head._3 == "a" && merges.head._4 == 4L,
+      s"US/RS must split words exactly like whitespace: $merges")
+    val seg = Bpe.segmentDocs(hostile, merges.map(m => (m._2, m._3))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(seg(1L) === seg(2L),
+      "the US/RS document must segment identically to its space-separated twin")
+  }
+
   test("segments face: hand segmentation exact, separators strip back to the " +
       "normalized text, and the string-derived count equals the score face " +
       "on the whole corpus") {

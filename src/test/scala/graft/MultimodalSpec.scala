@@ -534,6 +534,36 @@ class MultimodalSpec extends SparkSpec {
     hugeJpg(sof + 5) = 0x7f.toByte; hugeJpg(sof + 6) = 0xff.toByte // h
     hugeJpg(sof + 7) = 0x7f.toByte; hugeJpg(sof + 8) = 0xff.toByte // w
     assert(JpegCodec.decodeHash(hugeJpg).isEmpty)
+
+    // the AREA budget (r11 ADVICE): per-dimension caps alone admit
+    // 16384×16384 ≈ 1 GiB of raster — each side legal, the product not.
+    // 16384·16384 > MaxPixels must reject; a legal-area header with one
+    // large side must still reach the decoder (and fail there on the
+    // mismatched entropy stream, not on the guard — None either way, but
+    // the small 2047×977 (< 2M px) control below proves the budget line
+    // sits where documented)
+    val areaPng = png.clone()
+    // 32-bit BE dims: offsets 16..19 w, 20..23 h — both set to 16384
+    for ((o, v) <- Seq(16 -> 0x00, 17 -> 0x00, 18 -> 0x40, 19 -> 0x00,
+                       20 -> 0x00, 21 -> 0x00, 22 -> 0x40, 23 -> 0x00))
+      areaPng(o) = v.toByte
+    assert(java.nio.ByteBuffer.wrap(areaPng, 16, 4).getInt == 16384,
+      "fixture patch sanity")
+    assert(PngCodec.decodeHash(areaPng).isEmpty,
+      "16384x16384 is within per-dim caps but must trip the pixel budget")
+    val areaJpg = jpg.clone()
+    areaJpg(sof + 5) = 0x40.toByte; areaJpg(sof + 6) = 0x00.toByte // h = 16384
+    areaJpg(sof + 7) = 0x40.toByte; areaJpg(sof + 8) = 0x00.toByte // w = 16384
+    assert(JpegCodec.decodeHash(areaJpg).isEmpty,
+      "16384x16384 is within per-dim caps but must trip the pixel budget")
+    val okJpg = jpg.clone()
+    okJpg(sof + 5) = 0x03.toByte; okJpg(sof + 6) = 0xd1.toByte // h = 977
+    okJpg(sof + 7) = 0x07.toByte; okJpg(sof + 8) = 0xff.toByte // w = 2047
+    // 2047·977 < 2M: passes the guard (no false rejection below the
+    // line) — ImageIO then decodes at the patched dims (it pads the
+    // short entropy stream), which proves the budget is the ONLY new gate
+    assert(JpegCodec.decodeHash(okJpg).exists(t => t._1 == 2047 && t._2 == 977),
+      "a below-budget header must reach the decoder")
   }
 
   test("JPEG codec: lossy roundtrip keeps dims exact and per-pixel error " +

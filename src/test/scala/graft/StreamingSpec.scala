@@ -663,6 +663,27 @@ class StreamingSpec extends SparkSpec {
     val orig = streamed.filter(col("shard") === 2)
     assert(re.except(orig).count() === 0 && orig.except(re).count() === 0,
       "a replayed assignment append must not change any classification")
+
+    // SAME-batch replay (r11 ADVICE, the medium finding): the driver
+    // retries shard 2 AFTER its own advance ran but BEFORE the commit —
+    // the shard's own novel rows are now in the table, and without the
+    // own-id anti-join every one of them would match ITSELF at cos 1.0
+    // and flip to 'near_dup of itself'. The guarded replay must equal
+    // the original classification exactly.
+    val ownNovelIds = streamed
+      .filter(col("verdict") === "novel" && col("shard") === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ownNovelIds.nonEmpty, "fixture must have shard-2 novels")
+    graft.sources.Bucketing.appendBucketed(
+      graft.streaming.SimilarityStream.assignmentRows(
+        emb.filter(col("vec_id").isInCollection(ownNovelIds))),
+      replayTable, graft.streaming.SimilarityStream.IndexBuckets, "bucket")
+    spark.catalog.refreshTable(replayTable)
+    val re2 = graft.streaming.SimilarityStream
+      .classifySemanticBatch(spark, lastShard, 0.4, replayTable)
+      .withColumn("shard", lit(2L))
+    assert(re2.except(orig).count() === 0 && orig.except(re2).count() === 0,
+      "a same-batch replay after its own advance must reproduce the original classification")
     streamed.unpersist()
   }
 
@@ -921,6 +942,22 @@ class StreamingSpec extends SparkSpec {
     val expect = adv.filter(col("doc_id") === 24L || col("doc_id") === 29L)
       .select("doc_id", "status", "base_id", "jaccard")
     assert(reclass.exceptAll(expect).isEmpty && expect.exceptAll(reclass).isEmpty)
+    // SAME-batch replay (r11 ADVICE, the medium finding): shard 1
+    // retried AFTER its own append ran (the stream already appended doc
+    // 19's index rows — and a retried append may even double them) but
+    // BEFORE the checkpoint commit. Without the own-id anti-join doc 19
+    // would match itself (chash self-hit) and the replay would flip its
+    // 'novel' to 'exact_dup of itself'; the guard must reproduce the
+    // first run's classification exactly.
+    DedupStream.appendDeltaIndexes(docs.filter(col("doc_id") === 19L),
+      kEst, "spec_graft_adv")
+    val shard1 = docs.filter(isNew && expr("doc_id DIV 10") === 1)
+    val replay1 = DedupStream.classifyDeltaBatch(spark, shard1, kEst,
+      math.ceil(kEst * 0.5 / 2).toLong, 0.5, "spec_graft_adv")
+    val expectS1 = adv.filter(col("shard") === 1)
+      .select("doc_id", "status", "base_id", "jaccard")
+    assert(replay1.exceptAll(expectS1).isEmpty && expectS1.exceptAll(replay1).isEmpty,
+      "a same-batch replay after its own append must reproduce the original classification")
     adv.unpersist()
   }
 }
