@@ -76,6 +76,8 @@ object NativeHash {
       exprs => VecNorm(exprs.head)),
     ("graft_plane_buckets", "sign-LSH band values against the constant hyperplane codebook",
       exprs => PlaneBuckets(exprs.head)),
+    ("graft_fp_unit", "fixed-point unit vector floor(floor(e*1e6)*1e6/norm) — the oracle-exact k-means input",
+      exprs => FpUnit(exprs.head)),
     ("graft_ivf_bucket", "1-based nearest-centroid index by cosine (first-max tie-break)",
       exprs => IvfBucket(exprs.head)),
     ("graft_ivf_probes", "1-based positions of the top-N centroid cosines",

@@ -63,6 +63,40 @@ object Codebooks {
 
   val centroids: IndexedSeq[IndexedSeq[Double]] = centroidsFor(NCentroids)
 
+  /** Fixed-point normalize for the oracle-exact k-means fits: m
+    * (integer-valued doubles) → floor(mᵢ·S/‖m‖) at S = 10⁶, or null
+    * when m is all zeros. Exact-integer arithmetic carried in doubles
+    * plus one correctly-rounded sqrt and division per component — the
+    * [[FpUnit]] shape, so DuckDB replays it from the same formula.
+    */
+  private[graft] def fpNormalize(m: Array[Double]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < m.length) { n2 += m(i) * m(i); i += 1 }
+    if (n2 == 0) null
+    else {
+      val s = math.sqrt(n2)
+      val out = new Array[Double](m.length)
+      i = 0
+      while (i < m.length) {
+        out(i) = math.floor(m(i) * VectorNativeImpl.FpScale / s)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** The k fp-normalized LCG seed centroids (generator rows 200..,
+    * the [[centroidsFor]] rows BEFORE the /1000 value scaling — the
+    * integers themselves seed the fixed-point iteration).
+    */
+  private[graft] def seedCentroidsFp(k: Int): Array[Array[Double]] = {
+    require(k <= 200,
+      s"seedCentroidsFp(k=$k): the LCG row budget for coarse centroids is 200")
+    Array.tabulate(k)(c => fpNormalize(Array.tabulate(Dim)(i =>
+      (((1103515245L * ((c + 200) * Dim + i) + 12345L) % 2001L) - 1000L).toDouble)))
+  }
+
   /** Product-quantization sub-codebooks (IVF-PQ residual refinement):
     * PqM subspaces of PqSub dims, PqK codes each. Same LCG family from
     * generator rows 400.. (planes use rows 0..NPlanes-1, coarse
@@ -120,6 +154,35 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorNativeImpl.norm($c)")
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+/** e → the FIXED-POINT unit vector x̂ (array<double> of integer values):
+  * x̂ᵢ = floor(xfᵢ · S / ‖xf‖) with xfᵢ = floor(eᵢ · S), S = 10⁶ — the
+  * engine-exact normalization the k-means fit iterates over (round-11
+  * VERDICT #1: the float fit's partition-ordered sums were the ONLY
+  * reason the fitted-codebook rows were rows-gated). Every step is
+  * either exact integer arithmetic carried in doubles (all magnitudes
+  * < 2⁵³: |eᵢ| < 8 keeps xfᵢ² ≤ 6.4·10¹³ and Σ ≤ 4·10¹⁵) or a single
+  * correctly-rounded IEEE op (sqrt, one division, floor) — so DuckDB
+  * replays it bit-for-bit from the same formula. NULL for the zero
+  * vector (no direction to fit).
+  */
+case class FpUnit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fp_unit"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.fpUnit(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorNativeImpl.fpUnit($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): FpUnit =
     copy(child = newChild)
 }
 
@@ -313,6 +376,32 @@ object VectorNativeImpl {
     var i = 0
     while (i < n) { s += a.getDouble(i) * coefs(i); i += 1 }
     s
+  }
+
+  /** Fixed-point scale for the oracle-exact k-means fits: 10⁶ is exactly
+    * representable and keeps every intermediate an exact integer in
+    * double range (see [[FpUnit]]).
+    */
+  val FpScale = 1000000.0
+
+  /** See [[FpUnit]]. Null (not a throw) for the zero vector. */
+  def fpUnit(e: ArrayData): ArrayData = {
+    val n = e.numElements()
+    val xf = new Array[Double](n)
+    var n2 = 0.0 // exact: every term and partial sum is an integer < 2^53
+    var i = 0
+    while (i < n) {
+      val v = math.floor(e.getDouble(i) * FpScale)
+      xf(i) = v
+      n2 += v * v
+      i += 1
+    }
+    if (n2 == 0) return null
+    val s = math.sqrt(n2)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = math.floor(xf(i) * FpScale / s); i += 1 }
+    new GenericArrayData(out)
   }
 
   def planeBuckets(e: ArrayData): ArrayData = {

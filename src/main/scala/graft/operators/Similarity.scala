@@ -230,19 +230,44 @@ object Similarity {
     rerankTopKTwoPhase(scoreCandidates(cand, v), k)
   }
 
-  /** Spherical k-means over the corpus (the offline codebook fit a real
-    * IVF deployment runs): assignment by the native dot kernel against
-    * literal centroid arrays, mean by one 64-avg aggregate pass, means
-    * renormalized to the unit sphere, empty clusters keep their previous
-    * centroid. The LCG codebook seeds the iteration, so the fit is
-    * deterministic up to float-sum ordering. Returns the fitted codebook
-    * (k × Dim) — small by construction; collecting a MODEL, not data.
+  /** FIXED-POINT spherical k-means over the corpus (the offline codebook
+    * fit a real IVF deployment runs) — engine-exact by construction
+    * (round-11 VERDICT #1: the previous float fit's partition-ordered
+    * mean sums were the only reason the fitted-codebook rows were
+    * rows-gated). The whole iteration runs on x̂ = graft_fp_unit(e) —
+    * integer-valued fixed-point unit vectors at scale S = 10⁶ — so every
+    * step is either exact integer arithmetic or a pinned IEEE shape:
+    *
+    *   - seed: the LCG integers, fp-normalized (floor(g·S/‖g‖));
+    *   - assignment: argmax of the INTEGER dot x̂·ĉ (first-max tie-break;
+    *     the kernel's dot/‖x̂‖ divides every candidate by the same
+    *     positive scalar, which cannot reorder or collapse distinct
+    *     integer dots — adjacent dots differ by ≥ 1/‖x̂‖ ≈ 10⁻⁶, five
+    *     orders above ulp — so it equals the oracle's integer argmax);
+    *   - update: component sums are BIGINT (order-free ⇒ exact under any
+    *     partitioning), the mean is truncating integer division
+    *     (sum/count in Scala == DuckDB's `//`), and the fp-renormalize
+    *     is the same floor(m·S/‖m‖) shape;
+    *   - empty clusters (and all-zero means) keep their previous
+    *     centroid; zero vectors are excluded (no direction to fit).
+    *
+    * The returned codebook holds the integer-valued fp components
+    * (norm ≈ S); every downstream kernel divides by the codebook norm,
+    * so serving behavior is identical to unit centroids. The DuckDB
+    * oracle unrolls the same recurrence as CTEs (the tokenizer_fit
+    * pattern), which is what flips `sim_topk_ivf_kmeans` /
+    * `sim_topk_ivf_pq_fitted` to full hash gates.
     *
     * `sampleFraction` < 1 fits on a seeded Bernoulli sample — the 100-TB
     * shape (round-3 VERDICT perf note): centroid quality needs ~O(k·10³)
     * vectors, not all N, so each of the `iters` passes scans only the
     * sample while bucket ASSIGNMENT (ivfTopKFitted) still covers every
-    * vector with the fitted codebook.
+    * vector with the fitted codebook. (The sample is not
+    * SQL-replayable; the gated query paths fit on the full corpus.)
+    *
+    * Overflow headroom: component sums are |x̂ᵢ| ≤ S per row, so BIGINT
+    * holds exact sums to ~9·10¹² rows per cluster — document-scale, not
+    * a practical bound (and a 100-TB fit samples anyway).
     */
   def fitCentroids(emb: DataFrame, k: Int = NCentroids, iters: Int = 3,
                    sampleFraction: Double = 1.0): Array[Array[Double]] = {
@@ -251,10 +276,16 @@ object Similarity {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val base = vectors(emb)
+    // x̂ computed ONCE and materialized (persist) — the loop's 64
+    // element_at references then read a stored array, never re-evaluate
+    // the kernel (the HOF-inlining landmine, SURVEY §5)
     val v = (if (sampleFraction < 1.0) base.sample(withReplacement = false,
-      sampleFraction, seed = 42L) else base).persist()
+      sampleFraction, seed = 42L) else base)
+      .withColumn("xh", expr("graft_fp_unit(e)"))
+      .filter(col("xh").isNotNull)
+      .select(col("xh")).persist()
     try {
-      var cents = Codebooks.centroids.take(k).map(c => normalize(c.toArray)).toArray
+      var cents = Codebooks.seedCentroidsFp(k)
       val ones = Array.fill(k)(1.0)
       // per-FIT assignment function over a per-fit holder: the builder
       // runs at analysis of each iteration's query and reads THIS fit's
@@ -264,34 +295,29 @@ object Similarity {
       val assignName = registerFitFunction(emb, "graft_ivf_fit_assign")(
         exprs => graft.functions.IvfBucket(exprs.head, gen.get(), ones))
       for (_ <- 0 until iters) {
-        // every generation of centroids is unit-norm, so the fused
-        // nearest-centroid kernel with cnorms ≡ 1 computes exactly the
-        // dot/nrm argmax the declarative form did — one JVM call per row
-        // instead of a k-element array of dot expressions
         gen.set(cents)
-        val means = v
-          .withColumn("bucket",
-            call_function(assignName, col("e")).cast("long"))
+        val sums = v
+          .withColumn("bucket", call_function(assignName, col("xh")).cast("long"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             (0 until Dim).map(i =>
-              avg(element_at(col("e"), i + 1) / col("nrm")).as(s"m$i")): _*)
+              sum(element_at(col("xh"), i + 1).cast("long")).as(s"m$i")): _*)
           .collect()
         val next = cents.map(_.clone())
-        means.foreach { r =>
+        sums.foreach { r =>
           val b = r.getLong(0).toInt - 1
-          if (b >= 0 && b < k)
-            next(b) = normalize(Array.tabulate(Dim)(i => r.getDouble(i + 2)))
+          if (b >= 0 && b < k) {
+            val cnt = r.getLong(1)
+            // truncating long division — DuckDB's `//` semantics
+            val m = Array.tabulate(Dim)(i => (r.getLong(i + 2) / cnt).toDouble)
+            val norm = Codebooks.fpNormalize(m)
+            if (norm != null) next(b) = norm
+          }
         }
         cents = next
       }
       cents
     } finally { v.unpersist(); () }
-  }
-
-  private def normalize(x: Array[Double]): Array[Double] = {
-    val n = math.sqrt(x.map(v => v * v).sum)
-    if (n == 0) x else x.map(_ / n)
   }
 
   /** IVF ANN over a DATA-DERIVED codebook: fit spherical k-means on the
@@ -361,57 +387,62 @@ object Similarity {
   }
 
   /** Offline PQ residual sub-codebook fit — the data-derived twin of the
-    * LCG [[graft.functions.Codebooks.pqCents]] (round-4 VERDICT #6): per
-    * subspace m, plain L2 k-means (PqK codes, first-min assignment,
-    * empty codes keep their previous center) over the residual
-    * subvectors û − ĉ_b of a bounded deterministic sample, SEEDED by the
-    * LCG codebook so the fit is reproducible. The sample (first
-    * `maxSample` vec_ids, collected) is fitting a MODEL: codebook
-    * quality needs O(PqK·10²) residuals per subspace, not all N — a
-    * 100-TB deployment fits exactly like this, offline on a sample,
-    * while ENCODING (pqCode over the corpus) stays distributed.
+    * LCG [[graft.functions.Codebooks.pqCents]] (round-4 VERDICT #6), in
+    * FIXED POINT (round-11 VERDICT #1): per subspace m, plain L2
+    * k-means (PqK codes, first-min assignment, empty codes keep their
+    * previous center) over the INTEGER residual subvectors x̂ − ĉfp_b
+    * (both sides fixed-point at scale S = 10⁶, so residuals, distances,
+    * sums and the truncating-division means are all exact integers —
+    * order-free, engine-exact, and replayable as unrolled DuckDB CTEs).
+    * The coarse bucket b is the SERVING assignment (IvfBucket over the
+    * raw e with the fitted codebook — the same cluster structure the
+    * encoder uses). Seeds are the LCG integers at the PQ value scale
+    * (·S/4000 = ·250, exact). Returns value-space doubles (fp/S) so the
+    * serving kernels plug them in unchanged.
+    *
+    * The sample (first `maxSample` vec_ids, collected) is fitting a
+    * MODEL: codebook quality needs O(PqK·10²) residuals per subspace,
+    * not all N — a 100-TB deployment fits exactly like this, offline on
+    * a sample, while ENCODING (pqCode over the corpus) stays
+    * distributed.
     */
   def fitPqCodebooks(emb: DataFrame, cents: Array[Array[Double]],
                      cnorms: Array[Double], iters: Int = 5,
                      maxSample: Int = 2048): Array[Array[Array[Double]]] = {
     import Codebooks.{PqM, PqK, PqSub}
-    val hat = cents.zip(cnorms).map { case (c, n) => c.map(_ / n) }
-    val sample = vectors(emb).select(col("vec_id"), col("e"))
+    val S = graft.functions.VectorNativeImpl.FpScale
+    val bucketName = registerFitFunction(emb, "graft_pqfit_assign")(
+      exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
+    val sample = vectors(emb)
+      .withColumn("xh", expr("graft_fp_unit(e)"))
+      .filter(col("xh").isNotNull)
+      .select(col("vec_id"), col("xh"),
+        call_function(bucketName, col("e")).as("b"))
       .orderBy(col("vec_id")).limit(maxSample)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val residuals = sample.map { e =>
-      val nrm = math.sqrt(e.map(x => x * x).sum)
-      var best = 0
-      var c = 1
-      def cos(i: Int): Double = {
-        var s = 0.0
-        var d = 0
-        while (d < e.length) { s += e(d) * cents(i)(d); d += 1 }
-        s / (nrm * cnorms(i))
-      }
-      var bestCos = cos(0)
-      while (c < cents.length) {
-        val cc = cos(c)
-        if (cc > bestCos) { bestCos = cc; best = c }
-        c += 1
-      }
-      Array.tabulate(e.length)(i => e(i) / nrm - hat(best)(i))
+      .collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getInt(2) - 1))
+    // integer residuals per sample vector: x̂ − ĉfp_b, componentwise
+    val residuals = sample.map { case (xh, b) =>
+      Array.tabulate(xh.length)(i => xh(i).toLong - cents(b)(i).toLong)
     }
     Array.tabulate(PqM) { m =>
-      val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, m * PqSub, (m + 1) * PqSub))
-      var codes = Codebooks.pqCents(m).map(_.clone())
+      val sub = residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, m * PqSub, (m + 1) * PqSub))
+      // LCG seed at the PQ scale: value/4000 in unit space = raw·250 fp
+      var codes: Array[Array[Long]] = Array.tabulate(PqK, PqSub)((k, d) =>
+        ((1103515245L * ((400 + m * PqK + k) * Dim + d) + 12345L) % 2001L - 1000L) * 250L)
       for (_ <- 0 until iters) {
-        val sums = Array.fill(PqK, PqSub)(0.0)
-        val counts = new Array[Int](PqK)
+        val sums = Array.fill(PqK, PqSub)(0L)
+        val counts = new Array[Long](PqK)
         sub.foreach { r =>
           var best = 0
-          var bestD = Double.MaxValue
+          var bestD = Long.MaxValue
           var kk = 0
           while (kk < PqK) {
-            var s = 0.0
+            var s = 0L
             var d = 0
             while (d < PqSub) { val diff = r(d) - codes(kk)(d); s += diff * diff; d += 1 }
-            if (s < bestD) { bestD = s; best = kk }
+            if (s < bestD) { bestD = s; best = kk } // strict < = first-min
             kk += 1
           }
           counts(best) += 1
@@ -420,9 +451,10 @@ object Similarity {
         }
         codes = Array.tabulate(PqK)(kk =>
           if (counts(kk) == 0) codes(kk)
+          // truncating long division — DuckDB's `//` semantics
           else Array.tabulate(PqSub)(d => sums(kk)(d) / counts(kk)))
       }
-      codes
+      codes.map(_.map(_.toDouble / S))
     }
   }
 

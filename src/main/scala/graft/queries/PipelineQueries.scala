@@ -190,17 +190,18 @@ object PipelineQueries {
       Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     // IVF over a k-means-fitted codebook (the offline fit a production
-    // deployment broadcasts). The fit's float means are partitioning-
-    // dependent, so there is no SQL oracle (rows-only check); recall and
-    // correctness-vs-bruteforce are asserted in SimilaritySpec.
+    // deployment broadcasts). r12: the fit is FIXED-POINT (integer dots,
+    // BIGINT sums, truncating-division means — Similarity.fitCentroids)
+    // so the fitted codebook is engine-exact and the oracle unrolls the
+    // fit as CTEs — full hash gate; recall swept in SimilaritySpec.
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     // IVF-PQ over DATA-DERIVED codebooks: k-means coarse centroids plus
-    // per-subspace residual k-means sub-codebooks (round-5 VERDICT #6 —
-    // the PQ codebooks were the last LCG-only fit). Float means are
-    // partitioning-dependent → rows-only check; recall-vs-LCG is swept
-    // in SimilaritySpec.
+    // per-subspace residual k-means sub-codebooks (round-5 VERDICT #6).
+    // r12: BOTH fits are fixed-point (integer residual k-means over the
+    // first-2048 sample) — full hash gate; recall-vs-LCG is swept in
+    // SimilaritySpec.
     "sim_topk_ivf_pq_fitted" -> ((s, dir) =>
       Similarity.ivfPqTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -757,7 +758,7 @@ object PipelineQueries {
     val head =
       s"""WITH wc AS MATERIALIZED (
          |  SELECT word, COUNT(*) AS freq FROM (
-         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '[\\s\\x{1F}\\x{1E}]+')) AS word
          |    FROM documents) WHERE word <> '' GROUP BY word),
          |topv AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $vocabSize),
          |fv0 AS MATERIALIZED (SELECT word, freq,
@@ -915,6 +916,122 @@ object PipelineQueries {
        |ccs AS (
        |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
        |  FROM v CROSS JOIN cn GROUP BY vec_id)""".stripMargin
+
+  /** FIXED-POINT spherical k-means fit, unrolled (r12 — the oracle that
+    * flips the fitted-codebook rows to full hash gates). Produces, after
+    * `iters` rounds over the fp unit vectors: `vfu(vec_id, xh)` (the
+    * BIGINT fixed-point unit vectors, zero vectors excluded) and
+    * `fc{iters}(c, cv)` — the fitted fp codebook — plus the serving
+    * `cn2`/`ccs` CTEs over it (ccs shaped exactly like ivfCentroidCtes'
+    * so the probe/rank replay is shared verbatim). Mirrors
+    * Similarity.fitCentroids / graft_fp_unit step for step: floor(e·S)
+    * ints, floor(x·S/√n2) normalize, INTEGER dot argmax with
+    * first-position-of-max ties (the kernel's common-positive-divisor
+    * argument — see fitCentroids scaladoc), truncating `//` means,
+    * empty clusters/zero means keep the previous row.
+    */
+  private def kmeansFitCtes(iters: Int): String = {
+    def sumSq(arr: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [x*x for x in $arr]), (s,x) -> s+x)"
+    def fpn(arr: String, n2: String) =
+      s"[CAST(floor(CAST(x AS DOUBLE)*1000000.0/sqrt(CAST($n2 AS DOUBLE))) AS BIGINT) for x in $arr]"
+    val head =
+      s"""vfp AS (
+         |  SELECT vec_id, [CAST(floor(e[i]*1000000.0) AS BIGINT)
+         |                  for i in generate_series(1,$Dim)] AS xf FROM v),
+         |vfu AS MATERIALIZED (
+         |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
+         |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
+         |sg AS (
+         |  SELECT c, [(((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000)
+         |             for i in generate_series(0, ${Dim - 1})] AS g
+         |  FROM generate_series(0, ${NCentroids - 1}) t(c)),
+         |fc0 AS MATERIALIZED (
+         |  SELECT c, ${fpn("g", "n2")} AS cv
+         |  FROM (SELECT c, g, ${sumSq("g")} AS n2 FROM sg))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |asg$t AS MATERIALIZED (
+         |  SELECT vec_id, list_position(dd, list_max(dd)) AS bucket FROM (
+         |    SELECT u.vec_id,
+         |           list(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             [u.xh[i]*f.cv[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)
+         |             ORDER BY f.c) AS dd
+         |    FROM vfu u CROSS JOIN fc${t - 1} f GROUP BY u.vec_id)),
+         |ms$t AS (
+         |  SELECT a.bucket, i, SUM(u.xh[i]) AS sm, COUNT(*) AS cnt
+         |  FROM asg$t a JOIN vfu u USING (vec_id)
+         |       CROSS JOIN generate_series(1, $Dim) t(i)
+         |  GROUP BY a.bucket, i),
+         |mm$t AS (
+         |  SELECT bucket, mv, ${sumSq("mv")} AS n2m FROM (
+         |    SELECT bucket, list(sm // cnt ORDER BY i) AS mv FROM ms$t GROUP BY bucket)),
+         |fc$t AS MATERIALIZED (
+         |  SELECT p.c,
+         |         CASE WHEN m.bucket IS NULL OR m.n2m = 0 THEN p.cv
+         |              ELSE ${fpn("m.mv", "m.n2m")} END AS cv
+         |  FROM fc${t - 1} p LEFT JOIN mm$t m ON m.bucket = p.c + 1)""".stripMargin
+    }.mkString
+    val serve =
+      s""",
+         |cn2 AS MATERIALIZED (
+         |  SELECT c, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm
+         |  FROM (SELECT c, CAST(cv AS DOUBLE[]) AS cv FROM fc$iters)),
+         |ccs AS MATERIALIZED (
+         |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
+         |  FROM v CROSS JOIN cn2 GROUP BY vec_id)""".stripMargin
+    head + rounds + serve
+  }
+
+  /** FIXED-POINT per-subspace PQ residual k-means, unrolled (r12) — the
+    * data-fitted sub-codebooks over the INTEGER residuals x̂ − ĉfp_b of
+    * the first-`maxSample` sample, seeded by the LCG integers ·250 (the
+    * /4000 value scale in fp). Requires [[kmeansFitCtes]]' vfu/fc/ccs
+    * CTEs in scope (the coarse bucket b is the SERVING assignment —
+    * exactly Similarity.fitPqCodebooks). Produces pq{iters}(m, k, pv)
+    * with 0-based k and BIGINT fp code vectors.
+    */
+  private def pqFitCtes(coarseIters: Int, iters: Int, maxSample: Int): String = {
+    import graft.functions.Codebooks.{PqM, PqK, PqSub}
+    val head =
+      s""",
+         |samp AS MATERIALIZED (
+         |  SELECT u.vec_id, u.xh, list_position(s.cc, list_max(s.cc)) AS b
+         |  FROM vfu u JOIN ccs s USING (vec_id)
+         |  ORDER BY u.vec_id LIMIT $maxSample),
+         |pres AS MATERIALIZED (
+         |  SELECT s.vec_id, m,
+         |         [s.xh[m*$PqSub+d] - f.cv[m*$PqSub+d]
+         |          for d in generate_series(1,$PqSub)] AS r
+         |  FROM samp s JOIN fc$coarseIters f ON f.c = s.b - 1
+         |       CROSS JOIN generate_series(0, ${PqM - 1}) t(m)),
+         |pq0 AS MATERIALIZED (
+         |  SELECT m, k, [(((1103515245*((400+m*$PqK+k)*$Dim+d) + 12345) % 2001) - 1000) * 250
+         |                for d in generate_series(0, ${PqSub - 1})] AS pv
+         |  FROM generate_series(0, ${PqM - 1}) tm(m)
+         |       CROSS JOIN generate_series(0, ${PqK - 1}) tk(k))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |pa$t AS (
+         |  SELECT vec_id, m, list_position(ds, list_min(ds)) - 1 AS k FROM (
+         |    SELECT r.vec_id, r.m,
+         |           list(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             [(r.r[d]-q.pv[d])*(r.r[d]-q.pv[d]) for d in generate_series(1,$PqSub)]),
+         |             (s,x) -> s+x) ORDER BY q.k) AS ds
+         |    FROM pres r JOIN pq${t - 1} q ON q.m = r.m GROUP BY r.vec_id, r.m)),
+         |ps$t AS (
+         |  SELECT a.m, a.k, d, SUM(r.r[d]) AS sm, COUNT(*) AS cnt
+         |  FROM pa$t a JOIN pres r ON r.vec_id = a.vec_id AND r.m = a.m
+         |       CROSS JOIN generate_series(1, $PqSub) td(d)
+         |  GROUP BY a.m, a.k, d),
+         |pq$t AS MATERIALIZED (
+         |  SELECT p.m, p.k, CASE WHEN s.k IS NULL THEN p.pv ELSE s.nv END AS pv
+         |  FROM pq${t - 1} p LEFT JOIN (
+         |    SELECT m, k, list(sm // cnt ORDER BY d) AS nv FROM ps$t GROUP BY m, k) s
+         |    ON s.m = p.m AND s.k = p.k)""".stripMargin
+    }.mkString
+    head + rounds
+  }
 
   /** Sign-LSH band index, with the hyperplane codebook GENERATED in SQL
     * from the same LCG formula as Codebooks.planes — the oracle scales to
@@ -1519,6 +1636,94 @@ object PipelineQueries {
            |ORDER BY query_id, rnk""".stripMargin
     },
 
+    // k-means-FITTED IVF (r12 — rows-gated until the fit went fixed
+    // point): the fp fit unrolled as CTEs (kmeansFitCtes, 3 rounds),
+    // then the sim_topk_ivf probe/rank replay verbatim over the fitted
+    // cn2/ccs
+    "sim_topk_ivf_kmeans" -> (NormCte +
+      s"""
+         |, ${kmeansFitCtes(3)},
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM ccs WHERE vec_id >= 8),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $Probes)]) AS bucket
+         |  FROM ccs WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    // fully-FITTED IVF-PQ (r12): coarse fp fit (3 rounds) + per-subspace
+    // fp residual fit (5 rounds, first-2048 sample) unrolled, then the
+    // sim_topk_ivf_pq encode/score/shortlist/rerank replay over the
+    // fitted chat/pqv (fp codes cast to value space /1e6)
+    "sim_topk_ivf_pq_fitted" -> {
+      import graft.functions.Codebooks.{PqM, PqSub, PqK}
+      val Refine = 4
+      val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+      val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
+        s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
+      NormCte +
+        s"""
+           |, ${kmeansFitCtes(3)}${pqFitCtes(3, 5, 2048)},
+           |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
+           |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
+           |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),
+           |cb AS (
+           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+           |  FROM ccs WHERE vec_id >= 8),
+           |sres AS (
+           |  SELECT cb.corpus_id, cb.bucket,
+           |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+           |  FROM cb JOIN v ON v.vec_id = cb.corpus_id JOIN chat ON chat.c = cb.bucket - 1),
+           |sdists AS (
+           |  SELECT corpus_id, bucket, m,
+           |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
+           |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+           |  FROM sres CROSS JOIN pqv GROUP BY corpus_id, bucket, m),
+           |scodes AS (
+           |  SELECT corpus_id, bucket,
+           |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+           |  FROM sdists GROUP BY corpus_id, bucket),
+           |probes AS (
+           |  SELECT vec_id AS query_id,
+           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+           |                 for p in generate_series(1, $Probes)]) AS bucket
+           |  FROM ccs WHERE vec_id < 8),
+           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM scodes JOIN probes USING (bucket)),
+           |scored AS (
+           |  SELECT query_id, corpus_id,
+           |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
+           |  FROM cand JOIN v q ON q.vec_id = query_id
+           |            JOIN chat ch ON ch.c = bucket - 1
+           |            CROSS JOIN pqf),
+           |short AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
+           |    FROM scored)
+           |  WHERE srnk <= ${TopK * Refine}),
+           |exact AS (
+           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+           |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+           |  FROM exact)
+           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+           |ORDER BY query_id, rnk""".stripMargin
+    },
+
     "pipeline_clean_corpus" -> (cleanCorpusPrefix +
       s""",
          |ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM hashes),
@@ -1981,7 +2186,7 @@ object PipelineQueries {
         s"""
            |, dwf AS MATERIALIZED (
            |  SELECT doc_id, word FROM (
-           |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[\\s\\x{1F}\\x{1E}]+')) AS word
            |    FROM documents) WHERE word <> ''),
            |aw0 AS MATERIALIZED (SELECT word, array_to_string(string_split(word, ''), '$BpeSep') AS seg
            |        FROM (SELECT DISTINCT word FROM dwf))""".stripMargin + aw +
@@ -2007,7 +2212,7 @@ object PipelineQueries {
            |, dwi AS MATERIALIZED (
            |  SELECT doc_id, i, ws[i] AS word FROM (
            |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
-           |      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           |      SELECT doc_id, string_split_regex(lower(trim(text)), '[\\s\\x{1F}\\x{1E}]+') AS ws
            |      FROM documents))
            |  WHERE ws[i] <> ''),
            |aw0 AS MATERIALIZED (SELECT word, array_to_string(string_split(word, ''), '$BpeSep') AS seg
