@@ -192,27 +192,81 @@ object Graph {
     */
   def knnPageRank(emb: DataFrame, k: Int = 5, probes: Int = 2,
                   rounds: Int = 5, topK: Int = 20,
-                  scale: Long = 1000000000000L): DataFrame = {
-    // nlist derived from the corpus (sizedNlist): the graph build is the
-    // corpus-scale op, so its quantizer tracks sqrt(N) — identical graph at
-    // gate scales, halved per-bucket mass at sf1+
+                  scale: Long = 1000000000000L): DataFrame =
+    rankCard(pageRankAdjacency(knnEdges(emb, k, probes), rounds, scale,
+      symmetric = true), topK)
+
+  /** The symmetrized, deduplicated kNN edge list ([[knnPageRank]]'s
+    * graph): nlist derived from the corpus (sizedNlist) — the graph
+    * build is the corpus-scale op, so its quantizer tracks sqrt(N);
+    * identical graph at gate scales, halved per-bucket mass at sf1+.
+    */
+  private[graft] def knnEdges(emb: DataFrame, k: Int, probes: Int): DataFrame = {
     val knn = Similarity.knnJoinIvfSized(emb, k, probes)
     val pairs = knn
       .select(least(col("query_id"), col("corpus_id")).as("pa"),
         greatest(col("query_id"), col("corpus_id")).as("pb"))
       .distinct()
-    val edges = pairs
+    pairs
       .select(explode(array(
         struct(col("pa").as("src"), col("pb").as("dst")),
         struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** The top-`topK` rank card over a finished rank table: sort, cut,
+    * then number the 20 surviving rows. The row_number window runs
+    * AFTER the limit — over topK rows, never the corpus (its global
+    * ordering only ever sees the already-cut frame).
+    */
+  private def rankCard(ranks: DataFrame, topK: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("r").desc, col("id"))
-    pageRankAdjacency(edges, rounds, scale, symmetric = true)
+    ranks
       .orderBy(col("r").desc, col("id"))
       .limit(topK)
       .select(col("id").as("vec_id"), col("r").as("rank_fp"),
         row_number().over(w).as("rnk"))
+  }
+
+  /** BUILD-ONCE half of the build-once/rank-many kNN graph (round-11
+    * VERDICT #2): the symmetrized edge list materialized as a table
+    * bucketed (and sorted) by `src` — the probe key every consumer
+    * joins or aggregates on. A real curation pipeline pays the
+    * O(probes·N^1.5) kNN build ONCE and runs many graph consumers
+    * (PageRank, SemDeDup neighborhoods, diversity sampling) against the
+    * layout; after this write, [[pageRankFromIndex]]'s per-round plans
+    * scan the edges with ZERO Exchange (the degree aggregate and the
+    * adjacency build both cluster on `src`, which the bucketing already
+    * satisfies — plan-pinned in GraphSpec).
+    */
+  def writeKnnEdgeIndex(emb: DataFrame, table: String, k: Int = 5,
+                        probes: Int = 2, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(knnEdges(emb, k, probes),
+      table, buckets, "src")
+
+  /** RANK-MANY half: PageRank straight off the materialized edge index —
+    * the identical fixed-point iteration as [[knnPageRank]] (layout must
+    * never change answers; equality spec'd, oracle shared verbatim),
+    * minus the whole kNN build. At sf1 the build dominates knn_pagerank's
+    * wall (§7 curve), so this is what a second consumer actually costs.
+    */
+  def pageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String, rounds: Int = 5, topK: Int = 20,
+                        scale: Long = 1000000000000L): DataFrame =
+    rankCard(pageRankAdjacency(spark.table(table), rounds, scale,
+      symmetric = true), topK)
+
+  /** Build + rank in one call — the registered `knn_pagerank_indexed`
+    * query: same answers as [[knnPageRank]] by construction, with the
+    * graph landing as a reusable bucketed table on the way.
+    */
+  def knnPageRankIndexed(emb: DataFrame, table: String = "graft_knn_edges",
+                         k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                         topK: Int = 20,
+                         scale: Long = 1000000000000L): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    pageRankFromIndex(emb.sparkSession, table, rounds, topK, scale)
   }
 
   /** The top-k co-purchase-centrality card over the lineitem graph. */

@@ -183,6 +183,13 @@ object PipelineQueries {
     "knn_pagerank" -> ((s, dir) =>
       graft.operators.Graph.knnPageRank(Tables.load(s, dir, "embeddings"),
         KnnK, KnnProbes).orderBy(col("rnk"))),
+    // build-once/rank-many (r12): the kNN edge list lands as a bucketed
+    // table and the rank runs FROM the index — same answers by
+    // construction (oracle shared verbatim: layout never changes
+    // results), zero-Exchange edge scans plan-pinned in GraphSpec
+    "knn_pagerank_indexed" -> ((s, dir) =>
+      graft.operators.Graph.knnPageRankIndexed(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes).orderBy(col("rnk"))),
     // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
     // residual codes) alone; full vectors only for the exact rerank of
     // the top k·refine shortlist (round-3 §7 stretch).
@@ -1033,6 +1040,63 @@ object PipelineQueries {
     head + rounds
   }
 
+  /** kNN-graph pagerank replay, shared VERBATIM by `knn_pagerank` and
+    * its build-once/rank-many twin `knn_pagerank_indexed` (r12 — the
+    * bucketed edge layout must never change answers): the
+    * sim_knn_join_ivf CTEs build the top-k neighbor pairs, then the
+    * parts_pagerank integer power iteration runs over the symmetrized
+    * edge list (r0..r5 chained). Graph CTEs MATERIALIZED so the
+    * unrolled rounds replay one edge list (the r11 sf1 fix).
+    */
+  private lazy val knnPagerankOracle: String = {
+    val S = 1000000000000L
+    val rounds = 5
+    val head = NormCte +
+      s"""
+         |, $ivfCentroidCtesSized,
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $KnnProbes)]) AS bucket
+         |  FROM ccs),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored),
+         |pairs AS MATERIALIZED (
+         |  SELECT DISTINCT least(query_id, corpus_id) AS pa,
+         |         greatest(query_id, corpus_id) AS pb
+         |  FROM ranked WHERE rnk <= $KnnK),
+         |edges AS MATERIALIZED (
+         |  SELECT pa AS src, pb AS dst FROM pairs
+         |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CAST($S AS BIGINT) AS r FROM nodes)""".stripMargin
+    val chain = (1 to rounds).map { t =>
+      s""",
+         |r$t AS (
+         |  SELECT n.id,
+         |    CAST((15 * $S) // 100 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // d.d) AS m
+         |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString
+    head + chain +
+      s"""
+         |SELECT id AS vec_id, r AS rank_fp,
+         |  CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS rnk
+         |FROM r$rounds ORDER BY r DESC, id LIMIT 20""".stripMargin
+  }
+
   /** Sign-LSH band index, with the hyperplane codebook GENERATED in SQL
     * from the same LCG formula as Codebooks.planes — the oracle scales to
     * any bands × planes without inlining thousands of literals. Yields
@@ -1523,54 +1587,11 @@ object PipelineQueries {
     // kNN-graph pagerank replay: the sim_knn_join_ivf CTEs build the
     // top-k neighbor pairs, then the parts_pagerank integer power
     // iteration runs over the symmetrized edge list (r0..r5 chained)
-    "knn_pagerank" -> {
-      val S = 1000000000000L
-      val rounds = 5
-      val head = NormCte +
-        s"""
-           |, $ivfCentroidCtesSized,
-           |corpus AS (
-           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
-           |probes AS (
-           |  SELECT vec_id AS query_id,
-           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-           |                 for p in generate_series(1, $KnnProbes)]) AS bucket
-           |  FROM ccs),
-           |cand AS (
-           |  SELECT DISTINCT query_id, corpus_id
-           |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
-           |scored AS (
-           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
-           |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
-           |  FROM scored),
-           |pairs AS MATERIALIZED (
-           |  SELECT DISTINCT least(query_id, corpus_id) AS pa,
-           |         greatest(query_id, corpus_id) AS pb
-           |  FROM ranked WHERE rnk <= $KnnK),
-           |edges AS MATERIALIZED (
-           |  SELECT pa AS src, pb AS dst FROM pairs
-           |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
-           |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
-           |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
-           |r0 AS (SELECT id, CAST($S AS BIGINT) AS r FROM nodes)""".stripMargin
-      val chain = (1 to rounds).map { t =>
-        s""",
-           |r$t AS (
-           |  SELECT n.id,
-           |    CAST((15 * $S) // 100 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT e.dst AS id, SUM(p.r // d.d) AS m
-           |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
-           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
-      }.mkString
-      head + chain +
-        s"""
-           |SELECT id AS vec_id, r AS rank_fp,
-           |  CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS rnk
-           |FROM r$rounds ORDER BY r DESC, id LIMIT 20""".stripMargin
-    },
+    "knn_pagerank" -> knnPagerankOracle,
+
+    // the indexed (build-once/rank-many) twin shares the oracle
+    // VERBATIM: the bucketed layout must never change answers
+    "knn_pagerank_indexed" -> knnPagerankOracle,
 
     // IVF-PQ: codes and the approximate score replayed with the SAME
     // fold orders as the kernels (continuous accumulation: coarse term,

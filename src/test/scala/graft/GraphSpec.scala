@@ -78,6 +78,42 @@ class GraphSpec extends SparkSpec {
       s"the dense cluster must fill the top-8 representatives, got $top")
   }
 
+  test("knn_pagerank_indexed: rank-from-index equals the direct build " +
+      "bit-for-bit, and the bucketed edge scans plan with ZERO Exchange " +
+      "(the build-once/rank-many contract)") {
+    def exchanges(p: String): Int =
+      p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val direct = Graph.knnPageRank(emb, k = 5, probes = 2).cache()
+    val indexed = Graph.knnPageRankIndexed(emb,
+      table = "graft_knn_edges_spec", k = 5, probes = 2)
+    assert(indexed.exceptAll(direct).isEmpty && direct.exceptAll(indexed).isEmpty,
+      "the bucketed layout must never change answers")
+    direct.unpersist()
+    // plan pins (broadcast disabled so bucketing, not a broadcast, is
+    // what removes the shuffles): the degree aggregate and the
+    // chunked-adjacency build both cluster on `src`, which the bucketed
+    // layout already satisfies — the edge list is NEVER exchanged by
+    // any rank-side consumer
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.table("graft_knn_edges_spec")
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val pd = deg.queryExecution.executedPlan.toString
+      assert(exchanges(pd) === 0,
+        s"degree aggregate over the bucketed edges must not shuffle:\n$pd")
+      val adj = e.join(deg.select(col("src"), col("d")), "src")
+        .groupBy(col("src"), col("d"),
+          expr("pmod(hash(dst), CAST((d + 1023) DIV 1024 AS INT))").as("__ck"))
+        .agg(collect_list(col("dst")).as("dsts"))
+      val pa = adj.queryExecution.executedPlan.toString
+      assert(exchanges(pa) === 0,
+        s"adjacency build over the bucketed edges must not shuffle:\n$pa")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("chunked-adjacency pagerank is bit-identical to the edge-list form — " +
       "on the symmetric co-purchase graph (both fast-path flags) and on a " +
       "DIRECTED chain where no-in-edge nodes must re-enter at the teleport base") {
