@@ -28,9 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Default fit-vocabulary bound and merge-round count. */
+  /** Default fit-vocabulary bound and merge-round count. Rounds rose
+    * 16 → 64 in r12 when the merge recurrence moved driver-local
+    * ([[fitLocal]]): the per-round cost is now microseconds over the
+    * collected ≤V-row vocabulary instead of a Spark job round-trip, so
+    * the round count stopped being the fit's scaling ceiling (a
+    * production merge table is 10³–10⁴ rounds; the corpus-side cost is
+    * ONE word-count shuffle regardless).
+    */
   val VocabSize = 256
-  val MergeRounds = 16
+  val MergeRounds = 64
 
   /** The corpus word-frequency table under the shared tokenization.
     * The split class is whitespace PLUS the segment separators US/RS
@@ -50,9 +57,97 @@ object Bpe {
     * types. Returns (rank, left, right, count) in fit order — possibly
     * fewer than `rounds` rows if the vocabulary runs out of adjacent
     * pairs (single-symbol saturation).
+    *
+    * r12 (round-11 VERDICT #4 — the rounds ceiling): the corpus-side
+    * work is exactly ONE distributed word-count aggregate; the merge
+    * recurrence then runs DRIVER-LOCAL over the collected ≤V-row
+    * vocabulary ([[fitLocal]] — bit-equal to the per-round Spark-job
+    * form, spec'd against [[fitDistributed]]), so a round costs
+    * microseconds instead of a job launch and rounds = 10³ is a
+    * non-event. The vocabulary is a bounded MODEL artifact (V rows by
+    * construction at any corpus size) — collecting it is the k-means-
+    * codebook precedent, not a data collect.
     */
   def fit(docs: DataFrame, vocabSize: Int = VocabSize,
           rounds: Int = MergeRounds): Seq[(Int, String, String, Long)] = {
+    val top = wordCounts(docs)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabSize)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    fitLocal(top, rounds)
+  }
+
+  /** The greedy merge recurrence over a collected vocabulary — the exact
+    * integer argmax the distributed loop ran, in memory: per round,
+    * frequency-weighted adjacent-pair counts (every occurrence counts,
+    * multiplicity included), argmax with the (count DESC, left ASC,
+    * right ASC) tie-break in UTF-8 BYTE order (Spark's UTF8String and
+    * DuckDB both compare strings as binary UTF-8; java.lang.String's
+    * UTF-16 order would diverge on supplementary-plane symbols), then
+    * one greedy merge pass per word (the kernel's own
+    * [[graft.functions.BpeImpl.mergePassStr]]). Words split into CODE
+    * POINTS — the `substring(word, i, 1)` semantics of the distributed
+    * form and the oracle's `string_split(word, '')`.
+    */
+  private[graft] def fitLocal(vocab: Array[(String, Long)],
+                              rounds: Int): Seq[(Int, String, String, Long)] = {
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    var words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // total-order reduce: iteration order of the map cannot matter
+        val ((a, b), cnt) = counts.reduce { (x, y) =>
+          val cmp = java.lang.Long.compare(x._2, y._2)
+          if (cmp > 0) x else if (cmp < 0) y
+          else if (utf8Lt(x._1._1, y._1._1)) x
+          else if (utf8Lt(y._1._1, x._1._1)) y
+          else if (utf8Lt(x._1._2, y._1._2)) x else y
+        }
+        merges += ((r + 1, a, b, cnt))
+        words = words.map { case (syms, f) =>
+          (graft.functions.BpeImpl.mergePassStr(syms, a, b), f)
+        }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** The round-11 distributed merge loop, kept as the equality witness
+    * for [[fitLocal]] (BpeSpec pins fit == fitDistributed on the
+    * corpus): each round is one pair-count aggregate over the
+    * checkpointed V-row vocabulary plus one merge-kernel pass. Correct
+    * at any scale but pays a Spark job launch PER ROUND — the rounds
+    * ceiling the local recurrence removes.
+    */
+  private[graft] def fitDistributed(docs: DataFrame, vocabSize: Int = VocabSize,
+                                    rounds: Int = MergeRounds): Seq[(Int, String, String, Long)] = {
     graft.functions.NativeHash.register(docs.sparkSession)
     var vocab = wordCounts(docs)
       .orderBy(col("freq").desc, col("word"))

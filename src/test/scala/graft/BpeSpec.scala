@@ -67,6 +67,25 @@ class BpeSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("driver-local merge recurrence == the distributed per-round loop " +
+      "(the r12 rounds-ceiling lift changes WHERE the argmax runs, never " +
+      "its bits), and 64 rounds are the default") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    // 16 rounds keeps the distributed witness cheap; equality per round
+    // covers the induction — identical pair counts, identical tie-break,
+    // identical merge pass
+    val local = Bpe.fit(docs, rounds = 16)
+    val dist = Bpe.fitDistributed(docs, rounds = 16)
+    assert(local === dist,
+      "fitLocal must reproduce the distributed per-round argmax bit-for-bit")
+    assert(Bpe.MergeRounds === 64)
+    val m64 = Bpe.fit(docs)
+    assert(m64.size > 16 && m64.size <= 64,
+      s"the corpus supports more than 16 merges; got ${m64.size}")
+    assert(m64.take(16) === local,
+      "a longer fit must extend, never alter, the shorter one's prefix")
+  }
+
   test("hostile symbols: backslash words survive the fit (typed literals, " +
       "not SQL interpolation) and US/RS in a document act as separators") {
     import spark.implicits._
