@@ -137,6 +137,160 @@ object AviImpl {
     out
   }
 
+  /** 'MJPG' as the little-endian biCompression / fccHandler u32. */
+  val MjpgFourcc: Long =
+    ('M' & 0xffL) | (('J' & 0xffL) << 8) | (('P' & 0xffL) << 16) | (('G' & 0xffL) << 24)
+
+  /** MJPEG container size: header block is [[wrap]]'s 232 bytes; each
+    * frame chunk is 8 + its JPEG length (even-padded) and each idx1
+    * entry 16.
+    */
+  def mjpegContainerBytes(frames: Array[Array[Byte]]): Long =
+    232L + frames.map(f => 8L + f.length + (f.length & 1) + 16L).sum
+
+  /** The MJPEG twin of [[wrap]] (round-11 VERDICT #3: video through the
+    * LOSSY seam): the same canonical RIFF skeleton, but the stream is
+    * 'MJPG'-compressed — each '00dc' chunk body is a caller-supplied
+    * REAL JPEG (the [[JpegCodec]] encoder output), frame sizes vary, odd
+    * sizes take the RIFF even-pad byte. Because the JPEG bytes are
+    * encoder-defined, no pixel-hash closed form exists (the
+    * [[JpegCodec]] contract); the container GEOMETRY stays exact and
+    * oracle-gated.
+    */
+  def wrapMjpeg(frames: Array[Array[Byte]], w: Long, h: Long): Array[Byte] = {
+    val n = frames.length
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096 && n > 0 && n <= 4096,
+      s"graft wrapMjpeg: invalid geometry ${w}x$h x$n")
+    val total = mjpegContainerBytes(frames)
+    require(total <= Int.MaxValue, s"graft wrapMjpeg: container exceeds 2 GiB")
+    val padded = frames.map(f => f.length + (f.length & 1))
+    val maxBuf = padded.max
+    val out = new Array[Byte](total.toInt)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); bb.putInt(total.toInt - 8); tag("AVI ")
+    tag("LIST"); bb.putInt(192); tag("hdrl")
+    tag("avih"); bb.putInt(56)
+    bb.putInt(UsPerFrame.toInt)
+    bb.putInt(maxBuf * 25) // max bytes/sec
+    bb.putInt(0)
+    bb.putInt(0x10) // AVIF_HASINDEX
+    bb.putInt(n)
+    bb.putInt(0)
+    bb.putInt(1)
+    bb.putInt(maxBuf) // suggested buffer
+    bb.putInt(w.toInt); bb.putInt(h.toInt)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    tag("LIST"); bb.putInt(116); tag("strl")
+    tag("strh"); bb.putInt(56)
+    tag("vids"); tag("MJPG")
+    bb.putInt(0); bb.putShort(0); bb.putShort(0)
+    bb.putInt(0)
+    bb.putInt(1); bb.putInt(25)
+    bb.putInt(0)
+    bb.putInt(n)
+    bb.putInt(maxBuf)
+    bb.putInt(-1)
+    bb.putInt(0)
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    tag("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w.toInt); bb.putInt(h.toInt)
+    bb.putShort(1); bb.putShort(24)
+    bb.putInt(MjpgFourcc.toInt) // biCompression = 'MJPG'
+    bb.putInt(maxBuf) // image size (max frame)
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    tag("LIST"); bb.putInt(4 + padded.map(_ + 8).sum); tag("movi")
+    val moviType = 12 + 200 + 8
+    val frameOffsets = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      frameOffsets(f) = bb.position()
+      tag("00dc"); bb.putInt(frames(f).length)
+      bb.put(frames(f))
+      if ((frames(f).length & 1) == 1) bb.put(0.toByte) // RIFF even pad
+      f += 1
+    }
+    tag("idx1"); bb.putInt(16 * n)
+    f = 0
+    while (f < n) {
+      tag("00dc"); bb.putInt(0x10)
+      bb.putInt(frameOffsets(f) - moviType)
+      bb.putInt(frames(f).length)
+      f += 1
+    }
+    out
+  }
+
+  /** Walk an MJPEG AVI and return its '00dc' frame payloads (each a
+    * JPEG for the codec seam to decode), or null when anything is
+    * malformed: wrong magic, non-'MJPG' strf, any declared chunk size
+    * past its parent bound (the unsigned-truncation guard — sizes read
+    * as u32 and bounds-checked BEFORE the walk advances), LIST depth
+    * past 16, or frame counts disagreeing between avih, the movi walk
+    * and idx1. Null, never a throw or a hang — the container-kernel
+    * contract.
+    */
+  def mjpegFrames(blob: Array[Byte]): Array[Array[Byte]] = {
+    if (blob == null || blob.length < 12) return null
+    if (tagAt(blob, 0) != "RIFF" || tagAt(blob, 8) != "AVI ") return null
+    var totalFrames = -1L
+    var width = -1L
+    var height = -1L
+    var idxEntries = -1L
+    var sawMjpg = false
+    var ok = true
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def walkFrames(start: Int, end: Int): Unit = {
+      var pos = start
+      while (ok && pos + 8 <= end) {
+        val id = tagAt(blob, pos)
+        val size = u32(blob, pos + 4)
+        val body = pos + 8
+        if (body + size > end) { ok = false; return }
+        if (id == "00dc")
+          frames += java.util.Arrays.copyOfRange(blob, body, (body + size).toInt)
+        pos = body + size.toInt + (size & 1L).toInt
+      }
+    }
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) { ok = false; return }
+      var pos = start
+      while (ok && pos + 8 <= end) {
+        val id = tagAt(blob, pos)
+        val size = u32(blob, pos + 4)
+        val body = pos + 8
+        if (body + size > end) { ok = false; return }
+        if (id == "LIST") {
+          if (size < 4) { ok = false; return }
+          val listType = tagAt(blob, body)
+          if (listType == "movi") walkFrames(body + 4, (body + size).toInt)
+          else walk(body + 4, (body + size).toInt, depth + 1)
+        } else if (id == "avih") {
+          if (size < 56) { ok = false; return }
+          totalFrames = u32(blob, body + 16)
+          width = u32(blob, body + 32)
+          height = u32(blob, body + 36)
+        } else if (id == "strf") {
+          if (size < 40) { ok = false; return }
+          sawMjpg = u32(blob, body + 16) == MjpgFourcc
+        } else if (id == "idx1") {
+          if (size % 16 != 0) { ok = false; return }
+          idxEntries = size / 16
+        }
+        pos = body + size.toInt + (size & 1L).toInt
+      }
+    }
+
+    walk(12, blob.length, 0)
+    if (!ok || !sawMjpg || totalFrames <= 0 || width <= 0 || height <= 0 ||
+        frames.length != totalFrames || idxEntries != totalFrames)
+      return null
+    frames.toArray
+  }
+
   private[functions] def u16(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8)
   private[functions] def u32(b: Array[Byte], p: Int): Long =

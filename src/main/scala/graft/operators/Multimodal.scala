@@ -605,6 +605,82 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pixel_bytes", "decode_ok")
   }
 
+  /** MJPEG VIDEO through the lossy seam (round-11 VERDICT #3) — the
+    * codec family's video data point, completing the matrix: image
+    * PNG (lossless) / JPEG (lossy), audio μ-law (lossy-closed-form),
+    * video MJPEG (lossy): each video doc's thumbnail frames are
+    * REAL JPEGs (the same [[graft.functions.JpegCodec]] encoder,
+    * payload tiling CONTIGUOUSLY across frames exactly like the
+    * uncompressed '00db' profile), wrapped as '00dc' chunks in a
+    * 'MJPG' AVI ([[graft.functions.AviImpl.wrapMjpeg]]), then decoded
+    * back: container walk → per-frame JPEG decode → dims verified
+    * against the stream header. Exact columns only (frame count,
+    * dims, raster byte count, decode_ok) — decoded pixels are DCT
+    * approximations with no closed form, so the per-frame
+    * reconstruction bound is spec-pinned (MultimodalSpec) next to the
+    * still-JPEG bound. The truncation arm (doc_id % 7 == 3, first 64
+    * container bytes) nulls every decode-derived column — a value,
+    * never a throw. Narrow per-partition work, zero shuffle; per-frame
+    * codec calls amortize over the partition iterator.
+    */
+  def mjpegDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.NativeHash.register(spark)
+    val (tw, th, nf) = videoParams("__cs")
+    docs.filter(col("doc_id") % 3 === 2)
+      .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"),
+        tw.cast("int").as("w"), th.cast("int").as("h"), nf.cast("int").as("n"))
+      .as[(Long, Array[Byte], Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (docId, raw, w, h, n) =>
+          val avi = graft.functions.AviImpl.wrapMjpeg(
+            mjpegFrames(raw, w, h, n), w, h)
+          val bytes =
+            if (docId % 7 == 3) java.util.Arrays.copyOf(avi, math.min(64, avi.length))
+            else avi
+          val dec = Option(graft.functions.AviImpl.mjpegFrames(bytes)).flatMap { fs =>
+            val rasters = fs.map(graft.functions.JpegCodec.decodeRaster)
+            if (rasters.exists(r =>
+                r.isEmpty || r.get.getWidth != w || r.get.getHeight != h)) None
+            else Some(fs.length.toLong)
+          }
+          dec match {
+            case Some(cnt) =>
+              (docId, Option(cnt), Option(w.toLong), Option(h.toLong),
+                Option(w.toLong * 3 * h * cnt), 1L)
+            case None =>
+              (docId, Option.empty[Long], Option.empty[Long],
+                Option.empty[Long], Option.empty[Long], 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "width", "height", "n_pixel_bytes", "decode_ok")
+  }
+
+  /** The n per-frame JPEGs of a video doc: frame f's raster tiles the
+    * payload starting at byte f·w·3·h (mod len) — the contiguous
+    * cross-frame tiling of the uncompressed AVI profile, realized by
+    * rotating the payload (the tiler always reads data(src mod len)
+    * from src = 0).
+    */
+  private[graft] def mjpegFrames(raw: Array[Byte], w: Int, h: Int,
+                                 n: Int): Array[Array[Byte]] = {
+    val frameBytes = w.toLong * 3 * h
+    Array.tabulate(n) { f =>
+      val rot =
+        if (raw.length == 0) raw
+        else {
+          val k = ((f * frameBytes) % raw.length).toInt
+          val r = new Array[Byte](raw.length)
+          System.arraycopy(raw, k, r, 0, raw.length - k)
+          System.arraycopy(raw, 0, r, raw.length - k, k)
+          r
+        }
+      graft.functions.JpegCodec.encodeTiled(rot, w, h)
+    }
+  }
+
   /** Batched per-partition decode — the Scala analogue of `mapInPandas`:
     * the executor iterates fixed-size batches so a native decoder gets
     * amortized calls and bounded memory. Narrow (no shuffle); repartition

@@ -479,6 +479,12 @@ object PipelineQueries {
     "mm_decode_jpeg" -> ((s, dir) =>
       Multimodal.jpegDecode(s, Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // MJPEG video through the lossy seam (r12): real JPEG frames inside
+    // '00dc' AVI chunks, decoded frame-by-frame through the same codec;
+    // exact columns gated, per-frame reconstruction bound spec-pinned
+    "mm_decode_mjpeg" -> ((s, dir) =>
+      Multimodal.mjpegDecode(s, Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // image resize (r9): nearest-neighbor 8×8 thumbnail of the genuine
     // BMP; picked-pixel hash replayed byte-by-byte from the tiling
     "mm_resize" -> ((s, dir) =>
@@ -2813,6 +2819,30 @@ object PipelineQueries {
          |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE w END AS width,
          |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE h END AS height,
          |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE w*3*h END AS n_pixel_bytes,
+         |  CASE WHEN doc_id % 7 = 3 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(1 AS BIGINT) END AS decode_ok
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // MJPEG decode replay — the video twin of mm_decode_jpeg's exact
+    // face: frame count, stream dims and the raster byte count are
+    // container/header facts that survive the lossy codec bit-for-bit;
+    // the truncation arm nulls every decode-derived column. No pixel
+    // hash (DCT approximations; spec-bounded per-frame error instead).
+    "mm_decode_mjpeg" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id, ${poly("text")} AS checksum
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |a AS (
+         |  SELECT doc_id,
+         |    CAST(8 + checksum % 56 AS BIGINT) AS w,
+         |    CAST(8 + (checksum // 56) % 40 AS BIGINT) AS h,
+         |    CAST(1 + checksum % 16 AS BIGINT) AS nf
+         |  FROM blobs)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE nf END AS n_frames,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE w END AS width,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE h END AS height,
+         |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE w*3*h*nf END AS n_pixel_bytes,
          |  CASE WHEN doc_id % 7 = 3 THEN CAST(0 AS BIGINT)
          |       ELSE CAST(1 AS BIGINT) END AS decode_ok
          |FROM a ORDER BY doc_id""".stripMargin,

@@ -566,6 +566,76 @@ class MultimodalSpec extends SparkSpec {
       "a below-budget header must reach the decoder")
   }
 
+  test("MJPEG: wrap->walk->decode round trip — frame payloads survive the " +
+      "container byte-for-byte, per-frame reconstruction stays in the JPEG " +
+      "bound, malformed containers are null, and the corpus rows gate the " +
+      "exact face") {
+    import graft.functions.{AviImpl, JpegCodec, PngCodec}
+    val data = ("Motion JPEG frames tile the payload contiguously across " +
+      "the video, 0123456789 lorem ipsum dolor sit amet").getBytes("UTF-8")
+    val (w, h, n) = (24, 16, 3)
+    val frames = graft.operators.Multimodal.mjpegFrames(data, w, h, n)
+    val avi = AviImpl.wrapMjpeg(frames, w, h)
+    // the walk returns exactly the encoder's bytes — the container adds
+    // structure, never touches the payload
+    val back = AviImpl.mjpegFrames(avi)
+    assert(back != null && back.length == n)
+    (frames zip back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes must survive the container")
+    }
+    // per-frame reconstruction bound — the same lossy contract as the
+    // still-JPEG spec, frame f's source raster tiling the payload from
+    // byte f*w*3*h
+    for ((jpg, f) <- back.zipWithIndex) {
+      val dec = JpegCodec.decodeRaster(jpg).get
+      assert(dec.getWidth == w && dec.getHeight == h)
+      val rot = {
+        val k = (f * w * 3 * h) % data.length
+        val r = new Array[Byte](data.length)
+        System.arraycopy(data, k, r, 0, data.length - k)
+        System.arraycopy(data, 0, r, data.length - k, k)
+        r
+      }
+      val src = PngCodec.tiledImage(rot, w, h)
+      var maxErr = 0L; var sumErr = 0L; var cnt = 0L
+      for (y <- 0 until h; x <- 0 until w; s <- Seq(16, 8, 0)) {
+        val e = math.abs(((src.getRGB(x, y) >> s) & 0xff) - ((dec.getRGB(x, y) >> s) & 0xff))
+        maxErr = math.max(maxErr, e); sumErr += e; cnt += 1
+      }
+      assert(maxErr <= 128, s"frame $f max error $maxErr exceeds the lossy bound")
+      assert(sumErr.toDouble / cnt <= 40.0, s"frame $f mean error exceeds the lossy bound")
+      assert(sumErr > 0, "a lossless MJPEG frame means the codec was bypassed")
+    }
+    // malformed arms: truncation, a declared chunk size past the parent
+    // bound (unsigned-truncation guard), and a non-MJPG profile all
+    // return null — a value, never a throw or a hang
+    assert(AviImpl.mjpegFrames(java.util.Arrays.copyOf(avi, 64)) == null)
+    val badSize = avi.clone()
+    // first '00dc' chunk begins right after the 232-byte header + LIST
+    // movi preamble; its size field sits at header+4 of the chunk
+    val firstChunk = 12 + 200 + 12 // RIFF hdr + hdrl LIST + movi LIST hdr
+    assert(new String(badSize, firstChunk, 4, "US-ASCII") == "00dc")
+    badSize(firstChunk + 4) = 0xff.toByte; badSize(firstChunk + 5) = 0xff.toByte
+    badSize(firstChunk + 6) = 0xff.toByte; badSize(firstChunk + 7) = 0xff.toByte
+    assert(AviImpl.mjpegFrames(badSize) == null)
+    val uncompressed = AviImpl.wrap(data, w, h, n)
+    assert(AviImpl.mjpegFrames(uncompressed) == null,
+      "the '00db' profile must not pass the MJPG walk")
+
+    // corpus gate shape: every video doc decodes (or nulls on the
+    // truncation arm) with the declared geometry
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.operators.Multimodal.mjpegDecode(spark, docs).cache()
+    assert(out.filter(col("doc_id") % 3 =!= 2).count() === 0)
+    val trunc = out.filter(col("doc_id") % 7 === 3)
+    assert(trunc.filter(col("decode_ok") =!= 0L || col("n_frames").isNotNull).count() === 0)
+    val good = out.filter(col("doc_id") % 7 =!= 3)
+    assert(good.filter(col("decode_ok") =!= 1L || col("n_frames").isNull).count() === 0)
+    assert(good.filter(col("n_pixel_bytes") =!=
+      col("width") * 3 * col("height") * col("n_frames")).count() === 0)
+    out.unpersist()
+  }
+
   test("JPEG codec: lossy roundtrip keeps dims exact and per-pixel error " +
       "bounded (the honest lossy contract); malformed bytes are None, never a throw") {
     import graft.functions.{JpegCodec, PngCodec}
