@@ -69,7 +69,7 @@ object Cli {
       |                 (print <topic> | stats <topic> | merge-all <src> <dst> |
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
-      |                  stream (merge-all|dlq|compact) <topic> <dst>)""".stripMargin
+      |                  stream (merge-all|dlq|compact|ask) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
     var o = Opts()
@@ -309,6 +309,41 @@ object Cli {
     val next: () => String =
       fileIn.map(actionSource(_, _ => (), eofIsError = true))
         .getOrElse(actionSource(in, print))
+    // the record display always goes to the terminal (batch contract);
+    // only the action-source PROMPT is silenced for a file-backed feed
+    val res = collectDecisions(src, o.mergeTombstones, next, print)
+    fileIn.foreach(_.close())
+    res match {
+      case Left((merged, purged, skipped, msg)) =>
+        print(s"error: $msg")
+        print(s"Successfully processed records: $merged merged, $purged purged, " +
+          s"$skipped skipped")
+        1
+      case Right((decisions, merged, purged, skipped)) =>
+        import spark.implicits._
+        val dTable = decisions.toDF("topic", "partition", "offset", "action")
+        val produced = TopicOps.routeWithDecisions(src, dTable, dest, o.mergeTombstones)
+        writeOut(produced, o.out, "produced")
+        writeOut(dTable, o.out, "decisions")
+        print(s"Successfully processed records: $merged merged, $purged purged, $skipped skipped")
+        commitOffsets(o, src, default = true, print)
+        0
+    }
+  }
+
+  /** The shared action-consumption loop of the batch `ask` and the
+    * streaming `stream ask`: records iterate in (partition, offset)
+    * order WITHOUT materializing the topic (toLocalIterator — one
+    * partition in memory at a time; per-record decisions are
+    * human/file-bounded anyway); tombstones skip without consuming an
+    * action unless `mergeTombstones` (Ask.kt:47). Left = a file-backed
+    * source ran dry mid-topic (the reference streamActionSource throw):
+    * counters so far + the failure message, no output written.
+    */
+  private def collectDecisions(src: DataFrame, mergeTombstones: Boolean,
+      next: () => String, echo: String => Unit):
+      Either[(Long, Long, Long, String),
+             (Seq[(String, Int, Long, String)], Long, Long, Long)] = {
     val ordered = src
       .select(col("topic"), col("partition"), col("offset"), col("key"), col("value"))
       .orderBy(col("partition"), col("offset"))
@@ -319,10 +354,10 @@ object Cli {
       while (it.hasNext) {
         val r = it.next()
         val tomb = r.getAs[String]("value") == null
-        if (tomb && !o.mergeTombstones) {
+        if (tomb && !mergeTombstones) {
           // reference: tombstones skip silently without consuming an action
         } else {
-          print(prettyRecord(r.getAs[String]("topic"), r.getAs[Int]("partition"),
+          echo(prettyRecord(r.getAs[String]("topic"), r.getAs[Int]("partition"),
             r.getAs[Long]("offset"), r.getAs[String]("key"), r.getAs[String]("value")))
           val action = next()
           action match {
@@ -334,26 +369,11 @@ object Cli {
             r.getAs[Long]("offset"), action))
         }
       }
+      Right((decisions.toSeq, merged, purged, skipped))
     } catch {
-      // an actions FILE that runs dry mid-topic: fail like the reference
-      // (EOF throw → failure report + exit 1), after reporting how far
-      // the run got — no produced output is written
       case e: java.util.NoSuchElementException =>
-        fileIn.foreach(_.close())
-        print(s"error: ${e.getMessage}")
-        print(s"Successfully processed records: $merged merged, $purged purged, " +
-          s"$skipped skipped")
-        return 1
+        Left((merged, purged, skipped, e.getMessage))
     }
-    fileIn.foreach(_.close())
-    import spark.implicits._
-    val dTable = decisions.toSeq.toDF("topic", "partition", "offset", "action")
-    val produced = TopicOps.routeWithDecisions(src, dTable, dest, o.mergeTombstones)
-    writeOut(produced, o.out, "produced")
-    writeOut(dTable, o.out, "decisions")
-    print(s"Successfully processed records: $merged merged, $purged purged, $skipped skipped")
-    commitOffsets(o, src, default = true, print)
-    0
   }
 
   /** The reference IS a long-running poll loop (Pipeline.kt:29) — this
@@ -404,8 +424,55 @@ object Cli {
         print(s"Emitted ${up + del} change(s) to '$dest': $up upsert(s), $del delete(s)")
         commitOffsets(o, topicView(spark, o.dir, srcName), default = true, print)
         0
+      case "ask" =>
+        // the reference's signature interactive loop as a STREAM (round-11
+        // VERDICT #5): the verdicts a file-backed action source produced
+        // (-y FILE — a poll loop has no terminal; stdin is the batch
+        // ask's surface) become a real decisions FEED, and records ⋈
+        // verdicts run through the gated stream_ask_decisions chain
+        // (askDecisionsJoin: watermarked stream-stream join + the same
+        // route projection) into the checkpointed exactly-once sink
+        if (o.actions == "-") {
+          print("error: stream ask requires a file action source (-y FILE); " +
+            "the interactive terminal is the batch ask's surface")
+          1
+        } else {
+          val src = topicView(spark, o.dir, srcName)
+          val fileIn = new java.io.FileInputStream(o.actions)
+          val res =
+            try collectDecisions(src, o.mergeTombstones,
+              actionSource(fileIn, _ => (), eofIsError = true), _ => ())
+            finally fileIn.close()
+          res match {
+            case Left((m, p, s, msg)) =>
+              print(s"error: $msg")
+              print(s"Successfully processed records: $m merged, $p purged, $s skipped")
+              1
+            case Right((decisions, merged, purged, skipped)) =>
+              import spark.implicits._
+              val dTable = decisions.toDF("topic", "partition", "offset", "action")
+              // feed rows carry d_ts = record ts + 10 min — inside the
+              // join horizon, the stream_ask_decisions convention
+              val feed = dTable.join(
+                  src.select(col("topic"), col("partition"), col("offset"), col("ts")),
+                  Seq("topic", "partition", "offset"))
+                .select(col("topic"), col("partition"), col("offset"),
+                  (col("ts") + expr("INTERVAL 10 MINUTES")).as("d_ts"), col("action"))
+              val feedDir = s"${o.out}/decisions-feed"
+              TopicStream.deleteRecursively(java.nio.file.Paths.get(feedDir))
+              feed.coalesce(1).write.parquet(feedDir)
+              val produced = TopicStream.askFeedStream(spark, srcPath, feedDir,
+                dest, s"${o.out}/produced", ckpt, o.maxFiles)
+              writeOut(dTable, o.out, "decisions")
+              print(s"Produced ${produced.count()} record(s) to '$dest'")
+              print(s"Successfully processed records: $merged merged, $purged purged, " +
+                s"$skipped skipped")
+              commitOffsets(o, src, default = true, print)
+              0
+          }
+        }
       case other =>
-        print(s"unknown stream subcommand '$other' (merge-all | dlq | compact)\n$usage")
+        print(s"unknown stream subcommand '$other' (merge-all | dlq | compact | ask)\n$usage")
         1
     }
   }

@@ -579,6 +579,32 @@ object TopicStream {
     TopicOps.route(joined, col("action"), dest)
   }
 
+  /** Runs [[askDecisionsJoin]] with a MATERIALIZED decisions feed — the
+    * CLI `stream ask` path (round-11 VERDICT #5): the verdicts a
+    * file-backed action source produced land as their own parquet feed
+    * (`feedDir`, shaped (topic, partition, offset, d_ts, action)) and
+    * BOTH sides then stream through the gated stream-stream chain into
+    * the exactly-once parquet sink. Same operator, same join, same
+    * route projection as `stream_ask_decisions`; only the feed's origin
+    * differs.
+    */
+  def askFeedStream(spark: SparkSession, eventsPath: String, feedDir: String,
+                    dest: String, outDir: String, checkpointDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    deleteRecursively(Paths.get(outDir))
+    val records = topicStream(spark, eventsPath, maxFilesPerTrigger)
+    val decisions = fileStream(spark, feedDir, maxFilesPerTrigger)
+    val q = askDecisionsJoin(records, decisions, dest).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Runs [[askDecisionsJoin]] over the events file stream, with the
     * decision stream derived deterministically from the records (every
     * third offset gets a verdict 10 minutes later: merge if even, purge

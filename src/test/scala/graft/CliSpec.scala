@@ -210,6 +210,57 @@ class CliSpec extends SparkSpec {
     assert(code3 == 1)
   }
 
+  test("stream ask: a multi-batch streamed run with a file action feed " +
+      "equals the batch ask's routing and counters (the poll-loop " +
+      "ActionSource, r11 VERDICT #5); the interactive terminal is refused") {
+    val srcDir = "target/cli-spec/stream-ask-src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    graft.sources.Tables.load(spark, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val live = Topics.events(spark, sf).filter(col("value").isNotNull).count()
+    val actions = java.nio.file.Files.createTempFile("graft-stream-ask", ".txt")
+    java.nio.file.Files.write(actions,
+      ("p\ns\n" + "m\n" * (live - 2).toInt).getBytes("UTF-8"))
+    // batch reference over the SAME directory and feed
+    val outB = outDir("stream-ask-batchref")
+    assert(Cli.run(spark,
+      Seq("-d", srcDir, "-O", outB, "-y", actions.toString, "ask", "events", "dest"),
+      print = _ => ()) == 0)
+    // the streamed run: -m 2 over 4 files forces a multi-batch drain
+    val outS = outDir("stream-ask")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", srcDir, "-O", outS, "-m", "2", "-y", actions.toString,
+        "stream", "ask", "events", "dest"),
+      print = lines += _)
+    assert(code == 0)
+    assert(lines.contains(
+      s"Successfully processed records: ${live - 2} merged, 1 purged, 1 skipped"))
+    val prodB = spark.read.parquet(s"$outB/produced")
+    val prodS = spark.read.parquet(s"$outS/produced")
+    assert(prodS.count() == prodB.count(),
+      s"streamed ask routed ${prodS.count()} records, batch routed ${prodB.count()}")
+    val common = prodB.columns.toSet.intersect(prodS.columns.toSet).toSeq.sorted
+    assert(common.nonEmpty)
+    val b = prodB.select(common.map(col): _*)
+    val s2 = prodS.select(common.map(col): _*)
+    assert(s2.exceptAll(b).isEmpty && b.exceptAll(s2).isEmpty,
+      "streamed routing must equal the batch decisions-table routing")
+    // decisions table written, offsets committed, checkpoint multi-batch
+    assert(spark.read.parquet(s"$outS/decisions").count() == live)
+    assert(spark.read.parquet(s"$outS/offsets").count() > 0)
+    val commits = new java.io.File(s"$outS/checkpoint/commits").listFiles()
+    assert(commits != null && commits.count(!_.getName.startsWith(".")) >= 2,
+      "expected >= 2 committed micro-batches under -m 2 over 4 files")
+    // a poll loop has no terminal: '-' is a clean error exit
+    val errLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(Cli.run(spark,
+      Seq("-d", srcDir, "-O", outDir("stream-ask-tty"), "stream", "ask", "events", "dest"),
+      print = errLines += _) == 1)
+    assert(errLines.exists(_.contains("file action source")))
+    java.nio.file.Files.delete(actions)
+  }
+
   test("unknown topic is an error exit, not a throw") {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val code = Cli.run(spark, Seq("-d", sf, "print", "nope"), print = lines += _)
