@@ -33,6 +33,14 @@ object Bench {
   // events_gap_stats/retention_cohorts, dedup_pair_hist/cluster_stats,
   // the rotated-off five) are timed via BenchOne and recorded in
   // SURVEY §7 prose instead.
+  // Round 12 rotates ON the three r11 additions with real cost
+  // (knn_pagerank, text_bpe_tokens, mm_decode_jpeg — round-11 VERDICT
+  // #7) and OFF three cheap reused-shape rows: pipeline_shuffle (the
+  // content-hash sort shape stays benched via pipeline_curriculum),
+  // pipeline_token_pack (pipeline_concat_packs rides the same pack
+  // window plus the materialization), mm_audiowindow (mm_framesample
+  // keeps the work-list explode shape). All three join the BenchOne
+  // prose.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
@@ -43,22 +51,24 @@ object Bench {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf",
+    "knn_pagerank",
     "events_approx", "events_asof_tolerance", "events_asof_nearest",
     "events_percentiles", "parts_pagerank", "events_session_overlap",
     "text_lang_id", "text_quality", "text_tokens", "text_repetition",
+    "text_bpe_tokens",
     "corpus_token_topk", "corpus_ngram_topk",
     "dedup_components", "dedup_components_star",
     "dedup_embedding_cc",
     "doc_fingerprint", "mm_meta", "mm_framesample", "mm_decode",
+    "mm_decode_jpeg",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
-    "pipeline_clean_corpus_cc", "pipeline_token_pack", "pipeline_concat_packs",
+    "pipeline_clean_corpus_cc", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",
     "pipeline_decontaminate_fuzzy", "pipeline_decontaminate_semantic",
     "corpus_span_dupes", "pipeline_span_dedup", "pipeline_clean_lines",
     "pipeline_importance",
     "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
-    "pipeline_shuffle", "pipeline_curriculum",
-    "mm_audiowindow")
+    "pipeline_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -479,7 +479,7 @@ object Multimodal {
       // explode would let InferFiltersFromGenerate inline the whole
       // wrap+walk expression into `isnotnull(ph) AND size(ph) > 0`
       // filters, evaluating the container build 3× per row (measured
-      // 20.9 s → 7.1 s at sf1 — the CLAUDE.md HOF-inlining landmine in
+      // 20.9 s → 7.1 s at sf1 — the SURVEY §5 HOF-inlining landmine in
       // its Generate form); the outer variant infers nothing, and the
       // null-row filter below touches only the cheap exploded column
       .select(col("doc_id"), col("__w").as("frame_w"), col("__h").as("frame_h"),
