@@ -200,18 +200,27 @@ object Graph {
     * graph): nlist derived from the corpus (sizedNlist) — the graph
     * build is the corpus-scale op, so its quantizer tracks sqrt(N);
     * identical graph at gate scales, halved per-bucket mass at sf1+.
+    *
+    * Edges carry the pair's exact `cos` (r12): PageRank ignores it, but
+    * the similarity-thresholded consumers ([[semDeDupFromIndex]]) read
+    * it straight off the index instead of re-touching vectors. The
+    * dedup on (pa, pb, cos) equals the old (pa, pb) dedup bit-for-bit:
+    * when a pair surfaces in both kNN orientations, each side's cos is
+    * the SAME IEEE double (per-element products commute exactly and
+    * both folds run in index order — the same argument that makes the
+    * oracle's list_reduce replay exact).
     */
   private[graft] def knnEdges(emb: DataFrame, k: Int, probes: Int): DataFrame = {
     val knn = Similarity.knnJoinIvfSized(emb, k, probes)
     val pairs = knn
       .select(least(col("query_id"), col("corpus_id")).as("pa"),
-        greatest(col("query_id"), col("corpus_id")).as("pb"))
+        greatest(col("query_id"), col("corpus_id")).as("pb"), col("cos"))
       .distinct()
     pairs
       .select(explode(array(
-        struct(col("pa").as("src"), col("pb").as("dst")),
-        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        struct(col("pa").as("src"), col("pb").as("dst"), col("cos")),
+        struct(col("pb").as("src"), col("pa").as("dst"), col("cos")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.cos").as("cos"))
   }
 
   /** The top-`topK` rank card over a finished rank table: sort, cut,
@@ -267,6 +276,87 @@ object Graph {
                          scale: Long = 1000000000000L): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     pageRankFromIndex(emb.sparkSession, table, rounds, topK, scale)
+  }
+
+  /** DIVERSITY SAMPLE off the kNN graph — rank-many consumer #2 (r12;
+    * the VERDICT-promised trio was PageRank / SemDeDup neighborhoods /
+    * diversity sampling): one Luby round of maximal-independent-set
+    * selection with the fixed-point PageRank as the priority. A node is
+    * selected iff its rank beats EVERY neighbor's (ties broken toward
+    * the smaller id — the standard deterministic Luby priority, here a
+    * pure integer compare, so the selection is engine-exact). The
+    * result is an independent set of locally-dominant representatives:
+    * no two selected vectors are kNN neighbors of each other, and each
+    * is the PageRank peak of its own neighborhood — the
+    * representative-selection recipe over an embedding corpus.
+    *
+    * Scale shape: the neighbor-rank join keys on `src`, which the
+    * bucketed index layout already clusters — the edge list is never
+    * exchanged; the groupBy(dst) regroup is the one edge-sized shuffle
+    * (inherent: it is the graph's incoming direction), and everything
+    * else is node-sized. Output is the selected set only — corpus-bound
+    * above by N/(minDeg+1), in practice a small card.
+    */
+  def diversitySampleFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               table: String, rounds: Int = 5,
+                               scale: Long = 1000000000000L): DataFrame = {
+    val e = spark.table(table).select(col("src"), col("dst"))
+    val ranks = pageRankAdjacency(e, rounds, scale, symmetric = true)
+    // neighbor ranks ride the src bucketing (zero Exchange on the edge
+    // side); per-node best neighbor = max (rank, -id) tuple, so the
+    // "beaten by a neighbor" test is one integer struct compare
+    val best = e.join(ranks.select(col("id").as("src"), col("r").as("rn")), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("deg"),
+        max(struct(col("rn").as("r"), (-col("src")).as("nid"))).as("best"))
+    best.join(ranks, "id")
+      .filter(!(col("best.r") > col("r") ||
+        (col("best.r") === col("r") && -col("best.nid") < col("id"))))
+      .select(col("id").as("vec_id"), col("r").as("rank_fp"), col("deg"))
+      .orderBy(col("rank_fp").desc, col("vec_id"))
+  }
+
+  /** Build + sample in one call — the registered `knn_diversity_sample`
+    * query (the index write is shared verbatim with
+    * [[knnPageRankIndexed]]: ONE build pays for every consumer).
+    */
+  def knnDiversitySample(emb: DataFrame, table: String = "graft_knn_diversity",
+                         k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                         scale: Long = 1000000000000L): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    diversitySampleFromIndex(emb.sparkSession, table, rounds, scale)
+  }
+
+  /** SemDeDup NEIGHBORHOODS off the kNN graph — rank-many consumer #3
+    * (r12): connected components over the cos ≥ tau sub-graph of the
+    * materialized edge index, one representative (the component-minimum
+    * id) kept per semantic-duplicate neighborhood. This is the SemDeDup
+    * recipe re-based on the ANN graph: the candidate generator is the
+    * bounded kNN relation (≤ 2·k·N edges by construction — never
+    * all-pairs), the threshold reads the EXACT pair cosine the index
+    * already carries (zero vector re-touch), and the closure is the
+    * O(log n) star contraction [[Dedup.componentsOf]] runs everywhere
+    * else. Vectors outside every neighborhood keep themselves
+    * (singleton components via the left join-back).
+    */
+  def semDeDupFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        emb: DataFrame, table: String,
+                        tau: Double): DataFrame = {
+    val pairs = spark.table(table)
+      .filter(col("cos") >= tau && col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    Dedup.componentsOf(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("component_id").as("rep_id"),
+        (col("doc_id") === col("component_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Build + dedup in one call — the registered `knn_semdedup` query. */
+  def knnSemDeDup(emb: DataFrame, table: String = "graft_knn_semdedup",
+                  k: Int = 5, probes: Int = 2,
+                  tau: Double = 0.4): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    semDeDupFromIndex(emb.sparkSession, emb, table, tau)
   }
 
   /** The top-k co-purchase-centrality card over the lineitem graph. */

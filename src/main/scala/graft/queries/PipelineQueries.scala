@@ -190,6 +190,20 @@ object PipelineQueries {
     "knn_pagerank_indexed" -> ((s, dir) =>
       graft.operators.Graph.knnPageRankIndexed(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes).orderBy(col("rnk"))),
+    // rank-many consumer #2 (r12): one Luby MIS round with the
+    // fixed-point rank as priority — an independent set of
+    // locally-dominant representatives, straight off the same bucketed
+    // edge index (integer compares only, engine-exact)
+    "knn_diversity_sample" -> ((s, dir) =>
+      graft.operators.Graph.knnDiversitySample(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
+    // rank-many consumer #3 (r12): SemDeDup neighborhoods — connected
+    // components over the cos >= tau sub-graph of the index (the exact
+    // pair cosine rides the index; no vector is re-touched), one
+    // representative kept per semantic-duplicate neighborhood
+    "knn_semdedup" -> ((s, dir) =>
+      graft.operators.Graph.knnSemDeDup(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes, tau = CosTau)),
     // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
     // residual codes) alone; full vectors only for the exact rerank of
     // the top k·refine shortlist (round-3 §7 stretch).
@@ -1046,62 +1060,116 @@ object PipelineQueries {
     head + rounds
   }
 
-  /** kNN-graph pagerank replay, shared VERBATIM by `knn_pagerank` and
-    * its build-once/rank-many twin `knn_pagerank_indexed` (r12 — the
-    * bucketed edge layout must never change answers): the
-    * sim_knn_join_ivf CTEs build the top-k neighbor pairs, then the
-    * parts_pagerank integer power iteration runs over the symmetrized
-    * edge list (r0..r5 chained). Graph CTEs MATERIALIZED so the
-    * unrolled rounds replay one edge list (the r11 sf1 fix).
+  /** The kNN candidate/score/rank CTEs (the sim_knn_join_ivf replay up
+    * to `ranked(query_id, corpus_id, cos, rnk)`), shared by every
+    * kNN-graph oracle; `pairs` keeps the exact cos (bit-identical in
+    * both orientations — per-element products commute and both folds
+    * run in index order), so the threshold consumers read it verbatim.
     */
-  private lazy val knnPagerankOracle: String = {
-    val S = 1000000000000L
-    val rounds = 5
-    val head = NormCte +
-      s"""
-         |, $ivfCentroidCtesSized,
-         |corpus AS (
-         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
-         |probes AS (
-         |  SELECT vec_id AS query_id,
-         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-         |                 for p in generate_series(1, $KnnProbes)]) AS bucket
-         |  FROM ccs),
-         |cand AS (
-         |  SELECT DISTINCT query_id, corpus_id
-         |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
-         |scored AS (
-         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
-         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
-         |  FROM scored),
-         |pairs AS MATERIALIZED (
-         |  SELECT DISTINCT least(query_id, corpus_id) AS pa,
-         |         greatest(query_id, corpus_id) AS pb
-         |  FROM ranked WHERE rnk <= $KnnK),
+  private def knnRankedCtes: String = NormCte +
+    s"""
+       |, $ivfCentroidCtesSized,
+       |corpus AS (
+       |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+       |probes AS (
+       |  SELECT vec_id AS query_id,
+       |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+       |                 for p in generate_series(1, $KnnProbes)]) AS bucket
+       |  FROM ccs),
+       |cand AS (
+       |  SELECT DISTINCT query_id, corpus_id
+       |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
+       |scored AS (
+       |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+       |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+       |  FROM scored),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT least(query_id, corpus_id) AS pa,
+       |         greatest(query_id, corpus_id) AS pb, cos
+       |  FROM ranked WHERE rnk <= $KnnK)""".stripMargin
+
+  /** The symmetrized edge list + the unrolled fixed-point PageRank
+    * recurrence over it (r0..r`rounds` chained; graph CTEs MATERIALIZED
+    * so the rounds replay one edge list — the r11 sf1 fix). Composes
+    * after [[knnRankedCtes]].
+    */
+  private def knnRankChain(rounds: Int, s: Long): String = {
+    val head =
+      s""",
          |edges AS MATERIALIZED (
          |  SELECT pa AS src, pb AS dst FROM pairs
          |  UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
          |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
          |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
-         |r0 AS (SELECT id, CAST($S AS BIGINT) AS r FROM nodes)""".stripMargin
+         |r0 AS (SELECT id, CAST($s AS BIGINT) AS r FROM nodes)""".stripMargin
     val chain = (1 to rounds).map { t =>
       s""",
          |r$t AS (
          |  SELECT n.id,
-         |    CAST((15 * $S) // 100 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |    CAST((15 * $s) // 100 + (85 * COALESCE(sh.m, 0)) // 100 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, SUM(p.r // d.d) AS m
          |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
-         |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+         |    GROUP BY e.dst) sh ON sh.id = n.id)""".stripMargin
     }.mkString
-    head + chain +
+    head + chain
+  }
+
+  /** kNN-graph pagerank replay, shared VERBATIM by `knn_pagerank` and
+    * its build-once/rank-many twin `knn_pagerank_indexed` (r12 — the
+    * bucketed edge layout must never change answers): the
+    * sim_knn_join_ivf CTEs build the top-k neighbor pairs, then the
+    * parts_pagerank integer power iteration runs over the symmetrized
+    * edge list (r0..r5 chained).
+    */
+  private lazy val knnPagerankOracle: String =
+    knnRankedCtes + knnRankChain(5, 1000000000000L) +
       s"""
          |SELECT id AS vec_id, r AS rank_fp,
          |  CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS rnk
-         |FROM r$rounds ORDER BY r DESC, id LIMIT 20""".stripMargin
-  }
+         |FROM r5 ORDER BY r DESC, id LIMIT 20""".stripMargin
+
+  /** Luby-round diversity sample (`knn_diversity_sample`): a node is
+    * selected iff its r5 rank beats every neighbor's, ties toward the
+    * smaller id — a pure integer predicate over the same rank chain the
+    * pagerank oracle replays, so the selected set is engine-exact.
+    */
+  private lazy val knnDiversityOracle: String =
+    knnRankedCtes + knnRankChain(5, 1000000000000L) +
+      s"""
+         |SELECT me.id AS vec_id, me.r AS rank_fp, d.d AS deg
+         |FROM r5 me JOIN deg d ON d.id = me.id
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM edges e JOIN r5 nb ON nb.id = e.dst
+         |  WHERE e.src = me.id
+         |    AND (nb.r > me.r OR (nb.r = me.r AND nb.id < me.id)))
+         |ORDER BY rank_fp DESC, vec_id""".stripMargin
+
+  /** SemDeDup neighborhoods (`knn_semdedup`): the cos ≥ tau sub-graph of
+    * the kNN pairs, closed by the same recursive reachability-min the
+    * other components oracles use; every vector labels with its
+    * neighborhood representative (the component minimum), keep =
+    * "I am the representative". Singletons keep themselves via the
+    * left join-back.
+    */
+  private lazy val knnSemdedupOracle: String =
+    knnRankedCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |spairs AS (SELECT pa, pb FROM pairs WHERE cos >= $CosTau),
+         |sedges AS (SELECT pa AS src, pb AS dst FROM spairs
+         |           UNION ALL SELECT pb, pa FROM spairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN sedges e ON r.dst = e.src)
+         |SELECT vv.vec_id,
+         |       CAST(least(vv.vec_id, coalesce(min(r.dst), vv.vec_id)) AS BIGINT) AS rep_id,
+         |       least(vv.vec_id, coalesce(min(r.dst), vv.vec_id)) = vv.vec_id AS keep
+         |FROM v vv LEFT JOIN reach r ON r.src = vv.vec_id
+         |GROUP BY vv.vec_id
+         |ORDER BY vec_id""".stripMargin
 
   /** Sign-LSH band index, with the hyperplane codebook GENERATED in SQL
     * from the same LCG formula as Codebooks.planes — the oracle scales to
@@ -1598,6 +1666,13 @@ object PipelineQueries {
     // the indexed (build-once/rank-many) twin shares the oracle
     // VERBATIM: the bucketed layout must never change answers
     "knn_pagerank_indexed" -> knnPagerankOracle,
+
+    // rank-many consumers off the same graph (r12): the Luby-round
+    // diversity sample replays the rank chain + an integer local-maxima
+    // predicate; SemDeDup closes the cos >= tau sub-graph with the
+    // recursive reachability min
+    "knn_diversity_sample" -> knnDiversityOracle,
+    "knn_semdedup" -> knnSemdedupOracle,
 
     // IVF-PQ: codes and the approximate score replayed with the SAME
     // fold orders as the kernels (continuous accumulation: coarse term,

@@ -114,6 +114,92 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knn_diversity_sample: the selected set is exactly the rank-local-maxima " +
+      "(driver-replayed Luby round), independent in the graph, and includes the " +
+      "global rank peak; rank-many consumers share ONE index build") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_consumers_spec", k = 5, probes = 2)
+    // build-once/consume-many: BOTH consumers run off the one write above
+    val sel = Graph.diversitySampleFromIndex(spark, "graft_knn_consumers_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ranks = Graph.pageRankFromIndex(spark, "graft_knn_consumers_spec",
+      topK = Int.MaxValue)
+    assert(sel.nonEmpty, "the sample must select someone")
+    val edges = spark.table("graft_knn_consumers_spec")
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rank = ranks.select(col("vec_id"), col("rank_fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nbrs = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    // driver replay of the Luby predicate: selected iff my (rank, -id)
+    // beats every neighbor's
+    def beats(a: Long, b: Long): Boolean =
+      rank(a) > rank(b) || (rank(a) == rank(b) && a < b)
+    val expected = rank.keySet.filter(id => nbrs(id).forall(n => beats(id, n)))
+    assert(sel.map(_._1).toSet === expected,
+      "selection must equal the driver-replayed local-maxima set")
+    // independence: no two selected nodes are kNN neighbors
+    for ((id, _, _) <- sel)
+      assert(nbrs(id).intersect(sel.map(_._1).toSet).isEmpty,
+        s"selected node $id has a selected neighbor — not an independent set")
+    // the global peak (max rank, min id tie-break) has no beating neighbor
+    val peak = rank.toSeq.minBy { case (id, r) => (-r, id) }._1
+    assert(sel.map(_._1).contains(peak), "the global rank peak must be selected")
+    // degrees reported are the graph's
+    for ((id, _, d) <- sel) assert(d === nbrs(id).size.toLong)
+  }
+
+  test("knn_semdedup: labels equal a driver union-find over the tau-filtered " +
+      "index pairs; exactly one keep per neighborhood and the keeper is the " +
+      "minimum id; a planted dense cluster collapses to ONE representative") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val out = Graph.knnSemDeDup(emb, "graft_knn_semdedup_spec",
+      k = 5, probes = 2, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // driver union-find over the same thresholded pairs
+    val pairs = spark.table("graft_knn_semdedup_spec")
+      .filter(col("cos") >= 0.4 && col("src") < col("dst"))
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    for ((id, rep, keep) <- out) {
+      assert(rep === find(id), s"vec $id: rep $rep != union-find ${find(id)}")
+      assert(keep === (id == rep))
+    }
+    // one keep per component, keeper = component min
+    val byRep = out.groupBy(_._2)
+    for ((rep, members) <- byRep) {
+      assert(members.count(_._3) === 1, s"component $rep must keep exactly one")
+      assert(members.map(_._1).min === rep, s"keeper of $rep must be the min id")
+    }
+    // planted semantics: a dense near-identical cluster collapses to one
+    // keep while orthogonal periphery vectors all keep themselves
+    import spark.implicits._
+    val dim = graft.operators.Similarity.Dim
+    val cluster = (0 until 8).map { j =>
+      val v = Array.fill(dim)(0.0f); v(0) = 1.0f; v(j + 1) = 0.05f
+      (j.toLong, v.toSeq, 0)
+    }
+    val periphery = (0 until 12).map { j =>
+      val v = Array.fill(dim)(0.0f); v(0) = 0.3f; v(j + 20) = 1.0f
+      (100L + j, v.toSeq, 1)
+    }
+    val planted = (cluster ++ periphery).toDF("vec_id", "embedding", "label")
+    val pl = Graph.knnSemDeDup(planted, "graft_knn_semdedup_spec2",
+      k = 5, probes = 2, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(pl.filter(_._1 < 8L).forall(_._2 == 0L),
+      "the dense cluster must collapse into vec 0's neighborhood")
+    assert(pl.count(_._3) === 13,
+      "one cluster keep + 12 periphery singletons")
+  }
+
   test("chunked-adjacency pagerank is bit-identical to the edge-list form — " +
       "on the symmetric co-purchase graph (both fast-path flags) and on a " +
       "DIRECTED chain where no-in-edge nodes must re-enter at the teleport base") {
