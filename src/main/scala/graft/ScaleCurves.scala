@@ -39,6 +39,10 @@ object ScaleCurves {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // single-FILE test tables only split on row-group boundaries;
+      // 4 MB splits let a one-file corpus (ScaleGen writes 4 MB row
+      // groups) scan in parallel instead of one straggler task (r12)
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 

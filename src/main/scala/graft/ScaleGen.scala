@@ -139,9 +139,16 @@ object ScaleGen {
 
     // check.py/DuckDB read `<dir>/<t>.parquet` as ONE file, so the Spark
     // directory output is collapsed to a single part and moved in place.
+    // 4 MB row groups keep the one file SPLITTABLE: with the default
+    // 128 MB parquet block a 100 MB sf10 corpus is one row group, so
+    // every scan stage collapses to a single straggler task no matter
+    // what maxPartitionBytes says (splits align to row groups) — the
+    // r12 sf10 run measured exactly that (one core, 18 CPU-minutes).
     def writeSingle(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = s"$outDir/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet")).head
       Files.createDirectories(Paths.get(outDir))
