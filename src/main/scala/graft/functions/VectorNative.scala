@@ -50,15 +50,20 @@ object Codebooks {
     * Similarity.ivfTopK nlist parameter.
     */
   def centroidsFor(n: Int): IndexedSeq[IndexedSeq[Double]] = {
-    // generator-row budget: planes end at row 127, centroids own rows
-    // 200..399, PQ sub-codebooks start at row 400 — without this guard a
-    // large nlist would silently share rows with the PQ codebooks
-    // (correlated codebooks, quiet quality loss; round-4 ADVICE)
-    require(n <= 200,
-      s"centroidsFor(n=$n): the LCG row budget for coarse centroids is 200 " +
-        "(rows 200..399); larger codebooks would overlap the PQ rows at 400+")
+    // generator-row budget: planes end at row 127, small codebooks own
+    // rows 200..399, PQ sub-codebooks rows 400..527 — without this
+    // guard a large nlist would silently share rows with the PQ
+    // codebooks (correlated codebooks, quiet quality loss; round-4
+    // ADVICE). Codebooks past the 200-row region move WHOLE to the
+    // 10000.. region (r12 — the sf10 kNN-graph ladder outgrew 200): a
+    // big codebook never partially overlaps a small one, and every
+    // n ≤ 200 codebook is bit-identical to what the gates shipped.
+    require(n <= 2048,
+      s"centroidsFor(n=$n): the LCG row budget for coarse centroids is " +
+        "2048 (rows 200..399 for n <= 200, rows 10000..12047 beyond)")
+    val off = if (n <= 200) 200 else 10000
     (0 until n).map(c => (0 until Dim).map(i =>
-      (((1103515245L * ((c + 200) * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
+      (((1103515245L * ((c + off) * Dim + i) + 12345L) % 2001L) - 1000L) / 1000.0))
   }
 
   val centroids: IndexedSeq[IndexedSeq[Double]] = centroidsFor(NCentroids)

@@ -131,13 +131,23 @@ object Similarity {
     *
     * Scale shape: total candidates ≈ probes·N²/nlist — with nlist ~ √N
     * that is probes·N^1.5, the accepted ANN-graph cost (the join is
-    * bucket-keyed, never all-pairs). Unlike the serving variants,
-    * NEITHER side broadcasts (both are the corpus): candidates enrich
-    * against the vector table twice on the 8-byte vec_id, and the
-    * two-phase salted rerank caps the per-query window population.
+    * bucket-keyed, never all-pairs). Scoring is AT GENERATION (r12):
+    * both sides of the bucket join carry their own vector, the exact
+    * cosine is computed inside the explosion stage, and only the 24-byte
+    * (query_id, corpus_id, cos) row ever reaches an exchange — the
+    * previous form enriched the candidate list against the vector table
+    * through two candidate-keyed joins, which at sf10 meant sorting
+    * 4×10⁸ rows × ~550 B of attached vectors (≈ 220 GB of spill; the
+    * run died on disk). Vectors now move only on the N-sized join
+    * inputs (~550 B × (1 + probes) per vector, once). A pair that meets
+    * in two probed buckets scores to the SAME IEEE double both times
+    * (identical inputs, same fold order), so the distinct collapses it
+    * exactly as the enrich-then-score form did — results are
+    * bit-identical at every scale; the two-phase salted rerank caps the
+    * per-query window population as before.
     */
   def knnJoinIvf(emb: DataFrame, k: Int = 5, probes: Int = 2,
-                 nlist: Int = NCentroids): DataFrame = {
+                 nlist: Int = NCentroids, pinWidth: Int = 0): DataFrame = {
     val v = vectors(emb)
     val (bucketCol, probesCol) =
       if (nlist == NCentroids)
@@ -155,35 +165,67 @@ object Similarity {
         (call_function(s"graft_ivf_bucket_$nlist", col("e")),
           call_function(s"graft_ivf_probes_${nlist}_$probes", col("e")))
       }
-    val corpus = v.select(col("vec_id").as("corpus_id"), bucketCol.as("bucket"))
-    val queries = v.select(col("vec_id").as("query_id"),
-      explode(probesCol).as("bucket"))
-    val cand = corpus.join(queries, "bucket")
+    val corpus = v.select(col("vec_id").as("corpus_id"), bucketCol.as("bucket"),
+      col("e").as("ec"), col("nrm").as("nc"))
+    val queries0 = v.select(col("vec_id").as("query_id"),
+      explode(probesCol).as("bucket"), col("e").as("eq"), col("nrm").as("nq"))
+    // PRE-EXPLOSION width pin (r12, measured at sf10): the bucket join's
+    // input is a few MB of (id, bucket) pairs but its output is
+    // probes·N²/nlist candidate rows — AQE sizes exchanges by INPUT
+    // bytes, so it coalesces the stage feeding this join to 1-2 tasks
+    // and the candidate generation + partial distinct serializes (2
+    // cores busy on 4×10⁸ rows, >10 min before the pin; AQE's
+    // minPartitionSize floor overrides parallelismFirst on tiny
+    // inputs). An explicit repartition-by-num is a shuffle origin AQE
+    // never coalesces, so the generating stage keeps `pinWidth` tasks.
+    // Engaged N-adaptively by [[knnJoinIvfSized]] — 0 (off) at gate
+    // scales keeps every gated plan and oracle bit-identical.
+    val queries = if (pinWidth > 0)
+      queries0.repartition(pinWidth, col("bucket")) else queries0
+    val scored = corpus.join(queries, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id")).distinct()
-    val vq = v.select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"))
-    val vc = v.select(col("vec_id").as("corpus_id"), col("e").as("ec"), col("nrm").as("nc"))
-    val scored = cand.join(vq, "query_id").join(vc, "corpus_id")
-      .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+      .select(col("query_id"), col("corpus_id"),
+        (expr("graft_dot(eq, ec)") / (col("nq") * col("nc"))).as("cos"))
+      .distinct()
     rerankTopKTwoPhase(scored, k)
   }
 
-  /** The kNN graph's N-ADAPTIVE coarse-quantizer size: one nlist
-    * doubling per 16x corpus growth keeps nlist tracking √N (the
-    * documented ANN-graph scale knob — candidates ≈ probes·N²/nlist stay
-    * ≈ probes·N^1.5) within the LCG generator's 200-row coarse budget.
-    * ≤ 4096 vectors keeps the serving default 64, so every driver-gate
-    * scale (500 / 2,000 vectors) produces the IDENTICAL graph and the
-    * existing oracles hold unchanged; the derivation only engages at
-    * sf1+ — mirrored verbatim in the oracle's nlsizing CTE (the
+  /** The kNN graph's N-ADAPTIVE coarse-quantizer size: nlist tracks √N
+    * (the documented ANN-graph scale knob — candidates ≈ probes·N²/nlist
+    * stay ≈ probes·N^1.5). ≤ 4096 vectors keeps the serving default 64
+    * and ≤ 65536 keeps the r11 step 128, so every driver-gate scale
+    * (500 / 2,000 / 20,000 vectors) produces the IDENTICAL graph and
+    * the existing oracles hold unchanged. r12 extends the ladder past
+    * the old 200-row cap (512 ≤ 1M, 2048 beyond — the big codebooks
+    * generate from the fresh 10000.. LCG region, Codebooks.centroidsFor):
+    * the sf10 run measured the cap's cost directly — candidates grew
+    * N²/200 instead of N^1.5 (4×10⁸ pairs at 200k vectors; 512 cuts
+    * that 2.6×). Mirrored verbatim in the oracle's nlsizing CTE (the
     * sizedEstK / sizedSaltBuckets pattern).
     */
   def sizedNlist(n: Long): Int =
-    if (n <= 4096) NCentroids else if (n <= 65536) 128 else 200
+    if (n <= 4096) NCentroids else if (n <= 65536) 128
+    else if (n <= 1048576) 512 else 2048
 
-  /** [[knnJoinIvf]] with nlist derived from the corpus (one count). */
-  def knnJoinIvfSized(emb: DataFrame, k: Int = 5, probes: Int = 2): DataFrame =
-    knnJoinIvf(emb, k, probes, sizedNlist(emb.count()))
+  /** The candidate-stage width pin, N-adaptive like [[sizedNlist]]: off
+    * (0) at every gate scale — plans and oracles bit-identical — and the
+    * session's shuffle width once the corpus outgrows the 65,536-vector
+    * ladder step, where the pre-explosion AQE mis-coalesce starts to
+    * bite (sf10 measurement: >580 s serialized on 2 tasks → pinned).
+    * Pinning is pure partitioning — every downstream op is
+    * partitioning-invariant by design, so answers never change.
+    */
+  def sizedCandWidth(n: Long, emb: DataFrame): Int =
+    if (n <= 65536) 0
+    else emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** [[knnJoinIvf]] with nlist + candidate width derived from the corpus
+    * (one count).
+    */
+  def knnJoinIvfSized(emb: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
+    val n = emb.count()
+    knnJoinIvf(emb, k, probes, sizedNlist(n), sizedCandWidth(n, emb))
+  }
 
   /** IVF-bucketed ANN: corpus vectors live in their nearest-centroid
     * bucket (argmax cosine, first-index tie-break); each query probes its

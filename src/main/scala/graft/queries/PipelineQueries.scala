@@ -934,11 +934,12 @@ object PipelineQueries {
     */
   private def ivfCentroidCtesSized: String =
     s"""nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
-       |  WHEN COUNT(*) <= 65536 THEN 128 ELSE 200 END AS nl FROM embeddings),
+       |  WHEN COUNT(*) <= 65536 THEN 128
+       |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
        |cent AS (
-       |  SELECT c, [CAST((((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+       |  SELECT c, [CAST((((1103515245*((c + CASE WHEN nl <= 200 THEN 200 ELSE 10000 END)*$Dim+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
        |             for i in generate_series(0, ${Dim - 1})] AS cv
-       |  FROM generate_series(0, 199) AS t(c), nlsizing WHERE c < nl),
+       |  FROM generate_series(0, 2047) AS t(c), nlsizing WHERE c < nl),
        |cn AS (SELECT c, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cent),
        |ccs AS (
        |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc

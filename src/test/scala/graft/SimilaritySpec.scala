@@ -346,8 +346,18 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.sizedNlist(4096L) === 64)
     assert(Similarity.sizedNlist(4097L) === 128)
     assert(Similarity.sizedNlist(65536L) === 128)
-    assert(Similarity.sizedNlist(65537L) === 200)
-    assert(Similarity.sizedNlist(Long.MaxValue) === 200)
+    assert(Similarity.sizedNlist(65537L) === 512)
+    assert(Similarity.sizedNlist(1048576L) === 512)
+    assert(Similarity.sizedNlist(1048577L) === 2048)
+    assert(Similarity.sizedNlist(Long.MaxValue) === 2048)
+    // the big-ladder codebooks come from the fresh 10000.. LCG region:
+    // no row is shared with the ≤200 codebooks, and the ≤200 codebooks
+    // are bit-identical to what every gate shipped
+    val small = graft.functions.Codebooks.centroidsFor(200)
+    val big = graft.functions.Codebooks.centroidsFor(512)
+    assert(small === graft.functions.Codebooks.centroidsFor(200))
+    assert(!big.take(200).zip(small).exists { case (a, b) => a == b },
+      "big-ladder rows must not reuse the small-region rows")
     val fixed = Similarity.knnJoinIvf(emb)
     val sized = Similarity.knnJoinIvfSized(emb)
     assert(sized.except(fixed).count() === 0 && fixed.except(sized).count() === 0,
