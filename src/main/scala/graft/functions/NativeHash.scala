@@ -121,7 +121,9 @@ object NativeHash {
     ("graft_bpe_merge", "one greedy left-to-right BPE merge pass over a symbol array",
       exprs => BpeMerge(exprs.head, exprs(1), exprs(2))),
     ("graft_top_k", "mergeable bounded top-k aggregate over bigints, descending array",
-      exprs => TopKLongs(exprs.head, foldableGram(exprs(1))).toAggregateExpression()))
+      exprs => TopKLongs(exprs.head, foldableGram(exprs(1))).toAggregateExpression()),
+    ("graft_outer_sum", "exact upper-triangle outer-product-sum aggregate over fp unit vectors",
+      exprs => OuterProductSum(exprs.head).toAggregateExpression()))
 
   /** Validates the integer parameter of parameterized kernels: must be a
     * foldable integral expression ≥ 1 (a BIGINT literal is fine; a column

@@ -430,6 +430,14 @@ object PipelineQueries {
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
+    // fixed-point PCA (r12): ONE exact-BIGINT covariance pass (the
+    // graft_outer_sum aggregate, map-side-combinable long[2080]
+    // buffers), a driver-local BigInt power iteration with max-norm
+    // rescaling (no sqrt — integer end to end), and a one-map-pass
+    // projection whose double fold stays under 2^53 and is therefore
+    // bit-exact. Zero vectors are outside the fit's domain -> null.
+    "embedding_pca_project" -> ((s, dir) =>
+      graft.operators.Pca.project(Tables.load(s, dir, "embeddings"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -1009,6 +1017,61 @@ object PipelineQueries {
          |  SELECT vec_id, list(${dotSql("e", "cv")} / (nrm * cnrm) ORDER BY c) AS cc
          |  FROM v CROSS JOIN cn2 GROUP BY vec_id)""".stripMargin
     head + rounds + serve
+  }
+
+  /** Fixed-point PCA replay (r12): vfp/vfu are kmeansFitCtes' fp-unit
+    * CTEs verbatim; cov sums the exact upper triangle of Σ x̂·x̂ᵀ
+    * (DuckDB SUM(BIGINT) widens to HUGEINT — the Spark aggregate's
+    * long[] is exact to ~9.2·10⁶ rows, within every gated scale); the
+    * unrolled rounds run C·v, take MAX(ABS(·)) and rescale by the
+    * truncating `//` in HUGEINT, mirroring Pca.fitTopAxis's BigInt
+    * arithmetic term for term; a zero C·v keeps the previous v (the
+    * CASE — unreachable on a nonempty corpus, but the guard must agree
+    * on both sides). Final projection: an integer SUM, order-free.
+    */
+  private def pcaProjectOracle: String = {
+    val S = graft.operators.Pca.Scale
+    val rounds = graft.operators.Pca.Rounds
+    def sumSq(arr: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [x*x for x in $arr]), (s,x) -> s+x)"
+    val head = NormCte +
+      s""",
+         |vfp AS (
+         |  SELECT vec_id, [CAST(floor(e[i]*1000000.0) AS BIGINT)
+         |                  for i in generate_series(1,$Dim)] AS xf FROM v),
+         |vfu AS MATERIALIZED (
+         |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0/sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) for x in xf] AS xh
+         |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
+         |uidx AS (
+         |  SELECT a.i AS i, b.j AS j
+         |  FROM generate_series(1, $Dim) a(i), generate_series(1, $Dim) b(j)
+         |  WHERE b.j >= a.i),
+         |cov AS MATERIALIZED (
+         |  SELECT i, j, SUM(xh[i]*xh[j]) AS cs FROM vfu, uidx GROUP BY i, j),
+         |covf AS MATERIALIZED (
+         |  SELECT i, j, cs FROM cov
+         |  UNION ALL SELECT j AS i, i AS j, cs FROM cov WHERE i <> j),
+         |p0 AS (SELECT i, CAST($S AS HUGEINT) AS pv FROM generate_series(1, $Dim) t(i))""".stripMargin
+    val chain = (1 to rounds).map { t =>
+      s""",
+         |w$t AS MATERIALIZED (
+         |  SELECT c.i, SUM(CAST(c.cs AS HUGEINT) * p.pv) AS wv
+         |  FROM covf c JOIN p${t - 1} p ON p.i = c.j GROUP BY c.i),
+         |m$t AS (SELECT MAX(ABS(wv)) AS m FROM w$t),
+         |p$t AS MATERIALIZED (
+         |  SELECT w.i, CASE WHEN m.m = 0 THEN p.pv
+         |                   ELSE (w.wv * $S) // m.m END AS pv
+         |  FROM w$t w JOIN p${t - 1} p ON p.i = w.i CROSS JOIN m$t m)""".stripMargin
+    }.mkString
+    head + chain +
+      s"""
+         |SELECT vv.vec_id, pr.proj_fp
+         |FROM v vv LEFT JOIN (
+         |  SELECT u.vec_id,
+         |         CAST(SUM(u.xh[p.i] * CAST(p.pv AS BIGINT)) AS BIGINT) AS proj_fp
+         |  FROM vfu u CROSS JOIN p$rounds p GROUP BY u.vec_id) pr
+         |  ON pr.vec_id = vv.vec_id
+         |ORDER BY vv.vec_id""".stripMargin
   }
 
   /** FIXED-POINT per-subspace PQ residual k-means, unrolled (r12) — the
@@ -2615,6 +2678,14 @@ object PipelineQueries {
          |            for i in generate_series(1, $Dim)]) AS max_abs_err
          |FROM q ORDER BY vec_id""".stripMargin
     },
+
+    // fixed-point PCA projection: the fp-unit CTEs (kmeansFitCtes'
+    // vfp/vfu verbatim), the exact upper-triangle covariance, and the
+    // 8-round max-norm power iteration unrolled in HUGEINT — every op
+    // an integer sum/product/ABS/MAX or a truncating `//`, so the
+    // replay is bit-exact under any order; the final projection SUM
+    // is an exact integer both sides (Spark's double fold < 2^53)
+    "embedding_pca_project" -> pcaProjectOracle,
 
     "embedding_stats" ->
       s"""WITH v AS (
