@@ -58,7 +58,13 @@ case class OuterProductSum(
         s"graft_outer_sum: expected $dim components, got ${arr.numElements()}")
       val x = new Array[Long](dim)
       var i = 0
-      while (i < dim) { x(i) = arr.getDouble(i).toLong; i += 1 }
+      while (i < dim) {
+        // a null slot would silently read as 0.0 and poison the matrix —
+        // reject loudly like the dimension mismatch (round-3 ADVICE style)
+        require(!arr.isNullAt(i), s"graft_outer_sum: null component at $i")
+        x(i) = arr.getDouble(i).toLong
+        i += 1
+      }
       var idx = 0
       i = 0
       while (i < dim) {

@@ -303,15 +303,18 @@ object Graph {
     val e = spark.table(table).select(col("src"), col("dst"))
     val ranks = pageRankAdjacency(e, rounds, scale, symmetric = true)
     // neighbor ranks ride the src bucketing (zero Exchange on the edge
-    // side); per-node best neighbor = max (rank, -id) tuple, so the
-    // "beaten by a neighbor" test is one integer struct compare
+    // side); per-node best neighbor = min (-rank, id) tuple, so the
+    // "beaten by a neighbor" test is one integer struct compare. The
+    // negation lives on the RANK (algorithm-domain, bounded by total
+    // mass n·scale ≪ 2⁶³), never on the id (data-domain — a negated
+    // Long.MinValue id would overflow)
     val best = e.join(ranks.select(col("id").as("src"), col("r").as("rn")), "src")
       .groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("deg"),
-        max(struct(col("rn").as("r"), (-col("src")).as("nid"))).as("best"))
+        min(struct((-col("rn")).as("nr"), col("src").as("nid"))).as("best"))
     best.join(ranks, "id")
-      .filter(!(col("best.r") > col("r") ||
-        (col("best.r") === col("r") && -col("best.nid") < col("id"))))
+      .filter(!(-col("best.nr") > col("r") ||
+        (-col("best.nr") === col("r") && col("best.nid") < col("id"))))
       .select(col("id").as("vec_id"), col("r").as("rank_fp"), col("deg"))
       .orderBy(col("rank_fp").desc, col("vec_id"))
   }
