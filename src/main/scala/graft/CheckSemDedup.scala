@@ -33,12 +33,24 @@ object CheckSemDedup {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    val out = graft.operators.Graph.knnSemDeDup(emb, "graft_knn_semdedup_check",
-      tau = tau).collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    val pairs = spark.table("graft_knn_semdedup_check")
+    val outDf = graft.operators.Graph.knnSemDeDup(emb, "graft_knn_semdedup_check",
+      tau = tau)
+    val pairsDf = spark.table("graft_knn_semdedup_check")
       .filter(col("cos") >= tau && col("src") < col("dst"))
-      .select(col("src"), col("dst")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .select(col("src"), col("dst"))
+    // count-before-collect (r12 ADVICE): a low tau on a bigger corpus
+    // can grow the tau-pair set past what the checker's driver heap
+    // holds — degrade LOUDLY with the sizes in hand, never die inside
+    // collect(). ~32 B/tuple: 10⁸ rows ≈ 3 GB, a safe single-box cap.
+    val maxCollect = sys.env.getOrElse("GRAFT_CHECK_MAX_ROWS", "100000000").toLong
+    val (nOut, nPairs) = (outDf.count(), pairsDf.count())
+    println(s"[check-semdedup] collecting $nOut output rows + $nPairs tau-pairs")
+    require(nOut <= maxCollect && nPairs <= maxCollect,
+      s"[check-semdedup] collect sizes ($nOut rows, $nPairs pairs) exceed " +
+        s"the driver cap $maxCollect — raise GRAFT_CHECK_MAX_ROWS only with " +
+        "the heap to match")
+    val out = outDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 /** `graft_outer_sum(xh)` — the exact covariance-accumulation aggregate
   * over fixed-point unit vectors ([[FpUnit]] output: integer-valued
   * doubles, |x̂ᵢ| ≤ 10⁶): sums the UPPER TRIANGLE of x̂·x̂ᵀ as BIGINTs,
-  * Dim·(Dim+1)/2 = 2,080 entries. This is the one distributed pass of
+  * Dim·(Dim+1)/2 = 2,080 entries, plus a TRAILING ROW-COUNT slot (r13
+  * ADVICE: the headroom must be enforceable, not just documented — the
+  * caller checks the count against the wrap bound and fails loudly).
+  * This is the one distributed pass of
   * the PCA fit ([[graft.operators.Pca]]) in the shape a 100-TB corpus
   * needs: a 64-aggregate-wide `sum(...)` column list would exceed the
   * codegen field budget and fall back to interpreted row-at-a-time
@@ -21,8 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * (the [[TopKLongs]] precedent).
   *
   * Exactness: per-row products |x̂ᵢ·x̂ⱼ| ≤ 10¹², so BIGINT sums hold
-  * exactly to ~9.2·10⁶ rows; past that, fit on a sample — the same
-  * documented headroom discipline as Graph.pageRank's scale knob.
+  * exactly to ~9.2·10⁶ rows; past that, fit on a sample —
+  * [[graft.operators.Pca.sizedFitModulus]] does exactly that, and
+  * enforces the bound via this aggregate's count slot.
   * Integer sums are order-free under any partitioning, so the matrix
   * (and everything the PCA fit derives from it) is engine-exact.
   * Null rows are skipped; a non-[[graft.functions.Codebooks.Dim]]-length
@@ -35,7 +39,8 @@ case class OuterProductSum(
   extends TypedImperativeAggregate[Array[Long]] {
 
   private val dim = Codebooks.Dim
-  private val len = dim * (dim + 1) / 2
+  // triangle entries + the trailing row-count slot
+  private val len = dim * (dim + 1) / 2 + 1
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -73,6 +78,7 @@ case class OuterProductSum(
         while (j < dim) { buf(idx) += xi * x(j); idx += 1; j += 1 }
         i += 1
       }
+      buf(len - 1) += 1L // row count — the enforceable headroom slot
     }
     buf
   }

@@ -330,6 +330,126 @@ object Graph {
     diversitySampleFromIndex(emb.sparkSession, table, rounds, scale)
   }
 
+  /** Luby-iteration priority for MIS round `t`: round 1 is the
+    * fixed-point PageRank (biasing the FIRST pick toward high-rank
+    * representatives — round 1's selection is exactly
+    * [[diversitySampleFromIndex]]'s set, spec'd); later rounds use a
+    * fresh per-round LCG permutation of the id ((id mod 1000003)·48271
+    * + t·12345, all mod 1000003) — Luby's re-randomization, which is
+    * what makes the expected round count O(log n) instead of the
+    * longest monotone rank chain. Pure bounded integer arithmetic
+    * (≤ 2²⁰·48271 ≈ 2³⁶ — no ANSI overflow), engine-exact, mirrored
+    * verbatim in the oracle's unrolled CTEs. Ties break toward the
+    * smaller id in every round.
+    */
+  private val MisLcgMod = 1000003L
+  private def misPriority(t: Int): org.apache.spark.sql.Column =
+    if (t == 1) col("r")
+    else ((col("id") % MisLcgMod) * 48271L + lit(t * 12345L)) % MisLcgMod
+
+  /** The oracle-side twin of [[misPriority]] (interpolated constants —
+    * the shared-formula discipline). */
+  private[graft] def misPrioritySql(t: Int, idCol: String, rCol: String): String =
+    if (t == 1) rCol
+    else s"(($idCol % $MisLcgMod) * 48271 + ${t * 12345L}) % $MisLcgMod"
+
+  /** Iterated Luby MAXIMAL independent set off the kNN graph (r13 —
+    * round-12 VERDICT #2 completed [[diversitySampleFromIndex]]'s one
+    * round to the fixed point): each round selects every remaining node
+    * whose priority beats all REMAINING neighbors', then deletes the
+    * selected nodes' closed neighborhoods; iterate until no node
+    * remains. The output is a true MIS — no two selected nodes are kNN
+    * neighbors AND every unselected node has a selected neighbor — with
+    * each node tagged by its selection round (round 1 = the locally-
+    * dominant PageRank representatives, later rounds fill the gaps).
+    *
+    * Scale shape: per round, the live-edge restriction joins the
+    * bucketed edge index on `src` (bucketing satisfied — no edge-side
+    * exchange) and anti-joins the shrinking alive set; everything else
+    * is node-sized. Rounds are O(log n) w.h.p. (Luby re-randomization);
+    * each round's state is localCheckpoint-materialized BY its
+    * convergence count and superseded checkpoints unpersist eagerly —
+    * the [[Dedup.componentsOf]] iteration discipline. `maxRounds` is a
+    * loud-failure fuse (and the oracle's unroll depth), not a tuning
+    * knob: hitting it raises rather than returning a non-maximal set.
+    */
+  def diversityMisFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, rounds: Int = 5,
+                            scale: Long = 1000000000000L,
+                            maxRounds: Int = MisMaxRounds): DataFrame = {
+    val e = spark.table(table).select(col("src"), col("dst")).persist()
+    // pageRankAdjacency already returns an eager localCheckpoint — use it
+    // AS round 0's alive state (re-checkpointing would leak the inner copy)
+    var alive = pageRankAdjacency(e, rounds, scale, symmetric = true)
+    val selected = scala.collection.mutable.ListBuffer[DataFrame]()
+    var t = 1
+    var nAlive = alive.count()
+    while (nAlive > 0) {
+      require(t <= maxRounds,
+        s"diversityMisFromIndex: no fixed point after $maxRounds rounds " +
+          s"($nAlive nodes alive) — raise maxRounds AND the oracle unroll")
+      val aliveP = alive.select(col("id"), col("r"), misPriority(t).as("pri"))
+      // live edges: both endpoints still alive; the src side carries its
+      // priority so the per-dst "best neighbor" needs no second join
+      val liveE = e
+        .join(aliveP.select(col("id").as("src"), col("pri").as("spri")), "src")
+        .join(aliveP.select(col("id").as("dst")), "dst")
+        .select(col("src"), col("dst"), col("spri"))
+      // negate the PRIORITY (algorithm-domain, bounded), never the id
+      val best = liveE.groupBy(col("dst").as("id"))
+        .agg(min(struct((-col("spri")).as("np"), col("src").as("nid"))).as("best"))
+      val selT = aliveP.join(best, Seq("id"), "left_outer")
+        .filter(col("best").isNull ||
+          !(-col("best.np") > col("pri") ||
+            (-col("best.np") === col("pri") && col("best.nid") < col("id"))))
+        .select(col("id"), col("r"))
+        .localCheckpoint(true) // eager: later rounds must not recompute it
+      selected += selT.withColumn("sel_round", lit(t))
+      val removed = selT.select(col("id"))
+        .union(liveE.join(selT.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")))
+        .distinct()
+      val aliveNext = alive.join(removed, Seq("id"), "left_anti")
+        .localCheckpoint(false) // lazy — materialized by the count below
+      nAlive = aliveNext.count()
+      unpersistCheckpoint(alive)
+      alive = aliveNext
+      t += 1
+    }
+    e.unpersist(false)
+    selected.reduce(_ union _)
+      .select(col("id").as("vec_id"), col("r").as("rank_fp"), col("sel_round"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The MIS fuse AND the oracle's unroll depth — the two must agree
+    * (the Scala loop raises past it; the oracle's extra rounds are
+    * no-ops on an already-empty alive set, so a shallow convergence
+    * gates identically). Luby on the ≤2k-degree kNN graph converges in
+    * a handful of rounds; 12 is two decades of headroom over the
+    * measured gate-scale depth. */
+  val MisMaxRounds = 12
+
+  /** Build + MIS in one call — the registered `knn_diversity_mis`
+    * query (index write shared with every other kNN consumer).
+    */
+  def knnDiversityMis(emb: DataFrame, table: String = "graft_knn_diversity_mis",
+                      k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                      scale: Long = 1000000000000L): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    diversityMisFromIndex(emb.sparkSession, table, rounds, scale)
+  }
+
+  /** Eager-unpersist of a superseded localCheckpoint: the iteration
+    * discipline shared with [[Dedup.componentsOf]] — truncated lineage
+    * cannot recompute, so ONLY frames nothing references anymore may
+    * unpersist. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** SemDeDup NEIGHBORHOODS off the kNN graph — rank-many consumer #3
     * (r12): connected components over the cos ≥ tau sub-graph of the
     * materialized edge index, one representative (the component-minimum

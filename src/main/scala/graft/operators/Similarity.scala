@@ -217,7 +217,10 @@ object Similarity {
     */
   def sizedCandWidth(n: Long, emb: DataFrame): Int =
     if (n <= 65536) 0
-    else emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the EFFECTIVE shuffle width (SQLConf default included) — a literal
+    // fallback here would pin library callers on unconfigured sessions to
+    // 32 tasks regardless of cluster width (r12 ADVICE)
+    else emb.sparkSession.sessionState.conf.numShufflePartitions
 
   /** [[knnJoinIvf]] with nlist + candidate width derived from the corpus
     * (one count).

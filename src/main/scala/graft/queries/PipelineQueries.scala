@@ -197,6 +197,15 @@ object PipelineQueries {
     "knn_diversity_sample" -> ((s, dir) =>
       graft.operators.Graph.knnDiversitySample(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes)),
+    // iterated Luby MIS (r13): the diversity sample run to its fixed
+    // point — select local priority maxima, delete closed neighborhoods,
+    // re-randomize priorities per round, repeat until no node remains.
+    // Output is a TRUE maximal independent set (independence +
+    // maximality spec'd on a planted graph), each node tagged with its
+    // selection round; round 1 equals knn_diversity_sample's set.
+    "knn_diversity_mis" -> ((s, dir) =>
+      graft.operators.Graph.knnDiversityMis(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
     // rank-many consumer #3 (r12): SemDeDup neighborhoods — connected
     // components over the cos >= tau sub-graph of the index (the exact
     // pair cosine rides the index; no vector is re-touched), one
@@ -438,6 +447,14 @@ object PipelineQueries {
     // bit-exact. Zero vectors are outside the fit's domain -> null.
     "embedding_pca_project" -> ((s, dir) =>
       graft.operators.Pca.project(Tables.load(s, dir, "embeddings"))),
+    // top-k deflated PCA (r13): the same ONE covariance pass (now fitted
+    // on the N-adaptive deterministic id sample — 100-TB-safe, count-
+    // guarded against BIGINT wrap), Hotelling deflation driver-local in
+    // BigInt over the SAME collected triangle (zero extra distributed
+    // passes), one scoring map pass for all axes. Variance-ordered wide
+    // columns proj1_fp..proj4_fp; zero vectors -> null on every axis.
+    "embedding_pca_topk" -> ((s, dir) =>
+      graft.operators.Pca.projectTopK(Tables.load(s, dir, "embeddings"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -908,13 +925,18 @@ object PipelineQueries {
          |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |  GROUP BY d.doc_id)""".stripMargin
 
-  /** Normalized double vectors + norms, as in Similarity.vectors. */
-  private val NormCte =
-    """WITH v AS (
+  /** Normalized double vectors + norms, as in Similarity.vectors.
+    * Split body/header so composers that need a RECURSIVE header emit
+    * it themselves ([[knnRankedCtes]]) instead of patching the text
+    * after the fact (r12 ADVICE). */
+  private val NormCteBody =
+    """v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |      [x*x for x in CAST(embedding AS DOUBLE[])]), (s,x) -> s+x)) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  private val NormCte = "WITH " + NormCteBody
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
@@ -1019,38 +1041,54 @@ object PipelineQueries {
     head + rounds + serve
   }
 
-  /** Fixed-point PCA replay (r12): vfp/vfu are kmeansFitCtes' fp-unit
-    * CTEs verbatim; cov sums the exact upper triangle of Σ x̂·x̂ᵀ
-    * (DuckDB SUM(BIGINT) widens to HUGEINT — the Spark aggregate's
-    * long[] is exact to ~9.2·10⁶ rows, within every gated scale); the
+  /** Fixed-point PCA replay (r12, sampled fit r13): vfp/vfu are
+    * kmeansFitCtes' fp-unit CTEs verbatim; the FIT pass (cov) runs over
+    * `vfit` — the N-adaptive deterministic id sample (psizing derives
+    * m = ⌈n/FitCap⌉ from count(embeddings) exactly as
+    * Pca.sizedFitModulus does; identity at every gate scale) — while
+    * SCORING stays corpus-wide over vfu (the fit/score split). cov sums
+    * the exact upper triangle of Σ x̂·x̂ᵀ (DuckDB SUM(BIGINT) widens to
+    * HUGEINT — the Spark aggregate's long[] is exact to ~9.2·10⁶
+    * sampled rows, now ENFORCED by its count slot); the
     * unrolled rounds run C·v, take MAX(ABS(·)) and rescale by the
-    * truncating `//` in HUGEINT, mirroring Pca.fitTopAxis's BigInt
+    * truncating `//` in HUGEINT, mirroring Pca.fitAxes' BigInt
     * arithmetic term for term; a zero C·v keeps the previous v (the
     * CASE — unreachable on a nonempty corpus, but the guard must agree
     * on both sides). Final projection: an integer SUM, order-free.
     */
-  private def pcaProjectOracle: String = {
-    val S = graft.operators.Pca.Scale
-    val rounds = graft.operators.Pca.Rounds
+  private def pcaHeadCtes: String = {
+    val fitCap = graft.operators.Pca.FitCap
     def sumSq(arr: String) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), [x*x for x in $arr]), (s,x) -> s+x)"
-    val head = NormCte +
+    NormCte +
       s""",
+         |psizing AS (SELECT CASE WHEN COUNT(*) <= $fitCap THEN 1
+         |  ELSE (COUNT(*) + ${fitCap - 1}) // $fitCap END AS m FROM embeddings),
          |vfp AS (
          |  SELECT vec_id, [CAST(floor(e[i]*1000000.0) AS BIGINT)
          |                  for i in generate_series(1,$Dim)] AS xf FROM v),
          |vfu AS MATERIALIZED (
          |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0/sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) for x in xf] AS xh
          |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
+         |vfit AS (
+         |  SELECT vec_id, xh FROM vfu, psizing
+         |  WHERE ${graft.operators.Pca.fitFilterSqlText}),
          |uidx AS (
          |  SELECT a.i AS i, b.j AS j
          |  FROM generate_series(1, $Dim) a(i), generate_series(1, $Dim) b(j)
          |  WHERE b.j >= a.i),
          |cov AS MATERIALIZED (
-         |  SELECT i, j, SUM(xh[i]*xh[j]) AS cs FROM vfu, uidx GROUP BY i, j),
+         |  SELECT i, j, SUM(xh[i]*xh[j]) AS cs FROM vfit, uidx GROUP BY i, j),
          |covf AS MATERIALIZED (
          |  SELECT i, j, cs FROM cov
-         |  UNION ALL SELECT j AS i, i AS j, cs FROM cov WHERE i <> j),
+         |  UNION ALL SELECT j AS i, i AS j, cs FROM cov WHERE i <> j)""".stripMargin
+  }
+
+  private def pcaProjectOracle: String = {
+    val S = graft.operators.Pca.Scale
+    val rounds = graft.operators.Pca.Rounds
+    val head = pcaHeadCtes +
+      s""",
          |p0 AS (SELECT i, CAST($S AS HUGEINT) AS pv FROM generate_series(1, $Dim) t(i))""".stripMargin
     val chain = (1 to rounds).map { t =>
       s""",
@@ -1071,6 +1109,68 @@ object PipelineQueries {
          |         CAST(SUM(u.xh[p.i] * CAST(p.pv AS BIGINT)) AS BIGINT) AS proj_fp
          |  FROM vfu u CROSS JOIN p$rounds p GROUP BY u.vec_id) pr
          |  ON pr.vec_id = vv.vec_id
+         |ORDER BY vv.vec_id""".stripMargin
+  }
+
+  /** Top-k deflated PCA replay (`embedding_pca_topk`, r13): per axis a,
+    * the same unrolled max-norm power chain over cf{a} (cf1 = covf in
+    * HUGEINT), then Hotelling deflation — wf = C·v, λ_fp = (vᵀCv) //
+    * (vᵀv), cf{a+1} = cf{a} − (λ_fp·vᵢ·vⱼ) // (vᵀv) — mirroring
+    * Pca.fitAxes' BigInt recurrence term for term (den ≥ 10¹² > 0 by
+    * the max-norm pin; all per-term magnitudes ≤ ~10³⁰ ≪ int128).
+    * Projections: one integer SUM per axis over the corpus-wide vfu.
+    */
+  private def pcaTopkOracle: String = {
+    val S = graft.operators.Pca.Scale
+    val rounds = graft.operators.Pca.TopkRounds
+    val nAxes = graft.operators.Pca.Axes
+    val head = pcaHeadCtes +
+      s""",
+         |cf1 AS (SELECT i, j, CAST(cs AS HUGEINT) AS cs FROM covf)""".stripMargin
+    val axes = (1 to nAxes).map { a =>
+      val p0 =
+        s""",
+           |pa${a}_0 AS (SELECT i, CAST($S AS HUGEINT) AS pv FROM generate_series(1, $Dim) t(i))""".stripMargin
+      val chain = (1 to rounds).map { t =>
+        s""",
+           |wa${a}_$t AS MATERIALIZED (
+           |  SELECT c.i, SUM(c.cs * p.pv) AS wv
+           |  FROM cf$a c JOIN pa${a}_${t - 1} p ON p.i = c.j GROUP BY c.i),
+           |ma${a}_$t AS (SELECT MAX(ABS(wv)) AS m FROM wa${a}_$t),
+           |pa${a}_$t AS MATERIALIZED (
+           |  SELECT w.i, CASE WHEN m.m = 0 THEN p.pv
+           |                   ELSE (w.wv * $S) // m.m END AS pv
+           |  FROM wa${a}_$t w JOIN pa${a}_${t - 1} p ON p.i = w.i CROSS JOIN ma${a}_$t m)""".stripMargin
+      }.mkString
+      val deflate = if (a == nAxes) "" else
+        s""",
+           |wf$a AS MATERIALIZED (
+           |  SELECT c.i, SUM(c.cs * p.pv) AS wv
+           |  FROM cf$a c JOIN pa${a}_$rounds p ON p.i = c.j GROUP BY c.i),
+           |lm$a AS (
+           |  SELECT ((SELECT SUM(p.pv * w.wv) FROM pa${a}_$rounds p JOIN wf$a w ON w.i = p.i)
+           |          // (SELECT SUM(pv * pv) FROM pa${a}_$rounds)) AS lam,
+           |         (SELECT SUM(pv * pv) FROM pa${a}_$rounds) AS den),
+           |cf${a + 1} AS MATERIALIZED (
+           |  SELECT c.i, c.j, c.cs - (l.lam * pi.pv * pj.pv) // l.den AS cs
+           |  FROM cf$a c JOIN pa${a}_$rounds pi ON pi.i = c.i
+           |       JOIN pa${a}_$rounds pj ON pj.i = c.j
+           |       CROSS JOIN lm$a l)""".stripMargin
+      p0 + chain + deflate
+    }.mkString
+    val projJoins = (1 to nAxes).map { a =>
+      s"""LEFT JOIN (
+         |  SELECT u.vec_id,
+         |         CAST(SUM(u.xh[p.i] * CAST(p.pv AS BIGINT)) AS BIGINT) AS proj
+         |  FROM vfu u CROSS JOIN pa${a}_$rounds p GROUP BY u.vec_id) pr$a
+         |  ON pr$a.vec_id = vv.vec_id""".stripMargin
+    }.mkString("\n")
+    val projCols = (1 to nAxes).map(a => s"pr$a.proj AS proj${a}_fp").mkString(", ")
+    head + axes +
+      s"""
+         |SELECT vv.vec_id, $projCols
+         |FROM v vv
+         |$projJoins
          |ORDER BY vv.vec_id""".stripMargin
   }
 
@@ -1130,7 +1230,8 @@ object PipelineQueries {
     * both orientations — per-element products commute and both folds
     * run in index order), so the threshold consumers read it verbatim.
     */
-  private def knnRankedCtes: String = NormCte +
+  private def knnRankedCtes(recursive: Boolean = false): String =
+    (if (recursive) "WITH RECURSIVE " else "WITH ") + NormCteBody +
     s"""
        |, $ivfCentroidCtesSized,
        |corpus AS (
@@ -1189,7 +1290,7 @@ object PipelineQueries {
     * edge list (r0..r5 chained).
     */
   private lazy val knnPagerankOracle: String =
-    knnRankedCtes + knnRankChain(5, 1000000000000L) +
+    knnRankedCtes() + knnRankChain(5, 1000000000000L) +
       s"""
          |SELECT id AS vec_id, r AS rank_fp,
          |  CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS rnk
@@ -1201,7 +1302,7 @@ object PipelineQueries {
     * pagerank oracle replays, so the selected set is engine-exact.
     */
   private lazy val knnDiversityOracle: String =
-    knnRankedCtes + knnRankChain(5, 1000000000000L) +
+    knnRankedCtes() + knnRankChain(5, 1000000000000L) +
       s"""
          |SELECT me.id AS vec_id, me.r AS rank_fp, d.d AS deg
          |FROM r5 me JOIN deg d ON d.id = me.id
@@ -1211,6 +1312,52 @@ object PipelineQueries {
          |    AND (nb.r > me.r OR (nb.r = me.r AND nb.id < me.id)))
          |ORDER BY rank_fp DESC, vec_id""".stripMargin
 
+  /** Iterated Luby MIS (`knn_diversity_mis`, r13): the unrolled
+    * fixed-point of the diversity sample — per round t, pri_t is the
+    * shared Graph.misPrioritySql formula (round 1 = the r5 rank, later
+    * rounds the per-round LCG re-randomization), sel{t} keeps every
+    * still-alive node whose priority beats all live neighbors' (NOT
+    * EXISTS — the r12 diversity predicate restricted to live edges),
+    * and al{t} deletes the selected closed neighborhoods. Rounds past
+    * convergence are no-ops on the empty alive set, so the fixed
+    * [[graft.operators.Graph.MisMaxRounds]]-deep unroll gates any
+    * corpus whose Scala loop converged within the same fuse.
+    */
+  private lazy val knnDiversityMisOracle: String = {
+    val rounds = graft.operators.Graph.MisMaxRounds
+    val chain = (1 to rounds).map { t =>
+      val pri = graft.operators.Graph.misPrioritySql(t, "id", "r")
+      s""",
+         |pri$t AS MATERIALIZED (SELECT id, r, $pri AS pri FROM al${t - 1}),
+         |le$t AS MATERIALIZED (
+         |  SELECT e.src, e.dst, ps.pri AS spri
+         |  FROM edges e JOIN pri$t ps ON ps.id = e.src
+         |       JOIN pri$t pd ON pd.id = e.dst),
+         |sel$t AS MATERIALIZED (
+         |  SELECT p.id, p.r FROM pri$t p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM le$t e
+         |    WHERE e.dst = p.id
+         |      AND (e.spri > p.pri OR (e.spri = p.pri AND e.src < p.id)))),
+         |al$t AS MATERIALIZED (
+         |  SELECT a.id, a.r FROM al${t - 1} a
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$t s WHERE s.id = a.id)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM le$t e JOIN sel$t s ON s.id = e.src
+         |      WHERE e.dst = a.id))""".stripMargin
+    }.mkString
+    val union = (1 to rounds).map(t =>
+      s"SELECT id AS vec_id, r AS rank_fp, CAST($t AS INT) AS sel_round FROM sel$t")
+      .mkString("\n  UNION ALL ")
+    knnRankedCtes() + knnRankChain(5, 1000000000000L) +
+      s""",
+         |al0 AS (SELECT id, r FROM r5)""".stripMargin + chain +
+      s"""
+         |SELECT vec_id, rank_fp, sel_round FROM (
+         |  $union)
+         |ORDER BY vec_id""".stripMargin
+  }
+
   /** SemDeDup neighborhoods (`knn_semdedup`): the cos ≥ tau sub-graph of
     * the kNN pairs, closed by the same recursive reachability-min the
     * other components oracles use; every vector labels with its
@@ -1219,7 +1366,7 @@ object PipelineQueries {
     * left join-back.
     */
   private lazy val knnSemdedupOracle: String =
-    knnRankedCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    knnRankedCtes(recursive = true) +
       s""",
          |spairs AS (SELECT pa, pb FROM pairs WHERE cos >= $CosTau),
          |sedges AS (SELECT pa AS src, pb AS dst FROM spairs
@@ -1736,6 +1883,7 @@ object PipelineQueries {
     // predicate; SemDeDup closes the cos >= tau sub-graph with the
     // recursive reachability min
     "knn_diversity_sample" -> knnDiversityOracle,
+    "knn_diversity_mis" -> knnDiversityMisOracle,
     "knn_semdedup" -> knnSemdedupOracle,
 
     // IVF-PQ: codes and the approximate score replayed with the SAME
@@ -2686,6 +2834,7 @@ object PipelineQueries {
     // replay is bit-exact under any order; the final projection SUM
     // is an exact integer both sides (Spark's double fold < 2^53)
     "embedding_pca_project" -> pcaProjectOracle,
+    "embedding_pca_topk" -> pcaTopkOracle,
 
     "embedding_stats" ->
       s"""WITH v AS (

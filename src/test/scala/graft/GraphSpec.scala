@@ -149,6 +149,40 @@ class GraphSpec extends SparkSpec {
     for ((id, _, d) <- sel) assert(d === nbrs(id).size.toLong)
   }
 
+  test("knn_diversity_mis: the iterated Luby set is a TRUE maximal " +
+      "independent set (independence + maximality), round 1 equals the " +
+      "one-round diversity sample, and nobody is selected twice") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_mis_spec", k = 5, probes = 2)
+    val mis = Graph.diversityMisFromIndex(spark, "graft_knn_mis_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val edges = spark.table("graft_knn_mis_spec")
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.map(_._1).toSet
+    val nbrs = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val selSet = mis.map(_._1).toSet
+    // at most one selection per node, and only graph nodes
+    assert(mis.length === selSet.size, "a node must be selected at most once")
+    assert(selSet.subsetOf(nodes))
+    // independence: no selected pair is an edge
+    for (id <- selSet)
+      assert(nbrs(id).intersect(selSet).isEmpty,
+        s"selected node $id has a selected neighbor — not independent")
+    // MAXIMALITY — the property the one-round sample lacks: every
+    // unselected node has a selected neighbor
+    for (id <- nodes if !selSet.contains(id))
+      assert(nbrs(id).exists(selSet.contains),
+        s"unselected node $id has no selected neighbor — not maximal")
+    // round 1 is exactly the one-round diversity sample's selection
+    val oneRound = Graph.diversitySampleFromIndex(spark, "graft_knn_mis_spec")
+      .collect().map(_.getLong(0)).toSet
+    assert(mis.filter(_._3 == 1).map(_._1).toSet === oneRound,
+      "MIS round 1 must equal the one-round Luby sample")
+    // the fuse left headroom (the oracle unrolls MisMaxRounds rounds)
+    assert(mis.map(_._3).max <= Graph.MisMaxRounds)
+  }
+
   test("knn_semdedup: labels equal a driver union-find over the tau-filtered " +
       "index pairs; exactly one keep per neighborhood and the keeper is the " +
       "minimum id; a planted dense cluster collapses to ONE representative") {
