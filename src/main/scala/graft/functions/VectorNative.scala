@@ -119,6 +119,20 @@ object Codebooks {
   private[functions] val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
   private[functions] val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
+  /** MIPS-reduction coarse codebook (r13): (Dim+1)-dim centroids over the
+    * norm-AUGMENTED vector space of the Bachrach et al. reduction —
+    * generator rows start at 600 with stride Dim+1 (every other codebook
+    * strides Dim over rows 0..127 / 200..399 / 400..527 / 10000..12047,
+    * so the fresh row region keeps this codebook disjoint). Mirrored
+    * verbatim in the sim_topk_mips_ivf oracle's mcent CTE.
+    */
+  val MipsRowBase = 600
+  val mipsCentroidsArr: Array[Array[Double]] =
+    Array.tabulate(NCentroids, Dim + 1)((c, i) =>
+      (((1103515245L * ((c + MipsRowBase).toLong * (Dim + 1) + i) + 12345L) % 2001L) - 1000L) / 1000.0)
+  val mipsCentroidNorms: Array[Double] =
+    mipsCentroidsArr.map(c => math.sqrt(c.map(x => x * x).sum))
+
   /** sqrt(Σ x²) per centroid, summed in index order (the same left fold the
     * oracle literal `CAST(<norm> AS DOUBLE)` is computed with in Scala).
     */

@@ -779,6 +779,57 @@ object Similarity {
     rerankTopKTwoPhase(scored, k).withColumnRenamed("cos", "ip")
   }
 
+  /** MIPS AT SCALE via the norm-augmentation reduction (r13 — the scale
+    * path [[mipsTopK]]'s doc promises): every CORPUS vector grows a
+    * 65th component sqrt(M² − ‖x‖²) with M = the corpus' max norm (a
+    * one-row driver maximum — the sanctioned one-row-collect category,
+    * interpolated as the same literal into both engines' arithmetic);
+    * every QUERY grows a literal 0. All augmented corpus vectors then
+    * share norm M, so augmented-space COSINE order equals raw
+    * inner-product order (Bachrach et al., RecSys'14) and the standard
+    * IVF machinery applies unchanged over a fresh (Dim+1)-dim LCG
+    * codebook ([[Codebooks.mipsCentroidsArr]]). Candidates come from the
+    * probed augmented buckets ≈ probes·N/nlist — never the whole corpus;
+    * the FINAL scores are the exact raw inner products of the ORIGINAL
+    * vectors (score-at-generation: both join sides carry their own
+    * vector, only (query, corpus, ip) rows reach an exchange), ranked by
+    * the same two-phase salted rerank — so the output is engine-exact
+    * and hash-gates, while recall vs the exact [[mipsTopK]] baseline is
+    * swept in SimilaritySpec. nlist stays the serving default; at corpus
+    * scale, size it ~√N exactly as the cosine IVF documents.
+    *
+    * IEEE note: nrm ≤ M implies nrm·nrm ≤ M·M under round-to-nearest
+    * (multiplication is monotone on non-negatives), so the augmented
+    * component's sqrt argument is never negative.
+    */
+  def mipsIvfTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
+                  probes: Int = 8): DataFrame = {
+    val v = vectors(emb)
+    val m = v.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
+    registerOnce(emb, "graft_mips_bucket")(exprs =>
+      graft.functions.IvfBucket(exprs.head,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    registerOnce(emb, s"graft_mips_probes_$probes")(exprs =>
+      graft.functions.IvfProbes(exprs.head, probes,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    val corpus = v.filter(!isQuery)
+      .withColumn("ea",
+        concat(col("e"), array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))))
+      .select(col("vec_id").as("corpus_id"),
+        call_function("graft_mips_bucket", col("ea")).as("bucket"),
+        col("e").as("ec"))
+    val queries = v.filter(isQuery)
+      .withColumn("ea", concat(col("e"), array(lit(0.0))))
+      .select(col("vec_id").as("query_id"),
+        explode(call_function(s"graft_mips_probes_$probes", col("ea"))).as("bucket"),
+        col("e").as("eq"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        expr("graft_dot(eq, ec)").as("cos"))
+      .distinct()
+    rerankTopKTwoPhase(scored, k).withColumnRenamed("cos", "ip")
+  }
+
   /** LSH-bucketed ANN: queries and corpus hash into the same sign buckets;
     * only same-bucket candidates are scored and ranked. Recall vs the
     * brute-force baseline is asserted in the spec.

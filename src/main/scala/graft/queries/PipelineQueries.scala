@@ -166,6 +166,14 @@ object PipelineQueries {
     "sim_topk_mips" -> ((s, dir) =>
       Similarity.mipsTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // MIPS at scale (r13): the Bachrach norm-augmentation reduction the
+    // sim_topk_mips row documents, shipped — corpus vectors append
+    // sqrt(M²−‖x‖²), queries append 0, candidates ride an IVF index over
+    // a fresh 65-dim LCG codebook, exact raw-ip rerank (engine-exact;
+    // recall vs the exact MIPS baseline swept in SimilaritySpec).
+    "sim_topk_mips_ivf" -> ((s, dir) =>
+      Similarity.mipsIvfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -1801,6 +1809,53 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, corpus_id, ip, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
+
+    // MIPS-IVF (r13): the augmented-space replay — mmax is the corpus'
+    // max norm (same double both engines: a max over identical values),
+    // va appends sqrt(mx*mx - nrm*nrm) to corpus rows / 0.0 to queries
+    // (nrm <= mx makes the sqrt argument non-negative under monotone
+    // IEEE multiply), accs is the kernel's cosine list over the 65-dim
+    // mcent codebook (rows 600.. at stride 65 — Codebooks.MipsRowBase),
+    // and the final scores are the exact RAW inner products of the
+    // original vectors, exactly sim_topk_mips' arithmetic.
+    "sim_topk_mips_ivf" -> (NormCte + {
+      val d1 = Dim + 1
+      def dotA(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
+      s"""
+         |, mcent AS (
+         |  SELECT c, [CAST((((1103515245*((c+${graft.functions.Codebooks.MipsRowBase})*$d1+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+         |             for i in generate_series(0, ${d1 - 1})] AS cv
+         |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
+         |mcn AS (SELECT c, cv, sqrt(${dotA("cv", "cv")}) AS cnrm FROM mcent),
+         |mmax AS (SELECT MAX(nrm) AS mx FROM v WHERE vec_id >= 8),
+         |va AS (
+         |  SELECT vec_id, CASE WHEN vec_id < 8 THEN list_append(e, 0.0)
+         |                      ELSE list_append(e, sqrt(mx*mx - nrm*nrm)) END AS ea
+         |  FROM v CROSS JOIN mmax),
+         |accs AS MATERIALIZED (
+         |  SELECT vec_id, list(${dotA("ea", "cv")} / (sqrt(${dotA("ea", "ea")}) * cnrm) ORDER BY c) AS cc
+         |  FROM va CROSS JOIN mcn GROUP BY vec_id),
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM accs WHERE vec_id >= 8),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $Probes)]) AS bucket
+         |  FROM accs WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} AS ip
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ip, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin
+    }),
 
     "sim_topk_lsh" -> (NormCte +
       s"""
