@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * noisy the box was.
   */
 object Bench {
-  // 71 entries — the cap is the DRIVER's 2000-byte tail capture: the
+  // 70 entries — the cap is the DRIVER's 2000-byte tail capture: the
   // contract line costs ~len(name)+9 bytes per query plus ~100 envelope
   // and must leave ~75 for sbt's success line (round 5's 2.3 KB line was
   // front-truncated and unparseable). Round 10 rotates ON the five most
@@ -41,6 +41,23 @@ object Bench {
   // window plus the materialization), mm_audiowindow (mm_framesample
   // keeps the work-list explode shape). All three join the BenchOne
   // prose.
+  // Round 13 rotates ON the three r12 rows with real distinct cost
+  // (round-12 VERDICT #3: knn_pagerank_indexed — the build-once/
+  // rank-many edge-index write + rank; mm_decode_mjpeg — per-frame JPEG
+  // DCT inside the AVI walk; embedding_pca_project — the one-pass
+  // covariance aggregate + corpus-wide scoring) and OFF three cheap
+  // reused-shape rows: mm_meta (narrow format sniff; mm_decode keeps
+  // the container-walk family benched), corpus_token_topk
+  // (corpus_ngram_topk rides the same tokenize+count shuffle, heavier),
+  // doc_fingerprint (rolling-hash scan; text_repetition keeps the
+  // fused scan-kernel shape) — plus a FOURTH, text_lang_id (narrow
+  // scan-speed card; text_quality/text_tokens keep the text-scan
+  // kernels benched), because the three new names are 18 bytes longer
+  // than the three they replace and the r12 contract line already sat
+  // at 1,897 of the 2,000-byte tail: 70 entries restores the r12
+  // margin. The r13 additions (knn_diversity_mis, sim_topk_mips_ivf,
+  // embedding_pca_topk) start in BenchOne prose (§7) under the same
+  // one-round seasoning rule r12's additions had.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
@@ -51,16 +68,16 @@ object Bench {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf",
-    "knn_pagerank",
+    "knn_pagerank", "knn_pagerank_indexed",
     "events_approx", "events_asof_tolerance", "events_asof_nearest",
     "events_percentiles", "parts_pagerank", "events_session_overlap",
-    "text_lang_id", "text_quality", "text_tokens", "text_repetition",
+    "text_quality", "text_tokens", "text_repetition",
     "text_bpe_tokens",
-    "corpus_token_topk", "corpus_ngram_topk",
+    "corpus_ngram_topk",
     "dedup_components", "dedup_components_star",
     "dedup_embedding_cc",
-    "doc_fingerprint", "mm_meta", "mm_framesample", "mm_decode",
-    "mm_decode_jpeg",
+    "mm_framesample", "mm_decode",
+    "mm_decode_jpeg", "mm_decode_mjpeg", "embedding_pca_project",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",

@@ -714,6 +714,79 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0, "HLL++ rsd=0.02 should stay well within 10%")
   }
 
+  test("events_approx REPLAY gate (r13, the CheckSemDedup pattern for sketches): " +
+      "the distributed HLL++ estimate equals a sequential driver replay through " +
+      "the same register algebra EXACTLY (sketch inserts commute), and each " +
+      "percentile sketch lands inside its PROVEN rank-error band vs the exact " +
+      "order statistics") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.LongType
+    val events = Tables.load(spark, sf, "events")
+    val approx = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // --- HLL++: driver-sequential inserts through the SAME helper class
+    // the aggregate runs (register updates are max-commutative, so any
+    // partitioning/merge order must produce the same registers — this
+    // pins the distributed merge bit-exactly, not just within a bound)
+    val helper = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(0.02)
+    val buffers = scala.collection.mutable.Map[String, GenericInternalRow]()
+    // null inputs are skipped by the aggregate — mirror that in the replay
+    events.select("event_type", "user_id")
+      .filter(col("user_id").isNotNull).collect().foreach { r =>
+      val buf = buffers.getOrElseUpdate(r.getString(0),
+        new GenericInternalRow(Array.fill[Any](helper.numWords)(0L)))
+      helper.update(buf, 0, r.getLong(1), LongType)
+    }
+    assert(approx.map(_._1).toSet === buffers.keySet)
+    for ((et, users, _, _) <- approx)
+      assert(users === helper.query(buffers(et), 0),
+        s"$et: distributed HLL++ must equal the sequential replay exactly")
+    // --- percentile_approx(accuracy=10000): the GK-sketch guarantee is a
+    // rank error ≤ N/accuracy; check the returned values against the
+    // EXACT order statistics (strict/weak rank band, ±1 for ties)
+    val byType = events.select("event_type", "value")
+      .filter(col("value").isNotNull).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    for ((et, _, p50, p95) <- approx; (q, p) <- Seq(0.5 -> p50, 0.95 -> p95)) {
+      val vs = byType(et)
+      val n = vs.length.toDouble
+      val eps = 1.0 / 10000.0
+      val lt = vs.count(_ < p)
+      val le = vs.count(_ <= p)
+      assert(lt <= (q + eps) * n + 1 && le >= (q - eps) * n - 1,
+        s"$et q=$q: value $p has rank band [$lt, $le] outside ${(q * n).toInt} ± ${eps * n}")
+    }
+  }
+
+  test("pipeline_quality_topq_approx REPLAY gate (r13): the sketch cutoff sits " +
+      "inside its proven rank band of the exact per-lang quality order " +
+      "statistics, and the selection is EXACTLY the >= cutoff filter") {
+    val out = TextOps.qualityTopQApprox(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val scored = TextOps.quality(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byLang = scored.groupBy(_._3)
+    // one cutoff per lang, and it lands in the (1-q) ± 1/accuracy rank band
+    val cuts = out.map(r => r._2 -> r._4).toMap
+    for ((lang, cut) <- cuts) {
+      val vs = byLang(lang).map(_._2)
+      val n = vs.length.toDouble
+      val q = 0.5; val eps = 1.0 / 10000.0
+      val lt = vs.count(_ < cut)
+      val le = vs.count(_ <= cut)
+      assert(lt <= (q + eps) * n + 1 && le >= (q - eps) * n - 1,
+        s"$lang: cutoff $cut rank band [$lt, $le] outside ${(q * n).toInt} ± ${eps * n}")
+    }
+    // given the cutoffs, the selection is deterministic: exactly the
+    // docs with quality >= cutoff, with the quality copied verbatim
+    val expected = scored.filter { case (_, quality, lang) =>
+      cuts.contains(lang) && quality >= cuts(lang)
+    }.map(t => (t._1, t._3, t._2)).toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet === expected,
+      "the approx top-q selection must be exactly the >= cutoff filter")
+  }
+
   test("frame sampling: videos only, frame 0 always sampled, stride respected, " +
       "byte windows tile within the blob") {
     val fs = Multimodal.frameSample(docs).cache()
