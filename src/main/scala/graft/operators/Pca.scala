@@ -204,4 +204,45 @@ object Pca {
       .select(col("vec_id") +: projCols: _*)
       .orderBy(col("vec_id"))
   }
+
+  /** The registered `embedding_pca_outliers` query (r13) — the
+    * RECONSTRUCTION-RESIDUAL curation card the axes exist for: how much
+    * of each vector's energy the top-`nAxes` principal directions fail
+    * to explain. High `resid_frac` = a vector the corpus' dominant
+    * structure does not represent — the standard embedding-space
+    * outlier / junk / off-distribution signal (the SSL-prototype and
+    * SemDeDup-outlier recipe).
+    *
+    * Engine-exact by pinned shapes: proj_a = Σ x̂ᵢ·v_aᵢ and
+    * n2x = Σ x̂ᵢ² are EXACT integers (< 2⁵³) from the codegen'd
+    * graft_dot fold; den_a = Σ v_aᵢ² is an exact integer computed
+    * driver-side from the fitted axes and interpolated as the same
+    * literal both engines (the oracle re-derives it as SUM(pv·pv) —
+    * equal exactly, both are the same integer ≤ 6.4·10¹³). The
+    * residual is then a FIXED IEEE shape evaluated in one pinned
+    * order: r_a = (projᵈ·projᵈ)/denᵈ (proj² ≈ 4·10²⁷ exceeds 2⁵³, so
+    * the square IS rounded — but it is ONE deterministic multiply,
+    * identical bits both engines), resid = (((n2x − r₁) − r₂) − r₃)
+    * − r₄ left-associated, resid_frac = resid / n2x. Zero vectors →
+    * null. Truncation dust can push resid a hair negative — shipped
+    * as computed (the spec bounds |negative| by ulp-scale dust);
+    * clamping would diverge from any engine that doesn't.
+    */
+  def outliers(emb: DataFrame, nAxes: Int = Axes,
+               rounds: Int = TopkRounds): DataFrame = {
+    val axes = fitAxes(emb, nAxes, rounds)
+    val base = Similarity.vectors(emb)
+      .withColumn("xh", expr("graft_fp_unit(e)"))
+      .withColumn("n2x", call_function("graft_dot", col("xh"), col("xh")))
+    val resid = axes.foldLeft(col("n2x")) { (acc, ax) =>
+      val axisCol: Column = array(ax.map(a => lit(a.toDouble)): _*)
+      val den = ax.foldLeft(BigInt(0))((s, v) => s + BigInt(v) * BigInt(v))
+      val p = call_function("graft_dot", col("xh"), axisCol)
+      acc - (p * p / lit(den.toDouble))
+    }
+    base
+      .select(col("vec_id"), resid.as("resid"),
+        (resid / col("n2x")).as("resid_frac"))
+      .orderBy(col("vec_id"))
+  }
 }

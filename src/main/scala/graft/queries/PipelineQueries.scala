@@ -463,6 +463,13 @@ object PipelineQueries {
     // columns proj1_fp..proj4_fp; zero vectors -> null on every axis.
     "embedding_pca_topk" -> ((s, dir) =>
       graft.operators.Pca.projectTopK(Tables.load(s, dir, "embeddings"))),
+    // reconstruction-residual outlier card (r13): the curation consumer
+    // the axes exist for — energy the top-4 principal directions fail
+    // to explain, per vector (high resid_frac = off-distribution /
+    // junk; the SSL-prototype + SemDeDup-outlier recipe). Exact-integer
+    // projections + ONE pinned IEEE residual shape -> hash-gated.
+    "embedding_pca_outliers" -> ((s, dir) =>
+      graft.operators.Pca.outliers(Tables.load(s, dir, "embeddings"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -1128,7 +1135,10 @@ object PipelineQueries {
     * the max-norm pin; all per-term magnitudes ≤ ~10³⁰ ≪ int128).
     * Projections: one integer SUM per axis over the corpus-wide vfu.
     */
-  private def pcaTopkOracle: String = {
+  /** Shared head + per-axis deflation chains of the top-k PCA oracles
+    * (`embedding_pca_topk` appends per-axis projections,
+    * `embedding_pca_outliers` the residual arithmetic). */
+  private def pcaTopkCtes: String = {
     val S = graft.operators.Pca.Scale
     val rounds = graft.operators.Pca.TopkRounds
     val nAxes = graft.operators.Pca.Axes
@@ -1166,19 +1176,63 @@ object PipelineQueries {
            |       CROSS JOIN lm$a l)""".stripMargin
       p0 + chain + deflate
     }.mkString
-    val projJoins = (1 to nAxes).map { a =>
+    head + axes
+  }
+
+  /** The per-axis projection LEFT JOIN text shared by the two top-k
+    * consumers (corpus-wide scoring over vfu — zero vectors absent ⇒
+    * null through the left join). */
+  private def pcaProjJoins(nAxes: Int, rounds: Int): String =
+    (1 to nAxes).map { a =>
       s"""LEFT JOIN (
          |  SELECT u.vec_id,
          |         CAST(SUM(u.xh[p.i] * CAST(p.pv AS BIGINT)) AS BIGINT) AS proj
          |  FROM vfu u CROSS JOIN pa${a}_$rounds p GROUP BY u.vec_id) pr$a
          |  ON pr$a.vec_id = vv.vec_id""".stripMargin
     }.mkString("\n")
+
+  private def pcaTopkOracle: String = {
+    val rounds = graft.operators.Pca.TopkRounds
+    val nAxes = graft.operators.Pca.Axes
     val projCols = (1 to nAxes).map(a => s"pr$a.proj AS proj${a}_fp").mkString(", ")
-    head + axes +
+    pcaTopkCtes +
       s"""
          |SELECT vv.vec_id, $projCols
          |FROM v vv
-         |$projJoins
+         |${pcaProjJoins(nAxes, rounds)}
+         |ORDER BY vv.vec_id""".stripMargin
+  }
+
+  /** Reconstruction-residual outliers (`embedding_pca_outliers`, r13):
+    * n2x and every proj are exact integers (< 2⁵³); den_a re-derives as
+    * SUM(pv·pv) (the same integer Pca.outliers interpolates as a
+    * literal); the residual is the ONE pinned IEEE shape — r_a =
+    * (projᵈ·projᵈ)/denᵈ (the square is rounded past 2⁵³ but it is one
+    * deterministic multiply), resid left-associated n2x − r₁ − r₂ − r₃
+    * − r₄, frac = resid/n2x — identical bits both engines.
+    */
+  private def pcaOutliersOracle: String = {
+    val rounds = graft.operators.Pca.TopkRounds
+    val nAxes = graft.operators.Pca.Axes
+    val dens = (1 to nAxes).map { a =>
+      s""",
+         |dn$a AS (SELECT CAST(SUM(pv * pv) AS DOUBLE) AS den FROM pa${a}_$rounds)""".stripMargin
+    }.mkString
+    val rTerms = (1 to nAxes).map(a =>
+      s"(CAST(pr$a.proj AS DOUBLE) * CAST(pr$a.proj AS DOUBLE) / dn$a.den)")
+    val resid = rTerms.foldLeft("CAST(n2.n2x AS DOUBLE)")((acc, r) => s"($acc - $r)")
+    val crossDens = (1 to nAxes).map(a => s"CROSS JOIN dn$a").mkString(" ")
+    pcaTopkCtes + dens +
+      s""",
+         |n2 AS (
+         |  SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [x*x for x in xh]), (s,x) -> s+x) AS n2x FROM vfu)
+         |SELECT vv.vec_id, $resid AS resid,
+         |       $resid / CAST(n2.n2x AS DOUBLE) AS resid_frac
+         |FROM v vv
+         |LEFT JOIN n2 ON n2.vec_id = vv.vec_id
+         |${pcaProjJoins(nAxes, rounds)}
+         |$crossDens
          |ORDER BY vv.vec_id""".stripMargin
   }
 
@@ -2890,6 +2944,7 @@ object PipelineQueries {
     // is an exact integer both sides (Spark's double fold < 2^53)
     "embedding_pca_project" -> pcaProjectOracle,
     "embedding_pca_topk" -> pcaTopkOracle,
+    "embedding_pca_outliers" -> pcaOutliersOracle,
 
     "embedding_stats" ->
       s"""WITH v AS (

@@ -257,6 +257,15 @@ object StreamQueries {
       ImportanceStream.importanceStream(s, dir, out, ckpt)
         .orderBy(col("doc_id"))
     }),
+    // Streaming PCA scoring (r13): axis fitted ONCE on the historical
+    // corpus (the batch fit/score split's deployment shape), every
+    // micro-batch scores against the fitted literal — stateless, no
+    // shuffle; full replay == embedding_pca_project (oracle verbatim).
+    "stream_pca_score" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_pca_score", dir)
+      graft.streaming.PcaStream.pcaScoreStream(s, dir, out, ckpt)
+        .orderBy(col("vec_id"))
+    }),
     // Streaming running/trailing aggregates (r9): the ROWS frame made
     // incremental — O(1) per-user state (two counters + a 5-deep
     // deque); ordered replay == events_moving_agg (oracle verbatim).
@@ -369,6 +378,7 @@ object StreamQueries {
     // streaming heap state == the batch top-k aggregate verbatim
     "stream_topk_agg" -> AnalyticsQueries.oracles("events_topk_agg"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
+    "stream_pca_score" -> PipelineQueries.oracles("embedding_pca_project"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization
     // plus the streaming emission rule — a non-final session of a user is

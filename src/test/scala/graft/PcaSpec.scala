@@ -202,6 +202,63 @@ class PcaSpec extends SparkSpec {
         s"axis ${a + 1} variance ${vs(a)} exceeds axis $a's ${vs(a - 1)}")
   }
 
+  test("outliers: residuals equal the pinned-shape driver replay bit-for-bit, " +
+      "sit in [-dust, n2x], and a vector INSIDE the axis span scores near zero " +
+      "while one orthogonal to every axis keeps all its energy") {
+    val nAxes = Pca.Axes
+    val (axes, projs) = replayAxes(nAxes)
+    val dens = axes.map(ax => (0 until ax.length)
+      .foldLeft(BigInt(0))((s, i) => s + ax(i) * ax(i)).toDouble)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val n2xs = rows.flatMap { case (id, e) =>
+      fpUnit(e).map(x => id -> x.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble))
+    }.toMap
+    val expected = n2xs.map { case (id, n2x) =>
+      val resid = (0 until nAxes).foldLeft(n2x) { (acc, a) =>
+        val p = projs(a)(id).toDouble
+        acc - (p * p / dens(a))
+      }
+      id -> (resid, resid / n2x)
+    }
+    val got = Pca.outliers(emb).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2))))).toMap
+    assert(got.size === rows.length)
+    for ((id, o) <- got) o match {
+      case Some((resid, frac)) =>
+        assert(resid === expected(id)._1, s"vec $id resid differs")
+        assert(frac === expected(id)._2, s"vec $id resid_frac differs")
+        // range: residual energy can dip below zero only by truncation
+        // dust (the axes are fixed-point, not exact eigenvectors)
+        assert(frac >= -0.05 && frac <= 1.0 + 1e-9, s"vec $id frac $frac out of range")
+      case None => assert(!expected.contains(id))
+    }
+    // semantics on a planted corpus: four axis-aligned clusters with
+    // DISTINCT masses (14/12/10/8 copies of e0..e3 — gapped eigenvalues
+    // so power iteration converges cleanly) and one loner along e63.
+    // The four fitted axes must explain a cluster member almost fully,
+    // while the loner — orthogonal to everything that shaped the fit —
+    // keeps essentially all its energy.
+    import spark.implicits._
+    val dim = graft.operators.Similarity.Dim
+    val clusters = Seq(14, 12, 10, 8).zipWithIndex.flatMap { case (m, c) =>
+      (0 until m).map { j =>
+        val v = Array.fill(dim)(0.0f); v(c) = 1.0f
+        ((c * 100 + j).toLong, v.toSeq, c)
+      }
+    }
+    val lone = {
+      val v = Array.fill(dim)(0.0f); v(63) = 1.0f
+      Seq((999L, v.toSeq, 9))
+    }
+    val planted = (clusters ++ lone).toDF("vec_id", "embedding", "label")
+    val po = Pca.outliers(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(po(0L) < 0.1, s"a dominant-cluster vector must be explained, frac=${po(0L)}")
+    assert(po(300L) < 0.1, s"the smallest cluster must still be explained, frac=${po(300L)}")
+    assert(po(999L) > 0.5, s"the orthogonal loner must keep its energy, frac=${po(999L)}")
+  }
+
   test("the sampled fit (modulus > 1) fits on exactly the selected ids " +
       "and still scores the whole corpus") {
     // force a modulus by fitting a corpus larger than a tiny FitCap is

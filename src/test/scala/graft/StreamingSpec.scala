@@ -432,6 +432,22 @@ class StreamingSpec extends SparkSpec {
       s"fitted vocabulary must scan bucketed:\n$p")
   }
 
+  test("streaming PCA scoring over multi-batch replay equals batch " +
+      "embedding_pca_project bit-for-bit (axis fitted once on the history, " +
+      "every micro-batch scores statelessly against the fitted literal)") {
+    val embDir = "/root/repo/target/stream-scratch/emb-split-pca"
+    Tables.load(spark, sf, "embeddings").repartition(4)
+      .write.mode("overwrite").parquet(embDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_pca_score", embDir)
+    val streamed = graft.streaming.PcaStream.pcaScoreStream(
+      spark, sf, out, ckpt, maxFilesPerTrigger = Some(1),
+      embPath = Some(embDir))
+    val batch = graft.operators.Pca.project(Tables.load(spark, sf, "embeddings"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming DSIR scoring over multi-batch replay equals batch importance; " +
       "the bucketed weight index plans with zero static Exchange") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split-imp"
