@@ -187,6 +187,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"query vectors must broadcast:\n$p")
   }
 
+  test("MIPS-IVF broadcasts the probed query side and buckets through the " +
+      "augmented kernel (no crossJoin of the corpus)") {
+    val p = graft.operators.Similarity
+      .mipsIvfTopK(graft.sources.Tables.load(spark, sf, "embeddings"),
+        org.apache.spark.sql.functions.col("vec_id") < 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"probed queries must broadcast:\n$p")
+    // the registry alias resolves to the IvfBucket/IvfProbes kernels —
+    // the plan prints their prettyName (the corpus side's augmented
+    // column may be project-collapsed INTO the call: bucket(concat(e,...)))
+    assert(p.contains("graft_ivf_bucket("),
+      s"corpus bucketing must run the fused kernel on the augmented vector:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the bucket join, never a cross join:\n$p")
+  }
+
   test("embedding-family plans run fused codebook kernels, no interpreted HOF folds") {
     val kernels = Map(
       "sim_topk_ivf" -> Seq("graft_ivf_bucket", "graft_ivf_probes"),
