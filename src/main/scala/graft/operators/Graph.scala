@@ -440,6 +440,51 @@ object Graph {
     diversityMisFromIndex(emb.sparkSession, table, rounds, scale)
   }
 
+  /** REPRESENTATIVE ASSIGNMENT off the MIS (r13) — the clustering
+    * consumer the maximal set exists for: every graph node maps to a
+    * representative — itself if selected, otherwise its BEST selected
+    * kNN neighbor (max exact cosine, ties toward the smaller id; the
+    * cosine reads straight off the materialized index, no vector is
+    * re-touched). MAXIMALITY is what makes this total: every unselected
+    * node has a selected neighbor by construction, so the assignment
+    * covers the graph with zero fallbacks — the prototype-assignment /
+    * semantic-clustering recipe (corpus → MIS representatives).
+    *
+    * Scale shape: one selected-set semi-join + one anti-join against
+    * the node-sized MIS output, then a groupBy(src) max — the edge
+    * list stays bucketed on src (no edge-side exchange for the
+    * aggregate's clustering). The negation rides the COSINE (a double,
+    * exactly negatable), never the id.
+    */
+  def misAssignFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, rounds: Int = 5,
+                         scale: Long = 1000000000000L): DataFrame = {
+    val sel = diversityMisFromIndex(spark, table, rounds, scale)
+      .select(col("vec_id"))
+    val e = spark.table(table).select(col("src"), col("dst"), col("cos"))
+    val unsel = e
+      .join(sel.withColumnRenamed("vec_id", "dst"), "dst")
+      .join(sel.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .groupBy(col("src").as("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("dst").as("rep"))).as("b"))
+      .select(col("vec_id"), col("b.rep").as("rep_id"),
+        (-col("b.nc")).as("cos"), lit(false).as("is_rep"))
+    sel
+      .select(col("vec_id"), col("vec_id").as("rep_id"),
+        lit(null).cast("double").as("cos"), lit(true).as("is_rep"))
+      .union(unsel)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Build + MIS + assignment in one call — the registered
+    * `knn_mis_assign` query. */
+  def knnMisAssign(emb: DataFrame, table: String = "graft_knn_mis_assign",
+                   k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                   scale: Long = 1000000000000L): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    misAssignFromIndex(emb.sparkSession, table, rounds, scale)
+  }
+
   /** Eager-unpersist of a superseded localCheckpoint: the iteration
     * discipline shared with [[Dedup.componentsOf]] — truncated lineage
     * cannot recompute, so ONLY frames nothing references anymore may

@@ -214,6 +214,13 @@ object PipelineQueries {
     "knn_diversity_mis" -> ((s, dir) =>
       graft.operators.Graph.knnDiversityMis(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes)),
+    // MIS representative assignment (r13): selected nodes keep
+    // themselves; every unselected node maps to its best selected kNN
+    // neighbor (exact index cos, ties to the smaller id) — total by
+    // MAXIMALITY, the prototype-assignment / semantic-clustering card.
+    "knn_mis_assign" -> ((s, dir) =>
+      graft.operators.Graph.knnMisAssign(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
     // rank-many consumer #3 (r12): SemDeDup neighborhoods — connected
     // components over the cos >= tau sub-graph of the index (the exact
     // pair cosine rides the index; no vector is re-touched), one
@@ -1385,7 +1392,7 @@ object PipelineQueries {
     * [[graft.operators.Graph.MisMaxRounds]]-deep unroll gates any
     * corpus whose Scala loop converged within the same fuse.
     */
-  private lazy val knnDiversityMisOracle: String = {
+  private def knnMisChainCtes: String = {
     val rounds = graft.operators.Graph.MisMaxRounds
     val chain = (1 to rounds).map { t =>
       val pri = graft.operators.Graph.misPrioritySql(t, "id", "r")
@@ -1408,15 +1415,52 @@ object PipelineQueries {
          |      SELECT 1 FROM le$t e JOIN sel$t s ON s.id = e.src
          |      WHERE e.dst = a.id))""".stripMargin
     }.mkString
+    knnRankedCtes() + knnRankChain(5, 1000000000000L) +
+      s""",
+         |al0 AS (SELECT id, r FROM r5)""".stripMargin + chain
+  }
+
+  private lazy val knnDiversityMisOracle: String = {
+    val rounds = graft.operators.Graph.MisMaxRounds
     val union = (1 to rounds).map(t =>
       s"SELECT id AS vec_id, r AS rank_fp, CAST($t AS INT) AS sel_round FROM sel$t")
       .mkString("\n  UNION ALL ")
-    knnRankedCtes() + knnRankChain(5, 1000000000000L) +
-      s""",
-         |al0 AS (SELECT id, r FROM r5)""".stripMargin + chain +
+    knnMisChainCtes +
       s"""
          |SELECT vec_id, rank_fp, sel_round FROM (
          |  $union)
+         |ORDER BY vec_id""".stripMargin
+  }
+
+  /** MIS representative assignment (`knn_mis_assign`, r13): selected
+    * nodes map to themselves (null cos); every unselected node takes
+    * its best selected kNN neighbor by (exact index cos DESC, id ASC)
+    * — total by MAXIMALITY. The cosine re-reads the pairs CTE verbatim
+    * (the same exact double the materialized index carries).
+    */
+  private lazy val knnMisAssignOracle: String = {
+    val rounds = graft.operators.Graph.MisMaxRounds
+    val union = (1 to rounds).map(t => s"SELECT id FROM sel$t")
+      .mkString("\n  UNION ALL ")
+    knnMisChainCtes +
+      s""",
+         |selall AS MATERIALIZED (
+         |  $union),
+         |ecos AS (
+         |  SELECT pa AS src, pb AS dst, cos FROM pairs
+         |  UNION ALL SELECT pb AS src, pa AS dst, cos FROM pairs),
+         |asg AS (
+         |  SELECT e.src AS vec_id, e.dst AS rep_id, e.cos,
+         |         row_number() OVER (PARTITION BY e.src
+         |                            ORDER BY e.cos DESC, e.dst) AS rn
+         |  FROM ecos e
+         |  WHERE EXISTS (SELECT 1 FROM selall s WHERE s.id = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM selall s WHERE s.id = e.src))
+         |SELECT vec_id, rep_id, cos, is_rep FROM (
+         |  SELECT s.id AS vec_id, s.id AS rep_id, CAST(NULL AS DOUBLE) AS cos,
+         |         TRUE AS is_rep FROM selall s
+         |  UNION ALL
+         |  SELECT vec_id, rep_id, cos, FALSE AS is_rep FROM asg WHERE rn = 1)
          |ORDER BY vec_id""".stripMargin
   }
 
@@ -1993,6 +2037,7 @@ object PipelineQueries {
     // recursive reachability min
     "knn_diversity_sample" -> knnDiversityOracle,
     "knn_diversity_mis" -> knnDiversityMisOracle,
+    "knn_mis_assign" -> knnMisAssignOracle,
     "knn_semdedup" -> knnSemdedupOracle,
 
     // IVF-PQ: codes and the approximate score replayed with the SAME

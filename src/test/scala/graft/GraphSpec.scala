@@ -183,6 +183,41 @@ class GraphSpec extends SparkSpec {
     assert(mis.map(_._3).max <= Graph.MisMaxRounds)
   }
 
+  test("knn_mis_assign: total over the graph (maximality makes it so), reps " +
+      "map to themselves with null cos, and every other node takes its BEST " +
+      "selected kNN neighbor by (exact edge cos, smaller id)") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_assign_spec", k = 5, probes = 2)
+    val asg = Graph.misAssignFromIndex(spark, "graft_knn_assign_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    val mis = Graph.diversityMisFromIndex(spark, "graft_knn_assign_spec")
+      .collect().map(_.getLong(0)).toSet
+    val edges = spark.table("graft_knn_assign_spec")
+      .select(col("src"), col("dst"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nodes = edges.map(_._1).toSet
+    // total: exactly one row per graph node
+    assert(asg.map(_._1).toSet === nodes)
+    assert(asg.length === nodes.size)
+    val byNode = edges.groupBy(_._1)
+    for ((id, rep, cosOpt, isRep) <- asg) {
+      if (mis.contains(id)) {
+        assert(isRep && rep === id && cosOpt.isEmpty, s"rep $id must keep itself")
+      } else {
+        assert(!isRep && mis.contains(rep), s"node $id must map to a selected rep")
+        // the chosen rep is a kNN neighbor carrying the edge's exact cos,
+        // and no selected neighbor beats it by (cos desc, id asc)
+        val selNbrs = byNode(id).filter(e => mis.contains(e._2))
+        assert(selNbrs.exists(e => e._2 == rep && Some(e._3) == cosOpt),
+          s"node $id: assigned rep $rep/$cosOpt is not a selected neighbor edge")
+        val best = selNbrs.minBy(e => (-e._3, e._2))
+        assert(rep === best._2 && cosOpt === Some(best._3),
+          s"node $id: assignment must be the best selected neighbor")
+      }
+    }
+  }
+
   test("knn_semdedup: labels equal a driver union-find over the tau-filtered " +
       "index pairs; exactly one keep per neighborhood and the keeper is the " +
       "minimum id; a planted dense cluster collapses to ONE representative") {
