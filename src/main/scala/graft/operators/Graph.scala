@@ -417,7 +417,13 @@ object Graph {
       t += 1
     }
     e.unpersist(false)
-    selected.reduce(_ union _)
+    // a node-free graph (degenerate corpus) selects nobody — an empty
+    // card with the contract schema, not a reduce() on an empty list
+    val all = if (selected.isEmpty)
+      alive.select(col("id"), col("r")).withColumn("sel_round", lit(1))
+        .limit(0)
+    else selected.reduce(_ union _)
+    all
       .select(col("id").as("vec_id"), col("r").as("rank_fp"), col("sel_round"))
       .orderBy(col("vec_id"))
   }
