@@ -113,7 +113,17 @@ object Pca {
   /** The fitted top-`nAxes` axes as fixed-point components (|vᵢ| ≤ 10⁶),
     * variance-ordered by construction (power iteration + deflation). */
   def fitAxes(emb: DataFrame, nAxes: Int = Axes,
-              rounds: Int = Rounds): Array[Array[Long]] = {
+              rounds: Int = Rounds): Array[Array[Long]] =
+    fitAxesStats(emb, nAxes, rounds)._1
+
+  /** [[fitAxes]] plus the spectrum card's numbers: per-axis λ_fp — the
+    * truncating Rayleigh quotient (vᵀCv) div (vᵀv) of each converged
+    * axis against ITS deflated matrix — and the trace of the original
+    * C (Σ Cᵢᵢ, the total fixed-point variance mass; ≤ fit-rows·10¹² <
+    * 2⁶³ under the enforced headroom). One extra driver-local matvec
+    * per axis; the distributed pass is unchanged. */
+  def fitAxesStats(emb: DataFrame, nAxes: Int = Axes,
+                   rounds: Int = Rounds): (Array[Array[Long]], Array[Long], Long) = {
     require(rounds >= 1, s"Pca.fitAxes: rounds must be >= 1, got $rounds")
     val dim = graft.functions.Codebooks.Dim
     require(nAxes >= 1 && nAxes <= dim,
@@ -133,13 +143,17 @@ object Pca {
         s"raise the modulus ladder (sizedFitModulus) for this id space")
     val c = Array.ofDim[BigInt](dim, dim)
     var idx = 0
+    var trace = BigInt(0)
     for (i <- 0 until dim; j <- i until dim) {
-      c(i)(j) = BigInt(tri(idx)); c(j)(i) = c(i)(j); idx += 1
+      c(i)(j) = BigInt(tri(idx)); c(j)(i) = c(i)(j)
+      if (i == j) trace += c(i)(j)
+      idx += 1
     }
     def matvec(v: Array[BigInt]): Array[BigInt] =
       Array.tabulate(dim)(i =>
         (0 until dim).foldLeft(BigInt(0))((s, j) => s + c(i)(j) * v(j)))
     val axes = Array.ofDim[Array[Long]](nAxes)
+    val lams = Array.ofDim[Long](nAxes)
     for (a <- 0 until nAxes) {
       var v = Array.fill(dim)(BigInt(Scale))
       for (_ <- 1 to rounds) {
@@ -149,19 +163,19 @@ object Pca {
         if (mx != 0) v = w.map(x => x * Scale / mx)
       }
       axes(a) = v.map(_.toLong)
-      if (a < nAxes - 1) {
-        // Hotelling deflation on the driver-local matrix: one extra
-        // matvec, λ_fp = (vᵀCv) div (vᵀv), C ← C − (λ_fp·vᵢ·vⱼ) div den.
-        // den ≥ S² > 0 always (max-norm rescale pins max|vᵢ| = S).
-        val w = matvec(v)
-        val num = (0 until dim).foldLeft(BigInt(0))((s, i) => s + v(i) * w(i))
-        val den = (0 until dim).foldLeft(BigInt(0))((s, i) => s + v(i) * v(i))
-        val lam = num / den
+      // Rayleigh quotient of the converged axis on the CURRENT matrix —
+      // the card's λ_fp, and (below) the Hotelling deflation coefficient.
+      // den ≥ S² > 0 always (max-norm rescale pins max|vᵢ| = S).
+      val w = matvec(v)
+      val num = (0 until dim).foldLeft(BigInt(0))((s, i) => s + v(i) * w(i))
+      val den = (0 until dim).foldLeft(BigInt(0))((s, i) => s + v(i) * v(i))
+      val lam = num / den
+      lams(a) = lam.toLong
+      if (a < nAxes - 1)
         for (i <- 0 until dim; j <- 0 until dim)
           c(i)(j) -= lam * v(i) * v(j) / den
-      }
     }
-    axes
+    (axes, lams, trace.toLong)
   }
 
   /** The fitted dominant axis — axis 1 of [[fitAxes]] (deflation never
@@ -203,6 +217,24 @@ object Pca {
       .withColumn("xh", expr("graft_fp_unit(e)"))
       .select(col("vec_id") +: projCols: _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** The registered `embedding_pca_card` query (r13) — the SPECTRUM
+    * card: one row per fitted axis with its fixed-point eigenvalue
+    * estimate λ_fp (the truncating Rayleigh quotient on the deflated
+    * matrix — exact integers both engines) and its explained-variance
+    * share λ/trace (ONE pinned IEEE shape: both casts round the same
+    * integers, one division). The first number anyone asks of an
+    * embedding corpus — how concentrated is it? — as a 4-row card.
+    */
+  def varianceCard(emb: DataFrame, nAxes: Int = Axes,
+                   rounds: Int = TopkRounds): DataFrame = {
+    val (_, lams, trace) = fitAxesStats(emb, nAxes, rounds)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    lams.zipWithIndex.map { case (lam, i) =>
+      (i + 1, lam, lam.toDouble / trace.toDouble)
+    }.toSeq.toDF("axis", "lam_fp", "share").orderBy(col("axis"))
   }
 
   /** The registered `embedding_pca_outliers` query (r13) — the

@@ -477,6 +477,11 @@ object PipelineQueries {
     // projections + ONE pinned IEEE residual shape -> hash-gated.
     "embedding_pca_outliers" -> ((s, dir) =>
       graft.operators.Pca.outliers(Tables.load(s, dir, "embeddings"))),
+    // spectrum card (r13): per-axis fixed-point eigenvalue estimate +
+    // explained-variance share — the "how concentrated is this corpus"
+    // number, 4 rows, same one distributed pass as every PCA op.
+    "embedding_pca_card" -> ((s, dir) =>
+      graft.operators.Pca.varianceCard(Tables.load(s, dir, "embeddings"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -1167,7 +1172,9 @@ object PipelineQueries {
            |                   ELSE (w.wv * $S) // m.m END AS pv
            |  FROM wa${a}_$t w JOIN pa${a}_${t - 1} p ON p.i = w.i CROSS JOIN ma${a}_$t m)""".stripMargin
       }.mkString
-      val deflate = if (a == nAxes) "" else
+      // wf/lm for EVERY axis (the spectrum card reads the last axis'
+      // Rayleigh quotient too); the deflated matrix only below nAxes
+      val rayleigh =
         s""",
            |wf$a AS MATERIALIZED (
            |  SELECT c.i, SUM(c.cs * p.pv) AS wv
@@ -1175,13 +1182,15 @@ object PipelineQueries {
            |lm$a AS (
            |  SELECT ((SELECT SUM(p.pv * w.wv) FROM pa${a}_$rounds p JOIN wf$a w ON w.i = p.i)
            |          // (SELECT SUM(pv * pv) FROM pa${a}_$rounds)) AS lam,
-           |         (SELECT SUM(pv * pv) FROM pa${a}_$rounds) AS den),
+           |         (SELECT SUM(pv * pv) FROM pa${a}_$rounds) AS den)""".stripMargin
+      val deflate = if (a == nAxes) "" else
+        s""",
            |cf${a + 1} AS MATERIALIZED (
            |  SELECT c.i, c.j, c.cs - (l.lam * pi.pv * pj.pv) // l.den AS cs
            |  FROM cf$a c JOIN pa${a}_$rounds pi ON pi.i = c.i
            |       JOIN pa${a}_$rounds pj ON pj.i = c.j
            |       CROSS JOIN lm$a l)""".stripMargin
-      p0 + chain + deflate
+      p0 + chain + rayleigh + deflate
     }.mkString
     head + axes
   }
@@ -1208,6 +1217,28 @@ object PipelineQueries {
          |FROM v vv
          |${pcaProjJoins(nAxes, rounds)}
          |ORDER BY vv.vec_id""".stripMargin
+  }
+
+  /** Spectrum card (`embedding_pca_card`, r13): per axis, λ_fp = the
+    * lm{a} CTE's truncating Rayleigh quotient (exact integers both
+    * engines) and share = CAST(λ)/CAST(trace) — one pinned IEEE shape
+    * over the same integers (both casts round identically; λ and trace
+    * can exceed 2⁵³, the CAST is the ONE deterministic rounding).
+    * trace = Σ Cᵢᵢ off the cov diagonal.
+    */
+  private def pcaCardOracle: String = {
+    val nAxes = graft.operators.Pca.Axes
+    val union = (1 to nAxes).map { a =>
+      s"""SELECT CAST($a AS INT) AS axis, CAST(l.lam AS BIGINT) AS lam_fp,
+         |       CAST(l.lam AS DOUBLE) / CAST(t.trace AS DOUBLE) AS share
+         |FROM lm$a l CROSS JOIN tr t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    pcaTopkCtes +
+      s""",
+         |tr AS (SELECT CAST(SUM(cs) AS HUGEINT) AS trace FROM cov WHERE i = j)
+         |SELECT axis, lam_fp, share FROM (
+         |$union)
+         |ORDER BY axis""".stripMargin
   }
 
   /** Reconstruction-residual outliers (`embedding_pca_outliers`, r13):
@@ -2990,6 +3021,7 @@ object PipelineQueries {
     "embedding_pca_project" -> pcaProjectOracle,
     "embedding_pca_topk" -> pcaTopkOracle,
     "embedding_pca_outliers" -> pcaOutliersOracle,
+    "embedding_pca_card" -> pcaCardOracle,
 
     "embedding_stats" ->
       s"""WITH v AS (

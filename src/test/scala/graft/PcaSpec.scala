@@ -259,6 +259,49 @@ class PcaSpec extends SparkSpec {
     assert(po(999L) > 0.5, s"the orthogonal loner must keep its energy, frac=${po(999L)}")
   }
 
+  test("variance card: lam_fp equals the independent Rayleigh replay, shares " +
+      "are positive, sum below 1, and descend up to the degeneracy tolerance") {
+    val nAxes = Pca.Axes
+    val card = Pca.varianceCard(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(card.map(_._1).toSeq === (1 to nAxes))
+    // independent replay: re-derive lams + trace via replayAxes' matrices
+    val dim = graft.operators.Similarity.Dim
+    val rows = emb.select(col("embedding")).collect()
+      .flatMap(r => Option(r.getSeq[Float](0)).flatMap(e => fpUnit(e.map(_.toDouble))))
+    val c = Array.fill(dim, dim)(BigInt(0))
+    for (x <- rows; i <- 0 until dim; j <- 0 until dim)
+      c(i)(j) += BigInt(x(i)) * BigInt(x(j))
+    val trace = (0 until dim).foldLeft(BigInt(0))((s, i) => s + c(i)(i))
+    def matvec(v: Array[BigInt]) = Array.tabulate(dim)(i =>
+      (0 until dim).foldLeft(BigInt(0))((s, j) => s + c(i)(j) * v(j)))
+    val lams = Array.ofDim[BigInt](nAxes)
+    for (a <- 0 until nAxes) {
+      var v = Array.fill(dim)(BigInt(S))
+      for (_ <- 1 to Pca.TopkRounds) {
+        val w = matvec(v)
+        val mx = w.map(_.abs).max
+        if (mx != 0) v = w.map(x => x * S / mx)
+      }
+      val w = matvec(v)
+      val num = (0 until dim).foldLeft(BigInt(0))((s, i) => s + v(i) * w(i))
+      val den = (0 until dim).foldLeft(BigInt(0))((s, i) => s + v(i) * v(i))
+      lams(a) = num / den
+      if (a < nAxes - 1)
+        for (i <- 0 until dim; j <- 0 until dim)
+          c(i)(j) -= lams(a) * v(i) * v(j) / den
+    }
+    for ((axis, lam, share) <- card) {
+      assert(lam === lams(axis - 1).toLong, s"axis $axis lam differs")
+      assert(share === lams(axis - 1).toDouble / trace.toDouble)
+      assert(share > 0.0 && share < 1.0)
+    }
+    assert(card.map(_._3).sum < 1.0 + 1e-9, "4 axes cannot explain more than everything")
+    for (a <- 1 until nAxes)
+      assert(card(a)._3 <= card(a - 1)._3 * 1.05,
+        "shares must descend up to the degeneracy tolerance")
+  }
+
   test("the sampled fit (modulus > 1) fits on exactly the selected ids " +
       "and still scores the whole corpus") {
     // force a modulus by fitting a corpus larger than a tiny FitCap is
