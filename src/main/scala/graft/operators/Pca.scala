@@ -237,6 +237,43 @@ object Pca {
     }.toSeq.toDF("axis", "lam_fp", "share").orderBy(col("axis"))
   }
 
+  /** The registered `embedding_pca_whiten` query (r13) — the whitened
+    * residual VECTOR itself (the outliers card's per-component face):
+    * ŵ = x̂ − Σ_a (proj_a/den_a)·v_a, each component truncated to a
+    * fixed-point BIGINT and the 64 of them PACKED as a comma string
+    * (check.py hashes scalar columns only — the array_join/longs
+    * packing discipline). Per component the arithmetic is one pinned
+    * IEEE chain mirrored verbatim: t_a = (projᵈ·v_aᵢᵈ)/denᵈ (one
+    * multiply — proj·v can exceed 2⁵³, the rounding is deterministic —
+    * one divide), left-associated subtraction, then trunc-toward-zero
+    * (Spark's cast-to-long == DuckDB's trunc()::BIGINT; a bare DuckDB
+    * CAST would ROUND and diverge). Zero vectors → null string.
+    */
+  def whiten(emb: DataFrame, nAxes: Int = Axes,
+             rounds: Int = TopkRounds): DataFrame = {
+    val axes = fitAxes(emb, nAxes, rounds)
+    val dens = axes.map(ax =>
+      ax.foldLeft(BigInt(0))((s, v) => s + BigInt(v) * BigInt(v)).toDouble)
+    val base = Similarity.vectors(emb)
+      .withColumn("xh", expr("graft_fp_unit(e)"))
+    val withProjs = axes.zipWithIndex.foldLeft(base) { case (df, (ax, a)) =>
+      val axisCol: Column = array(ax.map(v => lit(v.toDouble)): _*)
+      df.withColumn(s"p${a + 1}",
+        call_function("graft_dot", col("xh"), axisCol))
+    }
+    val axCols = axes.map(ax => array(ax.map(v => lit(v.toDouble)): _*))
+    val wComp = (x: Column, i: Column) =>
+      axes.indices.foldLeft(x) { (acc, a) =>
+        acc - col(s"p${a + 1}") * element_at(axCols(a), (i + 1).cast("int")) /
+          lit(dens(a))
+      }.cast("long")
+    withProjs
+      .select(col("vec_id"),
+        array_join(transform(col("xh"),
+          (x, i) => wComp(x, i).cast("string")), ",").as("wfp"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The registered `embedding_pca_outliers` query (r13) — the
     * RECONSTRUCTION-RESIDUAL curation card the axes exist for: how much
     * of each vector's energy the top-`nAxes` principal directions fail

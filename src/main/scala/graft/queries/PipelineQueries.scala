@@ -482,6 +482,12 @@ object PipelineQueries {
     // number, 4 rows, same one distributed pass as every PCA op.
     "embedding_pca_card" -> ((s, dir) =>
       graft.operators.Pca.varianceCard(Tables.load(s, dir, "embeddings"))),
+    // whitened residual vectors (r13): the outliers card's
+    // per-component face — x with its top-4 axis components projected
+    // out, truncated to fixed-point longs and packed as a comma string
+    // (check.py hashes scalar columns only).
+    "embedding_pca_whiten" -> ((s, dir) =>
+      graft.operators.Pca.whiten(Tables.load(s, dir, "embeddings"))),
     // per-doc n-gram novelty (r8): share of shingles with corpus df==1 —
     // the boilerplate signal pairwise near-dup misses; reuses the
     // prefix-dedup shingle+dfreq plan, shingle-less docs kept with null.
@@ -1239,6 +1245,40 @@ object PipelineQueries {
          |SELECT axis, lam_fp, share FROM (
          |$union)
          |ORDER BY axis""".stripMargin
+  }
+
+  /** Whitened residual vectors (`embedding_pca_whiten`, r13): per
+    * component, the pinned chain x̂ᵢ − Σ_a (projᵈ·v_aᵢᵈ)/denᵈ
+    * left-associated, trunc()::BIGINT (toward zero — Spark's
+    * cast-to-long; a bare CAST of a DOUBLE would ROUND in DuckDB and
+    * diverge), packed by array_to_string (longs format identically
+    * both engines). Zero vectors → NULL via the CASE (a comprehension
+    * over a NULL list would yield a list of NULLs, not NULL).
+    */
+  private def pcaWhitenOracle: String = {
+    val rounds = graft.operators.Pca.TopkRounds
+    val nAxes = graft.operators.Pca.Axes
+    val axCtes = (1 to nAxes).map { a =>
+      s""",
+         |ax$a AS (SELECT list(CAST(pv AS DOUBLE) ORDER BY i) AS v FROM pa${a}_$rounds),
+         |dn$a AS (SELECT CAST(SUM(pv * pv) AS DOUBLE) AS den FROM pa${a}_$rounds)""".stripMargin
+    }.mkString
+    val terms = (1 to nAxes).map(a =>
+      s"(CAST(pr$a.proj AS DOUBLE) * ax$a.v[i]) / dn$a.den")
+    val chain = terms.foldLeft("CAST(u.xh[i] AS DOUBLE)")((acc, t) => s"($acc - $t)")
+    val crosses = (1 to nAxes).map(a => s"CROSS JOIN ax$a CROSS JOIN dn$a").mkString(" ")
+    pcaTopkCtes + axCtes +
+      s"""
+         |SELECT vv.vec_id,
+         |  CASE WHEN u.vec_id IS NULL THEN NULL ELSE
+         |    array_to_string([CAST(trunc($chain) AS BIGINT)
+         |                     for i in generate_series(1, $Dim)], ',')
+         |  END AS wfp
+         |FROM v vv
+         |LEFT JOIN vfu u ON u.vec_id = vv.vec_id
+         |${pcaProjJoins(nAxes, rounds)}
+         |$crosses
+         |ORDER BY vv.vec_id""".stripMargin
   }
 
   /** Reconstruction-residual outliers (`embedding_pca_outliers`, r13):
@@ -3022,6 +3062,7 @@ object PipelineQueries {
     "embedding_pca_topk" -> pcaTopkOracle,
     "embedding_pca_outliers" -> pcaOutliersOracle,
     "embedding_pca_card" -> pcaCardOracle,
+    "embedding_pca_whiten" -> pcaWhitenOracle,
 
     "embedding_stats" ->
       s"""WITH v AS (

@@ -302,6 +302,47 @@ class PcaSpec extends SparkSpec {
         "shares must descend up to the degeneracy tolerance")
   }
 
+  test("whiten: packed residual vectors equal the pinned-shape driver replay " +
+      "bit-for-bit, and the whitened corpus has (near-)zero projection back " +
+      "onto each removed axis") {
+    val nAxes = Pca.Axes
+    val (axes, projs) = replayAxes(nAxes)
+    val dens = axes.map(ax => (0 until ax.length)
+      .foldLeft(BigInt(0))((s, i) => s + ax(i) * ax(i)).toDouble)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val xhs = rows.flatMap { case (id, e) => fpUnit(e).map(id -> _) }.toMap
+    val dim = graft.operators.Similarity.Dim
+    val expected = xhs.map { case (id, x) =>
+      val w = (0 until dim).map { i =>
+        (0 until nAxes).foldLeft(x(i).toDouble) { (acc, a) =>
+          acc - projs(a)(id).toDouble * axes(a)(i).toDouble / dens(a)
+        }.toLong // Scala toLong truncates toward zero, like the cast
+      }
+      id -> w.mkString(",")
+    }
+    val got = Pca.whiten(emb).collect().map(r =>
+      r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got.size === rows.length)
+    for ((id, w) <- got) w match {
+      case Some(s) => assert(s === expected(id), s"vec $id whitened vector differs")
+      case None => assert(!expected.contains(id), s"vec $id null but has a direction")
+    }
+    // whitening works: the whitened corpus' mean |cos| against each
+    // removed axis is tiny (truncation dust + the axes' own ~0.1
+    // non-orthogonality leave a small residual)
+    for (a <- 0 until nAxes) {
+      val axNorm = math.sqrt(dens(a))
+      val cosSum = expected.keys.toSeq.map { id =>
+        val w = expected(id).split(",").map(_.toDouble)
+        val wn = math.sqrt(w.map(x => x * x).sum)
+        if (wn == 0.0) 0.0
+        else math.abs((0 until dim).map(i => w(i) * axes(a)(i).toDouble).sum / (wn * axNorm))
+      }.sum / expected.size
+      assert(cosSum <= 0.15, s"axis ${a + 1}: mean residual |cos| $cosSum too large")
+    }
+  }
+
   test("the sampled fit (modulus > 1) fits on exactly the selected ids " +
       "and still scores the whole corpus") {
     // force a modulus by fitting a corpus larger than a tiny FitCap is
