@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Constant codebooks for the embedding similarity family (SURVEY.md §2c).
   *
@@ -127,9 +128,33 @@ object Codebooks {
     * verbatim in the sim_topk_mips_ivf oracle's mcent CTE.
     */
   val MipsRowBase = 600
-  val mipsCentroidsArr: Array[Array[Double]] =
-    Array.tabulate(NCentroids, Dim + 1)((c, i) =>
-      (((1103515245L * ((c + MipsRowBase).toLong * (Dim + 1) + i) + 12345L) % 2001L) - 1000L) / 1000.0)
+
+  /** Big-codebook LCG row region for the MIPS ladder (r14, round-13
+    * VERDICT #2): rows 20000.. at stride Dim+1 — raw generator positions
+    * start at 20000·65 = 1,300,000, past every other region's end (the
+    * cosine big codebooks stop at 12048·64 = 771,072), so a sized MIPS
+    * codebook never shares generator values with planes / coarse / PQ /
+    * cosine-big / the bit-frozen 64-row MIPS serving book.
+    */
+  val MipsBigRowBase = 20000
+
+  /** MIPS codebook of any nlist — the [[centroidsFor]] twin over the
+    * (Dim+1)-dim augmented space: n ≤ [[NCentroids]] keeps the
+    * bit-frozen rows 600.. (every gate scale identical), bigger books
+    * generate WHOLE from the fresh 20000.. region (never a partial
+    * overlap with the small book). Mirrored verbatim in the
+    * sim_topk_mips_ivf oracle's mcent CTE.
+    */
+  def mipsCentroidsFor(n: Int): Array[Array[Double]] = {
+    require(n <= 2048,
+      s"mipsCentroidsFor(n=$n): the LCG row budget for MIPS centroids is " +
+        "2048 (rows 600.. for n <= 64, rows 20000.. beyond)")
+    val off = if (n <= NCentroids) MipsRowBase else MipsBigRowBase
+    Array.tabulate(n, Dim + 1)((c, i) =>
+      (((1103515245L * ((c + off).toLong * (Dim + 1) + i) + 12345L) % 2001L) - 1000L) / 1000.0)
+  }
+
+  val mipsCentroidsArr: Array[Array[Double]] = mipsCentroidsFor(NCentroids)
   val mipsCentroidNorms: Array[Double] =
     mipsCentroidsArr.map(c => math.sqrt(c.map(x => x * x).sum))
 
@@ -359,6 +384,47 @@ case class PqScore(first: Expression, second: Expression, third: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** x̂ → the PACKED whitened residual string of Pca.whiten, fused into one
+  * codegen'd pass (r14, round-13 VERDICT #1): the HOF formulation
+  * (array_join ∘ transform with the four projection columns referenced
+  * inside the per-component lambda) hits the documented inlining landmine
+  * — project-collapse inlines the graft_dot folds INTO the lambda and
+  * interpreted HOF eval re-computes all four 64-element dots PER
+  * COMPONENT (measured 3.4× wall vs the scalar projection). This kernel
+  * computes each projection ONCE per row, then emits the 64 components
+  * in the pinned IEEE order the oracle replays verbatim:
+  * t_a = (p_a·v_aᵢ)/den_a (one multiply — p·v can exceed 2⁵³, the
+  * rounding is deterministic — one divide), left-associated subtraction
+  * across axes, trunc-toward-zero to BIGINT (Scala Double.toLong ==
+  * Spark's cast == DuckDB trunc()::BIGINT), comma-joined via
+  * Long.toString — bit- and byte-identical to the HOF twin. Axes/dens
+  * are driver-fitted constants carried as codegen reference objects
+  * (the IvfBucket fitted-codebook pattern). Null x̂ (zero vector) → null.
+  */
+case class PcaWhiten(child: Expression,
+                     axes: Array[Array[Double]],
+                     dens: Array[Double])
+    extends UnaryExpression {
+  require(axes.length == dens.length && axes.nonEmpty,
+    s"graft_pca_whiten: ${axes.length} axes vs ${dens.length} denominators")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_pca_whiten"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.pcaWhiten(input.asInstanceOf[ArrayData], axes, dens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("pcaAxes", axes, "double[][]")
+    val dRef = ctx.addReferenceObj("pcaDens", dens, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorNativeImpl.pcaWhiten($c, $aRef, $dRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaWhiten =
+    copy(child = newChild)
+}
+
 object VectorNativeImpl {
   import Codebooks._
 
@@ -556,5 +622,45 @@ object VectorNativeImpl {
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** See [[PcaWhiten]]. Projections fold min-length in index order
+    * (DotProduct.compute semantics, bit-identical to the graft_dot
+    * columns the HOF twin referenced); a vector LONGER than the fitted
+    * axes is a loud error — the HOF twin's element_at would throw
+    * ANSI-OOB there too, never silently truncate.
+    */
+  def pcaWhiten(xh: ArrayData, axes: Array[Array[Double]],
+                dens: Array[Double]): UTF8String = {
+    val n = xh.numElements()
+    val nAxes = axes.length
+    val p = new Array[Double](nAxes)
+    var a = 0
+    while (a < nAxes) {
+      val ax = axes(a)
+      if (n > ax.length)
+        throw new IllegalArgumentException(
+          s"graft_pca_whiten: vector has $n dims, fitted axes have ${ax.length}")
+      val d = if (n < ax.length) n else ax.length
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += xh.getDouble(i) * ax(i); i += 1 }
+      p(a) = s
+      a += 1
+    }
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      var acc = xh.getDouble(i)
+      a = 0
+      while (a < nAxes) {
+        acc = acc - p(a) * axes(a)(i) / dens(a)
+        a += 1
+      }
+      if (i > 0) sb.append(',')
+      sb.append(acc.toLong)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }

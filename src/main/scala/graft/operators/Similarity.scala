@@ -795,33 +795,61 @@ object Similarity {
     * vector, only (query, corpus, ip) rows reach an exchange), ranked by
     * the same two-phase salted rerank — so the output is engine-exact
     * and hash-gates, while recall vs the exact [[mipsTopK]] baseline is
-    * swept in SimilaritySpec. nlist stays the serving default; at corpus
-    * scale, size it ~√N exactly as the cosine IVF documents.
+    * swept in SimilaritySpec. nlist is N-ADAPTIVE through the SAME
+    * [[sizedNlist]] ladder as the cosine IVF (r14, round-13 VERDICT #2 —
+    * the fixed 64 grew candidates as probes·N/64, linear in the corpus;
+    * the ladder keeps them ≈ probes·√N): identity at every gate scale
+    * (≤ 4096 vectors keeps the bit-frozen rows-600 codebook, so gated
+    * plans and oracles are unchanged), √N steps beyond, big codebooks
+    * from the fresh 20000.. LCG row region
+    * ([[graft.functions.Codebooks.mipsCentroidsFor]]). Mirrored in the
+    * oracle's mnlsizing CTE (the nlsizing pattern).
     *
     * IEEE note: nrm ≤ M implies nrm·nrm ≤ M·M under round-to-nearest
     * (multiplication is monotone on non-negatives), so the augmented
     * component's sqrt argument is never negative.
     */
   def mipsIvfTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
-                  probes: Int = 8): DataFrame = {
+                  probes: Int = 8): DataFrame =
+    // the sizing count is the whole table (the knnJoinIvfSized shape,
+    // mirrored by the oracle's `FROM embeddings` in mnlsizing)
+    mipsIvfTopKNlist(emb, isQuery, k, probes, sizedNlist(emb.count()))
+
+  /** [[mipsIvfTopK]] with an explicit codebook size (the ladder calls
+    * this with [[sizedNlist]]; specs pin small-vs-big equivalence).
+    */
+  def mipsIvfTopKNlist(emb: DataFrame, isQuery: Column, k: Int = 10,
+                       probes: Int = 8, nlist: Int = NCentroids): DataFrame = {
     val v = vectors(emb)
     val m = v.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
-    registerOnce(emb, "graft_mips_bucket")(exprs =>
-      graft.functions.IvfBucket(exprs.head,
-        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
-    registerOnce(emb, s"graft_mips_probes_$probes")(exprs =>
-      graft.functions.IvfProbes(exprs.head, probes,
-        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    val (cents, cnorms) =
+      if (nlist == NCentroids)
+        (Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms)
+      else {
+        val cs = Codebooks.mipsCentroidsFor(nlist)
+        (cs, cs.map(c => math.sqrt(c.map(x => x * x).sum)))
+      }
+    // name-keyed per nlist (the ivfTopK wiring): the codebook is a pure
+    // function of nlist, so once-per-session registration cannot drift
+    val bucketName =
+      if (nlist == NCentroids) "graft_mips_bucket" else s"graft_mips_bucket_$nlist"
+    val probesName =
+      if (nlist == NCentroids) s"graft_mips_probes_$probes"
+      else s"graft_mips_probes_${nlist}_$probes"
+    registerOnce(emb, bucketName)(exprs =>
+      graft.functions.IvfBucket(exprs.head, cents, cnorms))
+    registerOnce(emb, probesName)(exprs =>
+      graft.functions.IvfProbes(exprs.head, probes, cents, cnorms))
     val corpus = v.filter(!isQuery)
       .withColumn("ea",
         concat(col("e"), array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))))
       .select(col("vec_id").as("corpus_id"),
-        call_function("graft_mips_bucket", col("ea")).as("bucket"),
+        call_function(bucketName, col("ea")).as("bucket"),
         col("e").as("ec"))
     val queries = v.filter(isQuery)
       .withColumn("ea", concat(col("e"), array(lit(0.0))))
       .select(col("vec_id").as("query_id"),
-        explode(call_function(s"graft_mips_probes_$probes", col("ea"))).as("bucket"),
+        explode(call_function(probesName, col("ea"))).as("bucket"),
         col("e").as("eq"))
     val scored = corpus.join(broadcast(queries), "bucket")
       .select(col("query_id"), col("corpus_id"),

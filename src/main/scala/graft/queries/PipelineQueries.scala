@@ -1986,16 +1986,22 @@ object PipelineQueries {
     // IEEE multiply), accs is the kernel's cosine list over the 65-dim
     // mcent codebook (rows 600.. at stride 65 — Codebooks.MipsRowBase),
     // and the final scores are the exact RAW inner products of the
-    // original vectors, exactly sim_topk_mips' arithmetic.
+    // original vectors, exactly sim_topk_mips' arithmetic. r14: nlist is
+    // N-adaptive through the mnlsizing CTE (the nlsizing pattern —
+    // identity 64 at every gate scale, √N ladder beyond, big codebooks
+    // from LCG rows 20000.. — Codebooks.mipsCentroidsFor).
     "sim_topk_mips_ivf" -> (NormCte + {
       val d1 = Dim + 1
       def dotA(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
       s"""
-         |, mcent AS (
-         |  SELECT c, [CAST((((1103515245*((c+${graft.functions.Codebooks.MipsRowBase})*$d1+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+         |, mnlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+         |    WHEN COUNT(*) <= 65536 THEN 128
+         |    WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
+         |mcent AS (
+         |  SELECT c, [CAST((((1103515245*((c + CASE WHEN nl <= $NCentroids THEN ${graft.functions.Codebooks.MipsRowBase} ELSE ${graft.functions.Codebooks.MipsBigRowBase} END)*$d1+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
          |             for i in generate_series(0, ${d1 - 1})] AS cv
-         |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
+         |  FROM generate_series(0, 2047) AS t(c), mnlsizing WHERE c < nl),
          |mcn AS (SELECT c, cv, sqrt(${dotA("cv", "cv")}) AS cnrm FROM mcent),
          |mmax AS (SELECT MAX(nrm) AS mx FROM v WHERE vec_id >= 8),
          |va AS (

@@ -220,6 +220,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("whiten runs the fused PcaWhiten kernel: no transform lambda, no " +
+      "inlined projection dots under it (the r13 HOF-inlining landmine)") {
+    val p = graft.queries.PipelineQueries.queries("embedding_pca_whiten")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_pca_whiten"), s"whiten must run the fused kernel:\n$p")
+    assert(!p.contains("transform("),
+      s"whiten must not pack via a transform lambda (per-component re-eval):\n$p")
+    assert(!p.contains("graft_dot"),
+      s"whiten must not leave projection dots to be inlined into the lambda:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark set; token packing shuffles once per shard") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.load(spark, sf, "documents")

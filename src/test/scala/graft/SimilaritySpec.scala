@@ -127,6 +127,35 @@ class SimilaritySpec extends SparkSpec {
     mips.unpersist(); ivf.unpersist()
   }
 
+  test("MIPS-IVF nlist ladder: the sized serving path keeps the bit-frozen " +
+      "small codebook at gate scales, big codebooks come whole from the " +
+      "fresh LCG region, and a big-codebook index still scores exact IPs") {
+    import graft.functions.Codebooks
+    // identity at every gate scale: ≤4096 vectors serve the frozen book
+    assert(Similarity.sizedNlist(emb.count()) === Codebooks.NCentroids)
+    assert(Codebooks.mipsCentroidsFor(Codebooks.NCentroids).map(_.toSeq).toSeq ===
+      Codebooks.mipsCentroidsArr.map(_.toSeq).toSeq,
+      "the n=64 ladder step must be the bit-frozen serving codebook")
+    // raw generator positions of the big region start past every other
+    // region's end (cosine big books stop at 12048*64)
+    assert(Codebooks.MipsBigRowBase * (Codebooks.Dim + 1) > 12048 * Codebooks.Dim)
+    // a big-codebook index at toy scale: same exact-ip arithmetic, only
+    // recall moves (finer buckets admit fewer candidates per probe)
+    val mips = Similarity.mipsTopK(emb, isQuery, k = 10).cache()
+    val big = Similarity.mipsIvfTopKNlist(emb, isQuery, k = 10, nlist = 128).cache()
+    val shared = big.join(
+      mips.select(col("query_id"), col("corpus_id"), col("ip").as("ip_exact")),
+      Seq("query_id", "corpus_id"))
+    assert(shared.filter(col("ip") =!= col("ip_exact")).count() === 0,
+      "big-codebook MIPS-IVF hits must score the exact inner product")
+    val hit = big.select("query_id", "corpus_id")
+      .intersect(mips.select("query_id", "corpus_id")).count().toDouble
+    val recall = hit / mips.count()
+    info(f"MIPS-IVF (128 augmented centroids, 8 probes) top-10 recall vs exact MIPS: $recall%.2f")
+    assert(recall > 0.02)
+    mips.unpersist(); big.unpersist()
+  }
+
   test("LSH top-k scores candidates identically to brute force (only recall differs)") {
     val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
       .select(col("query_id"), col("corpus_id"), col("cos"))

@@ -1,47 +1,53 @@
 #!/usr/bin/env python3
-"""Single-query DuckDB oracle check — the sf1 gating form.
+"""Single-query DuckDB gate (the check.py compare for ONE query).
 
-Usage: python3 tools/check_one.py <sfDir> <verifyOutDir> <query>
+Usage: python3 tools/check_one.py <sfDir> <verifyOutDir> <name>
 
-check.py's one connection accumulates memory across the heavy
-list-valued oracles and OOMs at sf1 (SURVEY §7, r11); this runs ONE
-query in its own process with a DuckDB memory ceiling and a spill
-directory, so the sf1 gate is a shell loop of independent processes.
-Comparison logic matches check.py exactly.
-Dev-tool only (driver-side python libs); not part of the shipped library.
+One query per process (the sf1 discipline: a single connection
+accumulating heavy list-valued oracles OOMs), memory-limited, with a
+temp spill directory. Dev-tool only.
 """
 import json
 import sys
 
 import duckdb
 
-sys.path.insert(0, "tools")
-from check import TABLES, norm  # noqa: E402
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
+    return df.reset_index(drop=True)
 
 
 def main() -> int:
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
     con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='target/duckdb_spill'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
     got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
     want = con.execute(sql).df()
     g, w = norm(got), norm(want)
-    assert list(g.columns) == list(w.columns), \
-        f"columns {list(g.columns)} != {list(w.columns)}"
-    assert len(g) == len(w), f"rows {len(g)} != {len(w)}"
+    if list(g.columns) != list(w.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+        return 1
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+        return 1
     for c in g.columns:
         a, b = g[c], w[c]
         eq = (a == b) | (a.isna() & b.isna())
         if not eq.all():
             i = int((~eq).idxmax())
-            raise AssertionError(
-                f"col {c} mismatch at row {i}: spark={a[i]!r} duck={b[i]!r} "
-                f"({int((~eq).sum())} rows differ)")
-    print(f"  OK {name} ({len(g)} rows)")
+            print(f"FAIL {name}: col {c} row {i}: spark={a[i]!r} duck={b[i]!r} "
+                  f"({int((~eq).sum())} rows differ)")
+            return 1
+    print(f"OK {name} ({len(g)} rows)")
     return 0
 
 
