@@ -432,9 +432,13 @@ object Graph {
     * (the Scala loop raises past it; the oracle's extra rounds are
     * no-ops on an already-empty alive set, so a shallow convergence
     * gates identically). Luby on the ≤2k-degree kNN graph converges in
-    * a handful of rounds; 12 is two decades of headroom over the
-    * measured gate-scale depth. */
-  val MisMaxRounds = 12
+    * a handful of rounds; the measured depth grows +1 per decade
+    * (3/4/5/6 at sf0.01→sf10), so 16 leaves ~6 decades of headroom past
+    * the sf10 point — a 10¹⁰-node corpus extrapolates to ~10 rounds,
+    * which the old 12 cleared by only 2 (r14, round-13 VERDICT #7;
+    * post-convergence oracle rounds are no-ops on an empty alive set,
+    * so the raise is gate-invariant by construction). */
+  val MisMaxRounds = 16
 
   /** Build + MIS in one call — the registered `knn_diversity_mis`
     * query (index write shared with every other kNN consumer).
