@@ -58,6 +58,21 @@ object Bench {
   // margin. The r13 additions (knn_diversity_mis, sim_topk_mips_ivf,
   // embedding_pca_topk) start in BenchOne prose (§7) under the same
   // one-round seasoning rule r12's additions had.
+  // Round 14 rotates ON the three seasoned r13 rows (round-13 VERDICT
+  // #3: knn_diversity_mis 8.19 s — index build + iterated Luby;
+  // sim_topk_mips_ivf 1.46 s — the augmented-space bucket join;
+  // embedding_pca_topk 0.95 s — 4-axis scoring over the covariance
+  // pass) and OFF four cheap reused-shape rows so the contract line
+  // stays under the 2,000-byte tail (the three names cost +79 bytes;
+  // the four drops return 93): mm_decode (mm_decode_jpeg/mjpeg +
+  // mm_framesample keep the container-walk/codec family), text_tokens
+  // (text_quality/text_repetition keep the fused text-scan kernels,
+  // text_bpe_tokens the tokenizer), dedup_components
+  // (dedup_components_star is the same star contraction plus the
+  // ordering variant; dedup_embedding_cc + pipeline_clean_corpus_cc
+  // keep components benched end-to-end), events_asof_tolerance
+  // (events_asof + events_asof_nearest bracket the asof family). All
+  // four join the BenchOne §7 prose. 69 entries.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize", "events_session_window",
@@ -67,17 +82,17 @@ object Bench {
     "topic_serde_avro", "topic_scd2",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
-    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf",
-    "knn_pagerank", "knn_pagerank_indexed",
-    "events_approx", "events_asof_tolerance", "events_asof_nearest",
+    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf", "sim_topk_mips_ivf",
+    "knn_pagerank", "knn_pagerank_indexed", "knn_diversity_mis",
+    "events_approx", "events_asof_nearest",
     "events_percentiles", "parts_pagerank", "events_session_overlap",
-    "text_quality", "text_tokens", "text_repetition",
+    "text_quality", "text_repetition",
     "text_bpe_tokens",
     "corpus_ngram_topk",
-    "dedup_components", "dedup_components_star",
+    "dedup_components_star",
     "dedup_embedding_cc",
-    "mm_framesample", "mm_decode",
-    "mm_decode_jpeg", "mm_decode_mjpeg", "embedding_pca_project",
+    "mm_framesample",
+    "mm_decode_jpeg", "mm_decode_mjpeg", "embedding_pca_project", "embedding_pca_topk",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",

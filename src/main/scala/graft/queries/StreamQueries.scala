@@ -266,6 +266,17 @@ object StreamQueries {
       graft.streaming.PcaStream.pcaScoreStream(s, dir, out, ckpt)
         .orderBy(col("vec_id"))
     }),
+    // Streaming MIS-representative assignment (r14): edge index + Luby
+    // MIS fitted ONCE offline, every micro-batch classifies its vectors
+    // to their best selected kNN neighbor off the bucketed index —
+    // stateless per trigger; full replay == knn_mis_assign (oracle
+    // verbatim).
+    "stream_mis_assign" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_mis_assign", dir)
+      graft.streaming.GraphStream
+        .misAssignStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("vec_id"))
+    }),
     // Streaming running/trailing aggregates (r9): the ROWS frame made
     // incremental — O(1) per-user state (two counters + a 5-deep
     // deque); ordered replay == events_moving_agg (oracle verbatim).
@@ -379,6 +390,8 @@ object StreamQueries {
     "stream_topk_agg" -> AnalyticsQueries.oracles("events_topk_agg"),
     "stream_importance" -> PipelineQueries.oracles("pipeline_importance"),
     "stream_pca_score" -> PipelineQueries.oracles("embedding_pca_project"),
+    // stateless per-trigger assignment off the once-fitted index + MIS
+    "stream_mis_assign" -> PipelineQueries.oracles("knn_mis_assign"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization
     // plus the streaming emission rule — a non-final session of a user is

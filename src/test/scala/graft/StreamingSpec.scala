@@ -448,6 +448,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming MIS assignment over multi-batch replay equals batch " +
+      "knn_mis_assign bit-for-bit (index + MIS fitted once, every " +
+      "micro-batch classifies statelessly against the bucketed edge table)") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_mis_assign", sf)
+    val streamed = graft.streaming.GraphStream.misAssignStream(
+      spark, s"$sf/embeddings.parquet", out, ckpt)
+    val batch = graft.operators.Graph.knnMisAssign(
+      Tables.load(spark, sf, "embeddings"), table = "graft_spec_mis_assign")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    // the replay was genuinely multi-batch (3 ordered splits)
+    val batches = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_"))
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches batch dirs")
+  }
+
   test("streaming DSIR scoring over multi-batch replay equals batch importance; " +
       "the bucketed weight index plans with zero static Exchange") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split-imp"
