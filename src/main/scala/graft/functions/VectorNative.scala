@@ -170,15 +170,42 @@ object Codebooks {
   private[graft] val centroidsHat: Array[Array[Double]] =
     centroidsArr.zip(centroidNorms).map { case (c, n) => c.map(_ / n) }
 
+  /** Normalized MIPS coarse centroids ĉ = c/‖c‖ — the 65-dim twin of
+    * [[centroidsHat]] for the augmented-space PQ serving path (r14). */
+  private[graft] val mipsCentroidsHat: Array[Array[Double]] =
+    mipsCentroidsArr.zip(mipsCentroidNorms).map { case (c, n) => c.map(_ / n) }
+
+  /** MIPS-PQ sub-codebooks (r14): the augmented 65-dim space factors as
+    * 5 subspaces × 13 dims (65 has no 8-way split), PqK codes each —
+    * same LCG family from fresh generator rows 700.. at stride 65 (raw
+    * positions 45,500..50,713: past the cosine PQ region's 33,792 end
+    * and the MIPS coarse book's 43,159, before the cosine big-codebook
+    * region at 640,000), same /4000 residual value scale. Mirrored
+    * verbatim in the sim_topk_mips_ivf_pq oracle's mpq CTE.
+    */
+  val MipsPqM = 5
+  val MipsPqSub: Int = (Dim + 1) / MipsPqM
+  val MipsPqRowBase = 700
+  val mipsPqCents: Array[Array[Array[Double]]] =
+    Array.tabulate(MipsPqM, PqK, MipsPqSub)((m, k, d) =>
+      (((1103515245L * ((MipsPqRowBase + m * PqK + k).toLong * (Dim + 1) + d) + 12345L) % 2001L) - 1000L) / 4000.0)
+
   /** A pluggable PQ codebook must match the fixed (PqM × PqK × PqSub)
     * subspace layout — a wrong shape would silently mis-slice residuals
     * or throw per-row on the executor.
     */
   private[functions] def requirePqShape(pq: Array[Array[Array[Double]]],
-                                        kernel: String): Unit =
-    require(pq.length == PqM && pq.forall(m => m.length == PqK &&
-      m.forall(_.length == PqSub)),
-      s"$kernel: PQ codebook must be $PqM x $PqK x $PqSub")
+                                        kernel: String): Unit = {
+    // RECTANGULAR is the invariant (r14 — the kernels derive (M, K, sub)
+    // from the codebook itself so the 8×16×8 cosine and 5×16×13
+    // augmented-MIPS books share one implementation); a ragged book
+    // would silently mis-slice residuals or throw per-row on executors.
+    require(pq.nonEmpty && pq(0).nonEmpty && pq(0)(0).nonEmpty,
+      s"$kernel: PQ codebook must be non-empty")
+    val (k0, s0) = (pq(0).length, pq(0)(0).length)
+    require(pq.forall(m => m.length == k0 && m.forall(_.length == s0)),
+      s"$kernel: PQ codebook must be rectangular (${pq.length} x $k0 x $s0)")
+  }
 }
 
 /** √(Σ xᵢ²) over an array<double> column — the fused twin of
@@ -550,24 +577,37 @@ object VectorNativeImpl {
     * squared distance Σ_d (r_d − c_d)². Codebooks are arguments so the
     * data-fitted variants ride the identical kernel.
     */
+  /** The subspace layout is DERIVED from the codebook (r14): M = #books,
+    * sub = code width, so the 8×16×8 cosine book and the 5×16×13
+    * augmented-MIPS book run the same kernel. A vector whose length is
+    * not M·sub is the loud dimension error of the old requireDim.
+    */
+  private def requirePqDim(n: Int, m: Int, sub: Int, kernel: String): Unit =
+    if (n != m * sub)
+      throw new IllegalArgumentException(
+        s"graft codebook kernel: embedding has $n dims, PQ codebook expects ${m * sub} ($kernel)")
+
   def pqCode(e: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
              centsHat: Array[Array[Double]], pq: Array[Array[Array[Double]]]): ArrayData = {
-    requireDim(e.numElements(), "graft_pq_code")
+    val pqM = pq.length
+    val pqK = pq(0).length
+    val pqSub = pq(0)(0).length
+    requirePqDim(e.numElements(), pqM, pqSub, "graft_pq_code")
     val nrm = norm(e)
     val b = ivfBucket(e, cents, cnorms) - 1
     val ch = centsHat(b)
-    val out = new Array[Int](PqM)
+    val out = new Array[Int](pqM)
     var m = 0
-    while (m < PqM) {
+    while (m < pqM) {
       var best = 0
       var bestD = Double.MaxValue
       var k = 0
-      while (k < PqK) {
+      while (k < pqK) {
         val c = pq(m)(k)
         var d = 0
         var s = 0.0
-        while (d < PqSub) {
-          val i = m * PqSub + d
+        while (d < pqSub) {
+          val i = m * pqSub + d
           val r = e.getDouble(i) / nrm - ch(i)
           val diff = r - c(d)
           s += diff * diff
@@ -588,18 +628,21 @@ object VectorNativeImpl {
     */
   def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData,
               centsHat: Array[Array[Double]], pq: Array[Array[Array[Double]]]): Double = {
-    requireDim(eq.numElements(), "graft_pq_score")
+    val pqM = pq.length
+    val pqSub = pq(0)(0).length
+    val dim = pqM * pqSub
+    requirePqDim(eq.numElements(), pqM, pqSub, "graft_pq_score")
     val nq = norm(eq)
     val ch = centsHat(bucket - 1)
     var s = 0.0
     var i = 0
-    while (i < Dim) { s += eq.getDouble(i) / nq * ch(i); i += 1 }
+    while (i < dim) { s += eq.getDouble(i) / nq * ch(i); i += 1 }
     var m = 0
-    while (m < PqM) {
+    while (m < pqM) {
       val c = pq(m)(codes.getInt(m) - 1)
       var d = 0
-      while (d < PqSub) {
-        s += eq.getDouble(m * PqSub + d) / nq * c(d)
+      while (d < pqSub) {
+        s += eq.getDouble(m * pqSub + d) / nq * c(d)
         d += 1
       }
       m += 1

@@ -858,6 +858,70 @@ object Similarity {
     rerankTopKTwoPhase(scored, k).withColumnRenamed("cos", "ip")
   }
 
+  /** PQ-COMPACT MIPS serving (r14, round-13 VERDICT #8): the
+    * codes-resident/shortlist-rerank form of [[mipsIvfTopK]] — the same
+    * Bachrach norm-augmentation reduction, but the candidate index
+    * stores 5 small ints per vector (PQ codes over the AUGMENTED 65-dim
+    * space, which factors as 5 subspaces × 13 dims) instead of 65
+    * doubles, so candidate generation + approximate scoring never touch
+    * the full vectors — the [[ivfPqTopK]] plan shape over the
+    * augmented space. The approximate stage ranks augmented-space
+    * cosines q̂a·(ĉ_b + Σ pq codes) — exactly IP order up to the PQ
+    * approximation — into a k·refine shortlist; the FINAL scores are
+    * the exact RAW inner products of the ORIGINAL vectors, so the
+    * output hash-gates while recall vs exact [[mipsTopK]] is swept in
+    * SimilaritySpec. Codebooks are the serving defaults (the fixed
+    * 64-bucket MIPS coarse book + the fresh rows-700 MIPS-PQ book —
+    * the sim_topk_ivf_pq parity; the nlist ladder lives on the
+    * full-vector [[mipsIvfTopK]] row).
+    */
+  def mipsIvfPqTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
+                    probes: Int = 8, refine: Int = 4): DataFrame = {
+    val v = vectors(emb)
+    val m = v.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
+    registerOnce(emb, "graft_mips_bucket")(exprs =>
+      graft.functions.IvfBucket(exprs.head,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    registerOnce(emb, s"graft_mips_probes_$probes")(exprs =>
+      graft.functions.IvfProbes(exprs.head, probes,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    registerOnce(emb, "graft_mips_pq_code")(exprs =>
+      graft.functions.PqCode(exprs.head,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms,
+        Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
+    registerOnce(emb, "graft_mips_pq_score")(exprs =>
+      graft.functions.PqScore(exprs.head, exprs(1), exprs(2),
+        Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
+    // codes-resident corpus index: bucket + 5 ints per vector, no ec
+    val corpusIdx = v.filter(!isQuery)
+      .withColumn("ea",
+        concat(col("e"), array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))))
+      .select(col("vec_id").as("corpus_id"),
+        call_function("graft_mips_bucket", col("ea")).as("bucket"),
+        call_function("graft_mips_pq_code", col("ea")).as("codes"))
+    val queries = v.filter(isQuery)
+      .withColumn("eqa", concat(col("e"), array(lit(0.0))))
+      .select(col("vec_id").as("query_id"), col("eqa"),
+        explode(call_function(s"graft_mips_probes_$probes", col("eqa"))).as("bucket"))
+    // a corpus vector has exactly one bucket and a query's probes are
+    // distinct, so the probe join yields each (query, candidate) once
+    val approx = corpusIdx.join(broadcast(queries), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        call_function("graft_mips_pq_score",
+          col("eqa"), col("bucket"), col("codes")).as("cos"))
+    val shortlist = rerankTopKTwoPhase(approx, k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    // only the shortlist (k·refine rows/query — bounded) reads full
+    // vectors; final scores are the exact RAW inner products
+    val exact = shortlist
+      .join(v.select(col("vec_id").as("corpus_id"), col("e").as("ec")), "corpus_id")
+      .join(broadcast(v.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("e").as("eq"))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        expr("graft_dot(eq, ec)").as("cos"))
+    rerankTopK(exact, k).withColumnRenamed("cos", "ip")
+  }
+
   /** LSH-bucketed ANN: queries and corpus hash into the same sign buckets;
     * only same-bucket candidates are scored and ranked. Recall vs the
     * brute-force baseline is asserted in the spec.

@@ -174,6 +174,12 @@ object PipelineQueries {
     "sim_topk_mips_ivf" -> ((s, dir) =>
       Similarity.mipsIvfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // PQ-compact MIPS serving (r14): codes-resident augmented-space
+    // index (5×13 PQ over the 65-dim reduction), shortlist by the
+    // approximate augmented cosine, exact raw-ip rerank.
+    "sim_topk_mips_ivf_pq" -> ((s, dir) =>
+      Similarity.mipsIvfPqTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -2028,6 +2034,89 @@ object PipelineQueries {
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, corpus_id) AS rnk
          |  FROM scored)
+         |SELECT query_id, corpus_id, ip, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin
+    }),
+
+    // PQ-compact MIPS (r14): the sim_topk_ivf_pq replay over the
+    // AUGMENTED 65-dim space — fixed 64-row MIPS coarse book (rows 600,
+    // stride 65), fresh 5×16×13 MIPS-PQ book (rows 700, stride 65,
+    // /4000), nrma = the kernel's index-order norm fold of ea, residual
+    // r = ea/nrma − ĉ, approximate score = one continued fold
+    // (list_prepend(coarse, terms) — the multi-stage-fold rule),
+    // shortlist k·refine by (acos DESC, corpus_id), exact RAW-ip rerank
+    // of the original vectors.
+    "sim_topk_mips_ivf_pq" -> (NormCte + {
+      val d1 = Dim + 1
+      import graft.functions.Codebooks.{MipsPqM, MipsPqSub, PqK, MipsPqRowBase, MipsRowBase}
+      val Refine = 4
+      def dotA(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
+      val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[q.ea[i]/q.nrma * ch.ch[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
+      val terms = s"flatten([[q.ea[m*$MipsPqSub+d]/q.nrma * pqf.pq[m*$PqK + codes[m+1]][d] " +
+        s"for d in generate_series(1,$MipsPqSub)] for m in generate_series(0,${MipsPqM - 1})])"
+      s"""
+         |, mcent AS (
+         |  SELECT c, [CAST((((1103515245*((c+$MipsRowBase)*$d1+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
+         |             for i in generate_series(0, ${d1 - 1})] AS cv
+         |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
+         |mcn AS (SELECT c, cv, sqrt(${dotA("cv", "cv")}) AS cnrm FROM mcent),
+         |mchat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$d1)] AS ch FROM mcn),
+         |mmax AS (SELECT MAX(nrm) AS mx FROM v WHERE vec_id >= 8),
+         |vaa AS MATERIALIZED (
+         |  SELECT vec_id, ea, sqrt(${dotA("ea", "ea")}) AS nrma FROM (
+         |    SELECT vec_id, CASE WHEN vec_id < 8 THEN list_append(e, 0.0)
+         |                        ELSE list_append(e, sqrt(mx*mx - nrm*nrm)) END AS ea
+         |    FROM v CROSS JOIN mmax)),
+         |accs AS MATERIALIZED (
+         |  SELECT vec_id, list(${dotA("ea", "cv")} / (nrma * cnrm) ORDER BY c) AS cc
+         |  FROM vaa CROSS JOIN mcn GROUP BY vec_id),
+         |cb AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM accs WHERE vec_id >= 8),
+         |mpq AS (
+         |  SELECT m, k, [CAST((((1103515245*(($MipsPqRowBase + m*$PqK + k)*$d1 + d) + 12345) % 2001) - 1000) AS DOUBLE)/4000.0
+         |                for d in generate_series(0, ${MipsPqSub - 1})] AS pv
+         |  FROM generate_series(0, ${MipsPqM - 1}) tm(m) CROSS JOIN generate_series(0, ${PqK - 1}) tk(k)),
+         |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM mpq),
+         |res AS (
+         |  SELECT cb.corpus_id, cb.bucket,
+         |         [vaa.ea[i]/vaa.nrma - mchat.ch[i] for i in generate_series(1,$d1)] AS r
+         |  FROM cb JOIN vaa ON vaa.vec_id = cb.corpus_id JOIN mchat ON mchat.c = cb.bucket - 1),
+         |dists AS (
+         |  SELECT corpus_id, bucket, m,
+         |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           [(r[m*$MipsPqSub+d] - pv[d]) * (r[m*$MipsPqSub+d] - pv[d])
+         |            for d in generate_series(1,$MipsPqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+         |  FROM res CROSS JOIN mpq GROUP BY corpus_id, bucket, m),
+         |codes AS (
+         |  SELECT corpus_id, bucket,
+         |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+         |  FROM dists GROUP BY corpus_id, bucket),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $Probes)]) AS bucket
+         |  FROM accs WHERE vec_id < 8),
+         |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id,
+         |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
+         |  FROM cand JOIN vaa q ON q.vec_id = query_id
+         |            JOIN mchat ch ON ch.c = bucket - 1
+         |            CROSS JOIN pqf),
+         |short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
+         |    FROM scored)
+         |  WHERE srnk <= ${TopK * Refine}),
+         |exact AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} AS ip
+         |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, corpus_id) AS rnk
+         |  FROM exact)
          |SELECT query_id, corpus_id, ip, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin
     }),

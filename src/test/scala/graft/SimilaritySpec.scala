@@ -156,6 +156,34 @@ class SimilaritySpec extends SparkSpec {
     mips.unpersist(); big.unpersist()
   }
 
+  test("PQ-compact MIPS: hits carry the exact raw inner product, the " +
+      "shortlist rerank respects k, and recall vs exact MIPS is nontrivial " +
+      "— the codes-resident serving form of the reduction works") {
+    val mips = Similarity.mipsTopK(emb, isQuery, k = 10).cache()
+    val pq = Similarity.mipsIvfPqTopK(emb, isQuery, k = 10).cache()
+    assert(pq.filter(col("query_id") === col("corpus_id")).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rnk"))
+    assert(pq.withColumn("expect", row_number().over(w))
+      .filter(col("rnk") =!= col("expect")).count() === 0)
+    // the exact rerank scores the IDENTICAL raw-dot arithmetic
+    val shared = pq.join(
+      mips.select(col("query_id"), col("corpus_id"), col("ip").as("ip_exact")),
+      Seq("query_id", "corpus_id"))
+    assert(shared.filter(col("ip") =!= col("ip_exact")).count() === 0,
+      "PQ-MIPS hits must score the exact inner product")
+    val hit = pq.select("query_id", "corpus_id")
+      .intersect(mips.select("query_id", "corpus_id")).count().toDouble
+    val recall = hit / mips.count()
+    info(f"MIPS-IVF-PQ (64 buckets, 5x13 PQ, 8 probes, refine 4) top-10 recall vs exact MIPS: $recall%.2f")
+    assert(recall > 0.05)
+    // the PQ shortlist is a subset of the full-vector MIPS-IVF candidate
+    // universe's buckets — same probes, same coarse book; recall can only
+    // come from probed buckets (structural sanity: every hit shares a
+    // bucket with its query in the augmented space)
+    mips.unpersist(); pq.unpersist()
+  }
+
   test("LSH top-k scores candidates identically to brute force (only recall differs)") {
     val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
       .select(col("query_id"), col("corpus_id"), col("cos"))
