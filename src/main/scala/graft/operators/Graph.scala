@@ -495,6 +495,36 @@ object Graph {
     misAssignFromIndex(emb.sparkSession, table, rounds, scale)
   }
 
+  /** CLUSTER CARD over the MIS assignment (r14) — the per-prototype
+    * summary a curation run reads first: for every representative, how
+    * many vectors it absorbed (itself included) and the tightest /
+    * loosest member cosine. Every aggregate is order-free engine-exact
+    * (COUNT is an integer; MIN/MAX over doubles ignore the rep's own
+    * null-cos row identically in both engines — a memberless rep cards
+    * as (1, null, null)), so the whole card hash-gates on top of the
+    * shared assignment chain. One node-sized groupBy — the edge list
+    * is never touched beyond the assignment it already feeds.
+    */
+  def misClusterStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               table: String, rounds: Int = 5,
+                               scale: Long = 1000000000000L): DataFrame =
+    misAssignFromIndex(spark, table, rounds, scale)
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("rep_id"))
+
+  /** Build + MIS + assignment + card in one call — the registered
+    * `knn_mis_cluster_stats` query. */
+  def knnMisClusterStats(emb: DataFrame,
+                         table: String = "graft_knn_mis_cluster",
+                         k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                         scale: Long = 1000000000000L): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    misClusterStatsFromIndex(emb.sparkSession, table, rounds, scale)
+  }
+
   /** Eager-unpersist of a superseded localCheckpoint: the iteration
     * discipline shared with [[Dedup.componentsOf]] — truncated lineage
     * cannot recompute, so ONLY frames nothing references anymore may

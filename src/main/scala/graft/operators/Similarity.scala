@@ -875,23 +875,32 @@ object Similarity {
     * the sim_topk_ivf_pq parity; the nlist ladder lives on the
     * full-vector [[mipsIvfTopK]] row).
     */
+  /** Session registration of the MIPS serving kernels at their serving
+    * defaults — shared by [[mipsIvfPqTopK]] and the streaming twin
+    * (SimilarityStream.mipsIvfPqTopKStream), so the two surfaces can
+    * never drift on codebooks.
+    */
+  private[graft] def registerMipsServing(df: DataFrame, probes: Int): Unit = {
+    registerOnce(df, "graft_mips_bucket")(exprs =>
+      graft.functions.IvfBucket(exprs.head,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    registerOnce(df, s"graft_mips_probes_$probes")(exprs =>
+      graft.functions.IvfProbes(exprs.head, probes,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
+    registerOnce(df, "graft_mips_pq_code")(exprs =>
+      graft.functions.PqCode(exprs.head,
+        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms,
+        Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
+    registerOnce(df, "graft_mips_pq_score")(exprs =>
+      graft.functions.PqScore(exprs.head, exprs(1), exprs(2),
+        Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
+  }
+
   def mipsIvfPqTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
                     probes: Int = 8, refine: Int = 4): DataFrame = {
     val v = vectors(emb)
     val m = v.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
-    registerOnce(emb, "graft_mips_bucket")(exprs =>
-      graft.functions.IvfBucket(exprs.head,
-        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
-    registerOnce(emb, s"graft_mips_probes_$probes")(exprs =>
-      graft.functions.IvfProbes(exprs.head, probes,
-        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms))
-    registerOnce(emb, "graft_mips_pq_code")(exprs =>
-      graft.functions.PqCode(exprs.head,
-        Codebooks.mipsCentroidsArr, Codebooks.mipsCentroidNorms,
-        Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
-    registerOnce(emb, "graft_mips_pq_score")(exprs =>
-      graft.functions.PqScore(exprs.head, exprs(1), exprs(2),
-        Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
+    registerMipsServing(emb, probes)
     // codes-resident corpus index: bucket + 5 ints per vector, no ec
     val corpusIdx = v.filter(!isQuery)
       .withColumn("ea",

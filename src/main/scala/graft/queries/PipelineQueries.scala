@@ -227,6 +227,12 @@ object PipelineQueries {
     "knn_mis_assign" -> ((s, dir) =>
       graft.operators.Graph.knnMisAssign(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes)),
+    // per-representative cluster card (r14): members absorbed + the
+    // tightest/loosest member cosine — order-free aggregates over the
+    // shared assignment, one node-sized groupBy.
+    "knn_mis_cluster_stats" -> ((s, dir) =>
+      graft.operators.Graph.knnMisClusterStats(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
     // rank-many consumer #3 (r12): SemDeDup neighborhoods — connected
     // components over the cos >= tau sub-graph of the index (the exact
     // pair cosine rides the index; no vector is re-touched), one
@@ -1515,7 +1521,13 @@ object PipelineQueries {
     * — total by MAXIMALITY. The cosine re-reads the pairs CTE verbatim
     * (the same exact double the materialized index carries).
     */
-  private lazy val knnMisAssignOracle: String = {
+  /** The shared assignment CTEs: MIS chain + selected union + the
+    * cosine-oriented edge replay + per-node best pick + the final
+    * `assign(vec_id, rep_id, cos, is_rep)` relation — consumed by both
+    * `knn_mis_assign` (row dump) and `knn_mis_cluster_stats` (the
+    * per-representative card, r14).
+    */
+  private lazy val knnMisAssignCtes: String = {
     val rounds = graft.operators.Graph.MisMaxRounds
     val union = (1 to rounds).map(t => s"SELECT id FROM sel$t")
       .mkString("\n  UNION ALL ")
@@ -1532,14 +1544,32 @@ object PipelineQueries {
          |                            ORDER BY e.cos DESC, e.dst) AS rn
          |  FROM ecos e
          |  WHERE EXISTS (SELECT 1 FROM selall s WHERE s.id = e.dst)
-         |    AND NOT EXISTS (SELECT 1 FROM selall s WHERE s.id = e.src))
-         |SELECT vec_id, rep_id, cos, is_rep FROM (
+         |    AND NOT EXISTS (SELECT 1 FROM selall s WHERE s.id = e.src)),
+         |assign AS (
          |  SELECT s.id AS vec_id, s.id AS rep_id, CAST(NULL AS DOUBLE) AS cos,
          |         TRUE AS is_rep FROM selall s
          |  UNION ALL
-         |  SELECT vec_id, rep_id, cos, FALSE AS is_rep FROM asg WHERE rn = 1)
-         |ORDER BY vec_id""".stripMargin
+         |  SELECT vec_id, rep_id, cos, FALSE AS is_rep FROM asg WHERE rn = 1)""".stripMargin
   }
+
+  private lazy val knnMisAssignOracle: String =
+    knnMisAssignCtes +
+      s"""
+         |SELECT vec_id, rep_id, cos, is_rep FROM assign
+         |ORDER BY vec_id""".stripMargin
+
+  /** Per-representative cluster card (`knn_mis_cluster_stats`, r14):
+    * COUNT is an integer and MIN/MAX over doubles are order-free (the
+    * rep's own null-cos row is ignored identically by both engines), so
+    * the card hash-gates on top of the shared assignment chain.
+    */
+  private lazy val knnMisClusterStatsOracle: String =
+    knnMisAssignCtes +
+      s"""
+         |SELECT rep_id, COUNT(*) AS n_members,
+         |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+         |FROM assign GROUP BY rep_id
+         |ORDER BY rep_id""".stripMargin
 
   /** SemDeDup neighborhoods (`knn_semdedup`): the cos ≥ tau sub-graph of
     * the kNN pairs, closed by the same recursive reachability-min the
@@ -2204,6 +2234,7 @@ object PipelineQueries {
     "knn_diversity_sample" -> knnDiversityOracle,
     "knn_diversity_mis" -> knnDiversityMisOracle,
     "knn_mis_assign" -> knnMisAssignOracle,
+    "knn_mis_cluster_stats" -> knnMisClusterStatsOracle,
     "knn_semdedup" -> knnSemdedupOracle,
 
     // IVF-PQ: codes and the approximate score replayed with the SAME

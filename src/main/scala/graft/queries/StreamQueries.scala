@@ -144,6 +144,16 @@ object StreamQueries {
       SimilarityStream.ivfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // Streaming PQ-compact MIPS serving (r14): codes-resident
+    // augmented-space index + original-vector rerank table materialized
+    // once; per batch, probe + PQ shortlist + exact raw-ip rerank.
+    // Replay reproduces sim_topk_mips_ivf_pq (oracle verbatim).
+    "stream_sim_mips_pq" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sim_mips_pq", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.mipsIvfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Streaming twin of the flagship cleaning pipeline: quality filter +
     // stateful exact dedup + exact near-dup probe per batch; replay
     // reproduces batch cleanCorpus (its oracle verbatim).
@@ -372,6 +382,8 @@ object StreamQueries {
     "stream_embedding_delta_advance" -> PipelineQueries.semanticDeltaAdvanceOracleSql(3),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
+    // codes-resident augmented-space MIPS serving, replay == batch
+    "stream_sim_mips_pq" -> PipelineQueries.oracles("sim_topk_mips_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),
     "stream_asof" -> AnalyticsQueries.oracles("events_asof"),
     "stream_range_join" -> AnalyticsQueries.oracles("events_range_join"),

@@ -167,6 +167,94 @@ object SimilarityStream {
     TopicStream.readBatchedOutput(spark, outDir)
   }
 
+  /** Streaming PQ-compact MIPS serving (r14) — the online face of
+    * [[Similarity.mipsIvfPqTopK]], completing the augmented-space
+    * serving story: the corpus' codes-resident index (coarse bucket +
+    * 5 augmented-space PQ codes per vector) and the original-vector
+    * rerank table are materialized ONCE, bucketed by their probe keys;
+    * arriving queries grow the literal 0 augmentation, probe their
+    * buckets statelessly, shortlist by the approximate augmented
+    * cosine inside their batch (a query's candidates never span
+    * batches), and exact-rerank ONLY the shortlist by RAW inner
+    * product. Replay reproduces `sim_topk_mips_ivf_pq` exactly — the
+    * oracle is shared verbatim. Kernels come from
+    * [[Similarity.registerMipsServing]], so batch and stream can
+    * never drift on codebooks.
+    */
+  def mipsIvfPqTopKStream(spark: SparkSession, embPath: String,
+                          outDir: String, checkpointDir: String, k: Int = 10,
+                          maxFilesPerTrigger: Option[Int] = None,
+                          probes: Int = 8, refine: Int = 4,
+                          tablePrefix: String = "graft_mips_pq_stream"): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    val corpus = spark.read.parquet(embPath)
+    val isQuery = col("vec_id") < 8
+    Similarity.registerMipsServing(corpus, probes)
+
+    // M = the corpus max norm (one-row driver maximum, the batch op's
+    // sanctioned collect) — fixed at index-build time, exactly the
+    // deployment contract (a served index is built against ITS corpus)
+    val m = Similarity.vectors(corpus.filter(!isQuery))
+      .agg(max(col("nrm"))).head().getDouble(0)
+    val aug = concat(col("e"),
+      array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm"))))
+
+    val vecsTable = s"${tablePrefix}_vecs"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus.filter(!isQuery))
+        .select(col("vec_id").as("corpus_id"), col("e").as("ec")),
+      vecsTable, IndexBuckets, "corpus_id")
+    val idxTable = s"${tablePrefix}_idx"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus.filter(!isQuery))
+        .withColumn("ea", aug)
+        .select(col("vec_id").as("corpus_id"),
+          call_function("graft_mips_bucket", col("ea")).as("bucket"),
+          call_function("graft_mips_pq_code", col("ea")).as("codes")),
+      idxTable, IndexBuckets, "bucket")
+    val corpusVecs = spark.table(vecsTable)
+    val pqIndex = spark.table(idxTable)
+
+    val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
+    val probed = Similarity.vectors(incoming)
+      .withColumn("eqa", concat(col("e"), array(lit(0.0))))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"), col("eqa"),
+        explode(call_function(s"graft_mips_probes_$probes", col("eqa"))).as("bucket"))
+    val approx = probed.join(pqIndex, "bucket")
+      .select(col("query_id"), col("eq"), col("corpus_id"),
+        call_function("graft_mips_pq_score",
+          col("eqa"), col("bucket"), col("codes")).as("acos"))
+
+    val q = approx.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a query's candidates all arrive in its batch: PQ shortlist,
+        // then the exact RAW-ip rerank of only the shortlist
+        val wa = Window.partitionBy(col("query_id"))
+          .orderBy(col("acos").desc, col("corpus_id"))
+        val short = batch
+          .withColumn("srnk", row_number().over(wa))
+          .filter(col("srnk") <= k * refine)
+          .drop("srnk", "acos")
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("ip").desc, col("corpus_id"))
+        TopicStream.writeBatchIdempotent(
+          short.join(corpusVecs, "corpus_id")
+            .withColumn("ip", expr("graft_dot(eq, ec)"))
+            .withColumn("rnk", row_number().over(wr))
+            .filter(col("rnk") <= k)
+            .select(col("query_id"), col("corpus_id"), col("ip"), col("rnk")),
+          batchId, outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    TopicStream.readBatchedOutput(spark, outDir)
+  }
+
   /** ONLINE semantic snapshot delta — the streaming twin of
     * [[Similarity.semanticDelta]] (the embedding-space face of
     * DedupStream.snapshotDeltaStream): new-shard vectors arrive as a

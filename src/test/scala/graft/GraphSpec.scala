@@ -218,6 +218,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("knn_mis_cluster_stats: one card row per representative, membership " +
+      "conserves the graph, and min/max cos equal a driver replay over the " +
+      "assignment (memberless reps card as (1, null, null))") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_cluster_spec", k = 5, probes = 2)
+    val asg = Graph.misAssignFromIndex(spark, "graft_knn_cluster_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val card = Graph.misClusterStatsFromIndex(spark, "graft_knn_cluster_spec")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val reps = asg.filter(a => a._1 == a._2).map(_._1).toSet
+    assert(card.keySet === reps, "one card row per representative, none extra")
+    assert(card.values.map(_._1).sum === asg.length,
+      "membership must conserve the graph")
+    val byRep = asg.groupBy(_._2)
+    for ((rep, (n, mn, mx)) <- card) {
+      val members = byRep(rep)
+      assert(n === members.length.toLong)
+      val coss = members.flatMap(_._3)
+      if (coss.isEmpty) assert(mn.isEmpty && mx.isEmpty,
+        s"memberless rep $rep must card null cosines")
+      else {
+        assert(mn === Some(coss.min) && mx === Some(coss.max))
+        assert(mn.get <= mx.get)
+      }
+    }
+  }
+
   test("knn_semdedup: labels equal a driver union-find over the tau-filtered " +
       "index pairs; exactly one keep per neighborhood and the keeper is the " +
       "minimum id; a planted dense cluster collapses to ONE representative") {

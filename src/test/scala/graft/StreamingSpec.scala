@@ -520,6 +520,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming PQ-MIPS serving over multi-batch replay equals batch " +
+      "mipsIvfPqTopK (codes-resident augmented index static, per-batch " +
+      "shortlist + exact raw-ip rerank)") {
+    val embDir = "/root/repo/target/stream-scratch/emb-split-mipspq"
+    Tables.load(spark, sf, "embeddings").repartition(4)
+      .write.mode("overwrite").parquet(embDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_sim_mips_pq", embDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val streamed = graft.streaming.SimilarityStream.mipsIvfPqTopKStream(
+      spark, embDir, out, ckpt, maxFilesPerTrigger = Some(1))
+      .select("query_id", "corpus_id", "ip", "rnk")
+    val batch = graft.operators.Similarity.mipsIvfPqTopK(
+      Tables.load(spark, sf, "embeddings"), col("vec_id") < 8)
+      .select("query_id", "corpus_id", "ip", "rnk")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming clean-corpus ingest over multi-batch replay equals batch cleanCorpus") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split"
     Tables.load(spark, sf, "documents").repartition(4)
