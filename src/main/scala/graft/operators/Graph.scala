@@ -525,6 +525,33 @@ object Graph {
     misClusterStatsFromIndex(emb.sparkSession, table, rounds, scale)
   }
 
+  /** DEGREE HISTOGRAM of the symmetrized kNN graph (r14) — the
+    * ANN-graph health card: hubs (celebrity vectors every probe list
+    * hits) are exactly what makes downstream consumers skew, and the
+    * histogram is the first thing a 100-TB graph build should report
+    * before anyone ranks on it. Degrees are bounded by construction
+    * (≤ 2·k·N edges), all-integer, hash-gateable for free. The degree
+    * aggregate clusters on `src` — it rides the bucketed index layout
+    * with zero edge-side exchange; the histogram regroup is
+    * degree-domain-sized (≤ max-degree rows).
+    */
+  def degreeCardFromIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+
+  /** Build + degree card in one call — the registered `knn_degree_card`
+    * query. */
+  def knnDegreeCard(emb: DataFrame, table: String = "graft_knn_degree",
+                    k: Int = 5, probes: Int = 2): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    degreeCardFromIndex(emb.sparkSession, table)
+  }
+
   /** Eager-unpersist of a superseded localCheckpoint: the iteration
     * discipline shared with [[Dedup.componentsOf]] — truncated lineage
     * cannot recompute, so ONLY frames nothing references anymore may

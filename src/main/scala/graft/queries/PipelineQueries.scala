@@ -233,6 +233,11 @@ object PipelineQueries {
     "knn_mis_cluster_stats" -> ((s, dir) =>
       graft.operators.Graph.knnMisClusterStats(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes)),
+    // ANN-graph health card (r14): degree histogram of the symmetrized
+    // kNN graph — all-integer, rides the bucketed index layout.
+    "knn_degree_card" -> ((s, dir) =>
+      graft.operators.Graph.knnDegreeCard(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
     // rank-many consumer #3 (r12): SemDeDup neighborhoods — connected
     // components over the cos >= tau sub-graph of the index (the exact
     // pair cosine rides the index; no vector is re-touched), one
@@ -2235,6 +2240,15 @@ object PipelineQueries {
     "knn_diversity_mis" -> knnDiversityMisOracle,
     "knn_mis_assign" -> knnMisAssignOracle,
     "knn_mis_cluster_stats" -> knnMisClusterStatsOracle,
+    // degree histogram of the symmetrized kNN graph: the shared kNN
+    // pair CTEs + two integer GROUP BYs — engine-exact for free
+    "knn_degree_card" -> (knnRankedCtes() +
+      s""",
+         |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+         |          UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+         |deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1)
+         |SELECT d AS deg, COUNT(*) AS n_nodes FROM deg GROUP BY d
+         |ORDER BY deg""".stripMargin),
     "knn_semdedup" -> knnSemdedupOracle,
 
     // IVF-PQ: codes and the approximate score replayed with the SAME

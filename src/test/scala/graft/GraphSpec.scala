@@ -248,6 +248,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("knn_degree_card: the histogram conserves nodes and edges and equals " +
+      "a driver replay over the index") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_degree_spec", k = 5, probes = 2)
+    val card = Graph.degreeCardFromIndex(spark, "graft_knn_degree_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = spark.table("graft_knn_degree_spec")
+      .select(col("src")).collect().map(_.getLong(0))
+    val degs = edges.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = degs.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(card === expect, "histogram must equal the driver replay")
+    assert(card.values.sum === degs.size.toLong, "nodes conserved")
+    assert(card.map { case (d, n) => d * n }.sum === edges.length.toLong,
+      "edges conserved (sum of deg * count)")
+    // every degree is at least 1 (an indexed node has an edge) and the
+    // graph is k-capped per orientation, so max degree is bounded by
+    // in-degree + k — sanity that no hub exceeds the node count
+    assert(card.keys.min >= 1L && card.keys.max < degs.size.toLong)
+  }
+
   test("knn_semdedup: labels equal a driver union-find over the tau-filtered " +
       "index pairs; exactly one keep per neighborhood and the keeper is the " +
       "minimum id; a planted dense cluster collapses to ONE representative") {
