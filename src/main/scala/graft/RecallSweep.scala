@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (r14): recall-vs-refine evidence for the PQ shortlist knob.
+  * The PQ rows rerank a k·refine shortlist exactly; refine=4 is the
+  * serving default, and the open question (SURVEY §7 round-15 (b)) is
+  * whether refine needs an N-adaptive ladder like nlist. This sweeps
+  * refine ∈ {1,2,4,8,16} for both PQ serving rows (cosine IVF-PQ and
+  * augmented-space MIPS-PQ) against their EXACT baselines and prints
+  * recall@10 — the probed-bucket candidate set is the recall CEILING
+  * (refine→∞ cannot beat the full-vector IVF row), so the sweep shows
+  * where the shortlist knob saturates at each corpus size.
+  *
+  * Usage: runMain graft.RecallSweep <sfDir>
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val isQuery = col("vec_id") < 8
+    val S = graft.operators.Similarity
+    val exactCos = S.bruteForceTopK(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id").cache()
+    val exactMips = S.mipsTopK(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id").cache()
+    val nCos = exactCos.count().toDouble
+    val nMips = exactMips.count().toDouble
+    // the ceilings: the full-vector IVF rows (every probed candidate
+    // reranked exactly — what refine->inf converges to)
+    val ceilCos = S.ivfTopK(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id")
+      .intersect(exactCos).count() / nCos
+    val ceilMips = S.mipsIvfTopK(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id")
+      .intersect(exactMips).count() / nMips
+    println(f"[recall-sweep] $sfDir ceilings: cosine-IVF=$ceilCos%.3f mips-IVF(sized)=$ceilMips%.3f")
+    for (refine <- Seq(1, 2, 4, 8, 16)) {
+      val rc = S.ivfPqTopK(emb, isQuery, k = 10, refine = refine)
+        .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+      val rm = S.mipsIvfPqTopK(emb, isQuery, k = 10, refine = refine)
+        .select("query_id", "corpus_id").intersect(exactMips).count() / nMips
+      println(f"[recall-sweep] refine=$refine%-2d cosine-IVF-PQ=$rc%.3f mips-IVF-PQ=$rm%.3f")
+    }
+    exactCos.unpersist(); exactMips.unpersist()
+    spark.stop()
+  }
+}

@@ -403,6 +403,28 @@ object Similarity {
     * Recall vs plain IVF is characterized in SimilaritySpec; `refine`
     * trades recall against full-vector reads.
     */
+  /** The PQ shortlist's N-ADAPTIVE width (r14 — measured, not assumed:
+    * the RecallSweep evidence shows recall at a FIXED k·4 shortlist
+    * falls ever further below the probe ceiling as bucket population
+    * grows — sf1 cosine-PQ 0.11 vs the 0.80 ceiling, still climbing at
+    * refine=16 — because the PQ approximation's rank noise scales with
+    * the candidates a probe admits, ~N/nlist ≈ √N under the nlist
+    * ladder). Same thresholds as [[sizedNlist]], identity 4 at every
+    * driver-gate scale (plans and oracles unchanged), doubling per
+    * step; mirrored in the PQ oracles' rsizing CTE. The shortlist is
+    * still k·refine rows per query — bounded, so the final exact
+    * rerank stays legitimately single-phase.
+    */
+  def sizedRefine(n: Long): Int =
+    if (n <= 4096) 4 else if (n <= 65536) 8
+    else if (n <= 1048576) 16 else 32
+
+  /** [[ivfPqTopK]] with the shortlist width derived from the corpus
+    * (one count) — the registered `sim_topk_ivf_pq` path. */
+  def ivfPqTopKSized(emb: DataFrame, isQuery: Column, k: Int = 10,
+                     probes: Int = 8): DataFrame =
+    ivfPqTopK(emb, isQuery, k, probes, sizedRefine(emb.count()))
+
   def ivfPqTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 8,
                 refine: Int = 4): DataFrame =
     ivfPqPlan(vectors(emb), isQuery, k, refine,
@@ -895,6 +917,12 @@ object Similarity {
       graft.functions.PqScore(exprs.head, exprs(1), exprs(2),
         Codebooks.mipsCentroidsHat, Codebooks.mipsPqCents))
   }
+
+  /** [[mipsIvfPqTopK]] with the shortlist width derived from the corpus
+    * (one count) — the registered `sim_topk_mips_ivf_pq` path. */
+  def mipsIvfPqTopKSized(emb: DataFrame, isQuery: Column, k: Int = 10,
+                         probes: Int = 8): DataFrame =
+    mipsIvfPqTopK(emb, isQuery, k, probes, sizedRefine(emb.count()))
 
   def mipsIvfPqTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
                     probes: Int = 8, refine: Int = 4): DataFrame = {

@@ -178,7 +178,7 @@ object PipelineQueries {
     // index (5×13 PQ over the 65-dim reduction), shortlist by the
     // approximate augmented cosine, exact raw-ip rerank.
     "sim_topk_mips_ivf_pq" -> ((s, dir) =>
-      Similarity.mipsIvfPqTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+      Similarity.mipsIvfPqTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
@@ -249,7 +249,7 @@ object PipelineQueries {
     // residual codes) alone; full vectors only for the exact rerank of
     // the top k·refine shortlist (round-3 §7 stretch).
     "sim_topk_ivf_pq" -> ((s, dir) =>
-      Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+      Similarity.ivfPqTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     // IVF over a k-means-fitted codebook (the offline fit a production
     // deployment broadcasts). r12: the fit is FIXED-POINT (integer dots,
@@ -2092,7 +2092,10 @@ object PipelineQueries {
       val terms = s"flatten([[q.ea[m*$MipsPqSub+d]/q.nrma * pqf.pq[m*$PqK + codes[m+1]][d] " +
         s"for d in generate_series(1,$MipsPqSub)] for m in generate_series(0,${MipsPqM - 1})])"
       s"""
-         |, mcent AS (
+         |, rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+         |    WHEN COUNT(*) <= 65536 THEN 8
+         |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
+         |mcent AS (
          |  SELECT c, [CAST((((1103515245*((c+$MipsRowBase)*$d1+i) + 12345) % 2001) - 1000) AS DOUBLE)/1000.0
          |             for i in generate_series(0, ${d1 - 1})] AS cv
          |  FROM generate_series(0, ${NCentroids - 1}) AS t(c)),
@@ -2145,7 +2148,7 @@ object PipelineQueries {
          |  SELECT query_id, corpus_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
          |    FROM scored)
-         |  WHERE srnk <= ${TopK * Refine}),
+         |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
          |exact AS (
          |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} AS ip
          |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
@@ -2265,6 +2268,9 @@ object PipelineQueries {
       NormCte +
         s"""
            |, $ivfCentroidCtes,
+           |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+           |    WHEN COUNT(*) <= 65536 THEN 8
+           |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
            |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn),
            |cb AS (
            |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
@@ -2304,7 +2310,7 @@ object PipelineQueries {
            |  SELECT query_id, corpus_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
            |    FROM scored)
-           |  WHERE srnk <= ${TopK * Refine}),
+           |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
            |exact AS (
            |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
            |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),

@@ -106,11 +106,15 @@ object SimilarityStream {
   def ivfPqTopKStream(spark: SparkSession, embPath: String,
                       outDir: String, checkpointDir: String, k: Int = 10,
                       maxFilesPerTrigger: Option[Int] = None,
-                      probes: Int = 8, refine: Int = 4,
+                      probes: Int = 8, refine: Int = 0,
                       tablePrefix: String = "graft_pq_stream"): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
+    // refine <= 0 derives the N-adaptive shortlist width (r14) — the
+    // batch Sized row's ladder, so replay == batch at every scale
+    val refineEff =
+      if (refine > 0) refine else Similarity.sizedRefine(corpus.count())
     val isQuery = col("vec_id") < 8
 
     val vecsTable = s"${tablePrefix}_vecs"
@@ -149,7 +153,7 @@ object SimilarityStream {
           .orderBy(col("acos").desc, col("corpus_id"))
         val short = batch
           .withColumn("srnk", row_number().over(wa))
-          .filter(col("srnk") <= k * refine)
+          .filter(col("srnk") <= k * refineEff)
           .drop("srnk", "acos")
         val wr = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("corpus_id"))
@@ -184,11 +188,14 @@ object SimilarityStream {
   def mipsIvfPqTopKStream(spark: SparkSession, embPath: String,
                           outDir: String, checkpointDir: String, k: Int = 10,
                           maxFilesPerTrigger: Option[Int] = None,
-                          probes: Int = 8, refine: Int = 4,
+                          probes: Int = 8, refine: Int = 0,
                           tablePrefix: String = "graft_mips_pq_stream"): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
+    // refine <= 0 derives the N-adaptive shortlist width (r14)
+    val refineEff =
+      if (refine > 0) refine else Similarity.sizedRefine(corpus.count())
     val isQuery = col("vec_id") < 8
     Similarity.registerMipsServing(corpus, probes)
 
@@ -237,7 +244,7 @@ object SimilarityStream {
           .orderBy(col("acos").desc, col("corpus_id"))
         val short = batch
           .withColumn("srnk", row_number().over(wa))
-          .filter(col("srnk") <= k * refine)
+          .filter(col("srnk") <= k * refineEff)
           .drop("srnk", "acos")
         val wr = Window.partitionBy(col("query_id"))
           .orderBy(col("ip").desc, col("corpus_id"))

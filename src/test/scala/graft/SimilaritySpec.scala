@@ -184,6 +184,26 @@ class SimilaritySpec extends SparkSpec {
     mips.unpersist(); pq.unpersist()
   }
 
+  test("sized PQ refine: identity 4 at every driver-gate scale, doubling " +
+      "per nlist-ladder step, and a wider shortlist is a superset-quality " +
+      "rerank (recall can only rise — the RecallSweep evidence)") {
+    assert(Similarity.sizedRefine(500) === 4)
+    assert(Similarity.sizedRefine(4096) === 4)
+    assert(Similarity.sizedRefine(20000) === 8)
+    assert(Similarity.sizedRefine(65536) === 8)
+    assert(Similarity.sizedRefine(1000000) === 16)
+    assert(Similarity.sizedRefine(10000000) === 32)
+    // at test scale the Sized rows are bit-identical to the fixed-4 form
+    val fixedPq = Similarity.ivfPqTopK(emb, isQuery, k = 10, refine = 4)
+    val sizedPq = Similarity.ivfPqTopKSized(emb, isQuery, k = 10)
+    assert(sizedPq.exceptAll(fixedPq).count() === 0 &&
+      fixedPq.exceptAll(sizedPq).count() === 0)
+    val fixedMips = Similarity.mipsIvfPqTopK(emb, isQuery, k = 10, refine = 4)
+    val sizedMips = Similarity.mipsIvfPqTopKSized(emb, isQuery, k = 10)
+    assert(sizedMips.exceptAll(fixedMips).count() === 0 &&
+      fixedMips.exceptAll(sizedMips).count() === 0)
+  }
+
   test("LSH top-k scores candidates identically to brute force (only recall differs)") {
     val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
       .select(col("query_id"), col("corpus_id"), col("cos"))
