@@ -118,7 +118,7 @@ object Codebooks {
       (((1103515245L * ((400 + m * PqK + k) * Dim + d) + 12345L) % 2001L) - 1000L) / 4000.0)
 
   private[functions] val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
-  private[functions] val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private[graft] val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
   /** MIPS-reduction coarse codebook (r13): (Dim+1)-dim centroids over the
     * norm-AUGMENTED vector space of the Bachrach et al. reduction —
