@@ -36,23 +36,27 @@ object GraphStream {
   /** One batch's assignment against the static index + selected set —
     * the [[Graph.misAssignFromIndex]] arithmetic restricted to the
     * batch's vec_ids (runs inside foreachBatch, the
-    * classifySemanticBatch shape). Selected membership and the probe
-    * both ride broadcasts of batch-/node-sized sides; the edge scan
-    * stays on its bucketed layout.
+    * classifySemanticBatch shape). Only the BATCH side is
+    * broadcast-hinted (batch-sized by construction); the selected set
+    * is NODE-SIZED (a kNN-graph MIS keeps ~a quarter of the corpus),
+    * so its membership joins carry no hint — the planner broadcasts
+    * while it is small and falls back to shuffle joins of the
+    * batch-edge-sized probe rows at scale (the batch operator's own
+    * semi/anti-join shape). The edge scan stays on its bucketed layout.
     */
   private[graft] def assignBatch(spark: SparkSession, batch: DataFrame,
                                  idxTable: String, selTable: String): DataFrame = {
     val ids = batch.select(col("vec_id")).distinct()
     val sel = spark.table(selTable)
     val selfArm = ids
-      .join(broadcast(sel), ids("vec_id") === sel("sel_id"), "left_semi")
+      .join(sel, ids("vec_id") === sel("sel_id"), "left_semi")
       .select(col("vec_id"), col("vec_id").as("rep_id"),
         lit(null).cast("double").as("cos"), lit(true).as("is_rep"))
     val unselArm = spark.table(idxTable)
       .select(col("src"), col("dst"), col("cos"))
       .join(broadcast(ids.withColumnRenamed("vec_id", "src")), "src")
-      .join(broadcast(sel), col("dst") === col("sel_id"), "left_semi")
-      .join(broadcast(sel), col("src") === col("sel_id"), "left_anti")
+      .join(sel, col("dst") === col("sel_id"), "left_semi")
+      .join(sel, col("src") === col("sel_id"), "left_anti")
       .groupBy(col("src").as("vec_id"))
       .agg(min(struct((-col("cos")).as("nc"), col("dst").as("rep"))).as("b"))
       .select(col("vec_id"), col("b.rep").as("rep_id"),
@@ -78,10 +82,12 @@ object GraphStream {
     val idxTable = s"${tablePrefix}_idx"
     Graph.writeKnnEdgeIndex(corpus, idxTable)
     val selTable = s"${tablePrefix}_sel"
+    // the MIS set is node-sized — bucket it like any other index table
+    // (a 1-bucket write would serialize its scan at scale)
     Bucketing.writeBucketed(
       Graph.diversityMisFromIndex(spark, idxTable)
         .select(col("vec_id").as("sel_id")),
-      selTable, 1, "sel_id")
+      selTable, SimilarityStream.IndexBuckets, "sel_id")
 
     val splitDir = TopicStream.orderedSplitInput(spark, embPath, splits,
       s"$outDir-input", idCol = "vec_id")
