@@ -287,6 +287,16 @@ object StreamQueries {
         .misAssignStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("vec_id"))
     }),
+    // Streaming cluster card (r14): assignments stream in, the
+    // per-representative card closes with one order-free epilogue
+    // aggregation (the stream_percentiles pattern); replay ==
+    // knn_mis_cluster_stats (oracle verbatim).
+    "stream_mis_cluster_stats" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_mis_cluster_stats", dir)
+      graft.streaming.GraphStream
+        .misClusterStatsStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("rep_id"))
+    }),
     // Streaming running/trailing aggregates (r9): the ROWS frame made
     // incremental — O(1) per-user state (two counters + a 5-deep
     // deque); ordered replay == events_moving_agg (oracle verbatim).
@@ -404,6 +414,8 @@ object StreamQueries {
     "stream_pca_score" -> PipelineQueries.oracles("embedding_pca_project"),
     // stateless per-trigger assignment off the once-fitted index + MIS
     "stream_mis_assign" -> PipelineQueries.oracles("knn_mis_assign"),
+    // assignment stream + one order-free card epilogue == the batch card
+    "stream_mis_cluster_stats" -> PipelineQueries.oracles("knn_mis_cluster_stats"),
     "stream_span_dedup" -> PipelineQueries.oracles("pipeline_span_dedup"),
     // The emitted-session set replayed in SQL (r9): batch sessionization
     // plus the streaming emission rule — a non-final session of a user is

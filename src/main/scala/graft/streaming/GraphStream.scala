@@ -107,4 +107,27 @@ object GraphStream {
     TopicStream.awaitAndCapturePlan(q)
     TopicStream.readBatchedOutput(spark, outDir)
   }
+
+  /** Streaming cluster card (`stream_mis_cluster_stats`, r14) — the
+    * card face of [[misAssignStream]] via the BATCH-EPILOGUE pattern
+    * (the stream_percentiles precedent: per-trigger state accumulates,
+    * one epilogue aggregation closes the answer): assignments stream
+    * in batch by batch (stateless, batchId-idempotent — every sink row
+    * is exactly one vector's assignment), and the per-representative
+    * card is ONE order-free aggregation over the replayed sink —
+    * COUNT/MIN/MAX never depend on arrival order, so the replay equals
+    * `knn_mis_cluster_stats` exactly and the oracle is SHARED VERBATIM.
+    */
+  def misClusterStatsStream(spark: SparkSession, embPath: String,
+                            outDir: String, checkpointDir: String,
+                            maxFilesPerTrigger: Option[Int] = None,
+                            splits: Int = 3,
+                            tablePrefix: String = "graft_mis_card_stream"): DataFrame =
+    misAssignStream(spark, embPath, outDir, checkpointDir,
+      maxFilesPerTrigger, splits, tablePrefix)
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("rep_id"))
 }

@@ -465,6 +465,18 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 2, s"expected a multi-batch replay, got $batches batch dirs")
   }
 
+  test("streaming cluster card: the assignment stream's order-free epilogue " +
+      "aggregation equals batch knn_mis_cluster_stats bit-for-bit") {
+    val (out, ckpt) = TopicStream.scratchDirs("spec_mis_card", sf)
+    val streamed = graft.streaming.GraphStream.misClusterStatsStream(
+      spark, s"$sf/embeddings.parquet", out, ckpt)
+    val batch = graft.operators.Graph.knnMisClusterStats(
+      Tables.load(spark, sf, "embeddings"), table = "graft_spec_mis_card")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming DSIR scoring over multi-batch replay equals batch importance; " +
       "the bucketed weight index plans with zero static Exchange") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split-imp"
