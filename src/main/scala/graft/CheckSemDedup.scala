@@ -72,9 +72,37 @@ object CheckSemDedup {
         bad += 1
       }
     }
+
+    // --- r14: the QUALITY-KEEP variant over the SAME index (no
+    // rebuild) — rep = argmax quality within the union-find component
+    // (ties toward the smaller id), replayed from the shared
+    // fixed-weight score collected once (node-sized).
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val qual = graft.operators.TextOps.quality(docs)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byComp = out.map(_._1).groupBy(find)
+    val bestOf = byComp.view.mapValues(ids =>
+      ids.minBy(id => (-qual(id), id))).toMap
+    val qOut = graft.operators.Graph
+      .semDeDupQualityFromIndex(spark, docs, emb, "graft_knn_semdedup_check", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    var qbad = 0L
+    if (qOut.length != out.length) qbad += math.abs(qOut.length - out.length)
+    for ((id, rep, keep) <- qOut) {
+      val want = bestOf(find(id))
+      if (rep != want || keep != (id == want)) {
+        if (qbad < 5) System.err.println(
+          s"[check-semdedup] QUALITY MISMATCH vec $id: got (rep=$rep, " +
+            s"keep=$keep), replay says rep=$want")
+        qbad += 1
+      }
+    }
+    bad += qbad
     val nKeep = out.count(_._3)
     println(s"[check-semdedup] $sfDir tau=$tau: ${out.length} rows, " +
-      s"$nKeep representatives, ${pairs.length} tau-pairs, mismatches=$bad")
+      s"$nKeep representatives, ${pairs.length} tau-pairs, " +
+      s"quality rows ${qOut.length}, mismatches=$bad (quality=$qbad)")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

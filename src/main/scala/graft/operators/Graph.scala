@@ -594,6 +594,46 @@ object Graph {
     semDeDupFromIndex(emb.sparkSession, emb, table, tau)
   }
 
+  /** QUALITY-KEEP SemDeDup (r14) — the representative policy the
+    * SemDeDup recipe actually wants in a training pipeline: per
+    * semantic-duplicate neighborhood keep the HIGHEST-QUALITY document
+    * (the shared fixed-weight text-quality score, ties toward the
+    * smaller id), not the arbitrary min-id. Components come from the
+    * same cos ≥ τ closure over the kNN index; the keeper pick is one
+    * component-sized struct-min (the negation rides the QUALITY — a
+    * positive double, exactly negatable — never the id) plus one
+    * node-sized join-back. Engine-exact end to end (the quality chain
+    * is the hash-gated pipeline_quality_topq arithmetic), so the whole
+    * row oracle-gates; like `knn_semdedup`, the DuckDB reach-closure is
+    * the gate at driver scales (quadratic in component size beyond).
+    */
+  def semDeDupQualityFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, emb: DataFrame,
+                               table: String, tau: Double): DataFrame = {
+    val comp = semDeDupFromIndex(spark, emb, table, tau)
+      .select(col("vec_id"), col("rep_id").as("comp_id"))
+    val q = graft.operators.TextOps.quality(docs)
+      .select(col("doc_id").as("vec_id"), col("quality"))
+    val best = comp.join(q, "vec_id")
+      .groupBy(col("comp_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col("vec_id").as("bid"))).as("b"))
+      .select(col("comp_id"), col("b.bid").as("best_id"))
+    comp.join(best, "comp_id")
+      .select(col("vec_id"), col("best_id").as("rep_id"),
+        (col("vec_id") === col("best_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Build + quality-keep dedup in one call — the registered
+    * `knn_semdedup_quality` query. */
+  def knnSemDeDupQuality(docs: DataFrame, emb: DataFrame,
+                         table: String = "graft_knn_semdedup_q",
+                         k: Int = 5, probes: Int = 2,
+                         tau: Double = 0.4): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    semDeDupQualityFromIndex(emb.sparkSession, docs, emb, table, tau)
+  }
+
   /** The top-k co-purchase-centrality card over the lineitem graph. */
   def partsPageRank(lineitem: DataFrame, rounds: Int = 5, k: Int = 20,
                     scale: Long = 1000000000000L): DataFrame = {

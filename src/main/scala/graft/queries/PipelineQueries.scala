@@ -245,6 +245,14 @@ object PipelineQueries {
     "knn_semdedup" -> ((s, dir) =>
       graft.operators.Graph.knnSemDeDup(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes, tau = CosTau)),
+    // quality-keep SemDeDup (r14): per neighborhood keep the
+    // highest-quality document (the shared fixed-weight score, ties to
+    // the smaller id) — the representative policy a training pipeline
+    // actually wants.
+    "knn_semdedup_quality" -> ((s, dir) =>
+      graft.operators.Graph.knnSemDeDupQuality(
+        Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes, tau = CosTau)),
     // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
     // residual codes) alone; full vectors only for the exact rerank of
     // the top k·refine shortlist (round-3 §7 stretch).
@@ -2253,6 +2261,46 @@ object PipelineQueries {
          |SELECT d AS deg, COUNT(*) AS n_nodes FROM deg GROUP BY d
          |ORDER BY deg""".stripMargin),
     "knn_semdedup" -> knnSemdedupOracle,
+    // quality-keep SemDeDup: the same reach-closure components + the
+    // pipeline_quality_topq quality chain + an argmax-per-component pick
+    // (quality DESC, id ASC) — all engine-exact, full hash gate
+    "knn_semdedup_quality" -> (knnRankedCtes(recursive = true) +
+      s""",
+         |spairs AS (SELECT pa, pb FROM pairs WHERE cos >= $CosTau),
+         |sedges AS (SELECT pa AS src, pb AS dst FROM spairs
+         |           UNION ALL SELECT pb, pa FROM spairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN sedges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT vv.vec_id,
+         |         CAST(least(vv.vec_id, coalesce(min(r.dst), vv.vec_id)) AS BIGINT) AS comp_id
+         |  FROM v vv LEFT JOIN reach r ON r.src = vv.vec_id
+         |  GROUP BY vv.vec_id),
+         |qws AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS w,
+         |         lower(text) AS lt FROM documents),
+         |qm AS (
+         |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    ${stopHitsSql(graft.operators.TextOps.stopwords.head._2)} AS stop_hits,
+         |    CAST(length(regexp_replace(lt, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars
+         |  FROM qws),
+         |qsc AS (
+         |  SELECT doc_id,
+         |    0.3*(CAST(n_uniq AS DOUBLE)/n_words) + 0.3*(CAST(stop_hits AS DOUBLE)/n_words)
+         |      + 0.4*(CAST(alpha_chars AS DOUBLE)/n_chars) AS quality
+         |  FROM qm),
+         |best AS (
+         |  SELECT comp_id, vec_id AS best_id,
+         |         row_number() OVER (PARTITION BY comp_id
+         |                            ORDER BY quality DESC, vec_id) AS rk
+         |  FROM comp JOIN qsc ON qsc.doc_id = comp.vec_id)
+         |SELECT c.vec_id, b.best_id AS rep_id, c.vec_id = b.best_id AS keep
+         |FROM comp c JOIN best b ON b.comp_id = c.comp_id AND b.rk = 1
+         |ORDER BY c.vec_id""".stripMargin),
 
     // IVF-PQ: codes and the approximate score replayed with the SAME
     // fold orders as the kernels (continuous accumulation: coarse term,

@@ -248,6 +248,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("knn_semdedup_quality: same neighborhoods as min-id semdedup, exactly " +
+      "one keep per component, and the keeper is the quality argmax " +
+      "(ties to the smaller id) vs a driver replay") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_sdq_spec", k = 5, probes = 2)
+    val minId = Graph.semDeDupFromIndex(spark, emb, "graft_knn_sdq_spec", 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = graft.operators.TextOps.quality(docs)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Graph.semDeDupQualityFromIndex(spark, docs, emb, "graft_knn_sdq_spec", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === minId.size, "same domain as the min-id dedup")
+    val byComp = minId.toSeq.groupBy(_._2)
+    val expectBest = byComp.view.mapValues(ms =>
+      ms.map(_._1).minBy(id => (-qual(id), id))).toMap
+    for ((id, rep, keep) <- got) {
+      assert(rep === expectBest(minId(id)),
+        s"vec $id: rep must be its component's quality argmax")
+      assert(keep === (id == rep))
+    }
+    // exactly one keep per component
+    assert(got.count(_._3) === byComp.size)
+  }
+
   test("knn_degree_card: the histogram conserves nodes and edges and equals " +
       "a driver replay over the index") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
