@@ -368,4 +368,23 @@ class GraphSpec extends SparkSpec {
     val base = 15L * Scale / 100L
     assert(chainAdj.filter(col("id") === 1L).head().getLong(1) === base)
   }
+
+  test("the N-adaptive broadcast switch takes the measured node count — " +
+      "a 1-node budget forces the over-threshold SHUFFLE arm and ranks stay " +
+      "bit-identical to the broadcast arm (join strategy cannot change the " +
+      "fixed-point integers)") {
+    val edges = Graph.coPurchaseEdges(lineitem)
+    val bcastArm = Graph.pageRankAdjacency(edges, rounds = 3, chunk = 4,
+      symmetric = true, broadcastMaxNodes = Some(Long.MaxValue)).cache()
+    // any real part dimension exceeds 1 node → the shuffle (100-TB) arm
+    val shuffleArm = Graph.pageRankAdjacency(edges, rounds = 3, chunk = 4,
+      symmetric = true, broadcastMaxNodes = Some(1L))
+    assert(bcastArm.exceptAll(shuffleArm).isEmpty &&
+      shuffleArm.exceptAll(bcastArm).isEmpty)
+    // and both must equal the edge-list reference — the switch changes
+    // join strategy only, never the integers
+    val ref = Graph.pageRank(edges, rounds = 3)
+    assert(bcastArm.exceptAll(ref).isEmpty && ref.exceptAll(bcastArm).isEmpty)
+    bcastArm.unpersist()
+  }
 }
