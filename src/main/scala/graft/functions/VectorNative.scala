@@ -103,6 +103,20 @@ object Codebooks {
       (((1103515245L * ((c + 200) * Dim + i) + 12345L) % 2001L) - 1000L).toDouble)))
   }
 
+  /** MIPS-fit seeds (r15): the rows-600 MIPS LCG integers — the formula
+    * codebook's OWN generator rows, the seed == formula-book pattern
+    * [[seedCentroidsFp]] sets — fp-normalized over Dim+1 components.
+    * fpNormalize is scale-invariant, so seeding from the raw integers
+    * equals seeding from the /1000 formula values bit-for-bit.
+    */
+  private[graft] def seedMipsCentroidsFp(k: Int): Array[Array[Double]] = {
+    require(k <= NCentroids,
+      s"seedMipsCentroidsFp(k=$k): the bit-frozen MIPS row budget is $NCentroids")
+    Array.tabulate(k)(c => fpNormalize(Array.tabulate(Dim + 1)(i =>
+      (((1103515245L * ((c + MipsRowBase).toLong * (Dim + 1) + i) + 12345L)
+        % 2001L) - 1000L).toDouble)))
+  }
+
   /** Product-quantization sub-codebooks (IVF-PQ residual refinement):
     * PqM subspaces of PqSub dims, PqK codes each. Same LCG family from
     * generator rows 400.. (planes use rows 0..NPlanes-1, coarse
@@ -178,9 +192,10 @@ object Codebooks {
   /** MIPS-PQ sub-codebooks (r14): the augmented 65-dim space factors as
     * 5 subspaces × 13 dims (65 has no 8-way split), PqK codes each —
     * same LCG family from fresh generator rows 700.. at stride 65 (raw
-    * positions 45,500..50,713: past the cosine PQ region's 33,792 end
-    * and the MIPS coarse book's 43,159, before the cosine big-codebook
-    * region at 640,000), same /4000 residual value scale. Mirrored
+    * positions 45,500..50,647 — last row 779·65+12: past the cosine PQ
+    * region's 33,791 end and the MIPS coarse book's 43,159, before the
+    * cosine big-codebook region at 640,000), same /4000 residual value
+    * scale. Mirrored
     * verbatim in the sim_topk_mips_ivf_pq oracle's mpq CTE.
     */
   val MipsPqM = 5

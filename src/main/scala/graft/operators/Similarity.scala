@@ -207,6 +207,26 @@ object Similarity {
     if (n <= 4096) NCentroids else if (n <= 65536) 128
     else if (n <= 1048576) 512 else 2048
 
+  /** The PROBES side of the [[sizedNlist]] ladder (r15 VERDICT #2):
+    * nlist riding √N with a FIXED probe count shrinks the probed
+    * fraction a decade per decade (8/64 at gate scales → 8/512 at
+    * 200k vectors), so recall decays with scale — measured in the r14
+    * RecallSweep (sf1 MIPS full-vector ceiling 0.4 vs 0.8 cosine).
+    * This holds probes/nlist roughly constant instead: identity at
+    * every DuckDB-gated scale (nlist ≤ 128 — plans and oracles
+    * unchanged through sf1), and base·(nlist/128) beyond, pinning the
+    * probed fraction at the base/128 the largest gated scale already
+    * runs. Candidates per query grow back to ≈ (base/128)·N — the
+    * price of scale-stable recall; the two-phase salted rerank and the
+    * sizedCandWidth pin already absorb exactly that shape. Mirrored
+    * verbatim in the oracles' psizing CTEs (derived from nlsizing /
+    * mnlsizing, so one static oracle text gates every sf).
+    */
+  def sizedProbes(base: Int, n: Long): Int = {
+    val nl = sizedNlist(n)
+    if (nl <= 128) base else base * (nl / 128)
+  }
+
   /** The candidate-stage width pin, N-adaptive like [[sizedNlist]]: off
     * (0) at every gate scale — plans and oracles bit-identical — and the
     * session's shuffle width once the corpus outgrows the 65,536-vector
@@ -222,12 +242,14 @@ object Similarity {
     // 32 tasks regardless of cluster width (r12 ADVICE)
     else emb.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** [[knnJoinIvf]] with nlist + candidate width derived from the corpus
-    * (one count).
+  /** [[knnJoinIvf]] with nlist + probes + candidate width derived from
+    * the corpus (one count) — probes ride [[sizedProbes]] so the probed
+    * fraction (and with it graph recall) holds as nlist climbs the √N
+    * ladder.
     */
   def knnJoinIvfSized(emb: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
     val n = emb.count()
-    knnJoinIvf(emb, k, probes, sizedNlist(n), sizedCandWidth(n, emb))
+    knnJoinIvf(emb, k, sizedProbes(probes, n), sizedNlist(n), sizedCandWidth(n, emb))
   }
 
   /** IVF-bucketed ANN: corpus vectors live in their nearest-centroid
@@ -329,40 +351,117 @@ object Similarity {
       .withColumn("xh", expr("graft_fp_unit(e)"))
       .filter(col("xh").isNotNull)
       .select(col("xh")).persist()
-    try {
-      var cents = Codebooks.seedCentroidsFp(k)
-      val ones = Array.fill(k)(1.0)
-      // per-FIT assignment function over a per-fit holder: the builder
-      // runs at analysis of each iteration's query and reads THIS fit's
-      // current generation — another fit running concurrently has its own
-      // name + holder, so generations never mix
-      val gen = new java.util.concurrent.atomic.AtomicReference(cents)
-      val assignName = registerFitFunction(emb, "graft_ivf_fit_assign")(
-        exprs => graft.functions.IvfBucket(exprs.head, gen.get(), ones))
-      for (_ <- 0 until iters) {
-        gen.set(cents)
-        val sums = v
-          .withColumn("bucket", call_function(assignName, col("xh")).cast("long"))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n"),
-            (0 until Dim).map(i =>
-              sum(element_at(col("xh"), i + 1).cast("long")).as(s"m$i")): _*)
-          .collect()
-        val next = cents.map(_.clone())
-        sums.foreach { r =>
-          val b = r.getLong(0).toInt - 1
-          if (b >= 0 && b < k) {
-            val cnt = r.getLong(1)
-            // truncating long division — DuckDB's `//` semantics
-            val m = Array.tabulate(Dim)(i => (r.getLong(i + 2) / cnt).toDouble)
-            val norm = Codebooks.fpNormalize(m)
-            if (norm != null) next(b) = norm
-          }
+    try fitLoop(emb, v, Codebooks.seedCentroidsFp(k), Dim, iters,
+      "graft_ivf_fit_assign")
+    finally { v.unpersist(); () }
+  }
+
+  /** The shared fixed-point k-means recurrence over a persisted `xh`
+    * frame — [[fitCentroids]]'s loop, dimension- and seed-parameterized
+    * so the augmented-space MIPS fit ([[fitMipsCentroids]], r15) reuses
+    * the identical engine-exact arithmetic instead of forking it.
+    */
+  private def fitLoop(emb: DataFrame, v: DataFrame,
+                      seeds: Array[Array[Double]], dim: Int, iters: Int,
+                      registerBase: String): Array[Array[Double]] = {
+    var cents = seeds
+    val k = seeds.length
+    val ones = Array.fill(k)(1.0)
+    // per-FIT assignment function over a per-fit holder: the builder
+    // runs at analysis of each iteration's query and reads THIS fit's
+    // current generation — another fit running concurrently has its own
+    // name + holder, so generations never mix
+    val gen = new java.util.concurrent.atomic.AtomicReference(cents)
+    val assignName = registerFitFunction(emb, registerBase)(
+      exprs => graft.functions.IvfBucket(exprs.head, gen.get(), ones))
+    for (_ <- 0 until iters) {
+      gen.set(cents)
+      val sums = v
+        .withColumn("bucket", call_function(assignName, col("xh")).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("xh"), i + 1).cast("long")).as(s"m$i")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val b = r.getLong(0).toInt - 1
+        if (b >= 0 && b < k) {
+          val cnt = r.getLong(1)
+          // truncating long division — DuckDB's `//` semantics
+          val m = Array.tabulate(dim)(i => (r.getLong(i + 2) / cnt).toDouble)
+          val norm = Codebooks.fpNormalize(m)
+          if (norm != null) next(b) = norm
         }
-        cents = next
       }
-      cents
-    } finally { v.unpersist(); () }
+      cents = next
+    }
+    cents
+  }
+
+  /** FIXED-POINT k-means over the AUGMENTED (Dim+1)-dim MIPS space (r15
+    * VERDICT #6): the [[fitCentroids]] recurrence run on the Bachrach
+    * reduction's vectors (corpus rows append sqrt(M²−‖x‖²), queries a
+    * 0 — the exact serving augmentation, so the fitted clusters match
+    * the geometry the index serves), seeded from the rows-600 MIPS LCG
+    * integers (the seed == formula-book pattern [[Codebooks.seedCentroidsFp]]
+    * sets). Engine-exact end to end: the augmented components are fixed
+    * IEEE shapes over the exact corpus max norm, the rest is the integer
+    * recurrence — so the fitted book unrolls as DuckDB CTEs and the
+    * serving row full-hash-gates, like the cosine kmeans rows.
+    */
+  private[graft] def fitMipsCentroids(emb: DataFrame, isQuery: Column,
+                                      k: Int = NCentroids,
+                                      iters: Int = 3): Array[Array[Double]] = {
+    val v0 = vectors(emb)
+    val m = v0.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
+    val va = v0.withColumn("ea",
+        when(isQuery, concat(col("e"), array(lit(0.0))))
+          .otherwise(concat(col("e"),
+            array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm"))))))
+      .withColumn("xh", expr("graft_fp_unit(ea)"))
+      .filter(col("xh").isNotNull)
+      .select(col("xh")).persist()
+    try fitLoop(emb, va, Codebooks.seedMipsCentroidsFp(k), Dim + 1, iters,
+      "graft_mips_fit_assign")
+    finally { va.unpersist(); () }
+  }
+
+  /** MIPS-IVF over the DATA-FITTED augmented codebook — the
+    * sim_topk_ivf_kmeans parity for the MIPS family (r15 VERDICT #6:
+    * the cosine IVF had fitted books since r5, the MIPS rows ran
+    * formula books only): fit spherical k-means in the augmented space,
+    * bake the fitted book into the same fused bucket/probe kernels,
+    * then the identical candidate/exact-raw-ip/rerank plan as
+    * [[mipsIvfTopKNlist]]. Recall vs the exact [[mipsTopK]] baseline —
+    * and vs the LCG formula book — is swept in SimilaritySpec.
+    */
+  def mipsIvfTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
+                        probes: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = fitMipsCentroids(emb, isQuery, NCentroids, iters)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val bucketName = registerFitFunction(emb, "graft_mips_bucket_fitted")(
+      exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
+    val probesName = registerFitFunction(emb, "graft_mips_probes_fitted")(
+      exprs => graft.functions.IvfProbes(exprs.head, probes, cents, cnorms))
+    val v = vectors(emb)
+    val m = v.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
+    val corpus = v.filter(!isQuery)
+      .withColumn("ea",
+        concat(col("e"), array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))))
+      .select(col("vec_id").as("corpus_id"),
+        call_function(bucketName, col("ea")).as("bucket"),
+        col("e").as("ec"))
+    val queries = v.filter(isQuery)
+      .withColumn("ea", concat(col("e"), array(lit(0.0))))
+      .select(col("vec_id").as("query_id"),
+        explode(call_function(probesName, col("ea"))).as("bucket"),
+        col("e").as("eq"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        expr("graft_dot(eq, ec)").as("cos"))
+      .distinct()
+    rerankTopKTwoPhase(scored, k).withColumnRenamed("cos", "ip")
   }
 
   /** IVF ANN over a DATA-DERIVED codebook: fit spherical k-means on the
@@ -832,10 +931,14 @@ object Similarity {
     * component's sqrt argument is never negative.
     */
   def mipsIvfTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
-                  probes: Int = 8): DataFrame =
+                  probes: Int = 8): DataFrame = {
     // the sizing count is the whole table (the knnJoinIvfSized shape,
-    // mirrored by the oracle's `FROM embeddings` in mnlsizing)
-    mipsIvfTopKNlist(emb, isQuery, k, probes, sizedNlist(emb.count()))
+    // mirrored by the oracle's `FROM embeddings` in mnlsizing); probes
+    // ride the sizedProbes ladder with nlist so the probed fraction —
+    // and the recall ceiling RecallSweep tracks — holds with scale
+    val n = emb.count()
+    mipsIvfTopKNlist(emb, isQuery, k, sizedProbes(probes, n), sizedNlist(n))
+  }
 
   /** [[mipsIvfTopK]] with an explicit codebook size (the ladder calls
     * this with [[sizedNlist]]; specs pin small-vs-big equivalence).

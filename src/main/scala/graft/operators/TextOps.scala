@@ -897,6 +897,49 @@ object TextOps {
       .select("doc_id", "lang", "quality", "cutoff")
   }
 
+  /** The validated card behind the registered `pipeline_quality_topq_approx`
+    * row (r15 VERDICT #5): run [[qualityTopQApprox]]'s sketch cutoffs
+    * distributed, then verify them IN-PLAN against the GK sketch's
+    * proven N/accuracy rank band (the TextOpsSpec replay-gate formula
+    * verbatim) so every output column is engine-reproducible and the
+    * row hash-gates. Per lang: the exact doc count, whether the sketch
+    * cutoff's exact rank sits inside its band, and whether the >= cutoff
+    * selection kept a TIE-AWARE q-fraction of the stratum: the kept
+    * count can never undershoot (q−ε)·n−1, and the kept count MINUS the
+    * docs tied exactly at the cutoff (selection keeps every tie, which
+    * the rank guarantee says nothing about — measured at sf1, where
+    * integer-ratio qualities tie freely) can never overshoot
+    * (q+ε)·n+1. Booleans are stable even
+    * though percentile_approx is merge-order-dependent: ANY valid GK
+    * output satisfies the band, so the verdicts — not the cutoff
+    * values — are deterministic. A broken sketch flips a boolean and
+    * the DuckDB hash gate goes red; the raw selection (the production
+    * surface) stays pinned by the spec's rank-band + exact-filter
+    * replay.
+    */
+  def qualityTopQApproxCard(docs: DataFrame, q: Double = 0.5,
+                            accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val scored = quality(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val cuts = scored.groupBy("lang")
+      .agg(percentile_approx(col("quality"), lit(1.0 - q), lit(accuracy)).as("cutoff"))
+    scored.join(broadcast(cuts), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality") < col("cutoff"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("quality") <= col("cutoff"), 1L).otherwise(0L)).as("le"),
+        sum(when(col("quality") >= col("cutoff"), 1L).otherwise(0L)).as("nsel"))
+      .select(col("lang"), col("n").as("n_docs"),
+        (col("lt").cast("double") <= (lit(1.0 - q) + eps) * col("n") + 1.0 &&
+          col("le").cast("double") >= (lit(1.0 - q) - eps) * col("n") - 1.0)
+          .as("cutoff_in_band"),
+        (col("nsel").cast("double") >= (lit(q) - eps) * col("n") - 1.0 &&
+          (col("nsel") - (col("le") - col("lt"))).cast("double")
+            <= (lit(q) + eps) * col("n") + 1.0)
+          .as("sel_frac_in_band"))
+  }
+
   /** Deterministic data-mixture sampling: downsample each source to its
     * configured rate using a CONTENT-HASH coin — `polyhash(text) mod
     * denom < rate`. Deterministic (reruns and engines agree exactly, so

@@ -399,15 +399,20 @@ object AnalyticsQueries {
     // Sketch-based approximate aggregates: HLL++ distinct + percentile
     // sketch — mergeable partial states, the only viable shape for
     // distincts/quantiles at 100 TB. Engine-specific sketches have no
-    // cross-engine oracle → rows-only gate + error-bound spec.
+    // cross-engine VALUE oracle, so the registered row is the VALIDATED
+    // card (r15 VERDICT #5): the sketches run distributed exactly as in
+    // [[eventsApproxSketch]], and the output carries what IS
+    // engine-reproducible — the exact distinct count plus in-plan
+    // verdicts that each sketch landed inside its PROVEN bound (HLL++
+    // rsd=0.02 within 10 % — 5× margin; each percentile inside the
+    // GK N/accuracy rank band vs the exact order statistics, the
+    // TextOpsSpec replay-gate formula verbatim). A broken sketch flips
+    // a boolean and the DuckDB hash gate goes red — a live full gate,
+    // no rows-only footnote. The raw sketch card (the production
+    // surface — no exact counterparts at 100 TB) stays pinned by the
+    // spec's driver replay: HLL++ bit-exact, percentiles rank-banded.
     "events_approx" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
-        .orderBy(col("event_type"))),
+      eventsApproxCard(Tables.load(s, dir, "events")).orderBy(col("event_type"))),
 
     // A/B experiment card (r9): deterministic hash-split arms (user
     // parity — every user is wholly in one arm, the unit of
@@ -760,6 +765,60 @@ object AnalyticsQueries {
         col("mean_v"), col("sd"),
         ((col("value") - col("mean_v")) / col("sd")).as("z"))
 
+  /** The RAW sketch card (per event type: HLL++ distinct users +
+    * p50/p95 value sketches) — the production surface at 100 TB, where
+    * no exact counterpart is affordable. Not registered directly (its
+    * values are engine-specific); pinned by TextOpsSpec's driver
+    * replay (HLL++ bit-exact, percentiles rank-banded) and validated
+    * in-plan by [[eventsApproxCard]], the registered row.
+    */
+  private[graft] def eventsApproxSketch(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+
+  /** The validated card behind the registered `events_approx` row: run
+    * the sketches distributed, then verify them IN-PLAN against their
+    * proven bounds so every output column is engine-reproducible and
+    * the row hash-gates. One pass computes sketches + the exact
+    * distinct; a second (broadcast of the ~5-row card) counts the
+    * exact ranks of each returned percentile. Booleans are stable even
+    * though percentile_approx is merge-order-dependent: ANY valid GK
+    * output satisfies its rank-band contract, so the verdicts — not
+    * the values — are deterministic.
+    */
+  private def eventsApproxCard(events: DataFrame): DataFrame = {
+    val eps = 1.0 / 10000.0
+    val sk = events.groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+      percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+      count_distinct(col("user_id")).as("exact_users"))
+    events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+        first(col("au")).as("au"),
+        first(col("exact_users")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("au").cast("double") / col("exact_users").cast("double") - 1.0)
+          <= 0.10).as("hll_in_band"),
+        (col("lt50").cast("double") <= (lit(0.5) + eps) * col("n") + 1.0 &&
+          col("le50").cast("double") >= (lit(0.5) - eps) * col("n") - 1.0)
+          .as("p50_in_band"),
+        (col("lt95").cast("double") <= (lit(0.95) + eps) * col("n") + 1.0 &&
+          col("le95").cast("double") >= (lit(0.95) - eps) * col("n") - 1.0)
+          .as("p95_in_band"))
+  }
+
   private val Revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
@@ -787,6 +846,14 @@ object AnalyticsQueries {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the validated sketch card: exact distinct reproduces in any
+    // engine; the in-band verdicts are TRUE whenever the sketches meet
+    // their proven bounds — a broken sketch flips one and the hash gate
+    // goes red (the sketch VALUES stay spec-gated by driver replay)
+    "events_approx" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_in_band, TRUE AS p50_in_band, TRUE AS p95_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q3_join" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $Revenue AS revenue
          |FROM customer

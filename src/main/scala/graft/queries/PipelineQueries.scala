@@ -180,6 +180,15 @@ object PipelineQueries {
     "sim_topk_mips_ivf_pq" -> ((s, dir) =>
       Similarity.mipsIvfPqTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // MIPS-IVF over a DATA-FITTED augmented codebook (r15): fixed-point
+    // spherical k-means in the 65-dim Bachrach space (seeds = the
+    // rows-600 MIPS LCG integers), then the identical bucket/probe/
+    // exact-raw-ip plan — the sim_topk_ivf_kmeans parity for the MIPS
+    // family; the oracle unrolls the fit as CTEs (full hash gate) and
+    // recall-vs-formula-book is swept in SimilaritySpec.
+    "sim_topk_mips_ivf_fitted" -> ((s, dir) =>
+      Similarity.mipsIvfTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -450,11 +459,16 @@ object PipelineQueries {
             lit(0)) * 7, lit(80))).cast("int"))
       TextOps.mixtureSample(docs, rates).orderBy(col("doc_id"))
     }),
-    // sketch-thresholded 100-TB form: engine-specific percentile sketch
-    // ⇒ rows-only gate; agreement with the exact rank form is bounded in
-    // TextOpsSpec.
+    // sketch-thresholded 100-TB form, registered as the VALIDATED card
+    // (r15 VERDICT #5): the engine-specific percentile sketch runs
+    // distributed exactly as in TextOps.qualityTopQApprox, and the row
+    // emits what IS engine-reproducible — per-lang doc counts plus
+    // in-plan verdicts that the cutoff and the kept fraction sit inside
+    // the GK sketch's proven rank band — so the DuckDB hash gate is
+    // live (a broken sketch flips a boolean). The raw selection stays
+    // pinned by TextOpsSpec's rank-band + exact-filter replay.
     "pipeline_quality_topq_approx" -> ((s, dir) =>
-      TextOps.qualityTopQApprox(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
+      TextOps.qualityTopQApproxCard(Tables.load(s, dir, "documents")).orderBy(col("lang"))),
     // per-(source, lang) corpus card (r8): stratum inventory from
     // order-independent aggregates only (counts, int sums, min/max).
     "corpus_source_stats" -> ((s, dir) =>
@@ -1389,6 +1403,78 @@ object PipelineQueries {
     head + rounds
   }
 
+  /** The AUGMENTED-space twin of [[kmeansFitCtes]] (r15 — the
+    * sim_topk_mips_ivf_fitted gate): the same fixed-point k-means
+    * recurrence over the (Dim+1)-dim Bachrach reduction — `va` appends
+    * the exact-IEEE augmentation (queries 0, corpus sqrt(mx²−nrm²)
+    * over the SQL-computed corpus max, the mmax shape the formula-book
+    * MIPS oracle already uses), seeds come from the rows-600 MIPS LCG
+    * integers (Codebooks.seedMipsCentroidsFp mirrored), and the serve
+    * CTEs close with `accs` — each vector's augmented cosine list
+    * against the fitted book, shaped exactly like the formula oracle's
+    * accs so the probe/rank replay is shared verbatim.
+    */
+  private def mipsKmeansFitCtes(iters: Int): String = {
+    val d1 = Dim + 1
+    def dotA(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
+    def sumSq(arr: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [x*x for x in $arr]), (s,x) -> s+x)"
+    def fpn(arr: String, n2: String) =
+      s"[CAST(floor(CAST(x AS DOUBLE)*1000000.0/sqrt(CAST($n2 AS DOUBLE))) AS BIGINT) for x in $arr]"
+    val head =
+      s"""mmax AS (SELECT MAX(nrm) AS mx FROM v WHERE vec_id >= 8),
+         |va AS (
+         |  SELECT vec_id, CASE WHEN vec_id < 8 THEN list_append(e, 0.0)
+         |                      ELSE list_append(e, sqrt(mx*mx - nrm*nrm)) END AS ea
+         |  FROM v CROSS JOIN mmax),
+         |vfp AS (
+         |  SELECT vec_id, [CAST(floor(ea[i]*1000000.0) AS BIGINT)
+         |                  for i in generate_series(1,$d1)] AS xf FROM va),
+         |vfu AS MATERIALIZED (
+         |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
+         |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
+         |sg AS (
+         |  SELECT c, [(((1103515245*((c+${graft.functions.Codebooks.MipsRowBase})*$d1+i) + 12345) % 2001) - 1000)
+         |             for i in generate_series(0, ${d1 - 1})] AS g
+         |  FROM generate_series(0, ${NCentroids - 1}) t(c)),
+         |fc0 AS MATERIALIZED (
+         |  SELECT c, ${fpn("g", "n2")} AS cv
+         |  FROM (SELECT c, g, ${sumSq("g")} AS n2 FROM sg))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |asg$t AS MATERIALIZED (
+         |  SELECT vec_id, list_position(dd, list_max(dd)) AS bucket FROM (
+         |    SELECT u.vec_id,
+         |           list(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             [u.xh[i]*f.cv[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)
+         |             ORDER BY f.c) AS dd
+         |    FROM vfu u CROSS JOIN fc${t - 1} f GROUP BY u.vec_id)),
+         |ms$t AS (
+         |  SELECT a.bucket, i, SUM(u.xh[i]) AS sm, COUNT(*) AS cnt
+         |  FROM asg$t a JOIN vfu u USING (vec_id)
+         |       CROSS JOIN generate_series(1, $d1) t(i)
+         |  GROUP BY a.bucket, i),
+         |mm$t AS (
+         |  SELECT bucket, mv, ${sumSq("mv")} AS n2m FROM (
+         |    SELECT bucket, list(sm // cnt ORDER BY i) AS mv FROM ms$t GROUP BY bucket)),
+         |fc$t AS MATERIALIZED (
+         |  SELECT p.c,
+         |         CASE WHEN m.bucket IS NULL OR m.n2m = 0 THEN p.cv
+         |              ELSE ${fpn("m.mv", "m.n2m")} END AS cv
+         |  FROM fc${t - 1} p LEFT JOIN mm$t m ON m.bucket = p.c + 1)""".stripMargin
+    }.mkString
+    val serve =
+      s""",
+         |cn2 AS MATERIALIZED (
+         |  SELECT c, cv, sqrt(${dotA("cv", "cv")}) AS cnrm
+         |  FROM (SELECT c, CAST(cv AS DOUBLE[]) AS cv FROM fc$iters)),
+         |accs AS MATERIALIZED (
+         |  SELECT vec_id, list(${dotA("ea", "cv")} / (sqrt(${dotA("ea", "ea")}) * cnrm) ORDER BY c) AS cc
+         |  FROM va CROSS JOIN cn2 GROUP BY vec_id)""".stripMargin
+    head + rounds + serve
+  }
+
   /** The kNN candidate/score/rank CTEs (the sim_knn_join_ivf replay up
     * to `ranked(query_id, corpus_id, cos, rnk)`), shared by every
     * kNN-graph oracle; `pairs` keeps the exact cos (bit-identical in
@@ -1399,13 +1485,15 @@ object PipelineQueries {
     (if (recursive) "WITH RECURSIVE " else "WITH ") + NormCteBody +
     s"""
        |, $ivfCentroidCtesSized,
+       |psizing AS (SELECT CASE WHEN nl <= 128 THEN $KnnProbes
+       |  ELSE $KnnProbes * (nl // 128) END AS ps FROM nlsizing),
        |corpus AS (
        |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id,
        |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-       |                 for p in generate_series(1, $KnnProbes)]) AS bucket
-       |  FROM ccs),
+       |                 for p in generate_series(1, ${16 * KnnProbes}) if p <= ps]) AS bucket
+       |  FROM ccs, psizing),
        |cand AS (
        |  SELECT DISTINCT query_id, corpus_id
        |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
@@ -2060,14 +2148,16 @@ object PipelineQueries {
          |accs AS MATERIALIZED (
          |  SELECT vec_id, list(${dotA("ea", "cv")} / (sqrt(${dotA("ea", "ea")}) * cnrm) ORDER BY c) AS cc
          |  FROM va CROSS JOIN mcn GROUP BY vec_id),
+         |mpsizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
+         |  ELSE $Probes * (nl // 128) END AS ps FROM mnlsizing),
          |corpus AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
          |  FROM accs WHERE vec_id >= 8),
          |probes AS (
          |  SELECT vec_id AS query_id,
          |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-         |                 for p in generate_series(1, $Probes)]) AS bucket
-         |  FROM accs WHERE vec_id < 8),
+         |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
+         |  FROM accs, mpsizing WHERE vec_id < 8),
          |cand AS (
          |  SELECT DISTINCT query_id, corpus_id
          |  FROM corpus JOIN probes USING (bucket)),
@@ -2092,7 +2182,6 @@ object PipelineQueries {
     "sim_topk_mips_ivf_pq" -> (NormCte + {
       val d1 = Dim + 1
       import graft.functions.Codebooks.{MipsPqM, MipsPqSub, PqK, MipsPqRowBase, MipsRowBase}
-      val Refine = 4
       def dotA(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
       val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -2215,13 +2304,15 @@ object PipelineQueries {
     "sim_knn_join_ivf" -> (NormCte +
       s"""
          |, $ivfCentroidCtesSized,
+         |psizing AS (SELECT CASE WHEN nl <= 128 THEN $KnnProbes
+         |  ELSE $KnnProbes * (nl // 128) END AS ps FROM nlsizing),
          |corpus AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
          |probes AS (
          |  SELECT vec_id AS query_id,
          |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-         |                 for p in generate_series(1, $KnnProbes)]) AS bucket
-         |  FROM ccs),
+         |                 for p in generate_series(1, ${16 * KnnProbes}) if p <= ps]) AS bucket
+         |  FROM ccs, psizing),
          |cand AS (
          |  SELECT DISTINCT query_id, corpus_id
          |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
@@ -2308,7 +2399,6 @@ object PipelineQueries {
     // the k-ordered distance list's minimum).
     "sim_topk_ivf_pq" -> {
       import graft.functions.Codebooks.{PqM, PqSub, PqK}
-      val Refine = 4
       val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
       val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
@@ -2373,6 +2463,32 @@ object PipelineQueries {
     // point): the fp fit unrolled as CTEs (kmeansFitCtes, 3 rounds),
     // then the sim_topk_ivf probe/rank replay verbatim over the fitted
     // cn2/ccs
+    // fitted MIPS-IVF (r15): the augmented-space fp k-means unrolled
+    // (mipsKmeansFitCtes), then the formula-book MIPS oracle's
+    // probe/raw-ip/rank replay verbatim over the fitted accs
+    "sim_topk_mips_ivf_fitted" -> (NormCte +
+      s"""
+         |, ${mipsKmeansFitCtes(3)},
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM accs WHERE vec_id >= 8),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, $Probes)]) AS bucket
+         |  FROM accs WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} AS ip
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ip, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
     "sim_topk_ivf_kmeans" -> (NormCte +
       s"""
          |, ${kmeansFitCtes(3)},
@@ -2820,6 +2936,15 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
          |FROM ranked WHERE rk <= (n_lang * 1 + 1) // 2
          |ORDER BY doc_id""".stripMargin,
+
+    // the validated sketch card: per-lang counts reproduce in any
+    // engine; the in-band verdicts are TRUE whenever the GK sketch
+    // meets its proven rank band — a broken sketch flips one and the
+    // hash gate goes red (cutoff VALUES stay spec-gated by replay)
+    "pipeline_quality_topq_approx" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  TRUE AS cutoff_in_band, TRUE AS sel_frac_in_band
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_lang_id" -> {
       val hits = TextOps.stopwords.map { case (l, list) => s"${stopHitsSql(list)} AS s_$l" }.mkString(", ")

@@ -156,6 +156,35 @@ class SimilaritySpec extends SparkSpec {
     mips.unpersist(); big.unpersist()
   }
 
+  test("fitted MIPS-IVF: the augmented-space fp k-means is deterministic, " +
+      "fitted hits score the exact raw inner product, and recall vs exact " +
+      "MIPS is measured against the formula book") {
+    import graft.functions.Codebooks
+    // the fit is the integer recurrence — bit-identical across runs
+    val fit1 = Similarity.fitMipsCentroids(emb, isQuery)
+    val fit2 = Similarity.fitMipsCentroids(emb, isQuery)
+    assert(fit1.map(_.toSeq).toSeq === fit2.map(_.toSeq).toSeq)
+    assert(fit1.length === Codebooks.NCentroids &&
+      fit1.forall(_.length === Codebooks.Dim + 1))
+    val mips = Similarity.mipsTopK(emb, isQuery, k = 10).cache()
+    val fitted = Similarity.mipsIvfTopKFitted(emb, isQuery, k = 10).cache()
+    // every fitted hit carries the exact raw dot (the rerank arithmetic
+    // is the exact baseline's)
+    val shared = fitted.join(
+      mips.select(col("query_id"), col("corpus_id"), col("ip").as("ip_exact")),
+      Seq("query_id", "corpus_id"))
+    assert(shared.filter(col("ip") =!= col("ip_exact")).count() === 0)
+    val n = mips.count().toDouble
+    val rFit = fitted.select("query_id", "corpus_id")
+      .intersect(mips.select("query_id", "corpus_id")).count() / n
+    val formula = Similarity.mipsIvfTopK(emb, isQuery, k = 10)
+    val rFormula = formula.select("query_id", "corpus_id")
+      .intersect(mips.select("query_id", "corpus_id")).count() / n
+    info(f"fitted MIPS-IVF recall@10 vs exact: $rFit%.3f (formula book: $rFormula%.3f)")
+    assert(rFit > 0.02)
+    mips.unpersist(); fitted.unpersist()
+  }
+
   test("PQ-compact MIPS: hits carry the exact raw inner product, the " +
       "shortlist rerank respects k, and recall vs exact MIPS is nontrivial " +
       "— the codes-resident serving form of the reduction works") {
@@ -466,6 +495,25 @@ class SimilaritySpec extends SparkSpec {
     val sized = Similarity.knnJoinIvfSized(emb)
     assert(sized.except(fixed).count() === 0 && fixed.except(sized).count() === 0,
       "<= 4096 vectors must produce the identical kNN graph")
+  }
+
+  test("sized probes: identity through every DuckDB-gated scale (nlist <= 128), " +
+      "then base*(nlist/128) so the probed fraction holds on the nlist ladder") {
+    // identity wherever oracles gate — plans and oracle text unchanged
+    for (n <- Seq(0L, 500L, 2000L, 4096L, 20000L, 65536L)) {
+      assert(Similarity.sizedProbes(2, n) === 2)
+      assert(Similarity.sizedProbes(8, n) === 8)
+    }
+    // ladder: fraction pinned at base/128 (the largest gated ratio)
+    assert(Similarity.sizedProbes(2, 200000L) === 8)   // nlist 512
+    assert(Similarity.sizedProbes(8, 200000L) === 32)
+    assert(Similarity.sizedProbes(2, 2000000L) === 32) // nlist 2048
+    assert(Similarity.sizedProbes(8, 2000000L) === 128)
+    // the fraction claim itself: probes/nlist constant past the gates
+    for (n <- Seq(200000L, 2000000L)) {
+      val nl = Similarity.sizedNlist(n)
+      assert(Similarity.sizedProbes(8, n).toDouble / nl === 8.0 / 128.0)
+    }
   }
 
   test("semantic delta: every NEW vector classified exactly once, both arms " +

@@ -704,7 +704,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("approximate aggregates stay within their error bounds vs exact") {
     val events = Tables.load(spark, sf, "events")
-    val approx = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
+    val approx = graft.queries.AnalyticsQueries.eventsApproxSketch(events)
       .select("event_type", "approx_users")
     val exact = events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
@@ -722,7 +722,7 @@ class TextOpsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.LongType
     val events = Tables.load(spark, sf, "events")
-    val approx = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
+    val approx = graft.queries.AnalyticsQueries.eventsApproxSketch(events)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     // --- HLL++: driver-sequential inserts through the SAME helper class
     // the aggregate runs (register updates are max-commutative, so any
@@ -755,6 +755,33 @@ class TextOpsSpec extends SparkSpec {
       val le = vs.count(_ <= p)
       assert(lt <= (q + eps) * n + 1 && le >= (q - eps) * n - 1,
         s"$et q=$q: value $p has rank band [$lt, $le] outside ${(q * n).toInt} ± ${eps * n}")
+    }
+    // --- the registered VALIDATED card (r15): every in-band verdict the
+    // in-plan validation emits must agree with this replay — all true on
+    // healthy sketches — and the exact distinct matches countDistinct
+    val card = graft.queries.AnalyticsQueries.queries("events_approx")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(card.map(_._1).toSet === buffers.keySet)
+    assert(card.forall(c => c._3 && c._4 && c._5),
+      "healthy sketches must validate in-band in-plan")
+    val exactUsers = events.filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((et, eu, _, _, _) <- card) assert(eu === exactUsers(et))
+  }
+
+  test("pipeline_quality_topq_approx card: per-lang counts are exact and the " +
+      "in-plan band verdicts hold on healthy sketches") {
+    val card = TextOps.qualityTopQApproxCard(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    val nByLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.map(_._1).toSet === nByLang.keySet)
+    for ((lang, n, cutOk, selOk) <- card) {
+      assert(n === nByLang(lang))
+      assert(cutOk && selOk, s"$lang: band verdicts must hold")
     }
   }
 

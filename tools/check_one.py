@@ -12,20 +12,20 @@ import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
-
-
-def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
-    return df.reset_index(drop=True)
+# TABLES/norm come from check.py (the script dir is on sys.path) so the
+# single-query gate can never drift from the full gate's comparison —
+# the per-process memory discipline lives HERE, not in a forked compare
+from check import TABLES, norm
 
 
 def main() -> int:
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
-    con.execute("SET memory_limit='24GB'")
+    # 64GB: the sf1 recursive reach-closure oracles pin structures DuckDB
+    # cannot spill (r15: the r14-form text OOM'd at 24GB too on a quiet
+    # box — environment drift, not an oracle change); the box has 125G
+    # and this dev tool runs one query per process by design
+    con.execute("SET memory_limit='64GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
