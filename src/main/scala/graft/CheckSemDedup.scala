@@ -82,8 +82,10 @@ object CheckSemDedup {
       .select(col("doc_id"), col("quality"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val byComp = out.map(_._1).groupBy(find)
+    // a vector without a documents row never wins the keep (the
+    // operator's left-join sentinel) — mirror it instead of crashing
     val bestOf = byComp.view.mapValues(ids =>
-      ids.minBy(id => (-qual(id), id))).toMap
+      ids.minBy(id => (-qual.getOrElse(id, -Double.MaxValue), id))).toMap
     val qOut = graft.operators.Graph
       .semDeDupQualityFromIndex(spark, docs, emb, "graft_knn_semdedup_check", tau)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

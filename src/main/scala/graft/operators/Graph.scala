@@ -648,9 +648,17 @@ object Graph {
       .select(col("vec_id"), col("rep_id").as("comp_id"))
     val q = graft.operators.TextOps.quality(docs)
       .select(col("doc_id").as("vec_id"), col("quality"))
-    val best = comp.join(q, "vec_id")
+    // LEFT join: the keeper domain is the embedding corpus, exactly as
+    // in min-id knn_semdedup — a vector without a documents row (the
+    // vec_id == doc_id invariant is an expectation of the data model,
+    // not a precondition) stays in the output and simply never wins
+    // the keep (its negated quality coalesces to the worst sentinel;
+    // an all-doc-less component degrades to the min-id pick). An inner
+    // join here would silently shrink the output domain (r14 ADVICE).
+    val best = comp.join(q, Seq("vec_id"), "left")
       .groupBy(col("comp_id"))
-      .agg(min(struct((-col("quality")).as("nq"), col("vec_id").as("bid"))).as("b"))
+      .agg(min(struct(coalesce(-col("quality"), lit(Double.MaxValue)).as("nq"),
+        col("vec_id").as("bid"))).as("b"))
       .select(col("comp_id"), col("b.bid").as("best_id"))
     comp.join(best, "comp_id")
       .select(col("vec_id"), col("best_id").as("rep_id"),

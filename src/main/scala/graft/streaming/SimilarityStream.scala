@@ -228,6 +228,14 @@ object SimilarityStream {
       .withColumn("eqa", concat(col("e"), array(lit(0.0))))
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("eqa"),
         explode(call_function(s"graft_mips_probes_$probes", col("eqa"))).as("bucket"))
+    // candidate rows stay NARROW (query_id, eq-free, corpus_id, acos):
+    // carrying the 64-double query vector on every candidate-keyed row
+    // through the pre-shortlist window exchange is the fat-payload
+    // anti-pattern the batch twin avoids — eq is re-joined onto the
+    // k·refine shortlist only, inside foreachBatch (r14 ADVICE). The
+    // raw query vector still rides each row into the probe join (it
+    // arrived with the query), but is dropped before anything
+    // candidate-sized shuffles.
     val approx = probed.join(pqIndex, "bucket")
       .select(col("query_id"), col("eq"), col("corpus_id"),
         call_function("graft_mips_pq_score",
@@ -239,10 +247,17 @@ object SimilarityStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a query's candidates all arrive in its batch: PQ shortlist,
-        // then the exact RAW-ip rerank of only the shortlist
+        // then the exact RAW-ip rerank of only the shortlist. The
+        // per-batch query-vector table is distilled FIRST (map-side
+        // partial first() — the exchange carries one row per query per
+        // map partition, never the candidate set) so the shortlist
+        // window shuffles eq-free rows; eq re-joins post-shortlist as
+        // a broadcast, the batch twin's plan shape.
+        val queryVecs = batch.select(col("query_id"), col("eq"))
+          .dropDuplicates("query_id")
         val wa = Window.partitionBy(col("query_id"))
           .orderBy(col("acos").desc, col("corpus_id"))
-        val short = batch
+        val short = batch.drop("eq")
           .withColumn("srnk", row_number().over(wa))
           .filter(col("srnk") <= k * refineEff)
           .drop("srnk", "acos")
@@ -250,6 +265,7 @@ object SimilarityStream {
           .orderBy(col("ip").desc, col("corpus_id"))
         TopicStream.writeBatchIdempotent(
           short.join(corpusVecs, "corpus_id")
+            .join(broadcast(queryVecs), "query_id")
             .withColumn("ip", expr("graft_dot(eq, ec)"))
             .withColumn("rnk", row_number().over(wr))
             .filter(col("rnk") <= k)

@@ -272,6 +272,25 @@ class GraphSpec extends SparkSpec {
     }
     // exactly one keep per component
     assert(got.count(_._3) === byComp.size)
+    // DOC-LESS vectors (r14 ADVICE): drop some documents rows — the
+    // output domain must NOT shrink (left-join contract), and a vector
+    // with no quality row never wins the keep unless its whole
+    // component is doc-less (then the pick degrades to min-id)
+    val docsCut = docs.filter(col("doc_id") % 7 =!= 3)
+    val gotCut = Graph.semDeDupQualityFromIndex(spark, docsCut, emb,
+      "graft_knn_sdq_spec", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(gotCut.length === minId.size,
+      "doc-less vectors must stay in the output domain")
+    val qualCut = qual.view.filterKeys(_ % 7 != 3).toMap
+    val expectCutBest = byComp.view.mapValues(ms =>
+      ms.map(_._1).minBy(id =>
+        (-qualCut.getOrElse(id, -Double.MaxValue), id))).toMap
+    for ((id, rep, keep) <- gotCut) {
+      assert(rep === expectCutBest(minId(id)),
+        s"vec $id: doc-less keeper pick must match the sentinel replay")
+      assert(keep === (id == rep))
+    }
   }
 
   test("knn_degree_card: the histogram conserves nodes and edges and equals " +
