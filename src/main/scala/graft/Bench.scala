@@ -58,6 +58,13 @@ object Bench {
   // margin. The r13 additions (knn_diversity_mis, sim_topk_mips_ivf,
   // embedding_pca_topk) start in BenchOne prose (§7) under the same
   // one-round seasoning rule r12's additions had.
+  // Round 15 rotates ON the seasoned r14 row knn_mis_cluster_stats
+  // (r14 VERDICT #4: 6.14 s BenchOne — the assignment's distinct cost
+  // is real work the contract should track) and OFF
+  // embedding_pca_project (0.36 s; embedding_pca_topk keeps the PCA
+  // family benched and subsumes the projection pass — §6 byte
+  // arithmetic: +30 −25 keeps the tail line under the 2,000-byte
+  // driver capture with the ~75 B sbt suffix). 69 entries.
   // Round 14 rotates ON the three seasoned r13 rows (round-13 VERDICT
   // #3: knn_diversity_mis 8.19 s — index build + iterated Luby;
   // sim_topk_mips_ivf 1.46 s — the augmented-space bucket join;
@@ -84,6 +91,7 @@ object Bench {
     "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf", "sim_topk_mips_ivf",
     "knn_pagerank", "knn_pagerank_indexed", "knn_diversity_mis",
+    "knn_mis_cluster_stats",
     "events_approx", "events_asof_nearest",
     "events_percentiles", "parts_pagerank", "events_session_overlap",
     "text_quality", "text_repetition",
@@ -92,7 +100,7 @@ object Bench {
     "dedup_components_star",
     "dedup_embedding_cc",
     "mm_framesample",
-    "mm_decode_jpeg", "mm_decode_mjpeg", "embedding_pca_project", "embedding_pca_topk",
+    "mm_decode_jpeg", "mm_decode_mjpeg", "embedding_pca_topk",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_concat_packs",
     "pipeline_decontaminate", "pipeline_decontaminate_span",

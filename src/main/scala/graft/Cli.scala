@@ -24,7 +24,7 @@ import graft.streaming.TopicStream
   *
   * {{{
   * graft.Cli [global options] (print | stats | merge-all | purge-all |
-  *                             ask | compact | dlq) <topic args>
+  *                             ask | compact | dlq | index | assign) <topic args>
   *   -d, --dir DIR          table directory holding <topic>.parquet (required)
   *   -O, --out DIR          parquet sink dir for produced records (default DIR/out)
   *   -g, --group NAME       consumer group recorded with committed offsets
@@ -69,6 +69,7 @@ object Cli {
       |                 (print <topic> | stats <topic> | merge-all <src> <dst> |
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
+      |                  index <vec-topic> <table> | assign <table> |
       |                  stream (merge-all|dlq|compact|ask) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
@@ -102,7 +103,8 @@ object Cli {
     else if (o.command == null) Left(s"missing command\n$usage")
     else {
       val arity = Map("print" -> 1, "stats" -> 1, "merge-all" -> 2,
-        "purge-all" -> 1, "ask" -> 2, "compact" -> 1, "dlq" -> 2, "stream" -> 3)
+        "purge-all" -> 1, "ask" -> 2, "compact" -> 1, "dlq" -> 2, "stream" -> 3,
+        "index" -> 2, "assign" -> 1)
       arity.get(o.command) match {
         case None => Left(s"unknown command ${o.command}\n$usage")
         case Some(n) if o.positional.length != n =>
@@ -127,6 +129,15 @@ object Cli {
     require(name == "events",
       s"unknown topic '$name' — this directory serves the 'events' record table")
     Topics.events(spark, dir)
+  }
+
+  /** Vector-table view for the serving verbs — the embeddings twin of
+    * [[topicView]], with the same unknown-name contract.
+    */
+  private def embeddingsView(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(name == "embeddings",
+      s"unknown vector topic '$name' — this directory serves the 'embeddings' vector table")
+    graft.sources.Tables.load(spark, dir, "embeddings")
   }
 
   /** The reference's prettyPrint block (Print.kt:40, prettyPrint in
@@ -274,6 +285,28 @@ object Cli {
             val Seq(srcName, dest) = o.positional.toSeq
             val src = topicView(spark, o.dir, srcName)
             askCommand(spark, o, src, dest, in, print)
+          // the embedding-serving verb pair (r15, r14 VERDICT #8): the
+          // r12-14 library serving ops get a command face — `index`
+          // builds the bucketed kNN edge table once (the
+          // build-once/rank-many offline job), `assign` classifies the
+          // corpus against a built table (MIS fit + best-selected-
+          // neighbor assignment, the knn_mis_assign operator verbatim)
+          case "index" =>
+            val Seq(srcName, table) = o.positional.toSeq
+            val emb = embeddingsView(spark, o.dir, srcName)
+            graft.operators.Graph.writeKnnEdgeIndex(emb, table)
+            val edges = spark.table(table).count()
+            print(s"Indexed '$srcName' into bucketed edge table '$table' ($edges edges)")
+            0
+          case "assign" =>
+            val table = o.positional.head
+            val assigned = graft.operators.Graph.misAssignFromIndex(spark, table)
+            writeOut(assigned, o.out, "assigned")
+            val back = spark.read.parquet(s"${o.out}/assigned")
+            val n = back.count()
+            val reps = back.filter(col("is_rep")).count()
+            print(s"Assigned $n vector(s) from '$table' ($reps representatives)")
+            0
           case "stream" =>
             val Seq(sub, srcName, dest) = o.positional.toSeq
             streamCommand(spark, o, sub, srcName, dest, valueSerde, print)

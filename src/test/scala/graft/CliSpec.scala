@@ -267,4 +267,31 @@ class CliSpec extends SparkSpec {
     assert(code == 1)
     assert(lines.exists(_.contains("unknown topic")))
   }
+
+  test("index + assign: the serving verb pair builds the bucketed edge table " +
+      "and the assignment parquet equals the library operator bit-for-bit") {
+    val out = outDir("assign")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", sf, "index", "embeddings", "graft_cli_spec_idx"), print = lines += _)
+    assert(code == 0)
+    val edges = spark.table("graft_cli_spec_idx").count()
+    assert(lines.exists(_.contains(s"'graft_cli_spec_idx' ($edges edges)")))
+    // the command-built index IS the library index (same defaults)
+    val lib = graft.operators.Graph.knnMisAssign(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "graft_cli_spec_lib")
+    val code2 = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "assign", "graft_cli_spec_idx"), print = lines += _)
+    assert(code2 == 0)
+    val assigned = spark.read.parquet(s"$out/assigned")
+    assert(assigned.count() == lib.count())
+    assert(assigned.exceptAll(lib.select(assigned.columns.map(col): _*)).isEmpty &&
+      lib.select(assigned.columns.map(col): _*).exceptAll(assigned).isEmpty)
+    val reps = lib.filter(col("is_rep")).count()
+    assert(lines.exists(_.contains(s"($reps representatives)")))
+    // unknown vector topic mirrors the record-topic contract
+    val code3 = Cli.run(spark, Seq("-d", sf, "index", "nope", "t"), print = lines += _)
+    assert(code3 == 1)
+    assert(lines.exists(_.contains("unknown vector topic")))
+  }
 }
