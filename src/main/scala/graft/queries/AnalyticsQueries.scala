@@ -791,11 +791,19 @@ object AnalyticsQueries {
     */
   private def eventsApproxCard(events: DataFrame): DataFrame = {
     val eps = 1.0 / 10000.0
-    val sk = events.groupBy(col("event_type")).agg(
+    // the exact distinct lives in its OWN aggregate: mixing
+    // count_distinct with the sketches makes Spark rewrite the agg
+    // through an Expand (2 rows per input), and the GK percentile
+    // buffers pay it superlinearly — measured 8.8 s vs 0.6 s for the
+    // raw card at sf0.1; two 5-row aggregates joined cost the plain
+    // two passes
+    val sketches = events.groupBy(col("event_type")).agg(
       approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
       percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-      percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
-      count_distinct(col("user_id")).as("exact_users"))
+      percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    val sk = sketches.join(exact, "event_type")
     events.select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
       .join(broadcast(sk), "event_type")
