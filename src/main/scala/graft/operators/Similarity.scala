@@ -1062,6 +1062,35 @@ object Similarity {
     rerankTopK(exact, k).withColumnRenamed("cos", "ip")
   }
 
+  /** QUANTIZATION-COLLISION dedup (r15): vectors whose PQ encodings
+    * collide — same coarse bucket AND all 8 residual codes — are
+    * indistinguishable to the compact index, which makes code identity
+    * a zero-vector-read near-dup signal: the candidate table IS the
+    * dedup input, no vector ever re-read, no pair join at all. Groups
+    * are exact-match on a ~12-byte key, so the whole operator is ONE
+    * map-side-combinable hash aggregate on (bucket, codes) plus the
+    * keyed join-back — the cheapest semantic-ish dedup a PQ deployment
+    * gets for free from its own index (coarser than cos-threshold
+    * SemDeDup: a collision implies the residual landed in the same
+    * cell of every subspace). Zero vectors have no direction to encode
+    * and are out of domain (the knnSemDeDup convention). `codes_str`
+    * packs the code array for the scalar-column hash gate
+    * (array_join == array_to_string, the §6 rule).
+    */
+  def pqCodeDedup(emb: DataFrame): DataFrame = {
+    val v = vectors(emb).filter(col("nrm") > 0)
+    val coded = v.select(col("vec_id"),
+      expr("graft_ivf_bucket(e)").as("bucket"),
+      expr("graft_pq_code(e)").as("codes"))
+    val groups = coded.groupBy(col("bucket"), col("codes"))
+      .agg(count(lit(1)).as("n_same"), min(col("vec_id")).as("rep_id"))
+    coded.join(groups, Seq("bucket", "codes"))
+      .select(col("vec_id"), col("bucket"),
+        array_join(col("codes"), ",").as("codes_str"),
+        col("n_same"), col("rep_id"),
+        (col("vec_id") === col("rep_id")).as("keep"))
+  }
+
   /** LSH-bucketed ANN: queries and corpus hash into the same sign buckets;
     * only same-bucket candidates are scored and ranked. Recall vs the
     * brute-force baseline is asserted in the spec.

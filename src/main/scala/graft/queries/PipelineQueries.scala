@@ -158,6 +158,13 @@ object PipelineQueries {
     "pipeline_decontaminate_semantic" -> ((s, dir) =>
       Similarity.decontaminateSemantic(Tables.load(s, dir, "embeddings"),
         col("vec_id") % 41 === 0, CosTau).orderBy(col("vec_id"))),
+    // quantization-collision dedup (r15): vectors whose PQ encodings
+    // collide are indistinguishable to the compact index — code
+    // identity as a zero-vector-read near-dup signal; ONE hash agg on
+    // the ~12-byte (bucket, codes) key, no pair join anywhere
+    "dedup_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodeDedup(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -2397,6 +2404,46 @@ object PipelineQueries {
     // fold orders as the kernels (continuous accumulation: coarse term,
     // then subspace terms in (m, d) order; argmin = first position of
     // the k-ordered distance list's minimum).
+    // quantization-collision dedup (r15): the sim_topk_ivf_pq encode
+    // chain over ALL non-zero vectors (no corpus filter), then one
+    // GROUP BY on (bucket, codes) — count + min-id keep; codes pack as
+    // a string for the scalar hash gate
+    "dedup_pq_codes" -> {
+      import graft.functions.Codebooks.{PqM, PqSub, PqK}
+      NormCte +
+        s"""
+           |, $ivfCentroidCtes,
+           |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn),
+           |cb AS (
+           |  SELECT ccs.vec_id, CAST(list_position(cc, list_max(cc)) AS INT) AS bucket
+           |  FROM ccs JOIN v USING (vec_id) WHERE v.nrm > 0),
+           |pq AS (
+           |  SELECT m, k, [CAST((((1103515245*((400 + m*$PqK + k)*$Dim + d) + 12345) % 2001) - 1000) AS DOUBLE)/4000.0
+           |                for d in generate_series(0, ${PqSub - 1})] AS pv
+           |  FROM generate_series(0, ${PqM - 1}) tm(m) CROSS JOIN generate_series(0, ${PqK - 1}) tk(k)),
+           |res AS (
+           |  SELECT cb.vec_id, cb.bucket,
+           |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+           |  FROM cb JOIN v USING (vec_id) JOIN chat ON chat.c = cb.bucket - 1),
+           |dists AS (
+           |  SELECT vec_id, bucket, m,
+           |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
+           |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+           |  FROM res CROSS JOIN pq GROUP BY vec_id, bucket, m),
+           |codes AS (
+           |  SELECT vec_id, bucket,
+           |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+           |  FROM dists GROUP BY vec_id, bucket),
+           |groups AS (
+           |  SELECT bucket, codes, COUNT(*) AS n_same, MIN(vec_id) AS rep_id
+           |  FROM codes GROUP BY bucket, codes)
+           |SELECT c.vec_id, c.bucket, array_to_string(c.codes, ',') AS codes_str,
+           |       g.n_same, g.rep_id, c.vec_id = g.rep_id AS keep
+           |FROM codes c JOIN groups g USING (bucket, codes)
+           |ORDER BY c.vec_id""".stripMargin
+    },
+
     "sim_topk_ivf_pq" -> {
       import graft.functions.Codebooks.{PqM, PqSub, PqK}
       val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

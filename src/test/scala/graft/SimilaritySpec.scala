@@ -185,6 +185,37 @@ class SimilaritySpec extends SparkSpec {
     mips.unpersist(); fitted.unpersist()
   }
 
+  test("pq-code dedup: every non-zero vector grouped exactly once, keep = " +
+      "min-id per (bucket, codes) group, counts conserve, and a planted " +
+      "exact-duplicate embedding collides into one group") {
+    val base = Similarity.pqCodeDedup(emb).cache()
+    val nNonZero = Similarity.vectors(emb).filter(col("nrm") > 0).count()
+    assert(base.count() === nNonZero, "one row per non-zero vector")
+    assert(base.select("vec_id").distinct().count() === nNonZero)
+    // group arithmetic: n_same rows share each (rep_id, codes_str) and
+    // the keeper is the group min
+    val byGroup = base.groupBy("bucket", "codes_str")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("lo"),
+        first(col("n_same")).as("ns"), first(col("rep_id")).as("rep"))
+    assert(byGroup.filter(col("n") =!= col("ns") || col("lo") =!= col("rep"))
+      .count() === 0)
+    assert(base.filter(col("keep") =!= (col("vec_id") === col("rep_id")))
+      .count() === 0)
+    // a byte-identical embedding MUST collide (same direction → same
+    // bucket, same residual → same codes)
+    import spark.implicits._
+    val dup = emb.filter(col("vec_id") === 10L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    val planted = Similarity.pqCodeDedup(emb.select(col("vec_id"), col("embedding"))
+      .union(dup))
+    val pair = planted.filter(col("vec_id").isin(10L, 900000L))
+      .select("rep_id", "n_same").collect()
+    assert(pair.length === 2 && pair.forall(_.getLong(0) == 10L) &&
+      pair.forall(_.getLong(1) >= 2L),
+      "an exact duplicate must land in vec 10's code group")
+    base.unpersist()
+  }
+
   test("PQ-compact MIPS: hits carry the exact raw inner product, the " +
       "shortlist rerank respects k, and recall vs exact MIPS is nontrivial " +
       "— the codes-resident serving form of the reduction works") {
