@@ -411,11 +411,20 @@ object Similarity {
     * serving row full-hash-gates, like the cosine kmeans rows.
     */
   private[graft] def fitMipsCentroids(emb: DataFrame, isQuery: Column,
-                                      k: Int = NCentroids,
-                                      iters: Int = 3): Array[Array[Double]] = {
+                                      k: Int = NCentroids, iters: Int = 3,
+                                      sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val v0 = vectors(emb)
     val m = v0.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
-    val va = v0.withColumn("ea",
+    // sampleFraction < 1 is the 100-TB shape, exactly as in
+    // [[fitCentroids]]: centroid quality needs O(k·10³) vectors, not
+    // all N, while the max-norm scan and bucket ASSIGNMENT still cover
+    // every vector (the sample is not SQL-replayable; the gated query
+    // path fits on the full corpus)
+    val base = if (sampleFraction < 1.0)
+      v0.sample(withReplacement = false, sampleFraction, seed = 42L) else v0
+    val va = base.withColumn("ea",
         when(isQuery, concat(col("e"), array(lit(0.0))))
           .otherwise(concat(col("e"),
             array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm"))))))

@@ -154,6 +154,15 @@ object StreamQueries {
       SimilarityStream.mipsIvfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // Streaming quantization-collision dedup (r15): the corpus code
+    // groups fitted once offline (bucketed table), arriving vectors
+    // encode statelessly and probe it per batch; replay reproduces
+    // dedup_pq_codes (oracle verbatim).
+    "stream_pq_dedup" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_pq_dedup", dir)
+      SimilarityStream.pqCodeDedupStream(s, s"$dir/embeddings.parquet", out, ckpt)
+        .orderBy(col("vec_id"))
+    }),
     // Streaming twin of the flagship cleaning pipeline: quality filter +
     // stateful exact dedup + exact near-dup probe per batch; replay
     // reproduces batch cleanCorpus (its oracle verbatim).
@@ -391,6 +400,7 @@ object StreamQueries {
     "stream_embedding_delta" -> PipelineQueries.oracles("embedding_delta"),
     "stream_embedding_delta_advance" -> PipelineQueries.semanticDeltaAdvanceOracleSql(3),
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
+    "stream_pq_dedup" -> PipelineQueries.oracles("dedup_pq_codes"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     // codes-resident augmented-space MIPS serving, replay == batch
     "stream_sim_mips_pq" -> PipelineQueries.oracles("sim_topk_mips_ivf_pq"),

@@ -291,6 +291,66 @@ object SimilarityStream {
     * never span batches. Replay equals the batch operator exactly
     * (embedding_delta oracle verbatim).
     */
+  /** Streaming QUANTIZATION-COLLISION dedup (`stream_pq_dedup`, r15) —
+    * the online face of [[Similarity.pqCodeDedup]], in the
+    * misAssignStream serving shape: the corpus code-group table
+    * ((bucket, codes) → n_same, min-id keeper) is fitted ONCE offline
+    * and materialized bucketed by `bucket`; every arriving micro-batch
+    * of vectors encodes STATELESSLY (the same fused bucket/code
+    * kernels) and probes the group table — zero cross-batch state,
+    * batchId-idempotent sink, and a full replay equals the batch
+    * operator row for row, so the ORACLE IS SHARED VERBATIM. At 100 TB
+    * this is the online dup-check a PQ deployment runs against its own
+    * index: per-trigger cost is the batch's own rows × one bucketed
+    * lookup, never the corpus.
+    */
+  def pqCodeDedupStream(spark: SparkSession, embPath: String,
+                        outDir: String, checkpointDir: String,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        splits: Int = 3,
+                        tablePrefix: String = "graft_pq_dedup_stream"): DataFrame = {
+    TopicStream.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    val corpus = spark.read.parquet(embPath)
+    val groupsTable = s"${tablePrefix}_groups"
+    Bucketing.writeBucketed(
+      Similarity.vectors(corpus).filter(col("nrm") > 0)
+        .select(col("vec_id"),
+          expr("graft_ivf_bucket(e)").as("bucket"),
+          expr("graft_pq_code(e)").as("codes"))
+        .groupBy(col("bucket"), col("codes"))
+        .agg(count(lit(1)).as("n_same"), min(col("vec_id")).as("rep_id")),
+      groupsTable, IndexBuckets, "bucket")
+
+    val splitDir = TopicStream.orderedSplitInput(spark, embPath, splits,
+      s"$outDir-input", idCol = "vec_id")
+    val incoming = TopicStream.fileStream(spark, splitDir,
+      maxFilesPerTrigger = maxFilesPerTrigger.orElse(Some(1)))
+    val q = incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val coded = Similarity.vectors(batch).filter(col("nrm") > 0)
+          .select(col("vec_id"),
+            expr("graft_ivf_bucket(e)").as("bucket"),
+            expr("graft_pq_code(e)").as("codes"))
+        // the group row always exists (the batch's vectors are corpus
+        // members whose codes the fit saw) — an inner join by identity
+        TopicStream.writeBatchIdempotent(
+          coded.join(spark.table(groupsTable), Seq("bucket", "codes"))
+            .select(col("vec_id"), col("bucket"),
+              array_join(col("codes"), ",").as("codes_str"),
+              col("n_same"), col("rep_id"),
+              (col("vec_id") === col("rep_id")).as("keep")),
+          batchId, outDir)
+        ()
+      }
+      .start()
+    TopicStream.awaitAndCapturePlan(q)
+    TopicStream.readBatchedOutput(spark, outDir)
+  }
+
   def semanticDeltaStream(spark: SparkSession, embPath: String,
                           outDir: String, checkpointDir: String,
                           tau: Double = 0.4,

@@ -551,6 +551,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming pq-code dedup over multi-batch replay equals batch " +
+      "pqCodeDedup (code groups fitted once, stateless per-batch encode + " +
+      "bucketed group probe)") {
+    val embDir = "/root/repo/target/stream-scratch/emb-split-pqdedup"
+    Tables.load(spark, sf, "embeddings").repartition(4)
+      .write.mode("overwrite").parquet(embDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_pq_dedup", embDir)
+    val streamed = graft.streaming.SimilarityStream.pqCodeDedupStream(
+      spark, embDir, out, ckpt, maxFilesPerTrigger = Some(1))
+      .select("vec_id", "bucket", "codes_str", "n_same", "rep_id", "keep")
+    val batch = graft.operators.Similarity.pqCodeDedup(
+      Tables.load(spark, sf, "embeddings"))
+      .select("vec_id", "bucket", "codes_str", "n_same", "rep_id", "keep")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming clean-corpus ingest over multi-batch replay equals batch cleanCorpus") {
     val docsDir = "/root/repo/target/stream-scratch/docs-split"
     Tables.load(spark, sf, "documents").repartition(4)
