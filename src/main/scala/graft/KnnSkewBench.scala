@@ -20,7 +20,16 @@ import org.apache.spark.sql.types._
   * straggler"; if one shows, the bucket key gets salted like
   * events_range_join_salted. Dev tool, not part of the engine surface.
   *
-  * Usage: runMain graft.KnnSkewBench <sfDir> [spokes]
+  * A third argument (comma-separated probes list) appends the
+  * HUB-RECALL sweep (r15, the r16 candidate the skew run surfaced):
+  * the side-finding was that 118/500 spoke→hub pairs are INVISIBLE at
+  * probes=2 — tight clusters don't co-bucket under a random codebook —
+  * so this rebuilds the hub-corpus edge index at each probes value and
+  * counts how many planted spoke→hub edges the graph actually
+  * contains, pricing the recall-vs-candidates trade on the adversarial
+  * fixture instead of the uniform corpus the RecallSweep uses.
+  *
+  * Usage: runMain graft.KnnSkewBench <sfDir> [spokes] [probesList]
   */
 object KnnSkewBench {
 
@@ -109,6 +118,22 @@ object KnnSkewBench {
         f"maxOverMean=${mass.max.toDouble / (mass.sum.toDouble / mass.length)}%.2f " +
         f"topSrcDegrees=${top.mkString(",")} build=$tBuild%.2f s " +
         f"pageRankFromIndex=$tRank%.2f s misAssignFromIndex=$tAssign%.2f s")
+    }
+    // hub-recall sweep: planted spoke→hub edges found vs probes
+    if (args.length > 2) {
+      for (p <- args(2).split(",").map(_.trim.toInt)) {
+        val table = s"graft_skew_knn_hub_p$p"
+        val (_, tBuild) = time(
+          graft.operators.Graph.writeKnnEdgeIndex(hubEmb, table, probes = p))
+        val edges = spark.table(table)
+        // symmetrized index: each discovered pair appears in both
+        // orientations, so hub-as-src counts every spoke that found it
+        val hubPairs = edges.filter(col("src") === 0L &&
+          col("dst") >= 1L && col("dst") <= spokes.toLong).count()
+        val pairEdges = edges.count() / 2
+        println(f"[knn-skew-sweep] probes=$p hubPairs=$hubPairs/$spokes " +
+          f"pairEdges=$pairEdges build=$tBuild%.2f s")
+      }
     }
     spark.stop()
   }

@@ -414,13 +414,30 @@ object Graph {
     val e = spark.table(table).select(col("src"), col("dst")).persist()
     // pageRankAdjacency already returns an eager localCheckpoint — use it
     // AS round 0's alive state (re-checkpointing would leak the inner copy)
-    var alive = pageRankAdjacency(e, rounds, scale, symmetric = true)
+    val alive0 = pageRankAdjacency(e, rounds, scale, symmetric = true)
+    val out = misLoop(e, alive0, maxRounds)
+    e.unpersist(false)
+    out
+  }
+
+  /** The iterated-Luby loop over an already-persisted edge frame and a
+    * checkpointed round-0 alive/priority state — shared by
+    * [[diversityMisFromIndex]] and [[consumerCardFromIndex]] (the card
+    * computes the rank chain ONCE and feeds it to both the PageRank
+    * peak and this loop). CONSUMES `alive0`: superseded rounds —
+    * including round 0 — unpersist eagerly, so the caller must
+    * materialize anything else it needs from `alive0` BEFORE calling
+    * (a truncated-lineage checkpoint cannot recompute).
+    */
+  private def misLoop(e: DataFrame, alive0: DataFrame,
+                      maxRounds: Int): DataFrame = {
+    var alive = alive0
     val selected = scala.collection.mutable.ListBuffer[DataFrame]()
     var t = 1
     var nAlive = alive.count()
     while (nAlive > 0) {
       require(t <= maxRounds,
-        s"diversityMisFromIndex: no fixed point after $maxRounds rounds " +
+        s"Graph.misLoop: no fixed point after $maxRounds rounds " +
           s"($nAlive nodes alive) — raise maxRounds AND the oracle unroll")
       val aliveP = alive.select(col("id"), col("r"), misPriority(t).as("pri"))
       // live edges: both endpoints still alive; the src side carries its
@@ -450,7 +467,6 @@ object Graph {
       alive = aliveNext
       t += 1
     }
-    e.unpersist(false)
     // a node-free graph (degenerate corpus) selects nobody — an empty
     // card with the contract schema, not a reduce() on an empty list
     val all = if (selected.isEmpty)
@@ -674,6 +690,68 @@ object Graph {
                          tau: Double = 0.4): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     semDeDupQualityFromIndex(emb.sparkSession, docs, emb, table, tau)
+  }
+
+  /** COMBINED CONSUMER CARD off ONE index build (r15, closing the r14
+    * build-once/rank-many pricing candidate): pay the O(probes·N^1.5)
+    * kNN build exactly once, then run the full consumer suite — graph
+    * health (node/edge counts, max degree), the PageRank peak, the
+    * iterated-Luby MIS size and convergence depth, and the SemDeDup
+    * neighborhood census — against the same bucketed layout, emitting
+    * ONE single-row card. This is the query shape a curation pipeline
+    * actually runs (index once, read every signal), and registering it
+    * makes the bench contract price the build-once marginal cost
+    * directly instead of via the BenchFromIndex dev tool.
+    *
+    * Every column is an integer or a fixed-point BIGINT, so the whole
+    * card hash-gates against the composed oracle (rank chain + MIS
+    * unroll + recursive reach closure in one statement). The four
+    * consumer frames each reduce to ≤ 1 row before the final
+    * cross-join attachment — node-sized work never rides it.
+    */
+  def consumerCardFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            emb: DataFrame, table: String,
+                            rounds: Int = 5,
+                            scale: Long = 1000000000000L,
+                            tau: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val e = spark.table(table).select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the symmetrized list holds each undirected pair twice, so the
+    // degree sum is even and DIV 2 is exact integer arithmetic
+    val gcard = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("CAST(sum(deg) DIV 2 AS BIGINT)").as("n_edges"),
+      max(col("deg")).as("max_deg"))
+    // ONE rank chain feeds both the peak card and the MIS loop (the
+    // standalone consumers each run their own — bit-identical, same
+    // function on the same edges). The top-1 row must materialize
+    // BEFORE misLoop consumes the checkpointed ranks (superseded
+    // rounds unpersist eagerly and truncated lineage cannot
+    // recompute) — it is ONE bounded row, the model-artifact collect.
+    val ranks = pageRankAdjacency(e, rounds, scale, symmetric = true)
+    val top = rankCard(ranks, topK = 1).head()
+    val prtop = Seq((top.getLong(0), top.getLong(1)))
+      .toDF("pr_top_id", "pr_top_rank")
+    val mis = misLoop(e, ranks, MisMaxRounds)
+      .agg(count(lit(1)).as("mis_selected"),
+        max(col("sel_round")).as("mis_rounds"))
+    val sd = semDeDupFromIndex(spark, emb, table, tau)
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("keep").cast("long")).as("sd_reps"))
+    val card = gcard.crossJoin(prtop).crossJoin(mis).crossJoin(sd)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    card
+  }
+
+  /** Build + full consumer suite in one call — the registered
+    * `knn_consumer_card` query. */
+  def knnConsumerCard(emb: DataFrame, table: String = "graft_knn_card",
+                      k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                      scale: Long = 1000000000000L,
+                      tau: Double = 0.4): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    consumerCardFromIndex(emb.sparkSession, emb, table, rounds, scale, tau)
   }
 
   /** The top-k co-purchase-centrality card over the lineitem graph. */

@@ -269,6 +269,12 @@ object PipelineQueries {
       graft.operators.Graph.knnSemDeDupQuality(
         Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes, tau = CosTau)),
+    // combined consumer card (r15): ONE index build priced with the
+    // full consumer suite — graph health, PageRank peak, iterated-Luby
+    // MIS size/depth, SemDeDup census — a single-row all-integer card
+    "knn_consumer_card" -> ((s, dir) =>
+      graft.operators.Graph.knnConsumerCard(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes, tau = CosTau)),
     // IVF-PQ: compact-index ANN — candidates scored from (bucket, 8 PQ
     // residual codes) alone; full vectors only for the exact rerank of
     // the top k·refine shortlist (round-3 §7 stretch).
@@ -1583,7 +1589,7 @@ object PipelineQueries {
     * [[graft.operators.Graph.MisMaxRounds]]-deep unroll gates any
     * corpus whose Scala loop converged within the same fuse.
     */
-  private def knnMisChainCtes: String = {
+  private def knnMisChainCtes(recursive: Boolean = false): String = {
     val rounds = graft.operators.Graph.MisMaxRounds
     val chain = (1 to rounds).map { t =>
       val pri = graft.operators.Graph.misPrioritySql(t, "id", "r")
@@ -1606,7 +1612,7 @@ object PipelineQueries {
          |      SELECT 1 FROM le$t e JOIN sel$t s ON s.id = e.src
          |      WHERE e.dst = a.id))""".stripMargin
     }.mkString
-    knnRankedCtes() + knnRankChain(5, 1000000000000L) +
+    knnRankedCtes(recursive) + knnRankChain(5, 1000000000000L) +
       s""",
          |al0 AS (SELECT id, r FROM r5)""".stripMargin + chain
   }
@@ -1616,7 +1622,7 @@ object PipelineQueries {
     val union = (1 to rounds).map(t =>
       s"SELECT id AS vec_id, r AS rank_fp, CAST($t AS INT) AS sel_round FROM sel$t")
       .mkString("\n  UNION ALL ")
-    knnMisChainCtes +
+    knnMisChainCtes() +
       s"""
          |SELECT vec_id, rank_fp, sel_round FROM (
          |  $union)
@@ -1639,7 +1645,7 @@ object PipelineQueries {
     val rounds = graft.operators.Graph.MisMaxRounds
     val union = (1 to rounds).map(t => s"SELECT id FROM sel$t")
       .mkString("\n  UNION ALL ")
-    knnMisChainCtes +
+    knnMisChainCtes() +
       s""",
          |selall AS MATERIALIZED (
          |  $union),
@@ -1678,6 +1684,53 @@ object PipelineQueries {
          |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
          |FROM assign GROUP BY rep_id
          |ORDER BY rep_id""".stripMargin
+
+  /** Combined consumer card (`knn_consumer_card`, r15): ONE statement
+    * composing the rank chain (graph card + PageRank peak), the MIS
+    * unroll (selected count + convergence depth), and the recursive
+    * reach closure (SemDeDup census) over the shared kNN pair CTEs —
+    * every column an integer or fixed-point BIGINT, full hash gate.
+    * The Scala side builds the index once and runs all four consumers
+    * off it; the oracle replays all four off the same `pairs` relation,
+    * so the shared-build layout is gate-proven to never change any
+    * consumer's answer.
+    */
+  private lazy val knnConsumerCardOracle: String = {
+    val rounds = graft.operators.Graph.MisMaxRounds
+    val union = (1 to rounds).map(t =>
+      s"SELECT id, CAST($t AS INT) AS t FROM sel$t").mkString("\n  UNION ALL ")
+    knnMisChainCtes(recursive = true) +
+      s""",
+         |selu AS (
+         |  $union),
+         |miscard AS (
+         |  SELECT COUNT(*) AS mis_selected, MAX(t) AS mis_rounds FROM selu),
+         |gcard AS (
+         |  SELECT COUNT(*) AS n_nodes, CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+         |         CAST(MAX(d) AS BIGINT) AS max_deg FROM deg),
+         |prtop AS (
+         |  SELECT id AS pr_top_id, r AS pr_top_rank FROM r5
+         |  ORDER BY r DESC, id LIMIT 1),
+         |spairs AS (SELECT pa, pb FROM pairs WHERE cos >= $CosTau),
+         |sedges AS (SELECT pa AS src, pb AS dst FROM spairs
+         |           UNION ALL SELECT pb, pa FROM spairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN sedges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT vv.vec_id,
+         |         CAST(least(vv.vec_id, coalesce(min(r.dst), vv.vec_id)) AS BIGINT) AS rep_id
+         |  FROM v vv LEFT JOIN reach r ON r.src = vv.vec_id
+         |  GROUP BY vv.vec_id),
+         |sdcard AS (
+         |  SELECT COUNT(*) AS n_vectors,
+         |         CAST(SUM(CASE WHEN rep_id = vec_id THEN 1 ELSE 0 END) AS BIGINT) AS sd_reps
+         |  FROM labels)
+         |SELECT n_nodes, n_edges, max_deg, pr_top_id, pr_top_rank,
+         |       mis_selected, mis_rounds, n_vectors, sd_reps
+         |FROM gcard, prtop, miscard, sdcard""".stripMargin
+  }
 
   /** SemDeDup neighborhoods (`knn_semdedup`): the cos ≥ tau sub-graph of
     * the kNN pairs, closed by the same recursive reachability-min the
@@ -2359,6 +2412,11 @@ object PipelineQueries {
          |SELECT d AS deg, COUNT(*) AS n_nodes FROM deg GROUP BY d
          |ORDER BY deg""".stripMargin),
     "knn_semdedup" -> knnSemdedupOracle,
+    // the shared-build consumer card: all four consumers replayed off
+    // the same pairs relation in one statement (rank chain + MIS unroll
+    // + recursive reach closure) — layout-invariance gate for the
+    // build-once/rank-many pipeline as a whole
+    "knn_consumer_card" -> knnConsumerCardOracle,
     // quality-keep SemDeDup: the same reach-closure components + the
     // pipeline_quality_topq quality chain + an argmax-per-component pick
     // (quality DESC, id ASC) — all engine-exact, full hash gate

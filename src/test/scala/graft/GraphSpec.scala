@@ -406,4 +406,34 @@ class GraphSpec extends SparkSpec {
     assert(bcastArm.exceptAll(ref).isEmpty && ref.exceptAll(bcastArm).isEmpty)
     bcastArm.unpersist()
   }
+
+  test("knn_consumer_card: the single-row card equals every consumer run " +
+      "individually on its own index build (the shared layout changes no " +
+      "answer)") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val card = Graph.knnConsumerCard(emb, table = "graft_card_spec").head()
+    // graph health vs the standalone degree card
+    val degHist = Graph.knnDegreeCard(emb, table = "graft_card_spec_deg")
+      .collect()
+    val nNodes = degHist.map(_.getLong(1)).sum
+    val nEdges = degHist.map(r => r.getLong(0) * r.getLong(1)).sum / 2
+    val maxDeg = degHist.map(_.getLong(0)).max
+    assert(card.getAs[Long]("n_nodes") === nNodes)
+    assert(card.getAs[Long]("n_edges") === nEdges)
+    assert(card.getAs[Long]("max_deg") === maxDeg)
+    // PageRank peak vs the standalone top-k card's first row
+    val prTop = Graph.knnPageRank(emb).orderBy(col("rnk")).head()
+    assert(card.getAs[Long]("pr_top_id") === prTop.getAs[Long]("vec_id"))
+    assert(card.getAs[Long]("pr_top_rank") === prTop.getAs[Long]("rank_fp"))
+    // MIS census vs the standalone iterated-Luby output
+    val mis = Graph.knnDiversityMis(emb, table = "graft_card_spec_mis")
+      .collect()
+    assert(card.getAs[Long]("mis_selected") === mis.length.toLong)
+    assert(card.getAs[Int]("mis_rounds") === mis.map(_.getAs[Int]("sel_round")).max)
+    // SemDeDup census vs the standalone neighborhood labels
+    val sd = Graph.knnSemDeDup(emb, table = "graft_card_spec_sd").collect()
+    assert(card.getAs[Long]("n_vectors") === sd.length.toLong)
+    assert(card.getAs[Long]("sd_reps") ===
+      sd.count(_.getAs[Boolean]("keep")).toLong)
+  }
 }
