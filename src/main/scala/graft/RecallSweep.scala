@@ -43,10 +43,18 @@ object RecallSweep {
     val ceilCos = S.ivfTopK(emb, isQuery, k = 10)
       .select("query_id", "corpus_id")
       .intersect(exactCos).count() / nCos
+    // the registered serving path since late r15 — rides the
+    // nlist+probes ladder, so its ceiling is the one that must hold
+    // (not sag) across decades; the fixed-64 arm stays printed as the
+    // documented opposite trade (flat recall at linear candidate cost)
+    val ceilCosSized = S.ivfTopKSized(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id")
+      .intersect(exactCos).count() / nCos
     val ceilMips = S.mipsIvfTopK(emb, isQuery, k = 10)
       .select("query_id", "corpus_id")
       .intersect(exactMips).count() / nMips
-    println(f"[recall-sweep] $sfDir ceilings: cosine-IVF=$ceilCos%.3f mips-IVF(sized)=$ceilMips%.3f")
+    println(f"[recall-sweep] $sfDir ceilings: cosine-IVF(fixed64)=$ceilCos%.3f " +
+      f"cosine-IVF(sized)=$ceilCosSized%.3f mips-IVF(sized)=$ceilMips%.3f")
     for (refine <- Seq(1, 2, 4, 8, 16)) {
       val rc = S.ivfPqTopK(emb, isQuery, k = 10, refine = refine)
         .select("query_id", "corpus_id").intersect(exactCos).count() / nCos

@@ -262,26 +262,51 @@ object Similarity {
     * probe cost (nlist dots/row) and per-bucket rerank population
     * (N/nlist) balance; the default 64 ≈ √N at the bench scale.
     */
+  /** [[ivfTopK]] with nlist + probes derived from the corpus (one
+    * count) — the registered `sim_topk_ivf` path since late r15,
+    * closing the documented opposite-trade note: the plain cosine
+    * serving row was the last fixed-64-book surface, so its probed
+    * population (8/64 of the corpus) stayed a LINEAR fraction at every
+    * scale. Riding [[sizedNlist]] + [[sizedProbes]] pins the fraction
+    * the way the MIPS serving row already does (identity at every
+    * DuckDB-gated scale — plans and oracles unchanged through sf0.1 —
+    * nlist 128 at sf1, the √N ladder beyond); the oracle mirrors via
+    * nlsizing/psizing CTEs, so one static text gates every sf.
+    */
+  def ivfTopKSized(emb: DataFrame, isQuery: Column, k: Int = 10,
+                   probes: Int = 8): DataFrame = {
+    val n = emb.count()
+    ivfTopK(emb, isQuery, k, sizedProbes(probes, n), sizedNlist(n))
+  }
+
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 8,
               nlist: Int = NCentroids): DataFrame = {
-    val v = vectors(emb)
+    val (bucketCol, probesCol) = ivfServingExprs(emb, probes, nlist)
+    ivfPlan(vectors(emb), isQuery, k, bucketCol, probesCol)
+  }
+
+  /** The name-keyed cosine bucket/probes expressions for an explicit
+    * nlist — shared by batch [[ivfTopK]] and the streaming twin (both
+    * faces MUST land vectors in identical buckets, so the kernel pair
+    * is built in exactly one place). The codebook is a pure function of
+    * nlist (LCG rows), so the once-per-session registration cannot
+    * drift; nlist == the serving default keeps the fixed fused kernels
+    * (and with them every gated plan shape).
+    */
+  private[graft] def ivfServingExprs(emb: DataFrame, probes: Int,
+                                     nlist: Int): (Column, Column) =
     if (nlist == NCentroids)
-      ivfPlan(v, isQuery, k,
-        expr("graft_ivf_bucket(e)"), expr(s"graft_ivf_probes(e, $probes)"))
+      (expr("graft_ivf_bucket(e)"), expr(s"graft_ivf_probes(e, $probes)"))
     else {
-      // the codebook is a pure function of nlist (LCG rows), so the
-      // name-keyed registration can safely be once-per-session
       val cents = Codebooks.centroidsFor(nlist).map(_.toArray).toArray
       val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
       registerOnce(emb, s"graft_ivf_bucket_$nlist")(
         exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
       registerOnce(emb, s"graft_ivf_probes_${nlist}_$probes")(
         exprs => graft.functions.IvfProbes(exprs.head, probes, cents, cnorms))
-      ivfPlan(v, isQuery, k,
-        call_function(s"graft_ivf_bucket_$nlist", col("e")),
+      (call_function(s"graft_ivf_bucket_$nlist", col("e")),
         call_function(s"graft_ivf_probes_${nlist}_$probes", col("e")))
     }
-  }
 
   private def ivfPlan(v: DataFrame, isQuery: Column, k: Int,
                       bucketCol: Column, probesCol: Column): DataFrame = {

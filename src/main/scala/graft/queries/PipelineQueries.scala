@@ -199,8 +199,11 @@ object PipelineQueries {
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // cosine IVF serving on the nlist+probes ladder (late r15 — the
+    // MIPS serving row's shape): identity books at every DuckDB-gated
+    // scale, √N books with a pinned probed fraction beyond
     "sim_topk_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+      Similarity.ivfTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     // kNN SELF-join (r9): every vector's top-k neighbors over its
     // probed IVF buckets — the ANN-graph construction pass
@@ -2336,17 +2339,22 @@ object PipelineQueries {
     // IVF with the nlist=64 codebook GENERATED in SQL (same LCG formula
     // as Codebooks.centroidsFor) and the default 8-probe query — probe
     // fraction 8/64 mirrors the kernel defaults exactly.
+    // nlsizing/psizing mirror ivfTopKSized (late r15): identity at the
+    // driver-gated scales, the √N ladder with a pinned probed fraction
+    // beyond — the same one-static-text shape as the MIPS serving oracle
     "sim_topk_ivf" -> (NormCte +
       s"""
-         |, $ivfCentroidCtes,
+         |, $ivfCentroidCtesSized,
+         |psizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
+         |  ELSE $Probes * (nl // 128) END AS ps FROM nlsizing),
          |corpus AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
          |  FROM ccs WHERE vec_id >= 8),
          |probes AS (
          |  SELECT vec_id AS query_id,
          |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-         |                 for p in generate_series(1, $Probes)]) AS bucket
-         |  FROM ccs WHERE vec_id < 8),
+         |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
+         |  FROM ccs, psizing WHERE vec_id < 8),
          |cand AS (
          |  SELECT DISTINCT query_id, corpus_id
          |  FROM corpus JOIN probes USING (bucket)),

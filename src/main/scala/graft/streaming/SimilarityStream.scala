@@ -33,7 +33,10 @@ object SimilarityStream {
 
   /** Streams `embPath` as incoming queries (vec_id < 8, the same query
     * set as the batch op) against the corpus at the same path — replay
-    * equals [[Similarity.ivfTopK]] exactly, gate-checked with its oracle.
+    * equals [[Similarity.ivfTopKSized]] exactly, gate-checked with its
+    * oracle (late r15: both faces ride the nlist+probes ladder through
+    * the SHARED ivfServingExprs kernels — identity at every gated
+    * scale, √N books with a pinned probed fraction beyond).
     */
   def ivfTopKStream(spark: SparkSession, embPath: String,
                     outDir: String, checkpointDir: String, k: Int = 10,
@@ -44,17 +47,22 @@ object SimilarityStream {
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
     val isQuery = col("vec_id") < 8
+    // the batch face's sizing count is the WHOLE table — same here, so
+    // stream and batch derive the identical ladder step
+    val n = corpus.count()
+    val (bucketCol, probesCol) = Similarity.ivfServingExprs(
+      corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
 
     // probed by every micro-batch — materialize the corpus index ONCE,
     // bucketed by the probe join key; bucket assignment is the same
-    // fused kernel as the batch ivfTopK, so stream and batch land
+    // kernel pair as the batch ivfTopKSized, so stream and batch land
     // vectors in identical buckets
     // tablePrefix namespaces the per-run index so concurrent serving
     // streams in one session can't clobber each other (round-6 ADVICE)
     val idxTable = s"${tablePrefix}_idx"
     Bucketing.writeBucketed(
       Similarity.vectors(corpus.filter(!isQuery))
-        .withColumn("bucket", expr("graft_ivf_bucket(e)"))
+        .withColumn("bucket", bucketCol)
         .select(col("vec_id").as("corpus_id"), col("e").as("ec"),
           col("nrm").as("nc"), col("bucket")),
       idxTable, IndexBuckets, "bucket")
@@ -62,7 +70,7 @@ object SimilarityStream {
     val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
 
     val probed = Similarity.vectors(incoming)
-      .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
+      .withColumn("bucket", explode(probesCol))
       .select(col("vec_id").as("query_id"), col("e").as("eq"), col("nrm").as("nq"), col("bucket"))
 
     val scored = probed.join(corpusIndex, "bucket")

@@ -299,6 +299,32 @@ class SimilaritySpec extends SparkSpec {
     bf10.unpersist(); ivf.unpersist()
   }
 
+  test("cosine IVF nlist ladder: the sized serving path is the fixed-book " +
+      "plan at gate scales, a forced 128-book index still scores exact " +
+      "cosines, and its hits stay inside brute force") {
+    // identity at every gate scale: the sized path IS ivfTopK bit-for-bit
+    assert(Similarity.sizedNlist(emb.count()) === graft.functions.Codebooks.NCentroids)
+    val sized = Similarity.ivfTopKSized(emb, isQuery, k = 10)
+    val fixed = Similarity.ivfTopK(emb, isQuery, k = 10)
+    assert(sized.exceptAll(fixed).isEmpty && fixed.exceptAll(sized).isEmpty,
+      "sized serving must equal the fixed-book plan below the ladder step")
+    // a big-codebook index at toy scale: same exact-cosine arithmetic,
+    // only recall moves (finer buckets admit fewer candidates per probe)
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val big = Similarity.ivfTopK(emb, isQuery, k = 10, nlist = 128)
+      .select(col("query_id"), col("corpus_id"), col("cos")).cache()
+    assert(big.except(bf).count() === 0,
+      "big-codebook IVF hits must score the exact cosine")
+    val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
+      .select(col("query_id"), col("corpus_id")).cache()
+    val recall = big.select("query_id", "corpus_id")
+      .intersect(bf10).count().toDouble / bf10.count()
+    info(f"IVF (128 centroids, 8 probes) top-10 recall vs brute force: $recall%.2f")
+    assert(recall > 0.02)
+    bf10.unpersist(); big.unpersist()
+  }
+
   test("k-means IVF: fitted codebook beats the LCG codebook at the default probes; sweep reported") {
     val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
       .select(col("query_id"), col("corpus_id")).cache()
