@@ -62,6 +62,13 @@ object RecallSweep {
         .select("query_id", "corpus_id").intersect(exactMips).count() / nMips
       println(f"[recall-sweep] refine=$refine%-2d cosine-IVF-PQ=$rc%.3f mips-IVF-PQ=$rm%.3f")
     }
+    // the registered serving row (late r15): coarse books + probes +
+    // refine all on the corpus ladders — finer buckets shrink the PQ
+    // approximation's per-probe candidate pool, so this line is the
+    // honest serving recall the fixed-64 sweep above understates
+    val rServing = S.ivfPqTopKSized(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] cosine-IVF-PQ(sized, registered) recall=$rServing%.3f")
     exactCos.unpersist(); exactMips.unpersist()
     spark.stop()
   }

@@ -552,11 +552,66 @@ object Similarity {
     if (n <= 4096) 4 else if (n <= 65536) 8
     else if (n <= 1048576) 16 else 32
 
-  /** [[ivfPqTopK]] with the shortlist width derived from the corpus
-    * (one count) — the registered `sim_topk_ivf_pq` path. */
+  /** [[ivfPqTopK]] with the shortlist width AND the coarse books on the
+    * corpus-derived ladders — the registered `sim_topk_ivf_pq` path.
+    * Late r15 (completing the serving-ladder family): nlist + probes
+    * ride sizedNlist/sizedProbes exactly like the full-vector rows —
+    * identity books at every driver-gated scale — and refine keeps its
+    * r14 rsizing ladder. The residual PQ book is nlist-INDEPENDENT
+    * (the same 8×16×8 LCG sub-codebooks quantize residuals against
+    * whichever coarse centroid the vector landed on), so a bigger
+    * coarse book needs no new LCG region: only the coarse cents /
+    * norms / hats swap, which the pluggable PqCode/PqScore kernels
+    * take as constructor references.
+    */
   def ivfPqTopKSized(emb: DataFrame, isQuery: Column, k: Int = 10,
-                     probes: Int = 8): DataFrame =
-    ivfPqTopK(emb, isQuery, k, probes, sizedRefine(emb.count()))
+                     probes: Int = 8): DataFrame = {
+    val n = emb.count()
+    ivfPqTopKNlist(emb, isQuery, k, sizedProbes(probes, n), sizedNlist(n),
+      sizedRefine(n))
+  }
+
+  /** [[ivfPqTopK]] with an explicit coarse codebook size (the ladder
+    * calls this with [[sizedNlist]]; specs pin small-vs-big shape). */
+  def ivfPqTopKNlist(emb: DataFrame, isQuery: Column, k: Int = 10,
+                     probes: Int = 8, nlist: Int = NCentroids,
+                     refine: Int = 4): DataFrame = {
+    val (bucketCol, probesCol, codeCol, scoreCol) =
+      pqServingExprs(emb, probes, nlist)
+    ivfPqPlan(vectors(emb), isQuery, k, refine, bucketCol, probesCol,
+      codeCol, scoreCol)
+  }
+
+  /** The PQ serving kernel quartet (bucket, probes, code, score) for an
+    * explicit nlist — the [[ivfServingExprs]] pattern extended to the
+    * compact index: batch and the streaming twin must encode AND score
+    * identically, so the pluggable-codebook kernels are constructed in
+    * exactly one place. The residual PQ book is shared across every
+    * coarse size (it quantizes residuals against whichever ĉ the vector
+    * landed on); only the coarse references swap per nlist.
+    */
+  private[graft] def pqServingExprs(emb: DataFrame, probes: Int,
+                                    nlist: Int): (Column, Column, Column, Column) = {
+    val (bucketCol, probesCol) = ivfServingExprs(emb, probes, nlist)
+    if (nlist == NCentroids)
+      (bucketCol, probesCol, expr("graft_pq_code(e)"),
+        expr("graft_pq_score(eq, bucket, codes)"))
+    else {
+      val cents = Codebooks.centroidsFor(nlist).map(_.toArray).toArray
+      val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val centsHat = cents.zip(cnorms).map { case (c, nn) => c.map(_ / nn) }
+      registerOnce(emb, s"graft_pq_code_$nlist")(exprs =>
+        graft.functions.PqCode(exprs.head, cents, cnorms, centsHat,
+          Codebooks.pqCents))
+      registerOnce(emb, s"graft_pq_score_$nlist")(exprs =>
+        graft.functions.PqScore(exprs(0), exprs(1), exprs(2), centsHat,
+          Codebooks.pqCents))
+      (bucketCol, probesCol,
+        call_function(s"graft_pq_code_$nlist", col("e")),
+        call_function(s"graft_pq_score_$nlist",
+          col("eq"), col("bucket"), col("codes")))
+    }
+  }
 
   def ivfPqTopK(emb: DataFrame, isQuery: Column, k: Int = 10, probes: Int = 8,
                 refine: Int = 4): DataFrame =

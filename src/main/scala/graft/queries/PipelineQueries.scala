@@ -2518,7 +2518,9 @@ object PipelineQueries {
         s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
       NormCte +
         s"""
-           |, $ivfCentroidCtes,
+           |, $ivfCentroidCtesSized,
+           |psizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
+           |  ELSE $Probes * (nl // 128) END AS ps FROM nlsizing),
            |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
            |    WHEN COUNT(*) <= 65536 THEN 8
            |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
@@ -2548,8 +2550,8 @@ object PipelineQueries {
            |probes AS (
            |  SELECT vec_id AS query_id,
            |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-           |                 for p in generate_series(1, $Probes)]) AS bucket
-           |  FROM ccs WHERE vec_id < 8),
+           |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
+           |  FROM ccs, psizing WHERE vec_id < 8),
            |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
            |scored AS (
            |  SELECT query_id, corpus_id,

@@ -120,9 +120,14 @@ object SimilarityStream {
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
     // refine <= 0 derives the N-adaptive shortlist width (r14) — the
-    // batch Sized row's ladder, so replay == batch at every scale
-    val refineEff =
-      if (refine > 0) refine else Similarity.sizedRefine(corpus.count())
+    // batch Sized row's ladder, so replay == batch at every scale;
+    // late r15 the coarse books + probes ride the same ladder through
+    // the SHARED pqServingExprs quartet (batch and stream encode and
+    // score with the identical kernel constructions)
+    val n = corpus.count()
+    val refineEff = if (refine > 0) refine else Similarity.sizedRefine(n)
+    val (bucketCol, probesCol, codeCol, scoreCol) = Similarity.pqServingExprs(
+      corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
     val isQuery = col("vec_id") < 8
 
     val vecsTable = s"${tablePrefix}_vecs"
@@ -134,20 +139,20 @@ object SimilarityStream {
     Bucketing.writeBucketed(
       Similarity.vectors(corpus.filter(!isQuery))
         .select(col("vec_id").as("corpus_id"),
-          expr("graft_ivf_bucket(e)").as("bucket"),
-          expr("graft_pq_code(e)").as("codes")),
+          bucketCol.as("bucket"),
+          codeCol.as("codes")),
       idxTable, IndexBuckets, "bucket")
     val corpusVecs = spark.table(vecsTable)
     val pqIndex = spark.table(idxTable)
 
     val incoming = TopicStream.fileStream(spark, embPath, maxFilesPerTrigger).filter(isQuery)
     val probed = Similarity.vectors(incoming)
-      .withColumn("bucket", explode(expr(s"graft_ivf_probes(e, $probes)")))
+      .withColumn("bucket", explode(probesCol))
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nq"), col("bucket"))
     val approx = probed.join(pqIndex, "bucket")
       .select(col("query_id"), col("eq"), col("nq"), col("corpus_id"),
-        expr("graft_pq_score(eq, bucket, codes)").as("acos"))
+        scoreCol.as("acos"))
 
     val q = approx.writeStream
       .outputMode(OutputMode.Append)

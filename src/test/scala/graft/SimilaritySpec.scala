@@ -325,6 +325,29 @@ class SimilaritySpec extends SparkSpec {
     bf10.unpersist(); big.unpersist()
   }
 
+  test("cosine IVF-PQ nlist ladder: the sized serving path is the fixed-book " +
+      "plan at gate scales, and a forced 128-book compact index still " +
+      "reranks its shortlist to exact cosines inside brute force") {
+    val sized = Similarity.ivfPqTopKSized(emb, isQuery, k = 10)
+    val fixed = Similarity.ivfPqTopK(emb, isQuery, k = 10,
+      refine = Similarity.sizedRefine(emb.count()))
+    assert(sized.exceptAll(fixed).isEmpty && fixed.exceptAll(sized).isEmpty,
+      "sized PQ serving must equal the fixed-book plan below the ladder step")
+    // the big coarse book swaps ONLY the coarse references; the shared
+    // residual PQ book quantizes against the new centroids and the
+    // final rerank is still the exact cosine
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val big = Similarity.ivfPqTopKNlist(emb, isQuery, k = 10, nlist = 128,
+      refine = 4)
+      .select(col("query_id"), col("corpus_id"), col("cos")).cache()
+    assert(big.except(bf).count() === 0,
+      "big-codebook PQ hits must rerank to the exact cosine")
+    assert(big.groupBy("query_id").count()
+      .filter(col("count") > 10).count() === 0)
+    big.unpersist()
+  }
+
   test("k-means IVF: fitted codebook beats the LCG codebook at the default probes; sweep reported") {
     val bf10 = Similarity.bruteForceTopK(emb, isQuery, k = 10)
       .select(col("query_id"), col("corpus_id")).cache()
