@@ -460,6 +460,44 @@ object TopicStream {
     dir
   }
 
+  /** The TIME-ordered twin of [[orderedSplitInput]] (late r15, for the
+    * stateful-twin at-scale gates): splits by equal EVENT-TIME ranges
+    * instead of id ranges, so every event in chunk k+1 carries a later
+    * event time than everything in chunk k. Under such a replay no
+    * event is ever late relative to the running watermark — the
+    * precondition for multi-batch == single-batch equality on the
+    * watermarked stateful twins (sessionize's bounded-disorder
+    * contract holds with disorder ZERO across batches). `tsCol` must
+    * read as a numeric (the events table's TIMESTAMP(NANOS) reads as
+    * LONG nanos under nanosAsLong).
+    */
+  def timeOrderedSplitInput(spark: SparkSession, path: String, n: Int,
+                            dir: String, tsCol: String = "ts"): String = {
+    deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    val df = spark.read.parquet(path)
+    val mm = df.agg(min(col(tsCol)).cast("long"), max(col(tsCol)).cast("long"))
+      .collect()(0)
+    val lo = mm.getLong(0)
+    val span = (mm.getLong(1) - lo) / n + 1
+    val base = System.currentTimeMillis() - n * 60000L
+    for (i <- 0 until n) {
+      val tmp = s"$dir-tmp-$i"
+      df.filter(col(tsCol).cast("long") >= lo + i * span &&
+          col(tsCol).cast("long") < lo + (i + 1) * span)
+        .coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+      val dest = Paths.get(dir, f"chunk-$i%03d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      deleteRecursively(Paths.get(tmp))
+    }
+    dir
+  }
+
   /** Runs [[compactUpdates]] to a parquet changelog (foreachBatch: update
     * mode has no direct file sink) and returns it with batch provenance.
     */
