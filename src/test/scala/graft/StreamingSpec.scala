@@ -41,6 +41,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("timeOrderedSplitInput partitions the input exactly, chunks are " +
+      "disjoint event-time ranges in file order, and a time-ordered " +
+      "sessionize replay equals the single-batch form") {
+    val split = TopicStream.timeOrderedSplitInput(spark, s"$sf/events.parquet", 3,
+      "/root/repo/target/stream-scratch/tsplit-input")
+    val orig = spark.read.parquet(s"$sf/events.parquet")
+    val back = spark.read.parquet(split)
+    // exact partition: nothing lost, nothing duplicated
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).count() === 0 && orig.exceptAll(back).count() === 0)
+    // disjoint, ordered time ranges: chunk k's max ts < chunk k+1's min ts
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(split))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.length === 3)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    for (Seq((_, hi), (lo, _)) <- ranges.toSeq.sliding(2))
+      assert(hi < lo, "chunks must be disjoint ascending event-time ranges")
+    // the gate's contract at spec scale: cross-batch disorder is zero,
+    // so the stateful replay equals the oracle-gated single-batch form
+    val (outM, ckptM) = TopicStream.scratchDirs("spec_sess_multi", split)
+    val multi = TopicStream.sessionizeStream(spark, split, outM, ckptM,
+      maxFilesPerTrigger = Some(1))
+    val (outS, ckptS) = TopicStream.scratchDirs("spec_sess_single", split)
+    val single = TopicStream.sessionizeStream(spark, s"$sf/events.parquet",
+      outS, ckptS)
+    val c = Seq("user_id", "session_start", "session_end", "n_events",
+      "total_value").map(col)
+    assert(multi.select(c: _*).exceptAll(single.select(c: _*)).count() === 0)
+    assert(single.select(c: _*).exceptAll(multi.select(c: _*)).count() === 0)
+  }
+
   test("streaming SCD2 over an ordered multi-batch replay emits exactly the batch " +
       "history's closed versions; closures genuinely cross batches; stale drops") {
     val ordered = TopicStream.orderedSplitInput(spark, s"$sf/events.parquet", 4,
