@@ -244,8 +244,16 @@ object Graph {
     * both folds run in index order — the same argument that makes the
     * oracle's list_reduce replay exact).
     */
-  private[graft] def knnEdges(emb: DataFrame, k: Int, probes: Int): DataFrame = {
-    val knn = Similarity.knnJoinIvfSized(emb, k, probes)
+  private[graft] def knnEdges(emb: DataFrame, k: Int, probes: Int,
+                              fittedBook: Boolean = false): DataFrame = {
+    // fittedBook (r16, r15 VERDICT #3): quantize the graph build with
+    // the laddered k-means book instead of the random LCG book — the
+    // hub-skew finding was that tight clusters don't co-bucket under a
+    // random book, so graph recall on clustered corpora runs below the
+    // isotropic measurement. OPT-IN: the registered rows keep the
+    // formula book their oracles replay.
+    val knn = if (fittedBook) Similarity.knnJoinIvfFittedSized(emb, k, probes)
+      else Similarity.knnJoinIvfSized(emb, k, probes)
     val pairs = knn
       .select(least(col("query_id"), col("corpus_id")).as("pa"),
         greatest(col("query_id"), col("corpus_id")).as("pb"), col("cos"))
@@ -284,8 +292,9 @@ object Graph {
     * satisfies — plan-pinned in GraphSpec).
     */
   def writeKnnEdgeIndex(emb: DataFrame, table: String, k: Int = 5,
-                        probes: Int = 2, buckets: Int = 8): Unit =
-    graft.sources.Bucketing.writeBucketed(knnEdges(emb, k, probes),
+                        probes: Int = 2, buckets: Int = 8,
+                        fittedBook: Boolean = false): Unit =
+    graft.sources.Bucketing.writeBucketed(knnEdges(emb, k, probes, fittedBook),
       table, buckets, "src")
 
   /** RANK-MANY half: PageRank straight off the materialized edge index —
@@ -432,7 +441,7 @@ object Graph {
   private def misLoop(e: DataFrame, alive0: DataFrame,
                       maxRounds: Int): DataFrame = {
     var alive = alive0
-    val selected = scala.collection.mutable.ListBuffer[DataFrame]()
+    val selected = scala.collection.mutable.ListBuffer[(DataFrame, DataFrame)]()
     var t = 1
     var nAlive = alive.count()
     while (nAlive > 0) {
@@ -455,7 +464,7 @@ object Graph {
             (-col("best.np") === col("pri") && col("best.nid") < col("id"))))
         .select(col("id"), col("r"))
         .localCheckpoint(true) // eager: later rounds must not recompute it
-      selected += selT.withColumn("sel_round", lit(t))
+      selected += selT.withColumn("sel_round", lit(t)) -> selT
       val removed = selT.select(col("id"))
         .union(liveE.join(selT.select(col("id").as("src")), "src")
           .select(col("dst").as("id")))
@@ -472,10 +481,19 @@ object Graph {
     val all = if (selected.isEmpty)
       alive.select(col("id"), col("r")).withColumn("sel_round", lit(1))
         .limit(0)
-    else selected.reduce(_ union _)
-    all
+    else selected.map(_._1).reduce(_ union _)
+    // materialize the union as ONE node-sized checkpoint, then free every
+    // per-round selT block eagerly (r15 ADVICE: the bench contract runs
+    // this repeatedly in one session, and the per-round checkpoints were
+    // only ever reclaimed by the ContextCleaner's GC cadence). The final
+    // alive state (empty, but checkpointed) frees with them.
+    val out = all
       .select(col("id").as("vec_id"), col("r").as("rank_fp"), col("sel_round"))
       .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    selected.foreach { case (_, selT) => unpersistCheckpoint(selT) }
+    unpersistCheckpoint(alive)
+    out
   }
 
   /** The MIS fuse AND the oracle's unroll depth — the two must agree

@@ -438,23 +438,40 @@ object TopicStream {
     */
   def orderedSplitInput(spark: SparkSession, path: String, n: Int, dir: String,
                         idCol: String = "event_id"): String = {
-    deleteRecursively(Paths.get(dir))
-    Files.createDirectories(Paths.get(dir))
     val df = spark.read.parquet(path)
     val maxId = df.agg(max(col(idCol))).collect()(0).getLong(0)
     val chunk = maxId / n + 1
-    val base = System.currentTimeMillis() - n * 60000L
-    for (i <- 0 until n) {
+    writeSplitChunks(df, dir, (0 until n).map(i =>
+      col(idCol) >= i * chunk && col(idCol) < (i + 1) * chunk))
+  }
+
+  /** Shared chunk writer of the two split helpers: writes each range
+    * predicate as one single-file chunk with strictly ascending mod
+    * times. An EMPTY range degrades to a skipped chunk (fewer batches),
+    * never a throw — a skewed/clustered distribution can leave an equal
+    * range with zero rows, and the gate should still run (r15 ADVICE).
+    * Directory listings are closed (Files.list holds an fd open until
+    * closed — a leak in a loop).
+    */
+  private def writeSplitChunks(df: DataFrame, dir: String,
+                               chunks: Seq[org.apache.spark.sql.Column]): String = {
+    deleteRecursively(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir))
+    val base = System.currentTimeMillis() - chunks.size * 60000L
+    chunks.zipWithIndex.foreach { case (pred, i) =>
       val tmp = s"$dir-tmp-$i"
-      df.filter(col(idCol) >= i * chunk && col(idCol) < (i + 1) * chunk)
-        .coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
-      val dest = Paths.get(dir, f"chunk-$i%03d.parquet")
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      df.filter(pred).coalesce(1).write.parquet(tmp)
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.asInstanceOf[Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+        finally listing.close()
+      part.foreach { p =>
+        val dest = Paths.get(dir, f"chunk-$i%03d.parquet")
+        Files.move(p, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      }
       deleteRecursively(Paths.get(tmp))
     }
     dir
@@ -473,29 +490,14 @@ object TopicStream {
     */
   def timeOrderedSplitInput(spark: SparkSession, path: String, n: Int,
                             dir: String, tsCol: String = "ts"): String = {
-    deleteRecursively(Paths.get(dir))
-    Files.createDirectories(Paths.get(dir))
     val df = spark.read.parquet(path)
     val mm = df.agg(min(col(tsCol)).cast("long"), max(col(tsCol)).cast("long"))
       .collect()(0)
     val lo = mm.getLong(0)
     val span = (mm.getLong(1) - lo) / n + 1
-    val base = System.currentTimeMillis() - n * 60000L
-    for (i <- 0 until n) {
-      val tmp = s"$dir-tmp-$i"
-      df.filter(col(tsCol).cast("long") >= lo + i * span &&
-          col(tsCol).cast("long") < lo + (i + 1) * span)
-        .coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
-      val dest = Paths.get(dir, f"chunk-$i%03d.parquet")
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
-      deleteRecursively(Paths.get(tmp))
-    }
-    dir
+    writeSplitChunks(df, dir, (0 until n).map(i =>
+      col(tsCol).cast("long") >= lo + i * span &&
+        col(tsCol).cast("long") < lo + (i + 1) * span))
   }
 
   /** Runs [[compactUpdates]] to a parquet changelog (foreachBatch: update

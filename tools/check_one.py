@@ -19,14 +19,35 @@ from check import TABLES, norm
 
 
 def main() -> int:
+    # asserted preconditions (r15 VERDICT #8): the environment discipline
+    # that the r15 OOM drift was diagnosed by A/B to require must fail
+    # LOUD here, not spuriously downstream.
+    if len(sys.argv) != 4:
+        print("usage: check_one.py <sfDir> <verifyOutDir> <name>  "
+              "(ONE query per process — loop names in shell)")
+        return 2
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+    # one-query-per-process discipline: a comma list means a caller is
+    # trying to batch queries through one connection — the exact shape
+    # that accumulates heavy list-valued oracle state and OOMs at sf1
+    assert "," not in name, (
+        "check_one takes ONE query name per invocation; loop in shell "
+        "(per-process memory discipline, r15 A/B)")
     con = duckdb.connect()
     # 64GB: the sf1 recursive reach-closure oracles pin structures DuckDB
-    # cannot spill (r15: the r14-form text OOM'd at 24GB too on a quiet
-    # box — environment drift, not an oracle change); the box has 125G
-    # and this dev tool runs one query per process by design
+    # cannot spill (r15 A/B: the UNCHANGED r14 oracle text OOM'd at the
+    # old 24GB cap on a quiet box — environment drift, not an oracle
+    # change); the box has 125G and this tool runs one query per process.
+    # NEVER co-run this 64GB gate with sf10 Spark jobs — three heavy jobs
+    # on one box produced two spurious OOMs in r15 before serializing.
     con.execute("SET memory_limit='64GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    eff = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
+    # 64GB == 59.6 GiB in DuckDB's binary rendering (verified r16)
+    assert eff == "59.6 GiB", (
+        f"memory_limit did not take (got {eff!r}, want '59.6 GiB') — "
+        "DuckDB env drift; re-verify the r15 A/B sizing before trusting "
+        "any sf1+ gate")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
