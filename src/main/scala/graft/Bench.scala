@@ -65,6 +65,20 @@ object Bench {
   // family benched and subsumes the projection pass — §6 byte
   // arithmetic: +30 −25 keeps the tail line under the 2,000-byte
   // driver capture with the ~75 B sbt suffix). 69 entries.
+  // Round 16 rotates ON the three seasoned r15 rows (r15 VERDICT #5:
+  // dedup_pq_codes 0.63 s — the zero-vector-read hash-agg dedup;
+  // sim_topk_mips_ivf_fitted 1.58 s — the augmented-space fp k-means
+  // fit + serve; knn_consumer_card 6.65 s — the natural heavy pick, it
+  // prices the build-once/rank-many pipeline end to end) and OFF three
+  // cheap reused-shape rows (the adds cost +81 bytes; the drops return
+  // 80, holding the 1,869-byte r15 line ~1,870 under the 2,000-byte
+  // tail): sim_topk_bruteforce (the crossJoin+two-phase shape rides
+  // every rerank on the contract; recall baselines live in RecallSweep),
+  // events_session_window (events_sessionize + events_session_overlap
+  // keep sessionization benched), dedup_embedding (dedup_embedding_cc
+  // is the same banded pairs plus the components keeper; dedup_semantic
+  // keeps the cluster-confined arm). All three join the BenchOne §7
+  // prose. 69 entries held.
   // Round 14 rotates ON the three seasoned r13 rows (round-13 VERDICT
   // #3: knn_diversity_mis 8.19 s — index build + iterated Luby;
   // sim_topk_mips_ivf 1.46 s — the augmented-space bucket join;

@@ -61,6 +61,7 @@ object Cli {
     limit: Int = 20,
     actions: String = "-",
     maxFiles: Option[Int] = None,
+    topk: Int = 10,
     command: String = null,
     positional: List[String] = Nil)
 
@@ -70,6 +71,7 @@ object Cli {
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
       |                  index <vec-topic> <table> | assign <table> |
+      |                  query <vec-topic> <table> [-k N] |
       |                  stream (merge-all|dlq|compact|ask) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
@@ -91,6 +93,10 @@ object Cli {
         if (n < 0) return Left(s"bad --limit: $v")
         o = o.copy(limit = n); rest = t
       case ("-y" | "--actions") :: v :: t => o = o.copy(actions = v); rest = t
+      case ("-k" | "--topk") :: v :: t =>
+        val n = try v.toInt catch { case _: NumberFormatException => return Left(s"bad --topk: $v") }
+        if (n < 1) return Left(s"bad --topk: $v")
+        o = o.copy(topk = n); rest = t
       case ("-m" | "--max-files") :: v :: t =>
         val n = try v.toInt catch { case _: NumberFormatException => return Left(s"bad --max-files: $v") }
         if (n < 1) return Left(s"bad --max-files: $v")
@@ -104,7 +110,7 @@ object Cli {
     else {
       val arity = Map("print" -> 1, "stats" -> 1, "merge-all" -> 2,
         "purge-all" -> 1, "ask" -> 2, "compact" -> 1, "dlq" -> 2, "stream" -> 3,
-        "index" -> 2, "assign" -> 1)
+        "index" -> 2, "assign" -> 1, "query" -> 2)
       arity.get(o.command) match {
         case None => Left(s"unknown command ${o.command}\n$usage")
         case Some(n) if o.positional.length != n =>
@@ -186,6 +192,61 @@ object Cli {
 
   private def writeOut(df: DataFrame, out: String, name: String): Unit =
     df.write.mode("overwrite").parquet(s"$out/$name")
+
+  /** `query <vec-topic> <table>`: build the compact IVF-PQ index
+    * (codes bucketed by the probe key + the full-vector rerank table
+    * bucketed by corpus_id) and answer the query vectors' top-k from
+    * it — probe, code-only approximate scoring, k·refine shortlist,
+    * exact rerank. Everything rides the laddered pqServingExprs
+    * kernels, so the answers equal Similarity.ivfPqTopKSized
+    * bit-for-bit (the single-window shortlist is the stream twin's
+    * equality-preserving form of the two-phase rerank — same total
+    * order).
+    */
+  private def queryCommand(spark: SparkSession, o: Opts, emb: DataFrame,
+                           table: String, print: String => Unit): Int = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val n = emb.count()
+    val (bucketCol, probesCol, codeCol, scoreCol) = Similarity.pqServingExprs(
+      emb, Similarity.sizedProbes(8, n), Similarity.sizedNlist(n))
+    val refine = Similarity.sizedRefine(n)
+    val isQuery = col("vec_id") < 8
+    val v = Similarity.vectors(emb)
+    graft.sources.Bucketing.writeBucketed(
+      v.filter(!isQuery).select(col("vec_id").as("corpus_id"),
+        bucketCol.as("bucket"), codeCol.as("codes")),
+      table, 8, "bucket")
+    graft.sources.Bucketing.writeBucketed(
+      v.filter(!isQuery).select(col("vec_id").as("corpus_id"),
+        col("e").as("ec"), col("nrm").as("nc")),
+      s"${table}_vecs", 8, "corpus_id")
+    val probed = v.filter(isQuery)
+      .withColumn("bucket", explode(probesCol))
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nq"), col("bucket"))
+    val approx = probed.join(spark.table(table), "bucket")
+      .select(col("query_id"), col("eq"), col("nq"), col("corpus_id"),
+        scoreCol.as("acos"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("corpus_id"))
+    val short = approx.withColumn("srnk", row_number().over(wa))
+      .filter(col("srnk") <= o.topk * refine)
+      .drop("srnk", "acos")
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    val topk = short.join(spark.table(s"${table}_vecs"), "corpus_id")
+      .withColumn("cos", expr("graft_dot(eq, ec)") / (col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= o.topk)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rnk"))
+    writeOut(topk, o.out, "topk")
+    val back = spark.read.parquet(s"${o.out}/topk")
+    val nq = back.select("query_id").distinct().count()
+    print(s"Answered $nq queries from compact index '$table' " +
+      s"(top ${o.topk} each, ${back.count()} rows)")
+    0
+  }
 
   private def commitOffsets(o: Opts, src: DataFrame, default: Boolean,
                             print: String => Unit): Unit = {
@@ -307,6 +368,16 @@ object Cli {
             val reps = back.filter(col("is_rep")).count()
             print(s"Assigned $n vector(s) from '$table' ($reps representatives)")
             0
+          // the ANN lookup itself (r16, r15 VERDICT #7): serve top-k
+          // cosine neighbors for the query vectors FROM a compact
+          // (bucket, codes) index table built here — the gated
+          // sim_topk_ivf_pq serving row's plan, kernels from the shared
+          // pqServingExprs quartet, so command output == the library
+          // operator bit-for-bit (CliSpec)
+          case "query" =>
+            val Seq(srcName, table) = o.positional.toSeq
+            val emb = embeddingsView(spark, o.dir, srcName)
+            queryCommand(spark, o, emb, table, print)
           case "stream" =>
             val Seq(sub, srcName, dest) = o.positional.toSeq
             streamCommand(spark, o, sub, srcName, dest, valueSerde, print)

@@ -119,19 +119,25 @@ object KnnSkewBench {
         f"topSrcDegrees=${top.mkString(",")} build=$tBuild%.2f s " +
         f"pageRankFromIndex=$tRank%.2f s misAssignFromIndex=$tAssign%.2f s")
     }
-    // hub-recall sweep: planted spoke→hub edges found vs probes
+    // hub-recall sweep: planted spoke→hub edges found vs probes, on
+    // BOTH quantizers (r16: the fitted-book arm is the VERDICT #3
+    // answer — a k-means book co-buckets tight clusters where the
+    // random LCG book scatters them)
     if (args.length > 2) {
-      for (p <- args(2).split(",").map(_.trim.toInt)) {
-        val table = s"graft_skew_knn_hub_p$p"
+      for (p <- args(2).split(",").map(_.trim.toInt);
+           fitted <- Seq(false, true)) {
+        val arm = if (fitted) "fitted" else "lcg"
+        val table = s"graft_skew_knn_hub_${arm}_p$p"
         val (_, tBuild) = time(
-          graft.operators.Graph.writeKnnEdgeIndex(hubEmb, table, probes = p))
+          graft.operators.Graph.writeKnnEdgeIndex(hubEmb, table, probes = p,
+            fittedBook = fitted))
         val edges = spark.table(table)
         // symmetrized index: each discovered pair appears in both
         // orientations, so hub-as-src counts every spoke that found it
         val hubPairs = edges.filter(col("src") === 0L &&
           col("dst") >= 1L && col("dst") <= spokes.toLong).count()
         val pairEdges = edges.count() / 2
-        println(f"[knn-skew-sweep] probes=$p hubPairs=$hubPairs/$spokes " +
+        println(f"[knn-skew-sweep] book=$arm probes=$p hubPairs=$hubPairs/$spokes " +
           f"pairEdges=$pairEdges build=$tBuild%.2f s")
       }
     }

@@ -69,6 +69,19 @@ object RecallSweep {
     val rServing = S.ivfPqTopKSized(emb, isQuery, k = 10)
       .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
     println(f"[recall-sweep] cosine-IVF-PQ(sized, registered) recall=$rServing%.3f")
+    // the FITTED residual book on the same ladder (r16, r15 VERDICT #1):
+    // same coarse books / probes / shortlist — the delta vs the line
+    // above is pure residual-book quality
+    val rResFit = S.ivfPqTopKResFitted(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] cosine-IVF-PQ(sized, FITTED residual book) recall=$rResFit%.3f")
+    // the FULLY-fitted ladder (r16): laddered coarse k-means + residual
+    // fit against those fitted centroids — the arm the r16 measurement
+    // says actually lifts serving recall (a fitted residual book against
+    // the RANDOM ladder shrinks tail scores and ranks worse)
+    val rFitSized = S.ivfPqTopKFittedSized(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] cosine-IVF-PQ(sized, FITTED coarse+residual) recall=$rFitSized%.3f")
     exactCos.unpersist(); exactMips.unpersist()
     spark.stop()
   }

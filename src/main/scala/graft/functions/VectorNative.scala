@@ -103,6 +103,26 @@ object Codebooks {
       (((1103515245L * ((c + 200) * Dim + i) + 12345L) % 2001L) - 1000L).toDouble)))
   }
 
+  /** The fp-normalized form of [[centroidsFor]]'s laddered book (r16 —
+    * the fitted-residual-book reference): floor(gᵢ·S/‖g‖) over the SAME
+    * raw LCG integers the value book scales /1000, so the fp book and
+    * the value book share exact directions up to the fp floor.
+    * fpNormalize is scale-invariant over exact inputs, and the raw
+    * integers (not the /1000 doubles, which are inexact in binary) are
+    * what both engines normalize — the DuckDB mirror is the
+    * kmeansFitCtes fc0 shape with the ladder's row offset. Residual
+    * fits subtract THIS book from the fp unit vectors; the serving
+    * (value-book) assignment stays byte-identical to the formula row's.
+    */
+  private[graft] def fpCentroidsFor(n: Int): Array[Array[Double]] = {
+    require(n <= 2048,
+      s"fpCentroidsFor(n=$n): the LCG row budget for coarse centroids is " +
+        "2048 (rows 200..399 for n <= 200, rows 10000..12047 beyond)")
+    val off = if (n <= 200) 200 else 10000
+    Array.tabulate(n)(c => fpNormalize(Array.tabulate(Dim)(i =>
+      (((1103515245L * ((c + off) * Dim + i) + 12345L) % 2001L) - 1000L).toDouble)))
+  }
+
   /** MIPS-fit seeds (r15): the rows-600 MIPS LCG integers — the formula
     * codebook's OWN generator rows, the seed == formula-book pattern
     * [[seedCentroidsFp]] sets — fp-normalized over Dim+1 components.

@@ -284,6 +284,15 @@ object PipelineQueries {
     "sim_topk_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // FITTED residual book on the coarse ladder (r16, r15 VERDICT #1):
+    // the same laddered coarse books and sized probes/shortlist, but the
+    // residual sub-codebooks come from the per-subspace fixed-point
+    // k-means fit against the laddered book — the recall lift the sized
+    // formula book left on the table (0.100 @ sf10); fit unrolled as
+    // oracle CTEs, batch and stream share pqResFitServingExprs.
+    "sim_topk_ivf_pq_resfit" -> ((s, dir) =>
+      Similarity.ivfPqTopKResFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
     // IVF over a k-means-fitted codebook (the offline fit a production
     // deployment broadcasts). r12: the fit is FIXED-POINT (integer dots,
     // BIGINT sums, truncating-division means — Similarity.fitCentroids)
@@ -299,6 +308,15 @@ object PipelineQueries {
     // SimilaritySpec.
     "sim_topk_ivf_pq_fitted" -> ((s, dir) =>
       Similarity.ivfPqTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
+    // fully-fitted compact index on the CORPUS LADDERS (r16): laddered
+    // coarse k-means + residual book fitted against it — the
+    // recall-lifting serving arm (sf10 0.175 / sf1 0.263 vs the formula
+    // ladder's 0.100 / 0.150; a residual-only fit against the random
+    // ladder SHRINKS tail scores and ranks worse — see
+    // sim_topk_ivf_pq_resfit's honest negative result).
+    "sim_topk_ivf_pq_fitted_sized" -> ((s, dir) =>
+      Similarity.ivfPqTopKFittedSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     "text_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -1076,11 +1094,25 @@ object PipelineQueries {
     * argument — see fitCentroids scaladoc), truncating `//` means,
     * empty clusters/zero means keep the previous row.
     */
-  private def kmeansFitCtes(iters: Int): String = {
+  private def kmeansFitCtes(iters: Int, sized: Boolean = false): String = {
     def sumSq(arr: String) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), [x*x for x in $arr]), (s,x) -> s+x)"
     def fpn(arr: String, n2: String) =
       s"[CAST(floor(CAST(x AS DOUBLE)*1000000.0/sqrt(CAST($n2 AS DOUBLE))) AS BIGINT) for x in $arr]"
+    // sized (r16): seeds from the LADDERED row regions — c+200 for
+    // nl <= 200 (bit-identical to the fixed head at every gate scale,
+    // where nl = 64), the fresh 10000.. region beyond — mirroring
+    // Codebooks.fpCentroidsFor; requires nlsizing in scope.
+    val sg = if (sized)
+      s"""sg AS (
+         |  SELECT c, [(((1103515245*((c + CASE WHEN nl <= 200 THEN 200 ELSE 10000 END)*$Dim+i) + 12345) % 2001) - 1000)
+         |             for i in generate_series(0, ${Dim - 1})] AS g
+         |  FROM generate_series(0, 2047) AS t(c), nlsizing WHERE c < nl),""".stripMargin
+    else
+      s"""sg AS (
+         |  SELECT c, [(((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000)
+         |             for i in generate_series(0, ${Dim - 1})] AS g
+         |  FROM generate_series(0, ${NCentroids - 1}) t(c)),""".stripMargin
     val head =
       s"""vfp AS (
          |  SELECT vec_id, [CAST(floor(e[i]*1000000.0) AS BIGINT)
@@ -1088,10 +1120,7 @@ object PipelineQueries {
          |vfu AS MATERIALIZED (
          |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
          |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
-         |sg AS (
-         |  SELECT c, [(((1103515245*((c+200)*$Dim+i) + 12345) % 2001) - 1000)
-         |             for i in generate_series(0, ${Dim - 1})] AS g
-         |  FROM generate_series(0, ${NCentroids - 1}) t(c)),
+         |$sg
          |fc0 AS MATERIALIZED (
          |  SELECT c, ${fpn("g", "n2")} AS cv
          |  FROM (SELECT c, g, ${sumSq("g")} AS n2 FROM sg))""".stripMargin
@@ -1372,12 +1401,15 @@ object PipelineQueries {
   /** FIXED-POINT per-subspace PQ residual k-means, unrolled (r12) — the
     * data-fitted sub-codebooks over the INTEGER residuals x̂ − ĉfp_b of
     * the first-`maxSample` sample, seeded by the LCG integers ·250 (the
-    * /4000 value scale in fp). Requires [[kmeansFitCtes]]' vfu/fc/ccs
-    * CTEs in scope (the coarse bucket b is the SERVING assignment —
-    * exactly Similarity.fitPqCodebooks). Produces pq{iters}(m, k, pv)
-    * with 0-based k and BIGINT fp code vectors.
+    * /4000 value scale in fp). Requires vfu + ccs CTEs in scope (the
+    * coarse bucket b is the SERVING assignment — exactly
+    * Similarity.fitPqCodebooks) plus `coarseRef(c, cv)` — the fp-scale
+    * coarse book residuals subtract against (the fitted fc{iters} for
+    * the fully-fitted row; the fp-normalized laddered book `cfp` for
+    * the resfit row, r16). Produces pq{iters}(m, k, pv) with 0-based k
+    * and BIGINT fp code vectors.
     */
-  private def pqFitCtes(coarseIters: Int, iters: Int, maxSample: Int): String = {
+  private def pqFitCtes(coarseRef: String, iters: Int, maxSample: Int): String = {
     import graft.functions.Codebooks.{PqM, PqK, PqSub}
     val head =
       s""",
@@ -1389,7 +1421,7 @@ object PipelineQueries {
          |  SELECT s.vec_id, m,
          |         [s.xh[m*$PqSub+d] - f.cv[m*$PqSub+d]
          |          for d in generate_series(1,$PqSub)] AS r
-         |  FROM samp s JOIN fc$coarseIters f ON f.c = s.b - 1
+         |  FROM samp s JOIN $coarseRef f ON f.c = s.b - 1
          |       CROSS JOIN generate_series(0, ${PqM - 1}) t(m)),
          |pq0 AS MATERIALIZED (
          |  SELECT m, k, [(((1103515245*((400+m*$PqK+k)*$Dim+d) + 12345) % 2001) - 1000) * 250
@@ -2574,6 +2606,97 @@ object PipelineQueries {
            |ORDER BY query_id, rnk""".stripMargin
     },
 
+    // FITTED-residual-book PQ serving on the coarse ladder (r16, r15
+    // VERDICT #1): coarse book / probes / shortlist identical to the
+    // sim_topk_ivf_pq replay above, but the residual sub-codebooks come
+    // from the per-subspace fixed-point k-means fit (pqFitCtes) over
+    // residuals against cfp — the fp-normalized LADDERED book generated
+    // from the same raw LCG integers the value book scales /1000 —
+    // mirroring Similarity.pqResFitServingExprs term for term.
+    // `codes` is MATERIALIZED (unlike the formula row's): with the fit
+    // CTEs resident, inlining the 25.6M-row dists aggregate into the
+    // probe-join pipeline overruns check_one's 64GB cap at sf10;
+    // materializing sequences it — the aggregate collapses to the
+    // 200k-row code table and frees before scoring runs (measured:
+    // OOM -> 74 s at the cap, values unchanged).
+    "sim_topk_ivf_pq_resfit" -> {
+      import graft.functions.Codebooks.{PqM, PqSub, PqK}
+      val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+      val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
+        s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
+      def sumSq(arr: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), [x*x for x in $arr]), (s,x) -> s+x)"
+      def fpn(arr: String, n2: String) =
+        s"[CAST(floor(CAST(x AS DOUBLE)*1000000.0/sqrt(CAST($n2 AS DOUBLE))) AS BIGINT) for x in $arr]"
+      NormCte +
+        s"""
+           |, $ivfCentroidCtesSized,
+           |psizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
+           |  ELSE $Probes * (nl // 128) END AS ps FROM nlsizing),
+           |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+           |    WHEN COUNT(*) <= 65536 THEN 8
+           |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
+           |vfp AS (
+           |  SELECT vec_id, [CAST(floor(e[i]*1000000.0) AS BIGINT)
+           |                  for i in generate_series(1,$Dim)] AS xf FROM v),
+           |vfu AS MATERIALIZED (
+           |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
+           |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
+           |crawg AS (
+           |  SELECT c, [(((1103515245*((c + CASE WHEN nl <= 200 THEN 200 ELSE 10000 END)*$Dim+i) + 12345) % 2001) - 1000)
+           |             for i in generate_series(0, ${Dim - 1})] AS g
+           |  FROM generate_series(0, 2047) AS t(c), nlsizing WHERE c < nl),
+           |cfp AS MATERIALIZED (
+           |  SELECT c, ${fpn("g", "n2")} AS cv
+           |  FROM (SELECT c, g, ${sumSq("g")} AS n2 FROM crawg))${pqFitCtes("cfp", 5, 2048)},
+           |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
+           |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),
+           |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn),
+           |cb AS (
+           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+           |  FROM ccs WHERE vec_id >= 8),
+           |res AS (
+           |  SELECT cb.corpus_id, cb.bucket,
+           |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+           |  FROM cb JOIN v ON v.vec_id = cb.corpus_id JOIN chat ON chat.c = cb.bucket - 1),
+           |dists AS (
+           |  SELECT corpus_id, bucket, m,
+           |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
+           |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+           |  FROM res CROSS JOIN pqv GROUP BY corpus_id, bucket, m),
+           |codes AS MATERIALIZED (
+           |  SELECT corpus_id, bucket,
+           |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+           |  FROM dists GROUP BY corpus_id, bucket),
+           |probes AS (
+           |  SELECT vec_id AS query_id,
+           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+           |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
+           |  FROM ccs, psizing WHERE vec_id < 8),
+           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
+           |scored AS (
+           |  SELECT query_id, corpus_id,
+           |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
+           |  FROM cand JOIN v q ON q.vec_id = query_id
+           |            JOIN chat ch ON ch.c = bucket - 1
+           |            CROSS JOIN pqf),
+           |short AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
+           |    FROM scored)
+           |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
+           |exact AS (
+           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+           |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+           |  FROM exact)
+           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+           |ORDER BY query_id, rnk""".stripMargin
+    },
+
     // k-means-FITTED IVF (r12 — rows-gated until the fit went fixed
     // point): the fp fit unrolled as CTEs (kmeansFitCtes, 3 rounds),
     // then the sim_topk_ivf probe/rank replay verbatim over the fitted
@@ -2627,6 +2750,77 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
 
+    // fully-FITTED IVF-PQ on the CORPUS LADDERS (r16 — the serving-recall
+    // row): the laddered coarse fp k-means (kmeansFitCtes sized — seeds
+    // from the 10000.. region past nl 200) + the residual fit against
+    // the FITTED book (pqFitCtes over fc3), then the sized serve replay
+    // (ps-driven probes, rf-driven shortlist) over the fitted chat/pqv.
+    // Identity to sim_topk_ivf_pq_fitted's books at every driver-gate
+    // scale (nl = 64 there) except refine rides rsizing.
+    "sim_topk_ivf_pq_fitted_sized" -> {
+      import graft.functions.Codebooks.{PqM, PqSub, PqK}
+      val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+      val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
+        s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
+      NormCte +
+        s"""
+           |, nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+           |  WHEN COUNT(*) <= 65536 THEN 128
+           |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
+           |psizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
+           |  ELSE $Probes * (nl // 128) END AS ps FROM nlsizing),
+           |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+           |    WHEN COUNT(*) <= 65536 THEN 8
+           |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
+           |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048)},
+           |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
+           |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
+           |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),
+           |cb AS (
+           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+           |  FROM ccs WHERE vec_id >= 8),
+           |sres AS (
+           |  SELECT cb.corpus_id, cb.bucket,
+           |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+           |  FROM cb JOIN v ON v.vec_id = cb.corpus_id JOIN chat ON chat.c = cb.bucket - 1),
+           |sdists AS (
+           |  SELECT corpus_id, bucket, m,
+           |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
+           |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+           |  FROM sres CROSS JOIN pqv GROUP BY corpus_id, bucket, m),
+           |scodes AS MATERIALIZED (
+           |  SELECT corpus_id, bucket,
+           |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+           |  FROM sdists GROUP BY corpus_id, bucket),
+           |probes AS (
+           |  SELECT vec_id AS query_id,
+           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+           |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
+           |  FROM ccs, psizing WHERE vec_id < 8),
+           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM scodes JOIN probes USING (bucket)),
+           |scored AS (
+           |  SELECT query_id, corpus_id,
+           |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
+           |  FROM cand JOIN v q ON q.vec_id = query_id
+           |            JOIN chat ch ON ch.c = bucket - 1
+           |            CROSS JOIN pqf),
+           |short AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
+           |    FROM scored)
+           |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
+           |exact AS (
+           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+           |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+           |  FROM exact)
+           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+           |ORDER BY query_id, rnk""".stripMargin
+    },
+
     // fully-FITTED IVF-PQ (r12): coarse fp fit (3 rounds) + per-subspace
     // fp residual fit (5 rounds, first-2048 sample) unrolled, then the
     // sim_topk_ivf_pq encode/score/shortlist/rerank replay over the
@@ -2640,7 +2834,7 @@ object PipelineQueries {
         s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
       NormCte +
         s"""
-           |, ${kmeansFitCtes(3)}${pqFitCtes(3, 5, 2048)},
+           |, ${kmeansFitCtes(3)}${pqFitCtes("fc3", 5, 2048)},
            |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
            |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
            |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),

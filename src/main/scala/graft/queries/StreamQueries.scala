@@ -144,6 +144,29 @@ object StreamQueries {
       SimilarityStream.ivfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // The FITTED-residual-book serving twin (r16): same compact-index
+    // stream plan, code/score kernels from the shared
+    // pqResFitServingExprs builder (deterministic fit — batch and
+    // stream books bit-identical). Replay reproduces
+    // sim_topk_ivf_pq_resfit (batch oracle verbatim).
+    "stream_sim_ivf_pq_resfit" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf_pq_resfit", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.ivfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt,
+        tablePrefix = "graft_pq_resfit_stream", book = "resfit")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    // The FULLY-fitted serving ladder's twin (r16): laddered coarse
+    // k-means + residual book fitted against it — the recall-lifting
+    // arm (sf10 0.175 vs the formula ladder's 0.100). Replay reproduces
+    // sim_topk_ivf_pq_fitted_sized (batch oracle verbatim).
+    "stream_sim_ivf_pq_fitted" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf_pq_fitted", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.ivfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt,
+        tablePrefix = "graft_pq_fitted_stream", book = "fitted")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Streaming PQ-compact MIPS serving (r14): codes-resident
     // augmented-space index + original-vector rerank table materialized
     // once; per batch, probe + PQ shortlist + exact raw-ip rerank.
@@ -402,6 +425,8 @@ object StreamQueries {
     "stream_sim_ivf" -> PipelineQueries.oracles("sim_topk_ivf"),
     "stream_pq_dedup" -> PipelineQueries.oracles("dedup_pq_codes"),
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
+    "stream_sim_ivf_pq_resfit" -> PipelineQueries.oracles("sim_topk_ivf_pq_resfit"),
+    "stream_sim_ivf_pq_fitted" -> PipelineQueries.oracles("sim_topk_ivf_pq_fitted_sized"),
     // codes-resident augmented-space MIPS serving, replay == batch
     "stream_sim_mips_pq" -> PipelineQueries.oracles("sim_topk_mips_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),

@@ -115,7 +115,8 @@ object SimilarityStream {
                       outDir: String, checkpointDir: String, k: Int = 10,
                       maxFilesPerTrigger: Option[Int] = None,
                       probes: Int = 8, refine: Int = 0,
-                      tablePrefix: String = "graft_pq_stream"): DataFrame = {
+                      tablePrefix: String = "graft_pq_stream",
+                      book: String = "formula"): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
@@ -123,11 +124,25 @@ object SimilarityStream {
     // batch Sized row's ladder, so replay == batch at every scale;
     // late r15 the coarse books + probes ride the same ladder through
     // the SHARED pqServingExprs quartet (batch and stream encode and
-    // score with the identical kernel constructions)
+    // score with the identical kernel constructions). `book` (r16)
+    // picks the codebook pair through the SHARED builders — "resfit"
+    // (formula ladder coarse + fitted residual book,
+    // pqResFitServingExprs) or "fitted" (laddered coarse k-means +
+    // residual fit against it, pqFittedServingExprs); both fits are
+    // deterministic (integer arithmetic over the first-2048 sample),
+    // so this face's books are bit-identical to the batch operator's.
     val n = corpus.count()
     val refineEff = if (refine > 0) refine else Similarity.sizedRefine(n)
-    val (bucketCol, probesCol, codeCol, scoreCol) = Similarity.pqServingExprs(
-      corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
+    val (bucketCol, probesCol, codeCol, scoreCol) = book match {
+      case "resfit" => Similarity.pqResFitServingExprs(
+        corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
+      case "fitted" => Similarity.pqFittedServingExprs(
+        corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
+      case "formula" => Similarity.pqServingExprs(
+        corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
+      case other => throw new IllegalArgumentException(
+        s"ivfPqTopKStream: unknown book '$other' (formula | resfit | fitted)")
+    }
     val isQuery = col("vec_id") < 8
 
     val vecsTable = s"${tablePrefix}_vecs"

@@ -294,4 +294,33 @@ class CliSpec extends SparkSpec {
     assert(code3 == 1)
     assert(lines.exists(_.contains("unknown vector topic")))
   }
+
+  test("query: the ANN lookup verb serves top-k from the compact index it " +
+      "builds, bit-identical to the gated PQ serving operator") {
+    val out = outDir("query")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "query", "embeddings", "graft_cli_spec_pq"),
+      print = lines += _)
+    assert(code == 0)
+    val got = spark.read.parquet(s"$out/topk")
+    val lib = graft.operators.Similarity.ivfPqTopKSized(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      col("vec_id") < 8, k = 10)
+      .select(got.columns.map(col): _*)
+    assert(got.count() == lib.count())
+    assert(got.exceptAll(lib).isEmpty && lib.exceptAll(got).isEmpty,
+      "command answers must equal the library serving operator bit-for-bit")
+    assert(lines.exists(_.contains("from compact index 'graft_cli_spec_pq'")))
+    // -k plumbs through: a k=3 run returns 3 rows per query
+    val code2 = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "-k", "3", "query", "embeddings", "graft_cli_spec_pq3"),
+      print = lines += _)
+    assert(code2 == 0)
+    val got3 = spark.read.parquet(s"$out/topk")
+    assert(got3.groupBy("query_id").count()
+      .filter(col("count") =!= 3).count() === 0)
+    // bad -k is a parse error, not a throw
+    assert(Cli.parse(Seq("-d", sf, "-k", "0", "query", "a", "b")).isLeft)
+  }
 }

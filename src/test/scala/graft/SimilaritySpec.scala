@@ -438,6 +438,41 @@ class SimilaritySpec extends SparkSpec {
     bf10.unpersist(); fitted.unpersist()
   }
 
+  test("r16 fitted serving ladder: the sized fully-fitted row equals ivfPqTopKFitted " +
+      "bit-for-bit at gate scale; the resfit row exact-reranks, is deterministic " +
+      "(the batch/stream book-sharing guarantee), and its fitted residual book " +
+      "genuinely moves off the formula seeds") {
+    // at gate scale the ladders are identities (nlist 64, probes 8,
+    // refine 4), so the sized fully-fitted row IS ivfPqTopKFitted
+    val fitted = Similarity.ivfPqTopKFitted(emb, isQuery, k = 10)
+    val sized = Similarity.ivfPqTopKFittedSized(emb, isQuery, k = 10)
+    assert(sized.exceptAll(fitted).isEmpty && fitted.exceptAll(sized).isEmpty,
+      "sized fully-fitted serving must equal the fixed form below the ladder step")
+    // resfit: the final rerank is exact, so every hit's cosine appears
+    // verbatim in exhaustive scoring
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    val r1 = Similarity.ivfPqTopKResFitted(emb, isQuery, k = 10).cache()
+    assert(r1.select(col("query_id"), col("corpus_id"), col("cos"))
+      .except(bf).count() === 0)
+    // determinism: an independent second fit+serve is bit-identical —
+    // this is what lets batch and the streaming twin each call the
+    // shared builder and still share books exactly
+    val r2 = Similarity.ivfPqTopKResFitted(emb, isQuery, k = 10)
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty,
+      "the residual fit must be deterministic")
+    // and the fit is not a no-op: the fitted book differs from its
+    // formula-seed starting point somewhere
+    val cents = graft.functions.Codebooks.centroidsArr
+    val cnorms = graft.functions.Codebooks.centroidNorms
+    val pqFit = Similarity.fitPqCodebooks(emb, cents, cnorms,
+      fpRef = graft.functions.Codebooks.fpCentroidsFor(64))
+    assert(pqFit.flatten.flatten.toSeq !=
+      graft.functions.Codebooks.pqCents.flatten.flatten.toSeq,
+      "five fit rounds must move the residual book off the LCG seeds")
+    r1.unpersist()
+  }
+
   test("concurrent fitted queries use their OWN codebooks (no holder cross-contamination)") {
     // two fits with different parameters race fit→analyze on purpose;
     // per-fit function names + closed-over arrays must keep each query's

@@ -567,6 +567,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming FITTED-ladder PQ serving over multi-batch replay equals batch " +
+      "ivfPqTopKFittedSized (the stream face re-derives the deterministic fit " +
+      "through the shared builder — books bit-identical)") {
+    val embDir = "/root/repo/target/stream-scratch/emb-split-pqfit"
+    Tables.load(spark, sf, "embeddings").repartition(4)
+      .write.mode("overwrite").parquet(embDir)
+    val (out, ckpt) = TopicStream.scratchDirs("spec_sim_ivf_pq_fitted", embDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val streamed = graft.streaming.SimilarityStream.ivfPqTopKStream(
+      spark, embDir, out, ckpt, maxFilesPerTrigger = Some(1),
+      tablePrefix = "graft_pq_fitted_spec", book = "fitted")
+      .select("query_id", "corpus_id", "cos", "rnk")
+    val batch = graft.operators.Similarity.ivfPqTopKFittedSized(
+      Tables.load(spark, sf, "embeddings"), col("vec_id") < 8)
+      .select("query_id", "corpus_id", "cos", "rnk")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming PQ-MIPS serving over multi-batch replay equals batch " +
       "mipsIvfPqTopK (codes-resident augmented index static, per-batch " +
       "shortlist + exact raw-ip rerank)") {
