@@ -96,16 +96,16 @@ object Bench {
   // four join the BenchOne §7 prose. 69 entries.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
-    "events_window", "events_sessionize", "events_session_window",
+    "events_window", "events_sessionize",
     "orders_anti_join", "events_rollup", "q18_large_orders", "q10_returned",
     "events_asof", "events_range_join", "events_funnel", "events_anomaly",
     "topic_merge_all", "topic_ask_table", "topic_compact",
     "topic_serde_avro", "topic_scd2",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
-    "dedup_embedding", "dedup_semantic", "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+    "dedup_pq_codes", "dedup_semantic", "sim_topk_mips_ivf_fitted", "sim_topk_lsh", "sim_topk_ivf",
     "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf", "sim_topk_mips_ivf",
     "knn_pagerank", "knn_pagerank_indexed", "knn_diversity_mis",
-    "knn_mis_cluster_stats",
+    "knn_mis_cluster_stats", "knn_consumer_card",
     "events_approx", "events_asof_nearest",
     "events_percentiles", "parts_pagerank", "events_session_overlap",
     "text_quality", "text_repetition",

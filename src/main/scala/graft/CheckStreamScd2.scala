@@ -103,6 +103,33 @@ object CheckStreamScd2 {
       failed ||= missing != 0 || extra != 0 || nStream != nBatch
     }
 
+    // ---- As-of: multi-batch replay vs the batch single-shuffle window
+    // (r16 stretch — the verdict named funnel AND asof as the remaining
+    // ungated stream-static twins)
+    locally {
+      val aCols = Seq("event_id", "user_id", "ts", "value",
+        "click_id", "click_ts", "click_value")
+      val (out, ckpt) = streaming.TopicStream.scratchDirs("check_stream_asof", sfDir)
+      val t0 = System.nanoTime()
+      val streamed = streaming.AsOfStream.asofStream(spark, sfDir, out, ckpt,
+        tablePrefix = "graft_check_asof")
+        .select(aCols.head, aCols.tail: _*).cache()
+      val nStream = streamed.count()
+      println(f"[check-stream-scd2] asof streamed $nStream rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val (p, c) = graft.queries.AnalyticsQueries.asofSides(spark, sfDir)
+      val batch = graft.operators.AsOf.joinAsOf(p, c, key = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts", tieBreak = Seq("click_id"))
+        .select(aCols.head, aCols.tail: _*).cache()
+      val nBatch = batch.count()
+      val missing = batch.exceptAll(streamed).count()
+      val extra = streamed.exceptAll(batch).count()
+      streamed.unpersist(); batch.unpersist()
+      println(s"[check-stream-scd2] asof rows=$nStream/$nBatch missing=$missing extra=$extra " +
+        (if (missing == 0 && extra == 0 && nStream == nBatch) "(stream union == batch)"
+         else "(MISMATCH)"))
+      failed ||= missing != 0 || extra != 0 || nStream != nBatch
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }

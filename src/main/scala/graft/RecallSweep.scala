@@ -53,8 +53,14 @@ object RecallSweep {
     val ceilMips = S.mipsIvfTopK(emb, isQuery, k = 10)
       .select("query_id", "corpus_id")
       .intersect(exactMips).count() / nMips
+    // the LADDERED MIPS fit (r16): fitted books at sizedNlist — the
+    // registered sim_topk_mips_ivf_fitted path
+    val mipsFit = S.mipsIvfTopKFittedSized(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id")
+      .intersect(exactMips).count() / nMips
     println(f"[recall-sweep] $sfDir ceilings: cosine-IVF(fixed64)=$ceilCos%.3f " +
-      f"cosine-IVF(sized)=$ceilCosSized%.3f mips-IVF(sized)=$ceilMips%.3f")
+      f"cosine-IVF(sized)=$ceilCosSized%.3f mips-IVF(sized)=$ceilMips%.3f " +
+      f"mips-IVF(sized FITTED)=$mipsFit%.3f")
     for (refine <- Seq(1, 2, 4, 8, 16)) {
       val rc = S.ivfPqTopK(emb, isQuery, k = 10, refine = refine)
         .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
@@ -82,6 +88,17 @@ object RecallSweep {
     val rFitSized = S.ivfPqTopKFittedSized(emb, isQuery, k = 10)
       .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
     println(f"[recall-sweep] cosine-IVF-PQ(sized, FITTED coarse+residual) recall=$rFitSized%.3f")
+    // the recall-target frontier (r16, r15 VERDICT #2): base probes 16
+    // pins fraction 1/8 on the same ladder — recall vs DOUBLE the
+    // candidates, the one-parameter cost/recall dial
+    val hi = S.probesForRecall("high")
+    val ceilCosHr = S.ivfTopKSized(emb, isQuery, k = 10, probes = hi)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    val rServingHr = S.ivfPqTopKSized(emb, isQuery, k = 10, probes = hi)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] recall-target=high (base 16, fraction 1/8): " +
+      f"cosine-IVF ceiling=$ceilCosHr%.3f cosine-IVF-PQ=$rServingHr%.3f " +
+      f"(vs standard $ceilCosSized%.3f / $rServing%.3f at half the candidates)")
     exactCos.unpersist(); exactMips.unpersist()
     spark.stop()
   }

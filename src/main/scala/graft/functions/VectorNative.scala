@@ -137,6 +137,21 @@ object Codebooks {
         % 2001L) - 1000L).toDouble)))
   }
 
+  /** The LADDERED form of [[seedMipsCentroidsFp]] (r16 — the MIPS
+    * fitted serving ladder): bit-identical to it for k ≤ NCentroids
+    * (same rows-600 region), the fresh 20000.. region beyond — the
+    * [[fpCentroidsFor]] pattern over the (Dim+1)-dim augmented space.
+    */
+  private[graft] def fpMipsCentroidsFor(n: Int): Array[Array[Double]] = {
+    require(n <= 2048,
+      s"fpMipsCentroidsFor(n=$n): the LCG row budget for MIPS centroids is " +
+        "2048 (rows 600.. for n <= 64, rows 20000.. beyond)")
+    val off = if (n <= NCentroids) MipsRowBase else MipsBigRowBase
+    Array.tabulate(n)(c => fpNormalize(Array.tabulate(Dim + 1)(i =>
+      (((1103515245L * ((c + off).toLong * (Dim + 1) + i) + 12345L)
+        % 2001L) - 1000L).toDouble)))
+  }
+
   /** Product-quantization sub-codebooks (IVF-PQ residual refinement):
     * PqM subspaces of PqSub dims, PqK codes each. Same LCG family from
     * generator rows 400.. (planes use rows 0..NPlanes-1, coarse

@@ -227,6 +227,27 @@ object Similarity {
     if (nl <= 128) base else base * (nl / 128)
   }
 
+  /** Recall-target policy on the serving/graph probe knob (r16, r15
+    * VERDICT #2): the base-probes value that [[sizedProbes]] pins as a
+    * FRACTION of the codebook, named by the recall class it buys.
+    * Measured (RecallSweep + the KnnSkewBench hub sweep, r15 §7 (d)/(e)
+    * evidence): "standard" (8 → fraction 1/16 past the gates) is the
+    * registered rows' operating point; "high" (16 → fraction 1/8)
+    * recovers the 0.8-recall ceiling class at DOUBLE the candidate
+    * cost — candidates per query are (base/128)·N, so the price is
+    * linear in the base and the choice is a pure cost/recall dial on
+    * the existing ladder (edge layout, kernels and plans unchanged).
+    * Callers pass the result as the `probes` argument of
+    * [[ivfTopKSized]] / [[ivfPqTopKSized]] / [[mipsIvfTopK]] /
+    * [[knnJoinIvfSized]].
+    */
+  def probesForRecall(target: String): Int = target match {
+    case "standard" => 8
+    case "high" => 16
+    case other => throw new IllegalArgumentException(
+      s"probesForRecall: unknown target '$other' (standard | high)")
+  }
+
   /** The candidate-stage width pin, N-adaptive like [[sizedNlist]]: off
     * (0) at every gate scale — plans and oracles bit-identical — and the
     * session's shuffle width once the corpus outgrows the 65,536-vector
@@ -498,7 +519,10 @@ object Similarity {
       .withColumn("xh", expr("graft_fp_unit(ea)"))
       .filter(col("xh").isNotNull)
       .select(col("xh")).persist()
-    try fitLoop(emb, va, Codebooks.seedMipsCentroidsFp(k), Dim + 1, iters,
+    // seeds from the LADDERED MIPS regions (r16): fpMipsCentroidsFor ==
+    // seedMipsCentroidsFp bit-for-bit at k <= 64, the fresh 20000..
+    // region beyond — laddered fits without touching gated small fits
+    try fitLoop(emb, va, Codebooks.fpMipsCentroidsFor(k), Dim + 1, iters,
       "graft_mips_fit_assign")
     finally { va.unpersist(); () }
   }
@@ -513,8 +537,27 @@ object Similarity {
     * and vs the LCG formula book — is swept in SimilaritySpec.
     */
   def mipsIvfTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
-                        probes: Int = 8, iters: Int = 3): DataFrame = {
-    val cents = fitMipsCentroids(emb, isQuery, NCentroids, iters)
+                        probes: Int = 8, iters: Int = 3): DataFrame =
+    mipsIvfTopKFittedNlist(emb, isQuery, k, probes, NCentroids, iters)
+
+  /** [[mipsIvfTopKFitted]] on the CORPUS LADDERS (r16 — the MIPS face
+    * of the fitted serving ladder): the augmented-space k-means fits
+    * [[sizedNlist]] books (seeds from the laddered MIPS LCG regions)
+    * and probes ride [[sizedProbes]] — identity at every driver-gate
+    * scale, so the gated small-fit oracles hold unchanged; the
+    * registered `sim_topk_mips_ivf_fitted` path since r16.
+    */
+  def mipsIvfTopKFittedSized(emb: DataFrame, isQuery: Column, k: Int = 10,
+                             probes: Int = 8, iters: Int = 3): DataFrame = {
+    val n = emb.count()
+    mipsIvfTopKFittedNlist(emb, isQuery, k, sizedProbes(probes, n),
+      sizedNlist(n), iters)
+  }
+
+  def mipsIvfTopKFittedNlist(emb: DataFrame, isQuery: Column, k: Int = 10,
+                             probes: Int = 8, nlist: Int = NCentroids,
+                             iters: Int = 3): DataFrame = {
+    val cents = fitMipsCentroids(emb, isQuery, nlist, iters)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val bucketName = registerFitFunction(emb, "graft_mips_bucket_fitted")(
       exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))

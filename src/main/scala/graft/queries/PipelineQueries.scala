@@ -194,7 +194,10 @@ object PipelineQueries {
     // family; the oracle unrolls the fit as CTEs (full hash gate) and
     // recall-vs-formula-book is swept in SimilaritySpec.
     "sim_topk_mips_ivf_fitted" -> ((s, dir) =>
-      Similarity.mipsIvfTopKFitted(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+      // r16: the LADDERED fit (identity at driver scales — fit books
+      // ride sizedNlist, probes sizedProbes; oracle mirrors via
+      // mnlsizing/mpsizing + the sized fit seeds)
+      Similarity.mipsIvfTopKFittedSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
@@ -204,6 +207,15 @@ object PipelineQueries {
     // scale, √N books with a pinned probed fraction beyond
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
+        .orderBy(col("query_id"), col("rnk"))),
+    // the HIGH-recall-target serving point (r16, r15 VERDICT #2): the
+    // same sized serving plan with base probes from
+    // probesForRecall("high") — fraction 1/8 pinned on the ladder,
+    // recovering the 0.8-recall ceiling class at double candidate cost
+    // (the r15 sweep's measured trade); one parameter, own oracle
+    "sim_topk_ivf_hr" -> ((s, dir) =>
+      Similarity.ivfTopKSized(Tables.load(s, dir, "embeddings"), queryPred, TopK,
+        probes = Similarity.probesForRecall("high"))
         .orderBy(col("query_id"), col("rnk"))),
     // kNN SELF-join (r9): every vector's top-k neighbors over its
     // probed IVF buckets — the ANN-graph construction pass
@@ -1462,7 +1474,7 @@ object PipelineQueries {
     * against the fitted book, shaped exactly like the formula oracle's
     * accs so the probe/rank replay is shared verbatim.
     */
-  private def mipsKmeansFitCtes(iters: Int): String = {
+  private def mipsKmeansFitCtes(iters: Int, sized: Boolean = false): String = {
     val d1 = Dim + 1
     def dotA(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)"
@@ -1483,9 +1495,12 @@ object PipelineQueries {
          |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
          |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
          |sg AS (
-         |  SELECT c, [(((1103515245*((c+${graft.functions.Codebooks.MipsRowBase})*$d1+i) + 12345) % 2001) - 1000)
+         |  SELECT c, [(((1103515245*((c+${
+           if (sized) s"CASE WHEN nl <= $NCentroids THEN ${graft.functions.Codebooks.MipsRowBase} ELSE ${graft.functions.Codebooks.MipsBigRowBase} END"
+           else graft.functions.Codebooks.MipsRowBase.toString})*$d1+i) + 12345) % 2001) - 1000)
          |             for i in generate_series(0, ${d1 - 1})] AS g
-         |  FROM generate_series(0, ${NCentroids - 1}) t(c)),
+         |  FROM ${if (sized) "generate_series(0, 2047) AS t(c), mnlsizing WHERE c < nl"
+                  else s"generate_series(0, ${NCentroids - 1}) t(c)"}),
          |fc0 AS MATERIALIZED (
          |  SELECT c, ${fpn("g", "n2")} AS cv
          |  FROM (SELECT c, g, ${sumSq("g")} AS n2 FROM sg))""".stripMargin
@@ -2399,6 +2414,35 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin),
 
+    // the high-recall-target serving point (r16): sim_topk_ivf's replay
+    // with base probes 16 (probesForRecall("high") — fraction 1/8 on
+    // the ladder; the comprehension bound covers ps up to 16·16 = 256
+    // at nl 2048, and the `if p <= ps` guard keeps cc indexing in range)
+    "sim_topk_ivf_hr" -> (NormCte +
+      s"""
+         |, $ivfCentroidCtesSized,
+         |psizing AS (SELECT CASE WHEN nl <= 128 THEN 16
+         |  ELSE 16 * (nl // 128) END AS ps FROM nlsizing),
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM ccs WHERE vec_id >= 8),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, 256) if p <= ps]) AS bucket
+         |  FROM ccs, psizing WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin),
+
     // kNN self-join: the IVF CTEs with EVERY vector on both sides,
     // self-pairs excluded; probe/rank replay identical to sim_topk_ivf
     "sim_knn_join_ivf" -> (NormCte +
@@ -2701,20 +2745,28 @@ object PipelineQueries {
     // point): the fp fit unrolled as CTEs (kmeansFitCtes, 3 rounds),
     // then the sim_topk_ivf probe/rank replay verbatim over the fitted
     // cn2/ccs
-    // fitted MIPS-IVF (r15): the augmented-space fp k-means unrolled
-    // (mipsKmeansFitCtes), then the formula-book MIPS oracle's
-    // probe/raw-ip/rank replay verbatim over the fitted accs
+    // fitted MIPS-IVF (r15; LADDERED r16): the augmented-space fp
+    // k-means unrolled (mipsKmeansFitCtes sized — fit books ride
+    // mnlsizing, seeds from the 20000.. region past nl 64, probes ride
+    // mpsizing), then the formula-book MIPS oracle's probe/raw-ip/rank
+    // replay verbatim over the fitted accs. Identity at every
+    // driver-gate scale (nl = 64 there).
     "sim_topk_mips_ivf_fitted" -> (NormCte +
       s"""
-         |, ${mipsKmeansFitCtes(3)},
+         |, mnlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+         |  WHEN COUNT(*) <= 65536 THEN 128
+         |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
+         |mpsizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
+         |  ELSE $Probes * (nl // 128) END AS ps FROM mnlsizing),
+         |${mipsKmeansFitCtes(3, sized = true)},
          |corpus AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
          |  FROM accs WHERE vec_id >= 8),
          |probes AS (
          |  SELECT vec_id AS query_id,
          |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-         |                 for p in generate_series(1, $Probes)]) AS bucket
-         |  FROM accs WHERE vec_id < 8),
+         |                 for p in generate_series(1, 256) if p <= ps]) AS bucket
+         |  FROM accs, mpsizing WHERE vec_id < 8),
          |cand AS (
          |  SELECT DISTINCT query_id, corpus_id
          |  FROM corpus JOIN probes USING (bucket)),

@@ -34,18 +34,27 @@ def main() -> int:
         "check_one takes ONE query name per invocation; loop in shell "
         "(per-process memory discipline, r15 A/B)")
     con = duckdb.connect()
-    # 64GB: the sf1 recursive reach-closure oracles pin structures DuckDB
-    # cannot spill (r15 A/B: the UNCHANGED r14 oracle text OOM'd at the
-    # old 24GB cap on a quiet box — environment drift, not an oracle
+    # 64GB default: the sf1 recursive reach-closure oracles pin structures
+    # DuckDB cannot spill (r15 A/B: the UNCHANGED r14 oracle text OOM'd at
+    # the old 24GB cap on a quiet box — environment drift, not an oracle
     # change); the box has 125G and this tool runs one query per process.
-    # NEVER co-run this 64GB gate with sf10 Spark jobs — three heavy jobs
-    # on one box produced two spurious OOMs in r15 before serializing.
-    con.execute("SET memory_limit='64GB'")
+    # NEVER co-run this gate with sf10 Spark jobs — three heavy jobs on
+    # one box produced two spurious OOMs in r15 before serializing.
+    # GRAFT_DUCK_MEM raises the cap for the r16 laddered-fit serving
+    # oracles (3 unrolled k-means rounds over 200k x 512 lists peak past
+    # 64GB; they complete at 100GB in ~45 min) — use it SOLO on an
+    # otherwise idle box only.
+    import os
+    req = os.environ.get("GRAFT_DUCK_MEM", "64GB")
+    assert req.endswith("GB") and req[:-2].isdigit(), (
+        f"GRAFT_DUCK_MEM must be '<int>GB', got {req!r}")
+    con.execute(f"SET memory_limit='{req}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     eff = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
-    # 64GB == 59.6 GiB in DuckDB's binary rendering (verified r16)
-    assert eff == "59.6 GiB", (
-        f"memory_limit did not take (got {eff!r}, want '59.6 GiB') — "
+    # DuckDB renders the decimal-GB request in binary GiB (64GB = 59.6 GiB)
+    want = f"{int(req[:-2]) * 1000**3 / 2**30:.1f} GiB"
+    assert eff == want, (
+        f"memory_limit did not take (got {eff!r}, want {want!r}) — "
         "DuckDB env drift; re-verify the r15 A/B sizing before trusting "
         "any sf1+ gate")
     for t in TABLES:
