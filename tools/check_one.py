@@ -40,15 +40,31 @@ def main() -> int:
     # change); the box has 125G and this tool runs one query per process.
     # NEVER co-run this gate with sf10 Spark jobs — three heavy jobs on
     # one box produced two spurious OOMs in r15 before serializing.
-    # GRAFT_DUCK_MEM raises the cap for the r16 laddered-fit serving
-    # oracles (3 unrolled k-means rounds over 200k x 512 lists peak past
-    # 64GB; they complete at 100GB in ~45 min) — use it SOLO on an
-    # otherwise idle box only.
+    # GRAFT_DUCK_MEM raises the cap and GRAFT_DUCK_THREADS lowers the
+    # thread count for the r16 laddered-fit serving oracles: their
+    # per-thread list-aggregate state is the memory MULTIPLIER — at the
+    # default 32 threads the sf10 fit unroll OOMs even at 100GB solo,
+    # while 12 threads complete in ~12 min at a ~36G peak (measured
+    # r16 A/B). Use 100GB + 12 threads, SOLO on an idle box.
     import os
     req = os.environ.get("GRAFT_DUCK_MEM", "64GB")
     assert req.endswith("GB") and req[:-2].isdigit(), (
         f"GRAFT_DUCK_MEM must be '<int>GB', got {req!r}")
     con.execute(f"SET memory_limit='{req}'")
+    thr = os.environ.get("GRAFT_DUCK_THREADS")
+    if thr is not None:
+        assert thr.isdigit() and int(thr) >= 1, (
+            f"GRAFT_DUCK_THREADS must be a positive int, got {thr!r}")
+        con.execute(f"SET threads={int(thr)}")
+    # GRAFT_DUCK_NO_ORDER=1 disables preserve_insertion_order — THE fix
+    # for the laddered-fit oracles (r16 A/B): order preservation forces
+    # full pipeline materialization and DuckDB's buffer ACCOUNTING (not
+    # RSS — the box showed 43G used at the 100GB-limit abort) overruns
+    # any cap; with it off the sf10 fit unroll completes in ~14 min.
+    # Always safe here: the compare sorts rows (norm), so row order can
+    # never change a verdict.
+    if os.environ.get("GRAFT_DUCK_NO_ORDER") == "1":
+        con.execute("SET preserve_insertion_order=false")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     eff = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
     # DuckDB renders the decimal-GB request in binary GiB (64GB = 59.6 GiB)
