@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
 object BenchFromIndex {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // shared assert-loud preflight (r16 VERDICT #5): stale scratch wipe
+    // + disk headroom for the sf10 candidate-sort spill + heap echo
+    GatePreflight.run(minFreeGb = 60L, main = "BenchFromIndex")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

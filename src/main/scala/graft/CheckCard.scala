@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
 object CheckCard {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // shared assert-loud preflight (r16 VERDICT #5): stale scratch wipe
+    // + disk headroom for the sf10 candidate-sort spill + heap echo
+    GatePreflight.run(minFreeGb = 60L, main = "CheckCard")
     val tau = if (args.length > 1) args(1).toDouble else 0.4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxCollect = sys.env.getOrElse("GRAFT_CHECK_MAX_ROWS", "100000000").toLong
@@ -34,6 +37,11 @@ object CheckCard {
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val card = graft.operators.Graph.knnConsumerCard(emb, "graft_knn_card_check",
       tau = tau).head()
+    // null card columns (e.g. a null mis_rounds off an empty selection)
+    // must fail with a VERDICT, not an NPE mid-compare (r16 ADVICE)
+    (0 until 9).foreach(i => require(!card.isNullAt(i),
+      s"[check-card] card column $i is NULL — degenerate operator output, " +
+        "nothing to gate (empty selection / edge-free index?)"))
     val got = (card.getLong(0), card.getLong(1), card.getLong(2), // nodes/edges/maxdeg
       card.getLong(3), card.getLong(4), // pr top id/rank
       card.getLong(5), card.getInt(6), // mis selected/rounds
@@ -45,6 +53,12 @@ object CheckCard {
     println(s"[check-card] collecting $nEdgeRows index edges")
     require(nEdgeRows <= maxCollect,
       s"[check-card] edge count $nEdgeRows exceeds the driver cap $maxCollect")
+    // an edge-free index has no consumer-card semantics (the operator's
+    // own PageRank top-1 head() would already have thrown) — fail with
+    // an explicit message instead of an empty-iterator crash below
+    require(nEdgeRows > 0,
+      "[check-card] edge-free kNN index — the consumer card is undefined " +
+        "on an empty graph; nothing to gate")
     val edgesC = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val edges = edgesC.map(e => (e._1, e._2))
 
@@ -53,14 +67,17 @@ object CheckCard {
     val nbrs = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
     val nNodes = nbrs.size.toLong
     val nEdges = edges.length.toLong / 2
-    val maxDeg = nbrs.valuesIterator.map(_.length).max.toLong
+    val maxDeg = nbrs.valuesIterator.map(_.length).maxOption.getOrElse(0).toLong
 
     // --- the CheckMis integer PageRank replay + top-1 by (rank desc, id)
-    val scale = 1000000000000L
+    // (constants SHARED with the operator — r16 ADVICE: a change to the
+    // Graph defaults now desynchronizes by failing to compile or by
+    // changing both sides together, never silently)
+    val scale = graft.operators.Graph.DefaultRankScale
     val base = (15L * scale) / 100L
     val deg = nbrs.map { case (id, ns) => id -> ns.length.toLong }
     var rank = deg.map { case (id, _) => id -> scale }
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to graft.operators.Graph.DefaultPrRounds) {
       val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       for ((u, ns) <- nbrs; s = rank(u) / deg(u); v <- ns) contrib(v) += s
       rank = deg.map { case (id, _) => id -> (base + (85L * contrib(id)) / 100L) }
@@ -68,9 +85,8 @@ object CheckCard {
     val (topId, topRank) = rank.minBy { case (id, r) => (-r, id) }
 
     // --- the CheckMis Luby replay (selected count + convergence depth)
-    val mod = 1000003L
     def pri(t: Int, id: Long): Long =
-      if (t == 1) rank(id) else ((id % mod) * 48271L + t * 12345L) % mod
+      graft.operators.Graph.misPriorityValue(t, id, rank(id))
     var alive = rank.keySet
     var nSel = 0L
     var t = 1

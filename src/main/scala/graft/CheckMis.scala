@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
 object CheckMis {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // shared assert-loud preflight (r16 VERDICT #5): stale scratch wipe
+    // + disk headroom for the sf10 candidate-sort spill + heap echo
+    GatePreflight.run(minFreeGb = 60L, main = "CheckMis")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxCollect = sys.env.getOrElse("GRAFT_CHECK_MAX_ROWS", "100000000").toLong
     val spark = SparkSession.builder()
@@ -49,21 +52,21 @@ object CheckMis {
 
     // --- driver replay: fixed-point PageRank (the pageRankAdjacency
     // recurrence, symmetric fast path — every node has in-edges)
-    val scale = 1000000000000L
+    val scale = graft.operators.Graph.DefaultRankScale
     val base = (15L * scale) / 100L
     val nbrs = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
     val deg = nbrs.map { case (id, ns) => id -> ns.length.toLong }
     var rank = deg.map { case (id, _) => id -> scale }
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to graft.operators.Graph.DefaultPrRounds) {
       val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       for ((u, ns) <- nbrs; s = rank(u) / deg(u); v <- ns) contrib(v) += s
       rank = deg.map { case (id, _) => id -> (base + (85L * contrib(id)) / 100L) }
     }
 
     // --- driver replay: the Luby iteration with the shared priorities
-    val mod = 1000003L
+    // (formula referenced from Graph.misPriorityValue — r16 ADVICE)
     def pri(t: Int, id: Long): Long =
-      if (t == 1) rank(id) else ((id % mod) * 48271L + t * 12345L) % mod
+      graft.operators.Graph.misPriorityValue(t, id, rank(id))
     var alive = rank.keySet
     val selRound = scala.collection.mutable.Map[Long, Int]()
     var t = 1

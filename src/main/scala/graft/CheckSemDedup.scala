@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
 object CheckSemDedup {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // shared assert-loud preflight (r16 VERDICT #5): stale scratch wipe
+    // + disk headroom for the sf10 candidate-sort spill + heap echo
+    GatePreflight.run(minFreeGb = 60L, main = "CheckSemDedup")
     val tau = if (args.length > 1) args(1).toDouble else 0.4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

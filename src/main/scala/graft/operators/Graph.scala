@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The fixed-point rank scale and round count every PageRank default
+    * rides — named so driver-side replays (CheckCard/CheckMis) reference
+    * the SAME values instead of duplicating literals (r16 ADVICE: a
+    * default change must desynchronize loudly AND point here). */
+  private[graft] val DefaultRankScale = 1000000000000L
+  private[graft] val DefaultPrRounds = 5
+
   /** Node budget for the per-round rank/degree broadcast in
     * [[pageRankAdjacency]]: below it the node-sized share table fits the
     * usual executor broadcast budget (10⁷ × (8 B id + 8 B rank) ≈ 160 MB
@@ -88,8 +95,8 @@ object Graph {
     * fixed-point rank. Nodes are edge endpoints — an isolated vertex has
     * no edges to rank it by and is out of scope by construction.
     */
-  def pageRank(edges: DataFrame, rounds: Int = 5,
-               scale: Long = 1000000000000L,
+  def pageRank(edges: DataFrame, rounds: Int = DefaultPrRounds,
+               scale: Long = DefaultRankScale,
                broadcastRanks: Boolean = false): DataFrame = {
     require(rounds >= 1, s"pageRank: rounds must be >= 1, got $rounds")
     val e = edges.persist()
@@ -158,8 +165,8 @@ object Graph {
     * documents) must use this form — a hardcoded `broadcastRanks = true`
     * rides the dimension to a driver OOM at scale.
     */
-  def pageRankAdjacency(edges: DataFrame, rounds: Int = 5,
-                        scale: Long = 1000000000000L,
+  def pageRankAdjacency(edges: DataFrame, rounds: Int = DefaultPrRounds,
+                        scale: Long = DefaultRankScale,
                         chunk: Int = 1024,
                         broadcastRanks: Boolean = false,
                         symmetric: Boolean = false,
@@ -226,7 +233,7 @@ object Graph {
     */
   def knnPageRank(emb: DataFrame, k: Int = 5, probes: Int = 2,
                   rounds: Int = 5, topK: Int = 20,
-                  scale: Long = 1000000000000L): DataFrame =
+                  scale: Long = DefaultRankScale): DataFrame =
     rankCard(pageRankAdjacency(knnEdges(emb, k, probes), rounds, scale,
       symmetric = true), topK)
 
@@ -305,7 +312,7 @@ object Graph {
     */
   def pageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, rounds: Int = 5, topK: Int = 20,
-                        scale: Long = 1000000000000L): DataFrame =
+                        scale: Long = DefaultRankScale): DataFrame =
     rankCard(pageRankAdjacency(spark.table(table), rounds, scale,
       symmetric = true), topK)
 
@@ -314,9 +321,9 @@ object Graph {
     * graph landing as a reusable bucketed table on the way.
     */
   def knnPageRankIndexed(emb: DataFrame, table: String = "graft_knn_edges",
-                         k: Int = 5, probes: Int = 2, rounds: Int = 5,
+                         k: Int = 5, probes: Int = 2, rounds: Int = DefaultPrRounds,
                          topK: Int = 20,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         scale: Long = DefaultRankScale): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     pageRankFromIndex(emb.sparkSession, table, rounds, topK, scale)
   }
@@ -341,8 +348,8 @@ object Graph {
     * above by N/(minDeg+1), in practice a small card.
     */
   def diversitySampleFromIndex(spark: org.apache.spark.sql.SparkSession,
-                               table: String, rounds: Int = 5,
-                               scale: Long = 1000000000000L): DataFrame = {
+                               table: String, rounds: Int = DefaultPrRounds,
+                               scale: Long = DefaultRankScale): DataFrame = {
     val e = spark.table(table).select(col("src"), col("dst"))
     val ranks = pageRankAdjacency(e, rounds, scale, symmetric = true)
     // neighbor ranks ride the src bucketing (zero Exchange on the edge
@@ -367,8 +374,8 @@ object Graph {
     * [[knnPageRankIndexed]]: ONE build pays for every consumer).
     */
   def knnDiversitySample(emb: DataFrame, table: String = "graft_knn_diversity",
-                         k: Int = 5, probes: Int = 2, rounds: Int = 5,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         k: Int = 5, probes: Int = 2, rounds: Int = DefaultPrRounds,
+                         scale: Long = DefaultRankScale): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     diversitySampleFromIndex(emb.sparkSession, table, rounds, scale)
   }
@@ -385,10 +392,17 @@ object Graph {
     * verbatim in the oracle's unrolled CTEs. Ties break toward the
     * smaller id in every round.
     */
-  private val MisLcgMod = 1000003L
+  private[graft] val MisLcgMod = 1000003L
   private def misPriority(t: Int): org.apache.spark.sql.Column =
     if (t == 1) col("r")
     else ((col("id") % MisLcgMod) * 48271L + lit(t * 12345L)) % MisLcgMod
+
+  /** The driver-local twin of [[misPriority]] — the CheckCard/CheckMis
+    * replays call THIS instead of re-deriving the formula as local
+    * literals, so a change to the priority recurrence can never
+    * silently desynchronize the at-scale gates (r16 ADVICE). */
+  private[graft] def misPriorityValue(t: Int, id: Long, r: Long): Long =
+    if (t == 1) r else ((id % MisLcgMod) * 48271L + t * 12345L) % MisLcgMod
 
   /** The oracle-side twin of [[misPriority]] (interpolated constants —
     * the shared-formula discipline). */
@@ -417,8 +431,8 @@ object Graph {
     * knob: hitting it raises rather than returning a non-maximal set.
     */
   def diversityMisFromIndex(spark: org.apache.spark.sql.SparkSession,
-                            table: String, rounds: Int = 5,
-                            scale: Long = 1000000000000L,
+                            table: String, rounds: Int = DefaultPrRounds,
+                            scale: Long = DefaultRankScale,
                             maxRounds: Int = MisMaxRounds): DataFrame = {
     val e = spark.table(table).select(col("src"), col("dst")).persist()
     // pageRankAdjacency already returns an eager localCheckpoint — use it
@@ -512,8 +526,8 @@ object Graph {
     * query (index write shared with every other kNN consumer).
     */
   def knnDiversityMis(emb: DataFrame, table: String = "graft_knn_diversity_mis",
-                      k: Int = 5, probes: Int = 2, rounds: Int = 5,
-                      scale: Long = 1000000000000L): DataFrame = {
+                      k: Int = 5, probes: Int = 2, rounds: Int = DefaultPrRounds,
+                      scale: Long = DefaultRankScale): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     diversityMisFromIndex(emb.sparkSession, table, rounds, scale)
   }
@@ -535,8 +549,8 @@ object Graph {
     * exactly negatable), never the id.
     */
   def misAssignFromIndex(spark: org.apache.spark.sql.SparkSession,
-                         table: String, rounds: Int = 5,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         table: String, rounds: Int = DefaultPrRounds,
+                         scale: Long = DefaultRankScale): DataFrame = {
     val sel = diversityMisFromIndex(spark, table, rounds, scale)
       .select(col("vec_id"))
     val e = spark.table(table).select(col("src"), col("dst"), col("cos"))
@@ -557,8 +571,8 @@ object Graph {
   /** Build + MIS + assignment in one call — the registered
     * `knn_mis_assign` query. */
   def knnMisAssign(emb: DataFrame, table: String = "graft_knn_mis_assign",
-                   k: Int = 5, probes: Int = 2, rounds: Int = 5,
-                   scale: Long = 1000000000000L): DataFrame = {
+                   k: Int = 5, probes: Int = 2, rounds: Int = DefaultPrRounds,
+                   scale: Long = DefaultRankScale): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     misAssignFromIndex(emb.sparkSession, table, rounds, scale)
   }
@@ -574,8 +588,8 @@ object Graph {
     * is never touched beyond the assignment it already feeds.
     */
   def misClusterStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
-                               table: String, rounds: Int = 5,
-                               scale: Long = 1000000000000L): DataFrame =
+                               table: String, rounds: Int = DefaultPrRounds,
+                               scale: Long = DefaultRankScale): DataFrame =
     misAssignFromIndex(spark, table, rounds, scale)
       .groupBy(col("rep_id"))
       .agg(count(lit(1)).as("n_members"),
@@ -587,8 +601,8 @@ object Graph {
     * `knn_mis_cluster_stats` query. */
   def knnMisClusterStats(emb: DataFrame,
                          table: String = "graft_knn_mis_cluster",
-                         k: Int = 5, probes: Int = 2, rounds: Int = 5,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         k: Int = 5, probes: Int = 2, rounds: Int = DefaultPrRounds,
+                         scale: Long = DefaultRankScale): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     misClusterStatsFromIndex(emb.sparkSession, table, rounds, scale)
   }
@@ -729,8 +743,8 @@ object Graph {
     */
   def consumerCardFromIndex(spark: org.apache.spark.sql.SparkSession,
                             emb: DataFrame, table: String,
-                            rounds: Int = 5,
-                            scale: Long = 1000000000000L,
+                            rounds: Int = DefaultPrRounds,
+                            scale: Long = DefaultRankScale,
                             tau: Double = 0.4): DataFrame = {
     import spark.implicits._
     val e = spark.table(table).select(col("src"), col("dst")).persist()
@@ -765,8 +779,8 @@ object Graph {
   /** Build + full consumer suite in one call — the registered
     * `knn_consumer_card` query. */
   def knnConsumerCard(emb: DataFrame, table: String = "graft_knn_card",
-                      k: Int = 5, probes: Int = 2, rounds: Int = 5,
-                      scale: Long = 1000000000000L,
+                      k: Int = 5, probes: Int = 2, rounds: Int = DefaultPrRounds,
+                      scale: Long = DefaultRankScale,
                       tau: Double = 0.4): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     consumerCardFromIndex(emb.sparkSession, emb, table, rounds, scale, tau)
@@ -774,7 +788,7 @@ object Graph {
 
   /** The top-k co-purchase-centrality card over the lineitem graph. */
   def partsPageRank(lineitem: DataFrame, rounds: Int = 5, k: Int = 20,
-                    scale: Long = 1000000000000L): DataFrame = {
+                    scale: Long = DefaultRankScale): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("r").desc, col("id"))
     // the node set is the part dimension, which is NOT bounded — it

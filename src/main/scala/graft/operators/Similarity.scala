@@ -256,6 +256,30 @@ object Similarity {
     * Pinning is pure partitioning — every downstream op is
     * partitioning-invariant by design, so answers never change.
     */
+  /** Fit-sample cap for the k-means codebook fits (r17): past it the
+    * fit passes scan only the deterministic minstd-id sample, m =
+    * ⌈n/KmFitCap⌉ (see [[fitCentroids]]). 65,536 keeps every driver
+    * gate AND sf1 identity (books bit-identical, oracles unchanged)
+    * while the sf10 gate (200k vectors) exercises the SAMPLED fit —
+    * m = 4, ~50k fit rows, ≈ 100 rows/centroid at the nl=512 rung. At
+    * 10⁹ vectors a 2048-book fits on ~65k rows (~32/centroid) — the
+    * floor of the O(k·10¹⁻²)-rows-per-centroid guidance, bought ~1000×
+    * fewer fat-column scan bytes per fit pass.
+    */
+  val KmFitCap = 65536L
+
+  /** The N-adaptive fit modulus (the [[Pca.sizedFitModulus]] pattern):
+    * identity through every driver-gate scale and sf1, ⌈n/KmFitCap⌉
+    * beyond. Mirrored verbatim in the fit oracles' kfsizing CTE. */
+  def sizedKmFitModulus(n: Long): Long =
+    if (n <= KmFitCap) 1L else (n + KmFitCap - 1L) / KmFitCap
+
+  /** The deterministic fit-sample predicate (shared shape with
+    * Pca.fitFilter): minstd-permuted id ≡ 0 mod m. Products stay ≤
+    * (2³¹)·48271 ≈ 2⁴⁷ — no ANSI overflow. */
+  private def kmFitFilter(m: Long): Column =
+    (((col("vec_id") % 2147483647L) * 48271L) % 2147483647L) % m === 0L
+
   def sizedCandWidth(n: Long, emb: DataFrame): Int =
     if (n <= 65536) 0
     // the EFFECTIVE shuffle width (SQLConf default included) — a literal
@@ -286,11 +310,10 @@ object Similarity {
     * fitted-vs-formula split.
     */
   def knnJoinIvfFittedSized(emb: DataFrame, k: Int = 5, probes: Int = 2,
-                            iters: Int = 3,
-                            fitSampleFraction: Double = 1.0): DataFrame = {
+                            iters: Int = 3): DataFrame = {
     val n = emb.count()
     val nlist = sizedNlist(n)
-    val cents = fitCentroids(emb, nlist, iters, fitSampleFraction)
+    val cents = fitCentroidsWithModulus(emb, nlist, iters, sizedKmFitModulus(n))
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val pb = sizedProbes(probes, n)
     val bucketName = registerFitFunction(emb, "graft_knn_bucket_fitted")(
@@ -408,19 +431,36 @@ object Similarity {
     * pattern), which is what flips `sim_topk_ivf_kmeans` /
     * `sim_topk_ivf_pq_fitted` to full hash gates.
     *
-    * `sampleFraction` < 1 fits on a seeded Bernoulli sample — the 100-TB
-    * shape (round-3 VERDICT perf note): centroid quality needs ~O(k·10³)
-    * vectors, not all N, so each of the `iters` passes scans only the
-    * sample while bucket ASSIGNMENT (ivfTopKFitted) still covers every
-    * vector with the fitted codebook. (The sample is not
-    * SQL-replayable; the gated query paths fit on the full corpus.)
+    * The fit SAMPLES deterministically past [[KmFitCap]] rows (r17,
+    * r16 VERDICT #2 — the 100-TB fit shape, now the GATED shape too):
+    * centroid quality needs ~O(k·10³) vectors, not all N, so each of
+    * the `iters` passes scans only ids with minstd-permuted
+    * ((vec_id % 2³¹−1)·48271) % (2³¹−1) ≡ 0 (mod m), m =
+    * ⌈n/KmFitCap⌉ — the [[Pca.sizedFitModulus]] pattern: pure integer
+    * arithmetic BOTH engines replay (48271 is invertible mod the prime
+    * 2³¹−1, so in-range ids map to distinct residues), identity (m=1)
+    * at every DuckDB driver-gate scale and at sf1, ~KmFitCap expected
+    * fit rows beyond. Bucket ASSIGNMENT (and every serving path) still
+    * covers every vector with the fitted codebook — the fit/score
+    * split. Mirrored verbatim in the oracles' kfsizing/vfit CTEs, so
+    * one static oracle text gates every sf; the previous seeded
+    * Bernoulli knob was NOT SQL-replayable, which forced the gated
+    * rows to fit full-corpus (3 fat-column scans at sf10).
     *
     * Overflow headroom: component sums are |x̂ᵢ| ≤ S per row, so BIGINT
-    * holds exact sums to ~9·10¹² rows per cluster — document-scale, not
-    * a practical bound (and a 100-TB fit samples anyway).
+    * holds exact sums to ~9·10¹² rows per cluster — and the modulus
+    * ladder caps expected fit rows near KmFitCap anyway.
     */
-  def fitCentroids(emb: DataFrame, k: Int = NCentroids, iters: Int = 3,
-                   sampleFraction: Double = 1.0): Array[Array[Double]] = {
+  def fitCentroids(emb: DataFrame, k: Int = NCentroids,
+                   iters: Int = 3): Array[Array[Double]] =
+    fitCentroidsWithModulus(emb, k, iters, sizedKmFitModulus(emb.count()))
+
+  /** [[fitCentroids]] with an EXPLICIT fit modulus — the spec hook: at
+    * driver scales the ladder is identity, so the sampled arm is pinned
+    * by forcing m > 1 and asserting equality with a pre-filtered fit.
+    */
+  private[graft] def fitCentroidsWithModulus(emb: DataFrame, k: Int,
+                                             iters: Int, m: Long): Array[Array[Double]] = {
     // seeds come from the LADDERED LCG row regions (r16 — the fitted
     // serving ladder needs √N books): fpCentroidsFor == seedCentroidsFp
     // bit-for-bit at k <= 200 (same rows, same fp normalize), and the
@@ -428,14 +468,12 @@ object Similarity {
     // unchanged and big fits never share generator rows with small ones
     require(k >= 1 && k <= 2048,
       s"k=$k out of range: the LCG seed ladder provides 1..2048 centroids")
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(m >= 1L, s"fit modulus must be >= 1, got $m")
     val base = vectors(emb)
     // x̂ computed ONCE and materialized (persist) — the loop's 64
     // element_at references then read a stored array, never re-evaluate
     // the kernel (the HOF-inlining landmine, SURVEY §5)
-    val v = (if (sampleFraction < 1.0) base.sample(withReplacement = false,
-      sampleFraction, seed = 42L) else base)
+    val v = (if (m > 1L) base.filter(kmFitFilter(m)) else base)
       .withColumn("xh", expr("graft_fp_unit(e)"))
       .filter(col("xh").isNotNull)
       .select(col("xh")).persist()
@@ -499,19 +537,17 @@ object Similarity {
     * serving row full-hash-gates, like the cosine kmeans rows.
     */
   private[graft] def fitMipsCentroids(emb: DataFrame, isQuery: Column,
-                                      k: Int = NCentroids, iters: Int = 3,
-                                      sampleFraction: Double = 1.0): Array[Array[Double]] = {
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
+                                      k: Int = NCentroids,
+                                      iters: Int = 3): Array[Array[Double]] = {
     val v0 = vectors(emb)
     val m = v0.filter(!isQuery).agg(max(col("nrm"))).head().getDouble(0)
-    // sampleFraction < 1 is the 100-TB shape, exactly as in
-    // [[fitCentroids]]: centroid quality needs O(k·10³) vectors, not
-    // all N, while the max-norm scan and bucket ASSIGNMENT still cover
-    // every vector (the sample is not SQL-replayable; the gated query
-    // path fits on the full corpus)
-    val base = if (sampleFraction < 1.0)
-      v0.sample(withReplacement = false, sampleFraction, seed = 42L) else v0
+    // the deterministic minstd fit sample, exactly as in
+    // [[fitCentroids]] (r17): centroid quality needs O(k·10³) vectors,
+    // not all N, while the max-norm scan and bucket ASSIGNMENT still
+    // cover every vector — identity at every gated scale through sf1,
+    // SQL-replayable via the oracle's kfsizing/vfit CTEs beyond
+    val fm = sizedKmFitModulus(emb.count())
+    val base = if (fm > 1L) v0.filter(kmFitFilter(fm)) else v0
     val va = base.withColumn("ea",
         when(isQuery, concat(col("e"), array(lit(0.0))))
           .otherwise(concat(col("e"),
@@ -593,9 +629,8 @@ object Similarity {
     * default 8/64 probes; 0.975 at 48 probes).
     */
   def ivfTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
-                    probes: Int = 8, iters: Int = 3,
-                    fitSampleFraction: Double = 1.0): DataFrame = {
-    val cents = fitCentroids(emb, NCentroids, iters, fitSampleFraction)
+                    probes: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = fitCentroids(emb, NCentroids, iters)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     // per-fit names; the builders close over THIS fit's immutable arrays
     val bucketName = registerFitFunction(emb, "graft_ivf_bucket_fitted")(
@@ -873,10 +908,8 @@ object Similarity {
     * Recall-vs-LCG is characterized in SimilaritySpec.
     */
   def ivfPqTopKFitted(emb: DataFrame, isQuery: Column, k: Int = 10,
-                      probes: Int = 8, refine: Int = 4, iters: Int = 3,
-                      fitSampleFraction: Double = 1.0): DataFrame =
-    ivfPqPlanFitted(emb, isQuery, k, probes, refine, iters, NCentroids,
-      fitSampleFraction)
+                      probes: Int = 8, refine: Int = 4, iters: Int = 3): DataFrame =
+    ivfPqPlanFitted(emb, isQuery, k, probes, refine, iters, NCentroids)
 
   /** The FULLY-FITTED serving quartet at an explicit nlist — the
     * [[ivfPqTopKFitted]] construction factored so the LADDERED variant
@@ -885,10 +918,9 @@ object Similarity {
     * books).
     */
   private[graft] def pqFittedServingExprs(emb: DataFrame, probes: Int,
-                                          nlist: Int, iters: Int = 3,
-                                          fitSampleFraction: Double = 1.0)
+                                          nlist: Int, iters: Int = 3)
       : (Column, Column, Column, Column) = {
-    val cents = fitCentroids(emb, nlist, iters, fitSampleFraction)
+    val cents = fitCentroids(emb, nlist, iters)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val hat = cents.zip(cnorms).map { case (c, n) => c.map(_ / n) }
     val pq = fitPqCodebooks(emb, cents, cnorms)
@@ -908,9 +940,9 @@ object Similarity {
 
   private def ivfPqPlanFitted(emb: DataFrame, isQuery: Column, k: Int,
                               probes: Int, refine: Int, iters: Int,
-                              nlist: Int, fitSampleFraction: Double): DataFrame = {
+                              nlist: Int): DataFrame = {
     val (bucketCol, probesCol, codeCol, scoreCol) =
-      pqFittedServingExprs(emb, probes, nlist, iters, fitSampleFraction)
+      pqFittedServingExprs(emb, probes, nlist, iters)
     ivfPqPlan(vectors(emb), isQuery, k, refine, bucketCol, probesCol,
       codeCol, scoreCol)
   }
@@ -928,11 +960,10 @@ object Similarity {
     * fit has structure to exploit.
     */
   def ivfPqTopKFittedSized(emb: DataFrame, isQuery: Column, k: Int = 10,
-                           probes: Int = 8, iters: Int = 3,
-                           fitSampleFraction: Double = 1.0): DataFrame = {
+                           probes: Int = 8, iters: Int = 3): DataFrame = {
     val n = emb.count()
     ivfPqPlanFitted(emb, isQuery, k, sizedProbes(probes, n), sizedRefine(n),
-      iters, sizedNlist(n), fitSampleFraction)
+      iters, sizedNlist(n))
   }
 
   /** Cosine near-dup pairs: banded-LSH candidates, exact cosine verify.

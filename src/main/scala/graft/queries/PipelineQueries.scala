@@ -330,6 +330,24 @@ object PipelineQueries {
     "sim_topk_ivf_pq_fitted_sized" -> ((s, dir) =>
       Similarity.ivfPqTopKFittedSized(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
+    // the two r16 recall levers COMPOSED (r17, r16 VERDICT #1): the
+    // fully-fitted laddered books served at probesForRecall("high") —
+    // fraction 1/8 pinned, double candidate cost; same fitted books as
+    // the row above (probes never enter the fit), so the oracle swaps
+    // only its psizing base.
+    "sim_topk_ivf_pq_fitted_hr" -> ((s, dir) =>
+      Similarity.ivfPqTopKFittedSized(Tables.load(s, dir, "embeddings"), queryPred, TopK,
+        probes = Similarity.probesForRecall("high"))
+        .orderBy(col("query_id"), col("rnk"))),
+    // the kNN GRAPH BUILD over the fitted laddered book (r17, r16
+    // VERDICT #3): identical candidate/score/rerank plan to
+    // sim_knn_join_ivf — only the bucket geometry adapts to the data.
+    // The KnnSkewBench evidence: the planted 500-spoke hub is recovered
+    // 499/500 at probes=2 vs the LCG book's 382/500 (tight clusters do
+    // NOT co-bucket under a random book).
+    "sim_knn_join_ivf_fitted" -> ((s, dir) =>
+      Similarity.knnJoinIvfFittedSized(Tables.load(s, dir, "embeddings"), KnnK, KnnProbes)
+        .orderBy(col("query_id"), col("rnk"))),
     "text_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_quality" -> ((s, dir) =>
@@ -1059,6 +1077,22 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$a[i]*$b[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
 
+  /** The deterministic k-means fit sample (r17, mirrors
+    * Similarity.sizedKmFitModulus / kmFitFilter verbatim): identity at
+    * every driver-gate scale and sf1 (n <= 65536 -> km = 1, vfit ==
+    * vfu), the minstd-id sample beyond — the 100-TB fit shape, now the
+    * GATED shape. The fit rounds (asg/ms) scan vfit; SERVING CTEs (ccs/
+    * accs) and the PQ residual sample (pqFitCtes' samp) stay on the
+    * full corpus — the fit/score split.
+    */
+  private val kfSampleCtes: String =
+    s"""kfsizing AS (SELECT CASE WHEN COUNT(*) <= ${graft.operators.Similarity.KmFitCap} THEN 1
+       |  ELSE (COUNT(*) + ${graft.operators.Similarity.KmFitCap - 1}) // ${graft.operators.Similarity.KmFitCap} END AS km FROM embeddings),
+       |vfit AS MATERIALIZED (
+       |  SELECT vec_id, xh FROM vfu, kfsizing
+       |  WHERE ((vec_id % 2147483647) * 48271) % 2147483647 % km = 0),
+       |""".stripMargin
+
   /** Shared IVF CTEs: SQL-generated nlist-centroid codebook (same LCG as
     * Codebooks.centroidsFor), per-centroid norms, and each vector's
     * c-ordered centroid-cosine list.
@@ -1132,7 +1166,7 @@ object PipelineQueries {
          |vfu AS MATERIALIZED (
          |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
          |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
-         |$sg
+         |$kfSampleCtes$sg
          |fc0 AS MATERIALIZED (
          |  SELECT c, ${fpn("g", "n2")} AS cv
          |  FROM (SELECT c, g, ${sumSq("g")} AS n2 FROM sg))""".stripMargin
@@ -1144,10 +1178,10 @@ object PipelineQueries {
          |           list(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |             [u.xh[i]*f.cv[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)
          |             ORDER BY f.c) AS dd
-         |    FROM vfu u CROSS JOIN fc${t - 1} f GROUP BY u.vec_id)),
+         |    FROM vfit u CROSS JOIN fc${t - 1} f GROUP BY u.vec_id)),
          |ms$t AS (
          |  SELECT a.bucket, i, SUM(u.xh[i]) AS sm, COUNT(*) AS cnt
-         |  FROM asg$t a JOIN vfu u USING (vec_id)
+         |  FROM asg$t a JOIN vfit u USING (vec_id)
          |       CROSS JOIN generate_series(1, $Dim) t(i)
          |  GROUP BY a.bucket, i),
          |mm$t AS (
@@ -1463,6 +1497,80 @@ object PipelineQueries {
     head + rounds
   }
 
+  /** The fully-FITTED laddered IVF-PQ serve replay (r16; parameterized
+    * r17): laddered coarse fp k-means (kmeansFitCtes sized — seeds from
+    * the 10000.. region past nl 200, fit rounds over the kfsizing/vfit
+    * deterministic sample) + the residual fit against the FITTED book
+    * (pqFitCtes over fc3), then the sized serve (ps-driven probes,
+    * rf-driven shortlist) over the fitted chat/pqv. `baseProbes` is the
+    * recall-target dial (8 = standard, 16 = high — probesForRecall);
+    * the fit CTEs are probe-independent, so both registered rows replay
+    * the IDENTICAL books.
+    */
+  private def ivfPqFittedSizedOracle(baseProbes: Int): String = {
+    import graft.functions.Codebooks.{PqM, PqSub, PqK}
+    val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
+    val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
+      s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
+    NormCte +
+      s"""
+         |, nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+         |  WHEN COUNT(*) <= 65536 THEN 128
+         |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
+         |psizing AS (SELECT CASE WHEN nl <= 128 THEN $baseProbes
+         |  ELSE $baseProbes * (nl // 128) END AS ps FROM nlsizing),
+         |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+         |    WHEN COUNT(*) <= 65536 THEN 8
+         |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
+         |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048)},
+         |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
+         |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
+         |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),
+         |cb AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
+         |  FROM ccs WHERE vec_id >= 8),
+         |sres AS (
+         |  SELECT cb.corpus_id, cb.bucket,
+         |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+         |  FROM cb JOIN v ON v.vec_id = cb.corpus_id JOIN chat ON chat.c = cb.bucket - 1),
+         |sdists AS (
+         |  SELECT corpus_id, bucket, m,
+         |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
+         |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
+         |  FROM sres CROSS JOIN pqv GROUP BY corpus_id, bucket, m),
+         |scodes AS MATERIALIZED (
+         |  SELECT corpus_id, bucket,
+         |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
+         |  FROM sdists GROUP BY corpus_id, bucket),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, ${16 * baseProbes}) if p <= ps]) AS bucket
+         |  FROM ccs, psizing WHERE vec_id < 8),
+         |cand AS (SELECT DISTINCT query_id, corpus_id, bucket, codes FROM scodes JOIN probes USING (bucket)),
+         |scored AS (
+         |  SELECT query_id, corpus_id,
+         |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
+         |  FROM cand JOIN v q ON q.vec_id = query_id
+         |            JOIN chat ch ON ch.c = bucket - 1
+         |            CROSS JOIN pqf),
+         |short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
+         |    FROM scored)
+         |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
+         |exact AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM exact)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The AUGMENTED-space twin of [[kmeansFitCtes]] (r15 — the
     * sim_topk_mips_ivf_fitted gate): the same fixed-point k-means
     * recurrence over the (Dim+1)-dim Bachrach reduction — `va` appends
@@ -1494,7 +1602,7 @@ object PipelineQueries {
          |vfu AS MATERIALIZED (
          |  SELECT vec_id, ${fpn("xf", "n2")} AS xh
          |  FROM (SELECT vec_id, xf, ${sumSq("xf")} AS n2 FROM vfp) WHERE n2 > 0),
-         |sg AS (
+         |${kfSampleCtes}sg AS (
          |  SELECT c, [(((1103515245*((c+${
            if (sized) s"CASE WHEN nl <= $NCentroids THEN ${graft.functions.Codebooks.MipsRowBase} ELSE ${graft.functions.Codebooks.MipsBigRowBase} END"
            else graft.functions.Codebooks.MipsRowBase.toString})*$d1+i) + 12345) % 2001) - 1000)
@@ -1512,10 +1620,10 @@ object PipelineQueries {
          |           list(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |             [u.xh[i]*f.cv[i] for i in generate_series(1,$d1)]), (s,x) -> s+x)
          |             ORDER BY f.c) AS dd
-         |    FROM vfu u CROSS JOIN fc${t - 1} f GROUP BY u.vec_id)),
+         |    FROM vfit u CROSS JOIN fc${t - 1} f GROUP BY u.vec_id)),
          |ms$t AS (
          |  SELECT a.bucket, i, SUM(u.xh[i]) AS sm, COUNT(*) AS cnt
-         |  FROM asg$t a JOIN vfu u USING (vec_id)
+         |  FROM asg$t a JOIN vfit u USING (vec_id)
          |       CROSS JOIN generate_series(1, $d1) t(i)
          |  GROUP BY a.bucket, i),
          |mm$t AS (
@@ -2344,7 +2452,7 @@ object PipelineQueries {
          |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
          |                 for p in generate_series(1, $Probes)]) AS bucket
          |  FROM accs WHERE vec_id < 8),
-         |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
+         |cand AS (SELECT DISTINCT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
          |scored AS (
          |  SELECT query_id, corpus_id,
          |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
@@ -2628,7 +2736,7 @@ object PipelineQueries {
            |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
            |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
            |  FROM ccs, psizing WHERE vec_id < 8),
-           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
+           |cand AS (SELECT DISTINCT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
            |scored AS (
            |  SELECT query_id, corpus_id,
            |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
@@ -2719,7 +2827,7 @@ object PipelineQueries {
            |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
            |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
            |  FROM ccs, psizing WHERE vec_id < 8),
-           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
+           |cand AS (SELECT DISTINCT query_id, corpus_id, bucket, codes FROM codes JOIN probes USING (bucket)),
            |scored AS (
            |  SELECT query_id, corpus_id,
            |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
@@ -2809,69 +2917,43 @@ object PipelineQueries {
     // (ps-driven probes, rf-driven shortlist) over the fitted chat/pqv.
     // Identity to sim_topk_ivf_pq_fitted's books at every driver-gate
     // scale (nl = 64 there) except refine rides rsizing.
-    "sim_topk_ivf_pq_fitted_sized" -> {
-      import graft.functions.Codebooks.{PqM, PqSub, PqK}
-      val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
-      val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
-        s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
-      NormCte +
-        s"""
-           |, nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
-           |  WHEN COUNT(*) <= 65536 THEN 128
-           |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
-           |psizing AS (SELECT CASE WHEN nl <= 128 THEN $Probes
-           |  ELSE $Probes * (nl // 128) END AS ps FROM nlsizing),
-           |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
-           |    WHEN COUNT(*) <= 65536 THEN 8
-           |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
-           |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048)},
-           |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
-           |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
-           |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),
-           |cb AS (
-           |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
-           |  FROM ccs WHERE vec_id >= 8),
-           |sres AS (
-           |  SELECT cb.corpus_id, cb.bucket,
-           |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
-           |  FROM cb JOIN v ON v.vec_id = cb.corpus_id JOIN chat ON chat.c = cb.bucket - 1),
-           |sdists AS (
-           |  SELECT corpus_id, bucket, m,
-           |         list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |           [(r[m*$PqSub+d] - pv[d]) * (r[m*$PqSub+d] - pv[d])
-           |            for d in generate_series(1,$PqSub)]), (s,x) -> s+x) ORDER BY k) AS ds
-           |  FROM sres CROSS JOIN pqv GROUP BY corpus_id, bucket, m),
-           |scodes AS MATERIALIZED (
-           |  SELECT corpus_id, bucket,
-           |         list(list_position(ds, list_min(ds)) ORDER BY m) AS codes
-           |  FROM sdists GROUP BY corpus_id, bucket),
-           |probes AS (
-           |  SELECT vec_id AS query_id,
-           |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
-           |                 for p in generate_series(1, ${16 * Probes}) if p <= ps]) AS bucket
-           |  FROM ccs, psizing WHERE vec_id < 8),
-           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM scodes JOIN probes USING (bucket)),
-           |scored AS (
-           |  SELECT query_id, corpus_id,
-           |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos
-           |  FROM cand JOIN v q ON q.vec_id = query_id
-           |            JOIN chat ch ON ch.c = bucket - 1
-           |            CROSS JOIN pqf),
-           |short AS (
-           |  SELECT query_id, corpus_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
-           |    FROM scored)
-           |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
-           |exact AS (
-           |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
-           |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
-           |  FROM exact)
-           |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TopK
-           |ORDER BY query_id, rnk""".stripMargin
-    },
+    "sim_topk_ivf_pq_fitted_sized" -> ivfPqFittedSizedOracle(Probes),
+
+    // the fitted books served at the HIGH recall target (r17): probes
+    // never enter the fit, so the oracle is the fitted_sized replay
+    // with ONLY its psizing base swapped to 16 (fraction 1/8)
+    "sim_topk_ivf_pq_fitted_hr" -> ivfPqFittedSizedOracle(16),
+
+    // kNN graph build over the FITTED laddered book (r17): the
+    // sim_knn_join_ivf replay with the formula ccs swapped for the
+    // unrolled laddered k-means fit's ccs (kmeansFitCtes sized) —
+    // every vector on both sides, self-pairs excluded
+    "sim_knn_join_ivf_fitted" -> (NormCte +
+      s"""
+         |, nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+         |  WHEN COUNT(*) <= 65536 THEN 128
+         |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
+         |psizing AS (SELECT CASE WHEN nl <= 128 THEN $KnnProbes
+         |  ELSE $KnnProbes * (nl // 128) END AS ps FROM nlsizing),
+         |${kmeansFitCtes(3, sized = true)},
+         |corpus AS (
+         |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+         |probes AS (
+         |  SELECT vec_id AS query_id,
+         |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
+         |                 for p in generate_series(1, ${16 * KnnProbes}) if p <= ps]) AS bucket
+         |  FROM ccs, psizing),
+         |cand AS (
+         |  SELECT DISTINCT query_id, corpus_id
+         |  FROM corpus JOIN probes USING (bucket) WHERE query_id <> corpus_id),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
+         |  FROM cand JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $KnnK
+         |ORDER BY query_id, rnk""".stripMargin),
 
     // fully-FITTED IVF-PQ (r12): coarse fp fit (3 rounds) + per-subspace
     // fp residual fit (5 rounds, first-2048 sample) unrolled, then the
@@ -2912,7 +2994,7 @@ object PipelineQueries {
            |         unnest([list_position(cc, list_sort(cc, 'DESC')[p])
            |                 for p in generate_series(1, $Probes)]) AS bucket
            |  FROM ccs WHERE vec_id < 8),
-           |cand AS (SELECT query_id, corpus_id, bucket, codes FROM scodes JOIN probes USING (bucket)),
+           |cand AS (SELECT DISTINCT query_id, corpus_id, bucket, codes FROM scodes JOIN probes USING (bucket)),
            |scored AS (
            |  SELECT query_id, corpus_id,
            |         list_reduce(list_prepend($coarse, $terms), (s,x) -> s+x) AS acos

@@ -365,14 +365,33 @@ class SimilaritySpec extends SparkSpec {
     // near-exhaustive (measured 0.975)
     assert(km8 >= lcg8, s"fitted codebook ($km8) must beat LCG ($lcg8) at 8 probes")
     assert(km48 >= 0.9, s"48-probe recall should be near-exhaustive, got $km48")
-    // the 100-TB fit: a half-sample fit must still produce a codebook in
-    // the same quality class (centroids need ~O(k·10³) vectors, not N)
-    val kmSampled48 = recallOf(Similarity.ivfTopKFitted(emb, isQuery, k = 10,
-      probes = 48, fitSampleFraction = 0.5))
-    info(f"recall@10: kmeans/48probe SAMPLED(0.5)=$kmSampled48%.3f")
-    assert(kmSampled48 >= 0.9,
-      s"sampled fit should stay near-exhaustive at 48 probes, got $kmSampled48")
     bf10.unpersist()
+  }
+
+  test("deterministic fit sample: modulus path == explicit-subset path; identity at gate scale") {
+    import Similarity.{fitCentroidsWithModulus, sizedKmFitModulus, KmFitCap}
+    // the ladder is identity through sf1 (n <= KmFitCap)
+    assert(sizedKmFitModulus(500L) === 1L)
+    assert(sizedKmFitModulus(KmFitCap) === 1L)
+    assert(sizedKmFitModulus(200000L) === 4L)
+    // m = 1 is bit-identical to the unsampled fit (the gate-scale claim)
+    val full = Similarity.fitCentroids(emb, k = 16, iters = 2)
+    val m1 = fitCentroidsWithModulus(emb, k = 16, iters = 2, m = 1L)
+    assert(full.map(_.toSeq).toSeq === m1.map(_.toSeq).toSeq)
+    // forcing m = 4 at driver scale must equal fitting the EXPLICITLY
+    // pre-filtered subset (the predicate is the only sampling mechanism
+    // — mirrors the oracle's kfsizing/vfit CTE pair)
+    val m4 = fitCentroidsWithModulus(emb, k = 16, iters = 2, m = 4L)
+    val subset = emb.filter(
+      (((col("vec_id") % 2147483647L) * 48271L) % 2147483647L) % 4L === 0L)
+    val nSub = subset.count()
+    info(s"m=4 sample keeps $nSub of ${emb.count()} vectors")
+    assert(nSub > 0 && nSub < emb.count())
+    val explicit = fitCentroidsWithModulus(subset, k = 16, iters = 2, m = 1L)
+    assert(m4.map(_.toSeq).toSeq === explicit.map(_.toSeq).toSeq)
+    // a sampled fit still yields a full-shape book (empty clusters keep
+    // their seed row — the book never shrinks under sampling)
+    assert(m4.length === 16 && m4.forall(_.length === Similarity.Dim))
   }
 
   test("k-means IVF hits score identically to brute force (candidates are exact-ranked)") {

@@ -67,12 +67,22 @@ def main() -> int:
         con.execute("SET preserve_insertion_order=false")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     eff = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
-    # DuckDB renders the decimal-GB request in binary GiB (64GB = 59.6 GiB)
-    want = f"{int(req[:-2]) * 1000**3 / 2**30:.1f} GiB"
-    assert eff == want, (
-        f"memory_limit did not take (got {eff!r}, want {want!r}) — "
-        "DuckDB env drift; re-verify the r15 A/B sizing before trusting "
-        "any sf1+ gate")
+    # Parse the echoed value NUMERICALLY (r16 ADVICE): DuckDB's string
+    # rendering (unit choice, rounding, spacing) is a display detail that
+    # drifts across versions — exact string equality would spuriously
+    # fail every gate on a formatting change even though the limit took.
+    units = {"KIB": 2**10, "MIB": 2**20, "GIB": 2**30, "TIB": 2**40,
+             "KB": 10**3, "MB": 10**6, "GB": 10**9, "TB": 10**12, "B": 1}
+    parts = eff.strip().upper().split()
+    val, unit = (parts[0], parts[1]) if len(parts) == 2 else (
+        eff.strip().upper().rstrip("KMGTIB"),
+        eff.strip().upper().lstrip("0123456789. "))
+    eff_bytes = float(val) * units[unit]
+    want_bytes = int(req[:-2]) * 10**9
+    assert abs(eff_bytes - want_bytes) <= 0.01 * want_bytes, (
+        f"memory_limit did not take (got {eff!r} ≈ {eff_bytes:.0f} B, "
+        f"want ~{want_bytes} B) — DuckDB env drift; re-verify the r15 "
+        "A/B sizing before trusting any sf1+ gate")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
