@@ -62,6 +62,8 @@ object Cli {
     actions: String = "-",
     maxFiles: Option[Int] = None,
     topk: Int = 10,
+    fitted: Boolean = false,
+    recall: String = "standard",
     command: String = null,
     positional: List[String] = Nil)
 
@@ -71,7 +73,7 @@ object Cli {
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
       |                  index <vec-topic> <table> | assign <table> |
-      |                  query <vec-topic> <table> [-k N] |
+      |                  query <vec-topic> <table> [-k N] [-f] [-r standard|high] |
       |                  stream (merge-all|dlq|compact|ask) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
@@ -97,6 +99,11 @@ object Cli {
         val n = try v.toInt catch { case _: NumberFormatException => return Left(s"bad --topk: $v") }
         if (n < 1) return Left(s"bad --topk: $v")
         o = o.copy(topk = n); rest = t
+      // query-verb serving dials (r17): fitted books + the recall target
+      case ("-f" | "--fitted") :: t => o = o.copy(fitted = true); rest = t
+      case ("-r" | "--recall") :: v :: t =>
+        if (v != "standard" && v != "high") return Left(s"bad --recall: $v (standard | high)")
+        o = o.copy(recall = v); rest = t
       case ("-m" | "--max-files") :: v :: t =>
         val n = try v.toInt catch { case _: NumberFormatException => return Left(s"bad --max-files: $v") }
         if (n < 1) return Left(s"bad --max-files: $v")
@@ -208,8 +215,17 @@ object Cli {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window
     val n = emb.count()
-    val (bucketCol, probesCol, codeCol, scoreCol) = Similarity.pqServingExprs(
-      emb, Similarity.sizedProbes(8, n), Similarity.sizedNlist(n))
+    // -f swaps in the FITTED serving quartet (laddered coarse k-means +
+    // residual book fitted against it — the r16/r17 recall answer); -r
+    // dials the probed fraction (probesForRecall). Both builders are the
+    // ones the registered rows ride, so command answers stay bit-equal
+    // to the library operators (CliSpec).
+    val baseProbes = Similarity.probesForRecall(o.recall)
+    val (bucketCol, probesCol, codeCol, scoreCol) =
+      if (o.fitted) Similarity.pqFittedServingExprs(
+        emb, Similarity.sizedProbes(baseProbes, n), Similarity.sizedNlist(n))
+      else Similarity.pqServingExprs(
+        emb, Similarity.sizedProbes(baseProbes, n), Similarity.sizedNlist(n))
     val refine = Similarity.sizedRefine(n)
     val isQuery = col("vec_id") < 8
     val v = Similarity.vectors(emb)
@@ -244,7 +260,9 @@ object Cli {
     val back = spark.read.parquet(s"${o.out}/topk")
     val nq = back.select("query_id").distinct().count()
     print(s"Answered $nq queries from compact index '$table' " +
-      s"(top ${o.topk} each, ${back.count()} rows)")
+      s"(top ${o.topk} each, ${back.count()} rows" +
+      (if (o.fitted) ", fitted books" else "") +
+      (if (o.recall != "standard") s", recall=${o.recall}" else "") + ")")
     0
   }
 

@@ -99,6 +99,23 @@ object RecallSweep {
     println(f"[recall-sweep] recall-target=high (base 16, fraction 1/8): " +
       f"cosine-IVF ceiling=$ceilCosHr%.3f cosine-IVF-PQ=$rServingHr%.3f " +
       f"(vs standard $ceilCosSized%.3f / $rServing%.3f at half the candidates)")
+    // r17 frontier arms (r16 VERDICT #1/#7): the two recall levers
+    // COMPOSED (fitted books x high probes — the registered fitted_hr
+    // row), the refine-boost dial on the fitted book, and the
+    // wide-residual-book (K=64) pricing arm at both probe targets
+    val rFitHr = S.ivfPqTopKFittedSized(emb, isQuery, k = 10, probes = hi)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] cosine-IVF-PQ(sized, FITTED x HIGH probes — fitted_hr) recall=$rFitHr%.3f")
+    val rFitR2 = S.ivfPqTopKFittedSizedRefine(emb, isQuery, k = 10, refineMul = 2)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    val rFitR4 = S.ivfPqTopKFittedSizedRefine(emb, isQuery, k = 10, refineMul = 4)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] fitted refine-boost: x2=$rFitR2%.3f x4=$rFitR4%.3f (vs x1 $rFitSized%.3f)")
+    val rFitW = S.ivfPqTopKFittedSizedWide(emb, isQuery, k = 10)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    val rFitWHr = S.ivfPqTopKFittedSizedWide(emb, isQuery, k = 10, probes = hi)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] fitted WIDE book (K=64): standard=$rFitW%.3f high=$rFitWHr%.3f")
     exactCos.unpersist(); exactMips.unpersist()
     spark.stop()
   }

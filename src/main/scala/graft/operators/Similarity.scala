@@ -849,8 +849,17 @@ object Similarity {
   def fitPqCodebooks(emb: DataFrame, cents: Array[Array[Double]],
                      cnorms: Array[Double], iters: Int = 5,
                      maxSample: Int = 2048,
-                     fpRef: Array[Array[Double]] = null): Array[Array[Array[Double]]] = {
-    import Codebooks.{PqM, PqK, PqSub}
+                     fpRef: Array[Array[Double]] = null,
+                     pqK: Int = Codebooks.PqK,
+                     seedRowBase: Int = 400): Array[Array[Array[Double]]] = {
+    // pqK/seedRowBase (r17): the residual-book WIDTH dial — the kernels
+    // derive (M, K, sub) from the codebook shape, so a wider book needs
+    // only more codes per subspace + a fresh LCG seed region (rows
+    // seedRowBase.., stride Dim — the 30000.. region for the K=64
+    // pricing arm; raw positions stay disjoint from every other region).
+    import Codebooks.{PqM, PqSub}
+    require(pqK >= 1 && (pqK == Codebooks.PqK) == (seedRowBase == 400),
+      s"non-default pqK=$pqK needs its own seed region (got base $seedRowBase)")
     val S = graft.functions.VectorNativeImpl.FpScale
     val ref = if (fpRef == null) cents else fpRef
     val bucketName = registerFitFunction(emb, "graft_pqfit_assign")(
@@ -871,16 +880,16 @@ object Similarity {
       val sub = residuals.map(r =>
         java.util.Arrays.copyOfRange(r, m * PqSub, (m + 1) * PqSub))
       // LCG seed at the PQ scale: value/4000 in unit space = raw·250 fp
-      var codes: Array[Array[Long]] = Array.tabulate(PqK, PqSub)((k, d) =>
-        ((1103515245L * ((400 + m * PqK + k) * Dim + d) + 12345L) % 2001L - 1000L) * 250L)
+      var codes: Array[Array[Long]] = Array.tabulate(pqK, PqSub)((k, d) =>
+        ((1103515245L * ((seedRowBase + m * pqK + k).toLong * Dim + d) + 12345L) % 2001L - 1000L) * 250L)
       for (_ <- 0 until iters) {
-        val sums = Array.fill(PqK, PqSub)(0L)
-        val counts = new Array[Long](PqK)
+        val sums = Array.fill(pqK, PqSub)(0L)
+        val counts = new Array[Long](pqK)
         sub.foreach { r =>
           var best = 0
           var bestD = Long.MaxValue
           var kk = 0
-          while (kk < PqK) {
+          while (kk < pqK) {
             var s = 0L
             var d = 0
             while (d < PqSub) { val diff = r(d) - codes(kk)(d); s += diff * diff; d += 1 }
@@ -891,7 +900,7 @@ object Similarity {
           var d = 0
           while (d < PqSub) { sums(best)(d) += r(d); d += 1 }
         }
-        codes = Array.tabulate(PqK)(kk =>
+        codes = Array.tabulate(pqK)(kk =>
           if (counts(kk) == 0) codes(kk)
           // truncating long division — DuckDB's `//` semantics
           else Array.tabulate(PqSub)(d => sums(kk)(d) / counts(kk)))
@@ -918,12 +927,15 @@ object Similarity {
     * books).
     */
   private[graft] def pqFittedServingExprs(emb: DataFrame, probes: Int,
-                                          nlist: Int, iters: Int = 3)
+                                          nlist: Int, iters: Int = 3,
+                                          pqK: Int = graft.functions.Codebooks.PqK,
+                                          pqSeedRowBase: Int = 400)
       : (Column, Column, Column, Column) = {
     val cents = fitCentroids(emb, nlist, iters)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val hat = cents.zip(cnorms).map { case (c, n) => c.map(_ / n) }
-    val pq = fitPqCodebooks(emb, cents, cnorms)
+    val pq = fitPqCodebooks(emb, cents, cnorms, pqK = pqK,
+      seedRowBase = pqSeedRowBase)
     val bucketName = registerFitFunction(emb, "graft_ivf_bucket_pqfit")(
       exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
     val probesName = registerFitFunction(emb, "graft_ivf_probes_pqfit")(
@@ -964,6 +976,43 @@ object Similarity {
     val n = emb.count()
     ivfPqPlanFitted(emb, isQuery, k, sizedProbes(probes, n), sizedRefine(n),
       iters, sizedNlist(n))
+  }
+
+  /** Refine-boost pricing arm (r17, r16 VERDICT #1 "also price raising
+    * sizedRefine on the fitted book"): the fitted laddered index with
+    * the shortlist width multiplied — k·refine·mul full-vector reads
+    * per query, the PQ-approximation-noise dial. Measurement surface
+    * for RecallSweep.
+    */
+  def ivfPqTopKFittedSizedRefine(emb: DataFrame, isQuery: Column, k: Int = 10,
+                                 probes: Int = 8, iters: Int = 3,
+                                 refineMul: Int = 2): DataFrame = {
+    val n = emb.count()
+    val (bucketCol, probesCol, codeCol, scoreCol) =
+      pqFittedServingExprs(emb, sizedProbes(probes, n), sizedNlist(n), iters)
+    ivfPqPlan(vectors(emb), isQuery, k, sizedRefine(n) * refineMul,
+      bucketCol, probesCol, codeCol, scoreCol)
+  }
+
+  /** The WIDE-residual-book pricing arm (r17, r16 VERDICT #7): the
+    * fully-fitted laddered index with `pqK` codes per subspace instead
+    * of the default 16 — encode cost scales with pqK (M·pqK·sub
+    * distances per vector) while SERVING score cost is unchanged (M
+    * table lookups + one Dim-length dot per candidate). Seeds come from
+    * the fresh 30000.. LCG region (stride Dim, raw positions disjoint
+    * from every other region). OPT-IN measurement surface — registered
+    * rows stay on the 8×16×8 book unless the RecallSweep numbers say
+    * otherwise (the resfit-style ship-or-reject discipline, §5/§7).
+    */
+  def ivfPqTopKFittedSizedWide(emb: DataFrame, isQuery: Column, k: Int = 10,
+                               probes: Int = 8, iters: Int = 3,
+                               pqK: Int = 64): DataFrame = {
+    val n = emb.count()
+    val (bucketCol, probesCol, codeCol, scoreCol) =
+      pqFittedServingExprs(emb, sizedProbes(probes, n), sizedNlist(n), iters,
+        pqK = pqK, pqSeedRowBase = 30000)
+    ivfPqPlan(vectors(emb), isQuery, k, sizedRefine(n), bucketCol, probesCol,
+      codeCol, scoreCol)
   }
 
   /** Cosine near-dup pairs: banded-LSH candidates, exact cosine verify.

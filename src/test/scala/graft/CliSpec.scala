@@ -323,4 +323,39 @@ class CliSpec extends SparkSpec {
     // bad -k is a parse error, not a throw
     assert(Cli.parse(Seq("-d", sf, "-k", "0", "query", "a", "b")).isLeft)
   }
+
+  test("query -f / -r: the fitted books and the high recall target serve " +
+      "bit-identical to the fitted library operators") {
+    val out = outDir("queryf")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "-f", "query", "embeddings", "graft_cli_spec_pqf"),
+      print = lines += _)
+    assert(code == 0)
+    val got = spark.read.parquet(s"$out/topk")
+    val lib = graft.operators.Similarity.ivfPqTopKFittedSized(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      col("vec_id") < 8, k = 10)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(lib).isEmpty && lib.exceptAll(got).isEmpty,
+      "-f answers must equal ivfPqTopKFittedSized bit-for-bit")
+    assert(lines.exists(_.contains("fitted books")))
+    // -f -r high == the registered fitted_hr row's operator
+    val code2 = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "-f", "-r", "high", "query", "embeddings",
+        "graft_cli_spec_pqfh"),
+      print = lines += _)
+    assert(code2 == 0)
+    val gotH = spark.read.parquet(s"$out/topk")
+    val libH = graft.operators.Similarity.ivfPqTopKFittedSized(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      col("vec_id") < 8, k = 10,
+      probes = graft.operators.Similarity.probesForRecall("high"))
+      .select(gotH.columns.map(col): _*)
+    assert(gotH.exceptAll(libH).isEmpty && libH.exceptAll(gotH).isEmpty,
+      "-f -r high answers must equal the fitted_hr operator bit-for-bit")
+    assert(lines.exists(_.contains("recall=high")))
+    // bad -r is a parse error, not a throw
+    assert(Cli.parse(Seq("-d", sf, "-r", "ultra", "query", "a", "b")).isLeft)
+  }
 }
