@@ -116,6 +116,14 @@ object RecallSweep {
     val rFitWHr = S.ivfPqTopKFittedSizedWide(emb, isQuery, k = 10, probes = hi)
       .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
     println(f"[recall-sweep] fitted WIDE book (K=64): standard=$rFitW%.3f high=$rFitWHr%.3f")
+    // the two WINNING levers composed (sf1 showed probes non-binding on
+    // the PQ rows but refine and code width both binding)
+    val rFitWR4 = S.ivfPqTopKFittedSizedWide(emb, isQuery, k = 10, refineMul = 4)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    val rFitWR4Hr = S.ivfPqTopKFittedSizedWide(emb, isQuery, k = 10, probes = hi,
+      refineMul = 4)
+      .select("query_id", "corpus_id").intersect(exactCos).count() / nCos
+    println(f"[recall-sweep] fitted WIDE x refine4: standard=$rFitWR4%.3f high=$rFitWR4Hr%.3f")
     exactCos.unpersist(); exactMips.unpersist()
     spark.stop()
   }

@@ -1006,13 +1006,13 @@ object Similarity {
     */
   def ivfPqTopKFittedSizedWide(emb: DataFrame, isQuery: Column, k: Int = 10,
                                probes: Int = 8, iters: Int = 3,
-                               pqK: Int = 64): DataFrame = {
+                               pqK: Int = 64, refineMul: Int = 1): DataFrame = {
     val n = emb.count()
     val (bucketCol, probesCol, codeCol, scoreCol) =
       pqFittedServingExprs(emb, sizedProbes(probes, n), sizedNlist(n), iters,
         pqK = pqK, pqSeedRowBase = 30000)
-    ivfPqPlan(vectors(emb), isQuery, k, sizedRefine(n), bucketCol, probesCol,
-      codeCol, scoreCol)
+    ivfPqPlan(vectors(emb), isQuery, k, sizedRefine(n) * refineMul,
+      bucketCol, probesCol, codeCol, scoreCol)
   }
 
   /** Cosine near-dup pairs: banded-LSH candidates, exact cosine verify.

@@ -339,6 +339,18 @@ object PipelineQueries {
       Similarity.ivfPqTopKFittedSized(Tables.load(s, dir, "embeddings"), queryPred, TopK,
         probes = Similarity.probesForRecall("high"))
         .orderBy(col("query_id"), col("rnk"))),
+    // the HIGH-QUALITY fitted serving point (r17, measured winner of
+    // the r16 VERDICT #1/#7 frontier): the probe dial is NOT binding on
+    // the PQ rows (fitted x high == fitted at sf1) — the binding levers
+    // are residual-code width and shortlist width. K=64 book + refine
+    // x4 at standard probes: recall@10 0.263 -> 0.725 at sf1;
+    // serving-score cost per candidate UNCHANGED (M lookups + one
+    // Dim-dot), price = 4x offline encode + 4x shortlist vector reads
+    // (40 rows/query).
+    "sim_topk_ivf_pq_fitted_hq" -> ((s, dir) =>
+      Similarity.ivfPqTopKFittedSizedWide(Tables.load(s, dir, "embeddings"), queryPred, TopK,
+        refineMul = 4)
+        .orderBy(col("query_id"), col("rnk"))),
     // the kNN GRAPH BUILD over the fitted laddered book (r17, r16
     // VERDICT #3): identical candidate/score/rerank plan to
     // sim_knn_join_ivf — only the bucket geometry adapts to the data.
@@ -1455,8 +1467,13 @@ object PipelineQueries {
     * the resfit row, r16). Produces pq{iters}(m, k, pv) with 0-based k
     * and BIGINT fp code vectors.
     */
-  private def pqFitCtes(coarseRef: String, iters: Int, maxSample: Int): String = {
-    import graft.functions.Codebooks.{PqM, PqK, PqSub}
+  private def pqFitCtes(coarseRef: String, iters: Int, maxSample: Int,
+                        pqK: Int = graft.functions.Codebooks.PqK,
+                        seedRowBase: Int = 400): String = {
+    // pqK/seedRowBase (r17): the residual-book WIDTH dial, mirroring
+    // fitPqCodebooks — the K=64 pricing/serving arm seeds from the
+    // fresh 30000.. LCG region (stride Dim, raw positions disjoint).
+    import graft.functions.Codebooks.{PqM, PqSub}
     val head =
       s""",
          |samp AS MATERIALIZED (
@@ -1470,10 +1487,10 @@ object PipelineQueries {
          |  FROM samp s JOIN $coarseRef f ON f.c = s.b - 1
          |       CROSS JOIN generate_series(0, ${PqM - 1}) t(m)),
          |pq0 AS MATERIALIZED (
-         |  SELECT m, k, [(((1103515245*((400+m*$PqK+k)*$Dim+d) + 12345) % 2001) - 1000) * 250
+         |  SELECT m, k, [(((1103515245*(($seedRowBase+m*$pqK+k)*$Dim+d) + 12345) % 2001) - 1000) * 250
          |                for d in generate_series(0, ${PqSub - 1})] AS pv
          |  FROM generate_series(0, ${PqM - 1}) tm(m)
-         |       CROSS JOIN generate_series(0, ${PqK - 1}) tk(k))""".stripMargin
+         |       CROSS JOIN generate_series(0, ${pqK - 1}) tk(k))""".stripMargin
     val rounds = (1 to iters).map { t =>
       s""",
          |pa$t AS (
@@ -1507,11 +1524,14 @@ object PipelineQueries {
     * the fit CTEs are probe-independent, so both registered rows replay
     * the IDENTICAL books.
     */
-  private def ivfPqFittedSizedOracle(baseProbes: Int): String = {
-    import graft.functions.Codebooks.{PqM, PqSub, PqK}
+  private def ivfPqFittedSizedOracle(baseProbes: Int,
+                                     pqK: Int = graft.functions.Codebooks.PqK,
+                                     pqSeedRowBase: Int = 400,
+                                     refineMul: Int = 1): String = {
+    import graft.functions.Codebooks.{PqM, PqSub}
     val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
-    val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$PqK + codes[m+1]][d] " +
+    val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$pqK + codes[m+1]][d] " +
       s"for d in generate_series(1,$PqSub)] for m in generate_series(0,${PqM - 1})])"
     NormCte +
       s"""
@@ -1523,10 +1543,10 @@ object PipelineQueries {
          |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
          |    WHEN COUNT(*) <= 65536 THEN 8
          |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
-         |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048)},
+         |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048, pqK, pqSeedRowBase)},
          |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
          |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
-         |pqf AS (SELECT list(pv ORDER BY m*$PqK + k) AS pq FROM pqv),
+         |pqf AS (SELECT list(pv ORDER BY m*$pqK + k) AS pq FROM pqv),
          |cb AS (
          |  SELECT vec_id AS corpus_id, list_position(cc, list_max(cc)) AS bucket
          |  FROM ccs WHERE vec_id >= 8),
@@ -1560,7 +1580,7 @@ object PipelineQueries {
          |  SELECT query_id, corpus_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, corpus_id) AS srnk
          |    FROM scored)
-         |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf),
+         |  CROSS JOIN rsizing WHERE srnk <= $TopK * rf * $refineMul),
          |exact AS (
          |  SELECT query_id, corpus_id, ${dotSql("vq.e", "vc.e")} / (vq.nrm * vc.nrm) AS cos
          |  FROM short JOIN v vq ON vq.vec_id = query_id JOIN v vc ON vc.vec_id = corpus_id),
@@ -2923,6 +2943,13 @@ object PipelineQueries {
     // never enter the fit, so the oracle is the fitted_sized replay
     // with ONLY its psizing base swapped to 16 (fraction 1/8)
     "sim_topk_ivf_pq_fitted_hr" -> ivfPqFittedSizedOracle(16),
+
+    // the HIGH-QUALITY fitted serving point (r17 — the measured winning
+    // composition): K=64 residual book (30000.. seed region) + the x4
+    // shortlist boost at STANDARD probes — the dials that measured
+    // binding; same laddered coarse fit CTEs, probe text unchanged
+    "sim_topk_ivf_pq_fitted_hq" -> ivfPqFittedSizedOracle(Probes,
+      pqK = 64, pqSeedRowBase = 30000, refineMul = 4),
 
     // kNN graph build over the FITTED laddered book (r17): the
     // sim_knn_join_ivf replay with the formula ccs swapped for the
