@@ -277,7 +277,7 @@ object Graph {
     * AFTER the limit — over topK rows, never the corpus (its global
     * ordering only ever sees the already-cut frame).
     */
-  private def rankCard(ranks: DataFrame, topK: Int): DataFrame = {
+  private[graft] def rankCard(ranks: DataFrame, topK: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("r").desc, col("id"))
     ranks
