@@ -94,6 +94,23 @@ object Bench {
   // keep components benched end-to-end), events_asof_tolerance
   // (events_asof + events_asof_nearest bracket the asof family). All
   // four join the BenchOne §7 prose. 69 entries.
+  // Round 17 rotates ON the three seasoned r16 rows (r16 VERDICT #6:
+  // sim_topk_ivf_pq_fitted_sized — the fitted serving headline, its fit
+  // now rides the deterministic sample; sim_topk_ivf_pq_resfit — the
+  // honest-negative fitted residual arm; sim_topk_ivf_hr — the
+  // high-recall full-vector point) and OFF four reused-shape rows (the
+  // adds cost +91 bytes, the drops return 108 — line ~1,863 of the
+  // 2,000-byte tail with the ~75 B sbt suffix): sim_topk_ivf_kmeans
+  // (fixed-64 fitted fit+serve — strictly subsumed by the laddered
+  // fitted_sized row; sim_topk_ivf keeps the formula serving),
+  // sim_topk_lsh (dedup_embedding_cc keeps the banded sign-LSH pair
+  // shape), pipeline_quality_deciles (NTILE binning over the same
+  // quality scores pipeline_quality_topq keeps benched),
+  // pipeline_decontaminate_span (the span-window hash probe rides
+  // corpus_span_dupes + pipeline_span_dedup; three decontaminate arms
+  // stay). The r17 additions (fitted_hq, fitted_hr,
+  // sim_knn_join_ivf_fitted) start in BenchOne prose under the
+  // one-round seasoning rule. 68 entries.
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "topk_per_group",
     "events_window", "events_sessionize",
@@ -102,8 +119,9 @@ object Bench {
     "topic_merge_all", "topic_ask_table", "topic_compact",
     "topic_serde_avro", "topic_scd2",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_prefix", "dedup_minhash", "dedup_simhash",
-    "dedup_pq_codes", "dedup_semantic", "sim_topk_mips_ivf_fitted", "sim_topk_lsh", "sim_topk_ivf",
-    "sim_topk_ivf_kmeans", "sim_topk_ivf_pq", "sim_knn_join_ivf", "sim_topk_mips_ivf",
+    "dedup_pq_codes", "dedup_semantic", "sim_topk_mips_ivf_fitted", "sim_topk_ivf",
+    "sim_topk_ivf_hr", "sim_topk_ivf_pq", "sim_topk_ivf_pq_resfit",
+    "sim_topk_ivf_pq_fitted_sized", "sim_knn_join_ivf", "sim_topk_mips_ivf",
     "knn_pagerank", "knn_pagerank_indexed", "knn_diversity_mis",
     "knn_mis_cluster_stats", "knn_consumer_card",
     "events_approx", "events_asof_nearest",
@@ -117,11 +135,11 @@ object Bench {
     "mm_decode_jpeg", "mm_decode_mjpeg", "embedding_pca_topk",
     "pipeline_clean_corpus", "pipeline_clean_corpus_minhash",
     "pipeline_clean_corpus_cc", "pipeline_concat_packs",
-    "pipeline_decontaminate", "pipeline_decontaminate_span",
+    "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy", "pipeline_decontaminate_semantic",
     "corpus_span_dupes", "pipeline_span_dedup", "pipeline_clean_lines",
     "pipeline_importance",
-    "pipeline_quality_topq", "pipeline_quality_deciles", "pipeline_mixture",
+    "pipeline_quality_topq", "pipeline_mixture",
     "pipeline_curriculum")
 
   def main(args: Array[String]): Unit = {
