@@ -64,6 +64,7 @@ object Cli {
     topk: Int = 10,
     fitted: Boolean = false,
     recall: String = "standard",
+    quality: Boolean = false,
     command: String = null,
     positional: List[String] = Nil)
 
@@ -73,7 +74,7 @@ object Cli {
       |                  purge-all <topic> | ask <src> <dst> | compact <topic> |
       |                  dlq <topic> <dlq-topic> |
       |                  index <vec-topic> <table> | assign <table> |
-      |                  query <vec-topic> <table> [-k N] [-f] [-r standard|high] |
+      |                  query <vec-topic> <table> [-k N] [-f] [-q] [-r standard|high] |
       |                  stream (merge-all|dlq|compact|ask) <topic> <dst>)""".stripMargin
 
   private[graft] def parse(args: Seq[String]): Either[String, Opts] = {
@@ -104,6 +105,10 @@ object Cli {
       case ("-r" | "--recall") :: v :: t =>
         if (v != "standard" && v != "high") return Left(s"bad --recall: $v (standard | high)")
         o = o.copy(recall = v); rest = t
+      // -q (r17b): the HIGH-QUALITY serving point — the 16×64 fitted
+      // residual book + ×4 shortlist (implies fitted books)
+      case ("-q" | "--quality") :: t =>
+        o = o.copy(quality = true, fitted = true); rest = t
       case ("-m" | "--max-files") :: v :: t =>
         val n = try v.toInt catch { case _: NumberFormatException => return Left(s"bad --max-files: $v") }
         if (n < 1) return Left(s"bad --max-files: $v")
@@ -222,11 +227,14 @@ object Cli {
     // to the library operators (CliSpec).
     val baseProbes = Similarity.probesForRecall(o.recall)
     val (bucketCol, probesCol, codeCol, scoreCol) =
-      if (o.fitted) Similarity.pqFittedServingExprs(
+      if (o.quality) Similarity.pqFittedServingExprs(
+        emb, Similarity.sizedProbes(baseProbes, n), Similarity.sizedNlist(n),
+        pqK = 64, pqSeedRowBase = 41000, pqM = 16, pqFitSample = 8192)
+      else if (o.fitted) Similarity.pqFittedServingExprs(
         emb, Similarity.sizedProbes(baseProbes, n), Similarity.sizedNlist(n))
       else Similarity.pqServingExprs(
         emb, Similarity.sizedProbes(baseProbes, n), Similarity.sizedNlist(n))
-    val refine = Similarity.sizedRefine(n)
+    val refine = Similarity.sizedRefine(n) * (if (o.quality) 4 else 1)
     val isQuery = col("vec_id") < 8
     val v = Similarity.vectors(emb)
     graft.sources.Bucketing.writeBucketed(
@@ -261,7 +269,8 @@ object Cli {
     val nq = back.select("query_id").distinct().count()
     print(s"Answered $nq queries from compact index '$table' " +
       s"(top ${o.topk} each, ${back.count()} rows" +
-      (if (o.fitted) ", fitted books" else "") +
+      (if (o.quality) ", quality (16x64) books" else
+        if (o.fitted) ", fitted books" else "") +
       (if (o.recall != "standard") s", recall=${o.recall}" else "") + ")")
     0
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Constant codebooks for the embedding similarity family (SURVEY.md §2c).
@@ -430,6 +430,44 @@ case class PqCode(child: Expression,
     copy(child = newChild)
 }
 
+/** e → the vector's total squared PQ quantization error as a
+  * fixed-point BIGINT (r17b — the index-quality card's kernel): the
+  * residual û − ĉ_b against the vector's coarse bucket is quantized per
+  * subspace exactly as [[PqCode]] assigns it, and the error is
+  * Σ_m min_k ‖r_m − pq_m[k]‖² folded in ascending m — the identical
+  * double arithmetic the oracle's sdists CTEs replay — then
+  * trunc-toward-zero at scale 10¹² (Double.toLong == DuckDB
+  * trunc()::BIGINT, the PcaWhiten precedent). Per-vector errors are
+  * bounded (unit-space residuals), but corpus SUMS are not — callers
+  * aggregate in DECIMAL(38,0). Codebooks pluggable as in [[PqCode]].
+  */
+case class PqError(child: Expression,
+                   cents: Array[Array[Double]],
+                   cnorms: Array[Double],
+                   centsHat: Array[Array[Double]],
+                   pq: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  Codebooks.requirePqShape(pq, "graft_pq_error")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_error"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorNativeImpl.pqError(input.asInstanceOf[ArrayData], cents, cnorms, centsHat, pq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCoarse", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("pqCoarseNorms", cnorms, "double[]")
+    val hRef = ctx.addReferenceObj("pqCoarseHat", centsHat, "double[][]")
+    val pRef = ctx.addReferenceObj("pqCents", pq, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorNativeImpl.pqError($c, $cRef, $nRef, $hRef, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqError =
+    copy(child = newChild)
+}
+
 /** (query e, candidate bucket, candidate codes) → approximate cosine
   * q̂·(ĉ_b + Σ_m pq_m[code_m]) — the IVF-PQ lookup score, one JVM call per
   * (query, candidate) pair with no corpus-vector access. Folds run in
@@ -676,6 +714,45 @@ object VectorNativeImpl {
     * coarse term folded over all Dim coordinates first, then one
     * subspace fold per code — index order throughout.
     */
+  /** See [[PqError]]: Σ_m min_k ‖r_m − pq_m[k]‖², trunc'd at fp 10¹².
+    * The per-(m, k) fold and the ascending-m accumulation run in index
+    * order so the oracle's sdists/errs CTEs replay the identical IEEE
+    * doubles. */
+  def pqError(e: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
+              centsHat: Array[Array[Double]],
+              pq: Array[Array[Array[Double]]]): Long = {
+    val pqM = pq.length
+    val pqK = pq(0).length
+    val pqSub = pq(0)(0).length
+    requirePqDim(e.numElements(), pqM, pqSub, "graft_pq_error")
+    val nrm = norm(e)
+    val b = ivfBucket(e, cents, cnorms) - 1
+    val ch = centsHat(b)
+    var total = 0.0
+    var m = 0
+    while (m < pqM) {
+      var best = Double.MaxValue
+      var k = 0
+      while (k < pqK) {
+        val c = pq(m)(k)
+        var s = 0.0
+        var d = 0
+        while (d < pqSub) {
+          val i = m * pqSub + d
+          val r = e.getDouble(i) / nrm - ch(i)
+          val diff = r - c(d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < best) best = s
+        k += 1
+      }
+      total += best
+      m += 1
+    }
+    (total * 1000000000000.0).toLong
+  }
+
   def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData,
               centsHat: Array[Array[Double]], pq: Array[Array[Array[Double]]]): Double = {
     val pqM = pq.length

@@ -52,6 +52,13 @@ object Graph {
     */
   val BroadcastRanksMaxNodes: Long = 10000000L
 
+  /** Edge budget under which [[triangleCard]] broadcasts the undirected
+    * pair list for the closing-edge probe (~16 bytes/row → ≤ ~128 MB in
+    * the broadcast): below it the wedge explosion is filtered in place
+    * and never shuffled; beyond it the probe falls back to the shuffled
+    * equi-join. */
+  val BroadcastTriEdgesMax: Long = 8000000L
+
   /** Undirected co-purchase edge list: parts that appear in the same
     * order, symmetrized, deduplicated. Pair fan-out per order is bounded
     * by lines-per-order² (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs).
@@ -632,6 +639,160 @@ object Graph {
                     k: Int = 5, probes: Int = 2): DataFrame = {
     writeKnnEdgeIndex(emb, table, k, probes)
     degreeCardFromIndex(emb.sparkSession, table)
+  }
+
+  /** TRIANGLE / clustering-coefficient card of the symmetrized kNN
+    * graph (r17b) — the second-order ANN-graph health signal next to
+    * the degree histogram: triangle count, wedge count (length-2
+    * paths), and the global clustering coefficient 3·Δ/wedges in
+    * fixed point. A near-dup-heavy corpus shows up here as a high
+    * coefficient (dup clusters are near-cliques) before any dedup
+    * pass runs; a coefficient near 0 on a corpus known to contain
+    * duplicates means the ANN build is NOT co-bucketing them — an
+    * index-quality alarm no first-order signal catches.
+    *
+    * Scale shape: the classic DEGREE-ORDERED oriented count
+    * (Schank/Wagner; the MapReduce form is Suri & Vassilvitskii's
+    * MR-NodeIterator++) — each undirected edge is oriented from its
+    * (degree, id)-smaller endpoint, wedges enumerate only ORIENTED
+    * out-pairs, so per-vertex work is C(fwd_deg, 2) with fwd_deg
+    * bounded by O(√(2·|E|)) REGARDLESS of hub degree — the
+    * all-pairs-at-the-hub blowup (the exact skew the degree card
+    * exists to flag) cannot occur. The closing-edge probe is an
+    * equi-join of the wedge frame against the undirected edge list:
+    * every stage is a shuffle-bounded join/agg on narrow integer
+    * rows; nothing is quadratic in N or in hub degree. All columns
+    * are exact integers (ccoef_fp at scale 10⁶ via BIGINT division),
+    * so the card hash-gates. `max_fwd_deg` ships in the card as the
+    * measured per-task bound the orientation guarantees. Headroom:
+    * 3·Δ·10⁶ must stay under 2⁶³ — safe to Δ ≈ 3·10¹², i.e. ~10¹²
+    * vectors at the kNN edge bound 2·k·N.
+    */
+  /** The shared triangle-enumeration frames: (persisted undirected pair
+    * list, persisted degree-oriented edge list, the closed-triangle
+    * corner frame (lo, h1, h2) — one row per triangle). Callers
+    * unpersist the first two when done. */
+  private def triangleFrames(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    // one row per undirected pair (the index stores both directions of
+    // a DISTINCT pair set, so the filter alone dedups)
+    val und = e.filter(col("src") < col("dst")).persist()
+    val nEdges = und.count() // materializes the persist
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("id"), col("d"))
+    // orient from the (degree, id)-smaller endpoint; src < dst already,
+    // so the degree tie breaks toward src. The wedge self-join below is
+    // EXPLOSIVE (narrow (lo, hi) rows in, up to Σ C(fwd_deg, 2) wedge
+    // rows out), so its input exchange is pinned with repartition-by-NUM
+    // — AQE sizes exchanges by INPUT bytes and would coalesce this to
+    // 1-2 tasks (the documented pre-explosion landmine; measured: 4 GB
+    // sort pages at sf10). Counts are partition-invariant, so the pin
+    // can never change the card.
+    val wedgeParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    val oriented = und
+      .join(deg.select(col("id").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), Seq("dst"))
+      .select(
+        when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("lo"),
+        when(col("ds") <= col("dd"), col("dst")).otherwise(col("src")).as("hi"))
+      .repartition(wedgeParts, col("lo"))
+      .persist()
+    // wedges out of the lowest-rank vertex; x.hi < y.hi makes the
+    // closing pair (x.hi, y.hi) already least/greatest-ordered. The
+    // closing-edge probe broadcasts the undirected pair list while it
+    // fits (the parts_pagerank N-adaptive precedent) so the wedge
+    // stream is FILTERED WHERE IT IS GENERATED — no shuffle or sort of
+    // the explosion ever materializes; past the budget it falls back to
+    // the shuffled equi-join (the 100-TB arm: wedge volume is bounded
+    // by E^1.5, and narrow 16-byte rows shuffle fine).
+    val closing =
+      if (nEdges <= BroadcastTriEdgesMax) broadcast(und) else und
+    val corners = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
+      .select(col("x.lo").as("lo"), col("x.hi").as("src"),
+        col("y.hi").as("dst"))
+      .join(closing, Seq("src", "dst"))
+      .select(col("lo"), col("src").as("h1"), col("dst").as("h2"))
+    (und, oriented, corners)
+  }
+
+  def triangleCard(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val (und, oriented, corners) = triangleFrames(edges)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("id"), col("d"))
+    val tri = corners.agg(count(lit(1)).as("n_tri"))
+    val gcard = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("CAST(sum((d * (d - 1)) DIV 2) AS BIGINT)").as("n_wedges"))
+    val ecard = und.agg(count(lit(1)).as("n_edges"))
+    val fwd = oriented.groupBy(col("lo")).agg(count(lit(1)).as("f"))
+      .agg(max(col("f")).as("max_fwd_deg"))
+    val card = gcard.crossJoin(ecard).crossJoin(tri).crossJoin(fwd)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_tri"),
+        expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((3 * n_tri * 1000000) DIV n_wedges AS BIGINT) END")
+          .as("ccoef_fp"),
+        col("max_fwd_deg"))
+      .localCheckpoint(true)
+    oriented.unpersist(false)
+    und.unpersist(false)
+    card
+  }
+
+  /** Triangle card straight off the materialized edge index — the
+    * rank-many consumer form. */
+  def triangleCardFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame =
+    triangleCard(spark.table(table))
+
+  /** Build + triangle card in one call — the registered
+    * `knn_triangle_card` query. */
+  def knnTriangleCard(emb: DataFrame, table: String = "graft_knn_triangle",
+                      k: Int = 5, probes: Int = 2): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    triangleCardFromIndex(emb.sparkSession, table)
+  }
+
+  /** PER-NODE triangle counts, top-k (r17b) — the local-density twin of
+    * the global card: a node's triangle count is how clique-like its
+    * neighborhood is, so the head of this list is where the heaviest
+    * near-duplicate clusters LIVE (the global coefficient says they
+    * exist; this says where). Each closed triangle credits all three
+    * corners (one narrow explode of the corner frame), the per-node
+    * regroup is node-sized, and the top-k rides orderBy+limit —
+    * Spark's distributed TakeOrdered, never a global sort. Determinism:
+    * ties break toward the smaller vec_id, in-plan. */
+  def triangleTopK(edges: DataFrame, topK: Int = 20): DataFrame = {
+    val (und, oriented, corners) = triangleFrames(edges)
+    val perNode = corners
+      .select(explode(array(col("lo"), col("h1"), col("h2"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+    val top = perNode.orderBy(col("n_tri").desc, col("vec_id")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tri").desc, col("vec_id"))
+    val out = top.withColumn("rnk", row_number().over(w).cast("int"))
+      .orderBy(col("rnk"))
+      .localCheckpoint(true)
+    oriented.unpersist(false)
+    und.unpersist(false)
+    out
+  }
+
+  /** Per-node triangle top-k straight off the materialized edge index. */
+  def triangleTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, topK: Int = 20): DataFrame =
+    triangleTopK(spark.table(table), topK)
+
+  /** Build + per-node triangle top-k in one call — the registered
+    * `knn_triangle_topk` query. */
+  def knnTriangleTopK(emb: DataFrame, table: String = "graft_knn_triangle",
+                      k: Int = 5, probes: Int = 2, topK: Int = 20): DataFrame = {
+    writeKnnEdgeIndex(emb, table, k, probes)
+    triangleTopKFromIndex(emb.sparkSession, table, topK)
   }
 
   /** Eager-unpersist of a superseded localCheckpoint: the iteration

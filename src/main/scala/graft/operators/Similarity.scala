@@ -851,15 +851,27 @@ object Similarity {
                      maxSample: Int = 2048,
                      fpRef: Array[Array[Double]] = null,
                      pqK: Int = Codebooks.PqK,
-                     seedRowBase: Int = 400): Array[Array[Array[Double]]] = {
+                     seedRowBase: Int = 400,
+                     pqM: Int = Codebooks.PqM): Array[Array[Array[Double]]] = {
     // pqK/seedRowBase (r17): the residual-book WIDTH dial — the kernels
     // derive (M, K, sub) from the codebook shape, so a wider book needs
     // only more codes per subspace + a fresh LCG seed region (rows
     // seedRowBase.., stride Dim — the 30000.. region for the K=64
     // pricing arm; raw positions stay disjoint from every other region).
-    import Codebooks.{PqM, PqSub}
-    require(pqK >= 1 && (pqK == Codebooks.PqK) == (seedRowBase == 400),
-      s"non-default pqK=$pqK needs its own seed region (got base $seedRowBase)")
+    // pqM (r17b): the subspace-COUNT dial — more, narrower subspaces
+    // halve the per-subspace quantization error at 2× the code bytes
+    // and 2× the (still tiny) per-candidate lookup count. Seeds for a
+    // non-default M live in their own regions (40000.. for 16×16,
+    // 41000.. for 16×64; stride Dim, raw positions disjoint — §5
+    // ledger). The seed FORMULA is (base + m·pqK + k)·Dim + d with
+    // d < pqSub ≤ Dim, so rows never collide within a region either.
+    val PqSub = {
+      require(pqM >= 1 && Dim % pqM == 0, s"pqM=$pqM must divide Dim=$Dim")
+      Dim / pqM
+    }
+    require(pqK >= 1 &&
+      (pqK == Codebooks.PqK && pqM == Codebooks.PqM) == (seedRowBase == 400),
+      s"non-default pqK=$pqK/pqM=$pqM needs its own seed region (got base $seedRowBase)")
     val S = graft.functions.VectorNativeImpl.FpScale
     val ref = if (fpRef == null) cents else fpRef
     val bucketName = registerFitFunction(emb, "graft_pqfit_assign")(
@@ -876,7 +888,7 @@ object Similarity {
     val residuals = sample.map { case (xh, b) =>
       Array.tabulate(xh.length)(i => xh(i).toLong - ref(b)(i).toLong)
     }
-    Array.tabulate(PqM) { m =>
+    Array.tabulate(pqM) { m =>
       val sub = residuals.map(r =>
         java.util.Arrays.copyOfRange(r, m * PqSub, (m + 1) * PqSub))
       // LCG seed at the PQ scale: value/4000 in unit space = raw·250 fp
@@ -929,13 +941,15 @@ object Similarity {
   private[graft] def pqFittedServingExprs(emb: DataFrame, probes: Int,
                                           nlist: Int, iters: Int = 3,
                                           pqK: Int = graft.functions.Codebooks.PqK,
-                                          pqSeedRowBase: Int = 400)
+                                          pqSeedRowBase: Int = 400,
+                                          pqM: Int = graft.functions.Codebooks.PqM,
+                                          pqFitSample: Int = 2048)
       : (Column, Column, Column, Column) = {
     val cents = fitCentroids(emb, nlist, iters)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val hat = cents.zip(cnorms).map { case (c, n) => c.map(_ / n) }
     val pq = fitPqCodebooks(emb, cents, cnorms, pqK = pqK,
-      seedRowBase = pqSeedRowBase)
+      seedRowBase = pqSeedRowBase, pqM = pqM, maxSample = pqFitSample)
     val bucketName = registerFitFunction(emb, "graft_ivf_bucket_pqfit")(
       exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
     val probesName = registerFitFunction(emb, "graft_ivf_probes_pqfit")(
@@ -1013,6 +1027,81 @@ object Similarity {
         pqK = pqK, pqSeedRowBase = 30000)
     ivfPqPlan(vectors(emb), isQuery, k, sizedRefine(n) * refineMul,
       bucketCol, probesCol, codeCol, scoreCol)
+  }
+
+  /** The SHAPED fitted-book measurement surface (r17b): every residual-
+    * book dial exposed at once — subspace count `pqM` (more, narrower
+    * subspaces: quantization error falls, code bytes and the tiny
+    * per-candidate lookup count double), code width `pqK`, and the fit
+    * sample size `pqFitSample` (the r17 sf10 finding: the K=64 book
+    * OVERFITS a 2048-row residual sample — 32 rows/cell vs the narrow
+    * book's 128; pinning rows-per-cell means sample = 2048·(pqK/16)).
+    * `pqSeedRowBase` must be the §5-ledger region matching (pqM, pqK):
+    * 400 = 8×16, 30000 = 8×64, 40000 = 16×16, 41000 = 16×64. OPT-IN
+    * measurement surface feeding RecallSweep — registration follows the
+    * ship-or-reject numbers.
+    */
+  def ivfPqTopKFittedSizedShaped(emb: DataFrame, isQuery: Column, k: Int = 10,
+                                 probes: Int = 8, iters: Int = 3,
+                                 pqM: Int = graft.functions.Codebooks.PqM,
+                                 pqK: Int = graft.functions.Codebooks.PqK,
+                                 pqFitSample: Int = 2048,
+                                 pqSeedRowBase: Int = 400,
+                                 refineMul: Int = 1): DataFrame = {
+    val n = emb.count()
+    val (bucketCol, probesCol, codeCol, scoreCol) =
+      pqFittedServingExprs(emb, sizedProbes(probes, n), sizedNlist(n), iters,
+        pqK = pqK, pqSeedRowBase = pqSeedRowBase, pqM = pqM,
+        pqFitSample = pqFitSample)
+    ivfPqPlan(vectors(emb), isQuery, k, sizedRefine(n) * refineMul,
+      bucketCol, probesCol, codeCol, scoreCol)
+  }
+
+  /** PQ QUANTIZATION-ERROR decision card (r17b) — the number a
+    * deployment reads before picking a residual book: for EACH
+    * registered book shape (the narrow 8×16 default and the 16×64 m16
+    * serving book), every vector's total squared reconstruction error
+    * Σ_m min_k ‖r_m − pq_m[k]‖² against the SHARED laddered coarse fit,
+    * reduced to one row per book — vector count, the exact error sum
+    * (fixed-point 10¹² per vector, aggregated in DECIMAL(38,0) so 10⁹⁺
+    * vectors cannot overflow), the max, and a three-band error
+    * histogram (err < 0.1 / < 0.5 / ≥ 0.5 — integer counts, order-free).
+    * The r16/r17 lesson made measurable in-engine: MSE and recall can
+    * DISAGREE (the resfit book halved MSE and halved recall), so the
+    * card pairs with RecallSweep rather than replacing it — but a book
+    * whose error histogram collapses into the high band is flagged
+    * before any recall sweep runs. Scan-shaped: one fused kernel call
+    * per (vector, book), a single aggregate, zero joins or shuffles
+    * beyond the one regroup.
+    */
+  def pqErrorCard(emb: DataFrame): DataFrame = {
+    val n = emb.count()
+    val nlist = sizedNlist(n)
+    val cents = fitCentroids(emb, nlist, 3)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val hat = cents.zip(cnorms).map { case (c, nn) => c.map(_ / nn) }
+    def bookRow(label: String, pq: Array[Array[Array[Double]]]): DataFrame = {
+      val errName = registerFitFunction(emb, s"graft_pq_error_$label")(
+        exprs => graft.functions.PqError(exprs.head, cents, cnorms, hat, pq))
+      vectors(emb)
+        .select(call_function(errName, col("e")).as("err_fp"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("err_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sum_err_fp"),
+          max(col("err_fp")).as("max_err_fp"),
+          sum(when(col("err_fp") < 100000000000L, 1L).otherwise(0L)).as("n_err_lo"),
+          sum(when(col("err_fp") >= 100000000000L && col("err_fp") < 500000000000L, 1L)
+            .otherwise(0L)).as("n_err_mid"),
+          sum(when(col("err_fp") >= 500000000000L, 1L).otherwise(0L)).as("n_err_hi"))
+        .select(lit(label).as("book"), col("n_vecs"), col("sum_err_fp"),
+          col("max_err_fp"), col("n_err_lo"), col("n_err_mid"), col("n_err_hi"))
+    }
+    val narrow = bookRow("narrow",
+      fitPqCodebooks(emb, cents, cnorms))
+    val m16 = bookRow("m16",
+      fitPqCodebooks(emb, cents, cnorms, maxSample = 8192, pqK = 64,
+        seedRowBase = 41000, pqM = 16))
+    narrow.unionAll(m16).orderBy(col("book"))
   }
 
   /** Cosine near-dup pairs: banded-LSH candidates, exact cosine verify.

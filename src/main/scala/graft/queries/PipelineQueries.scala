@@ -165,6 +165,12 @@ object PipelineQueries {
     "dedup_pq_codes" -> ((s, dir) =>
       Similarity.pqCodeDedup(Tables.load(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
+    // PQ quantization-error decision card (r17b): both registered book
+    // shapes scored against the shared laddered coarse fit — the
+    // in-engine twin of the driver-side MSE sweeps (paired with
+    // RecallSweep: MSE and recall can DISAGREE — the resfit lesson).
+    "pq_error_card" -> ((s, dir) =>
+      Similarity.pqErrorCard(Tables.load(s, dir, "embeddings"))),
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryPred, TopK)
         .orderBy(col("query_id"), col("rnk"))),
@@ -269,6 +275,18 @@ object PipelineQueries {
     "knn_degree_card" -> ((s, dir) =>
       graft.operators.Graph.knnDegreeCard(Tables.load(s, dir, "embeddings"),
         k = KnnK, probes = KnnProbes)),
+    // second-order graph health card (r17b): degree-ordered oriented
+    // triangle count + global clustering coefficient — near-clique dup
+    // clusters surface here before any dedup pass runs; per-vertex work
+    // bounded by C(fwd_deg, 2) regardless of hub degree.
+    "knn_triangle_card" -> ((s, dir) =>
+      graft.operators.Graph.knnTriangleCard(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
+    // per-node triangle top-k (r17b): the local-density twin — where the
+    // heaviest near-clique neighborhoods live; TakeOrdered top-k.
+    "knn_triangle_topk" -> ((s, dir) =>
+      graft.operators.Graph.knnTriangleTopK(Tables.load(s, dir, "embeddings"),
+        k = KnnK, probes = KnnProbes)),
     // rank-many consumer #3 (r12): SemDeDup neighborhoods — connected
     // components over the cos >= tau sub-graph of the index (the exact
     // pair cosine rides the index; no vector is re-touched), one
@@ -349,6 +367,20 @@ object PipelineQueries {
     // (40 rows/query).
     "sim_topk_ivf_pq_fitted_hq" -> ((s, dir) =>
       Similarity.ivfPqTopKFittedSizedWide(Tables.load(s, dir, "embeddings"), queryPred, TopK,
+        refineMul = 4)
+        .orderBy(col("query_id"), col("rnk"))),
+    // the 16-SUBSPACE wide-book serving point (r17b — the measured new
+    // frontier): quartering the per-subspace dim was the unswept dial,
+    // and it dominates — M=16 × K=64 × an 8192-row fit sample (128
+    // rows/cell, the narrow book's density) × refine ×4 at standard
+    // probes: recall@10 0.725 → 0.963 sf1 / 0.488 → 0.875 sf10 vs the
+    // hq row. Serving cost class unchanged (16 table lookups + the
+    // same Dim-dot per candidate; code bytes 8 → 16 small ints);
+    // price = 4× offline encode distances and the same 40
+    // full-vector shortlist reads/query. Seeds: the 41000.. region.
+    "sim_topk_ivf_pq_fitted_m16" -> ((s, dir) =>
+      Similarity.ivfPqTopKFittedSizedShaped(Tables.load(s, dir, "embeddings"), queryPred, TopK,
+        pqM = 16, pqK = 64, pqFitSample = 8192, pqSeedRowBase = 41000,
         refineMul = 4)
         .orderBy(col("query_id"), col("rnk"))),
     // the kNN GRAPH BUILD over the fitted laddered book (r17, r16
@@ -1467,51 +1499,136 @@ object PipelineQueries {
     * the resfit row, r16). Produces pq{iters}(m, k, pv) with 0-based k
     * and BIGINT fp code vectors.
     */
+  /** The shared triangle-enumeration CTEs (r17b): symmetrized edges →
+    * degrees → undirected pairs → the (degree, id)-oriented edge list →
+    * the closed-triangle corner frame (lo, h1, h2), one row per
+    * triangle — the exact Graph.triangleFrames construction. Composes
+    * after [[knnRankedCtes]]. */
+  private val triangleCtes: String =
+    s""",
+       |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+       |          UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1),
+       |und AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs),
+       |orient AS MATERIALIZED (
+       |  SELECT CASE WHEN da.d <= db.d THEN u.src ELSE u.dst END AS lo,
+       |         CASE WHEN da.d <= db.d THEN u.dst ELSE u.src END AS hi
+       |  FROM und u JOIN deg da ON da.id = u.src JOIN deg db ON db.id = u.dst),
+       |corners AS MATERIALIZED (
+       |  SELECT x.lo AS lo, x.hi AS h1, y.hi AS h2
+       |  FROM orient x JOIN orient y ON y.lo = x.lo AND y.hi > x.hi
+       |       JOIN und c ON c.src = x.hi AND c.dst = y.hi)""".stripMargin
+
   private def pqFitCtes(coarseRef: String, iters: Int, maxSample: Int,
                         pqK: Int = graft.functions.Codebooks.PqK,
-                        seedRowBase: Int = 400): String = {
+                        seedRowBase: Int = 400,
+                        pqM: Int = graft.functions.Codebooks.PqM,
+                        prefix: String = ""): String = {
     // pqK/seedRowBase (r17): the residual-book WIDTH dial, mirroring
     // fitPqCodebooks — the K=64 pricing/serving arm seeds from the
     // fresh 30000.. LCG region (stride Dim, raw positions disjoint).
-    import graft.functions.Codebooks.{PqM, PqSub}
+    // pqM (r17b): the subspace-COUNT dial — 40000.. region for 16×16,
+    // 41000.. for 16×64 (the §5 ledger); the CTE text below only ever
+    // references m/sub through these two parameters.
+    // prefix (r17b): CTE-name prefix so TWO book fits can share one
+    // statement (pq_error_card) — "" keeps the text byte-identical for
+    // every existing gate.
+    val PqM = pqM
+    val PqSub = graft.functions.Codebooks.Dim / pqM
+    def p(name: String) = s"$prefix$name"
     val head =
       s""",
-         |samp AS MATERIALIZED (
+         |${p("samp")} AS MATERIALIZED (
          |  SELECT u.vec_id, u.xh, list_position(s.cc, list_max(s.cc)) AS b
          |  FROM vfu u JOIN ccs s USING (vec_id)
          |  ORDER BY u.vec_id LIMIT $maxSample),
-         |pres AS MATERIALIZED (
+         |${p("pres")} AS MATERIALIZED (
          |  SELECT s.vec_id, m,
          |         [s.xh[m*$PqSub+d] - f.cv[m*$PqSub+d]
          |          for d in generate_series(1,$PqSub)] AS r
-         |  FROM samp s JOIN $coarseRef f ON f.c = s.b - 1
+         |  FROM ${p("samp")} s JOIN $coarseRef f ON f.c = s.b - 1
          |       CROSS JOIN generate_series(0, ${PqM - 1}) t(m)),
-         |pq0 AS MATERIALIZED (
+         |${p("pq0")} AS MATERIALIZED (
          |  SELECT m, k, [(((1103515245*(($seedRowBase+m*$pqK+k)*$Dim+d) + 12345) % 2001) - 1000) * 250
          |                for d in generate_series(0, ${PqSub - 1})] AS pv
          |  FROM generate_series(0, ${PqM - 1}) tm(m)
          |       CROSS JOIN generate_series(0, ${pqK - 1}) tk(k))""".stripMargin
     val rounds = (1 to iters).map { t =>
       s""",
-         |pa$t AS (
+         |${p(s"pa$t")} AS (
          |  SELECT vec_id, m, list_position(ds, list_min(ds)) - 1 AS k FROM (
          |    SELECT r.vec_id, r.m,
          |           list(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |             [(r.r[d]-q.pv[d])*(r.r[d]-q.pv[d]) for d in generate_series(1,$PqSub)]),
          |             (s,x) -> s+x) ORDER BY q.k) AS ds
-         |    FROM pres r JOIN pq${t - 1} q ON q.m = r.m GROUP BY r.vec_id, r.m)),
-         |ps$t AS (
+         |    FROM ${p("pres")} r JOIN ${p(s"pq${t - 1}")} q ON q.m = r.m GROUP BY r.vec_id, r.m)),
+         |${p(s"ps$t")} AS (
          |  SELECT a.m, a.k, d, SUM(r.r[d]) AS sm, COUNT(*) AS cnt
-         |  FROM pa$t a JOIN pres r ON r.vec_id = a.vec_id AND r.m = a.m
+         |  FROM ${p(s"pa$t")} a JOIN ${p("pres")} r ON r.vec_id = a.vec_id AND r.m = a.m
          |       CROSS JOIN generate_series(1, $PqSub) td(d)
          |  GROUP BY a.m, a.k, d),
-         |pq$t AS MATERIALIZED (
+         |${p(s"pq$t")} AS MATERIALIZED (
          |  SELECT p.m, p.k, CASE WHEN s.k IS NULL THEN p.pv ELSE s.nv END AS pv
-         |  FROM pq${t - 1} p LEFT JOIN (
-         |    SELECT m, k, list(sm // cnt ORDER BY d) AS nv FROM ps$t GROUP BY m, k) s
+         |  FROM ${p(s"pq${t - 1}")} p LEFT JOIN (
+         |    SELECT m, k, list(sm // cnt ORDER BY d) AS nv FROM ${p(s"ps$t")} GROUP BY m, k) s
          |    ON s.m = p.m AND s.k = p.k)""".stripMargin
     }.mkString
     head + rounds
+  }
+
+  /** The PQ quantization-error decision card replay (r17b): ONE shared
+    * laddered coarse fit (kmeansFitCtes sized), BOTH registered
+    * residual-book fits against it (pqFitCtes — the narrow 8×16 default
+    * and the prefixed 16×64 m16 book), then every vector's serving-space
+    * reconstruction error Σ_m min_k ‖r_m − pq_m[k]‖² folded exactly as
+    * the graft_pq_error kernel does (per-k left fold, ascending-m left
+    * fold, trunc at fp 10¹²), reduced to one row per book. Sums
+    * aggregate in DECIMAL(38,0) (BIGINT per-vector values, HUGEINT sum
+    * cast — 10⁹⁺ vectors cannot overflow).
+    */
+  private def pqErrorCardOracle: String = {
+    import graft.functions.Codebooks.PqM
+    def bookCtes(suffix: String, pqRef: String, pqM: Int): String = {
+      val sub = graft.functions.Codebooks.Dim / pqM
+      s""",
+         |pqv$suffix AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM $pqRef),
+         |dm$suffix AS (
+         |  SELECT vec_id, q.m AS m,
+         |         list_min(list(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           [(r.r[q.m*$sub+d]-q.pv[d])*(r.r[q.m*$sub+d]-q.pv[d])
+         |            for d in generate_series(1,$sub)]), (s,x) -> s+x))) AS emin
+         |  FROM vres r CROSS JOIN pqv$suffix q GROUP BY vec_id, q.m),
+         |errs$suffix AS (
+         |  SELECT vec_id,
+         |         CAST(trunc(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(emin ORDER BY m)), (s,x) -> s+x) * 1000000000000.0) AS BIGINT) AS err_fp
+         |  FROM dm$suffix GROUP BY vec_id),
+         |card$suffix AS (
+         |  SELECT COUNT(*) AS n_vecs,
+         |         CAST(SUM(err_fp) AS DECIMAL(38,0)) AS sum_err_fp,
+         |         MAX(err_fp) AS max_err_fp,
+         |         CAST(SUM(CASE WHEN err_fp < 100000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_lo,
+         |         CAST(SUM(CASE WHEN err_fp >= 100000000000 AND err_fp < 500000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_mid,
+         |         CAST(SUM(CASE WHEN err_fp >= 500000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_hi
+         |  FROM errs$suffix)""".stripMargin
+    }
+    NormCte +
+      s"""
+         |, nlsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN $NCentroids
+         |  WHEN COUNT(*) <= 65536 THEN 128
+         |  WHEN COUNT(*) <= 1048576 THEN 512 ELSE 2048 END AS nl FROM embeddings),
+         |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048)}${
+           pqFitCtes("fc3", 5, 8192, 64, 41000, 16, prefix = "w")},
+         |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
+         |vb AS (SELECT vec_id, list_position(cc, list_max(cc)) AS bucket FROM ccs),
+         |vres AS MATERIALIZED (
+         |  SELECT v.vec_id,
+         |         [v.e[i]/v.nrm - chat.ch[i] for i in generate_series(1,$Dim)] AS r
+         |  FROM vb JOIN v USING (vec_id) JOIN chat ON chat.c = vb.bucket - 1)${
+           bookCtes("n", "pq5", PqM)}${bookCtes("w", "wpq5", 16)}
+         |SELECT 'narrow' AS book, * FROM cardn
+         |UNION ALL SELECT 'm16' AS book, * FROM cardw
+         |ORDER BY book""".stripMargin
   }
 
   /** The fully-FITTED laddered IVF-PQ serve replay (r16; parameterized
@@ -1527,8 +1644,11 @@ object PipelineQueries {
   private def ivfPqFittedSizedOracle(baseProbes: Int,
                                      pqK: Int = graft.functions.Codebooks.PqK,
                                      pqSeedRowBase: Int = 400,
-                                     refineMul: Int = 1): String = {
-    import graft.functions.Codebooks.{PqM, PqSub}
+                                     refineMul: Int = 1,
+                                     pqM: Int = graft.functions.Codebooks.PqM,
+                                     pqFitSample: Int = 2048): String = {
+    val PqM = pqM
+    val PqSub = graft.functions.Codebooks.Dim / pqM
     val coarse = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"[q.e[i]/q.nrm * ch.ch[i] for i in generate_series(1,$Dim)]), (s,x) -> s+x)"
     val terms = s"flatten([[q.e[m*$PqSub+d]/q.nrm * pqf.pq[m*$pqK + codes[m+1]][d] " +
@@ -1543,7 +1663,7 @@ object PipelineQueries {
          |rsizing AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
          |    WHEN COUNT(*) <= 65536 THEN 8
          |    WHEN COUNT(*) <= 1048576 THEN 16 ELSE 32 END AS rf FROM embeddings),
-         |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, 2048, pqK, pqSeedRowBase)},
+         |${kmeansFitCtes(3, sized = true)}${pqFitCtes("fc3", 5, pqFitSample, pqK, pqSeedRowBase, pqM)},
          |chat AS (SELECT c, [cv[i]/cnrm for i in generate_series(1,$Dim)] AS ch FROM cn2),
          |pqv AS (SELECT m, k, [CAST(x AS DOUBLE)/1000000.0 for x in pv] AS pv FROM pq5),
          |pqf AS (SELECT list(pv ORDER BY m*$pqK + k) AS pq FROM pqv),
@@ -2623,6 +2743,33 @@ object PipelineQueries {
          |deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY 1)
          |SELECT d AS deg, COUNT(*) AS n_nodes FROM deg GROUP BY d
          |ORDER BY deg""".stripMargin),
+    // triangle / clustering-coefficient card: the same pairs relation,
+    // degree-ordered orientation (CASE on the deg join), oriented wedge
+    // self-join closed against the undirected pair list — all-integer,
+    // BIGINT fixed-point coefficient, mirrors Graph.triangleCard exactly
+    "knn_triangle_card" -> (knnRankedCtes() + triangleCtes +
+      s""",
+         |tri AS (SELECT COUNT(*) AS n_tri FROM corners),
+         |card AS (
+         |  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         |         (SELECT COUNT(*) FROM und) AS n_edges,
+         |         CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS BIGINT) AS n_wedges,
+         |         (SELECT n_tri FROM tri) AS n_tri,
+         |         (SELECT MAX(f) FROM (SELECT COUNT(*) AS f FROM orient GROUP BY lo)) AS max_fwd_deg)
+         |SELECT n_nodes, n_edges, n_wedges, n_tri,
+         |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST((3 * n_tri * 1000000) // n_wedges AS BIGINT) END AS ccoef_fp,
+         |  max_fwd_deg
+         |FROM card""".stripMargin),
+    // per-node triangle top-k: every closed triangle credits its three
+    // corners; integer counts, ties toward the smaller vec_id
+    "knn_triangle_topk" -> (knnRankedCtes() + triangleCtes +
+      s""",
+         |pernode AS (SELECT unnest([lo, h1, h2]) AS vec_id FROM corners),
+         |cnt AS (SELECT vec_id, COUNT(*) AS n_tri FROM pernode GROUP BY 1)
+         |SELECT vec_id, n_tri,
+         |  CAST(row_number() OVER (ORDER BY n_tri DESC, vec_id) AS INT) AS rnk
+         |FROM cnt ORDER BY n_tri DESC, vec_id LIMIT 20""".stripMargin),
     "knn_semdedup" -> knnSemdedupOracle,
     // the shared-build consumer card: all four consumers replayed off
     // the same pairs relation in one statement (rank chain + MIS unroll
@@ -2950,6 +3097,18 @@ object PipelineQueries {
     // binding; same laddered coarse fit CTEs, probe text unchanged
     "sim_topk_ivf_pq_fitted_hq" -> ivfPqFittedSizedOracle(Probes,
       pqK = 64, pqSeedRowBase = 30000, refineMul = 4),
+
+    // the 16-subspace wide-book point (r17b): the identical fitted
+    // replay with the residual-book shape dials swapped — M=16 (sub=4),
+    // K=64, 8192-row fit sample, 41000.. seed region, ×4 shortlist.
+    // The coarse fit CTEs are untouched (books shared with the whole
+    // fitted family by construction).
+    "sim_topk_ivf_pq_fitted_m16" -> ivfPqFittedSizedOracle(Probes,
+      pqK = 64, pqSeedRowBase = 41000, refineMul = 4, pqM = 16,
+      pqFitSample = 8192),
+
+    // the quantization-error decision card: both books, one statement
+    "pq_error_card" -> pqErrorCardOracle,
 
     // kNN graph build over the FITTED laddered book (r17): the
     // sim_knn_join_ivf replay with the formula ccs swapped for the

@@ -167,6 +167,17 @@ object StreamQueries {
         tablePrefix = "graft_pq_fitted_stream", book = "fitted")
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // The r17b high-recall serving point's twin: 16-subspace × 64-code
+    // residual book (8192-row sample, 41000.. seeds) + the ×4 shortlist
+    // — recall@10 0.963 sf1 / 0.875 sf10 on the batch row. Replay
+    // reproduces sim_topk_ivf_pq_fitted_m16 (batch oracle verbatim).
+    "stream_sim_ivf_pq_m16" -> ((s, dir) => {
+      val (out, ckpt) = TopicStream.scratchDirs("stream_sim_ivf_pq_m16", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      SimilarityStream.ivfPqTopKStream(s, s"$dir/embeddings.parquet", out, ckpt,
+        tablePrefix = "graft_pq_m16_stream", book = "m16", refineMul = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // Streaming PQ-compact MIPS serving (r14): codes-resident
     // augmented-space index + original-vector rerank table materialized
     // once; per batch, probe + PQ shortlist + exact raw-ip rerank.
@@ -427,6 +438,7 @@ object StreamQueries {
     "stream_sim_ivf_pq" -> PipelineQueries.oracles("sim_topk_ivf_pq"),
     "stream_sim_ivf_pq_resfit" -> PipelineQueries.oracles("sim_topk_ivf_pq_resfit"),
     "stream_sim_ivf_pq_fitted" -> PipelineQueries.oracles("sim_topk_ivf_pq_fitted_sized"),
+    "stream_sim_ivf_pq_m16" -> PipelineQueries.oracles("sim_topk_ivf_pq_fitted_m16"),
     // codes-resident augmented-space MIPS serving, replay == batch
     "stream_sim_mips_pq" -> PipelineQueries.oracles("sim_topk_mips_ivf_pq"),
     "stream_clean_ingest" -> PipelineQueries.oracles("pipeline_clean_corpus"),

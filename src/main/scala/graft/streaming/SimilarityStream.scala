@@ -116,7 +116,8 @@ object SimilarityStream {
                       maxFilesPerTrigger: Option[Int] = None,
                       probes: Int = 8, refine: Int = 0,
                       tablePrefix: String = "graft_pq_stream",
-                      book: String = "formula"): DataFrame = {
+                      book: String = "formula",
+                      refineMul: Int = 1): DataFrame = {
     TopicStream.deleteRecursively(Paths.get(outDir))
     Files.createDirectories(Paths.get(outDir))
     val corpus = spark.read.parquet(embPath)
@@ -132,16 +133,26 @@ object SimilarityStream {
     // deterministic (integer arithmetic over the first-2048 sample),
     // so this face's books are bit-identical to the batch operator's.
     val n = corpus.count()
-    val refineEff = if (refine > 0) refine else Similarity.sizedRefine(n)
+    // refineMul (r17b): the shortlist-boost dial the hq/m16 serving
+    // points ride — multiplies the N-adaptive width, exactly as the
+    // batch rows multiply sizedRefine
+    val refineEff = (if (refine > 0) refine else Similarity.sizedRefine(n)) *
+      refineMul
     val (bucketCol, probesCol, codeCol, scoreCol) = book match {
       case "resfit" => Similarity.pqResFitServingExprs(
         corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
       case "fitted" => Similarity.pqFittedServingExprs(
         corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
+      // the r17b winning composition: 16×64 residual book (41000..
+      // seeds) fitted on the 8192-row sample — the SHARED builder
+      // guarantees bit-identity with sim_topk_ivf_pq_fitted_m16's books
+      case "m16" => Similarity.pqFittedServingExprs(
+        corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n),
+        pqK = 64, pqSeedRowBase = 41000, pqM = 16, pqFitSample = 8192)
       case "formula" => Similarity.pqServingExprs(
         corpus, Similarity.sizedProbes(probes, n), Similarity.sizedNlist(n))
       case other => throw new IllegalArgumentException(
-        s"ivfPqTopKStream: unknown book '$other' (formula | resfit | fitted)")
+        s"ivfPqTopKStream: unknown book '$other' (formula | resfit | fitted | m16)")
     }
     val isQuery = col("vec_id") < 8
 

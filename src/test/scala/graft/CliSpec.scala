@@ -358,4 +358,24 @@ class CliSpec extends SparkSpec {
     // bad -r is a parse error, not a throw
     assert(Cli.parse(Seq("-d", sf, "-r", "ultra", "query", "a", "b")).isLeft)
   }
+
+  test("query -q: the high-quality (16x64) serving point serves bit-identical " +
+      "to the registered m16 library operator") {
+    val out = outDir("queryq")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(spark,
+      Seq("-d", sf, "-O", out, "-q", "query", "embeddings", "graft_cli_spec_pqq"),
+      print = lines += _)
+    assert(code == 0)
+    val got = spark.read.parquet(s"$out/topk")
+    val lib = graft.operators.Similarity.ivfPqTopKFittedSizedShaped(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      col("vec_id") < 8, k = 10,
+      pqM = 16, pqK = 64, pqFitSample = 8192, pqSeedRowBase = 41000,
+      refineMul = 4)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(lib).isEmpty && lib.exceptAll(got).isEmpty,
+      "-q answers must equal the m16 operator bit-for-bit")
+    assert(lines.exists(_.contains("quality (16x64) books")))
+  }
 }

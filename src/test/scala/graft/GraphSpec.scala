@@ -340,6 +340,50 @@ class GraphSpec extends SparkSpec {
     assert(card.keys.min >= 1L && card.keys.max < degs.size.toLong)
   }
 
+  test("knn_triangle_card: a hand-built K4-plus-tail graph counts exactly; " +
+      "the index card equals a driver brute-force replay; max_fwd_deg " +
+      "respects the sqrt(2E) orientation bound") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + tail 4-5-6 (none): degrees
+    // 3,3,3,4,2,1 -> wedges 9+6+1 = 16, ccoef = 3*4/16 = 0.75
+    val hand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val sym = hand.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val h = Graph.triangleCard(sym).head()
+    assert(h.getLong(0) === 6L, "n_nodes")
+    assert(h.getLong(1) === 8L, "n_edges")
+    assert(h.getLong(2) === 16L, "n_wedges")
+    assert(h.getLong(3) === 4L, "n_tri")
+    assert(h.getLong(4) === 750000L, "ccoef_fp = 0.75 at scale 1e6")
+    assert(h.getLong(5) === 3L, "max oriented out-degree (node 1)")
+    // the real index vs a driver brute force (triangle (a<b<c) counted
+    // once at its (a,b) edge via common higher neighbors)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    Graph.writeKnnEdgeIndex(emb, "graft_knn_tri_spec", k = 5, probes = 2)
+    val card = Graph.triangleCardFromIndex(spark, "graft_knn_tri_spec").head()
+    val pairs = spark.table("graft_knn_tri_spec")
+      .filter(col("src") < col("dst")).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triBrute = pairs.map { case (a, b) =>
+      (adj(a) intersect adj(b)).count(c => c > b).toLong
+    }.sum
+    val wedgeBrute = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(card.getLong(0) === adj.size.toLong, "index n_nodes")
+    assert(card.getLong(1) === pairs.length.toLong, "index n_edges")
+    assert(card.getLong(2) === wedgeBrute, "index n_wedges")
+    assert(card.getLong(3) === triBrute, "index n_tri")
+    val expectCoef =
+      if (wedgeBrute == 0) 0L else 3L * triBrute * 1000000L / wedgeBrute
+    assert(card.getLong(4) === expectCoef, "index ccoef_fp")
+    // Schank orientation bound: an oriented out-neighbor has degree >=
+    // deg(v) >= fwd_deg(v), so fwd_deg^2 <= sum(deg) = 2E
+    assert(card.getLong(5) * card.getLong(5) <= 2L * card.getLong(1),
+      "max_fwd_deg must respect the sqrt(2E) bound")
+  }
+
   test("knn_semdedup: labels equal a driver union-find over the tau-filtered " +
       "index pairs; exactly one keep per neighborhood and the keeper is the " +
       "minimum id; a planted dense cluster collapses to ONE representative") {

@@ -457,6 +457,64 @@ class SimilaritySpec extends SparkSpec {
     bf10.unpersist(); fitted.unpersist()
   }
 
+  test("r17b shaped fitted serving: default dials reproduce the fitted_sized " +
+      "row bit-for-bit; the registered m16 point (16x64 book, 8192-row " +
+      "sample) exact-reranks and keeps the rows-gate shape") {
+    // the shaped surface with every dial at its default IS fitted_sized
+    // — one serving implementation, provably shared books
+    val sized = Similarity.ivfPqTopKFittedSized(emb, isQuery, k = 10)
+    val shaped = Similarity.ivfPqTopKFittedSizedShaped(emb, isQuery, k = 10)
+    assert(shaped.exceptAll(sized).isEmpty && sized.exceptAll(shaped).isEmpty,
+      "default dials must reproduce fitted_sized bit-for-bit")
+    // the registered m16 composition: 16 subspaces x 64 codes, 8192-row
+    // fit sample (41000.. seed region), x4 shortlist
+    val m16 = Similarity.ivfPqTopKFittedSizedShaped(emb, isQuery, k = 10,
+      pqM = 16, pqK = 64, pqFitSample = 8192, pqSeedRowBase = 41000,
+      refineMul = 4).cache()
+    val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    assert(m16.select(col("query_id"), col("corpus_id"), col("cos"))
+      .except(bf).count() === 0, "final rerank must be exact")
+    val perQuery = m16.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") =!= 10).count() === 0)
+    assert(m16.filter(col("rnk") < 1 || col("rnk") > 10).count() === 0)
+    // a mismatched (pqM, pqK) -> seed-region pairing must fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFittedSizedShaped(emb, isQuery, k = 10,
+        pqM = 16, pqK = 64, pqSeedRowBase = 400)
+    }
+    m16.unpersist()
+  }
+
+  test("r17b pq_error_card: bands conserve the vector count, sum/max cohere, " +
+      "the m16 book's total error beats the narrow book's, and the card is " +
+      "deterministic") {
+    val card = Similarity.pqErrorCard(emb).collect()
+    assert(card.length === 2)
+    val byBook = card.map(r => r.getString(0) -> r).toMap
+    assert(byBook.keySet === Set("narrow", "m16"))
+    card.foreach { r =>
+      val n = r.getLong(1)
+      val sum = r.getDecimal(2)
+      val mx = r.getLong(3)
+      val (lo, mid, hi) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(lo + mid + hi === n, "error bands must conserve the vector count")
+      assert(sum.compareTo(java.math.BigDecimal.valueOf(mx)) >= 0,
+        "total error must be at least the max")
+      assert(sum.compareTo(java.math.BigDecimal.valueOf(mx).multiply(
+        java.math.BigDecimal.valueOf(n))) <= 0,
+        "total error must be at most n * max")
+    }
+    // the corpus-level property the card exists to surface: the 16-
+    // subspace book quantizes strictly better than the narrow default
+    assert(byBook("m16").getDecimal(2).compareTo(
+      byBook("narrow").getDecimal(2)) < 0,
+      "m16 total quantization error must beat the narrow book's")
+    // deterministic fit + kernel: a second invocation is bit-identical
+    val again = Similarity.pqErrorCard(emb).collect()
+    assert(card.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("r16 fitted serving ladder: the sized fully-fitted row equals ivfPqTopKFitted " +
       "bit-for-bit at gate scale; the resfit row exact-reranks, is deterministic " +
       "(the batch/stream book-sharing guarantee), and its fitted residual book " +
