@@ -49,7 +49,11 @@ object Bpe {
     * word-split regex.
     */
   private def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\u001F\\u001E]+")).as("word"))
+    // spreadScan (r17, guide §2.5): the split+explode+partial-count map
+    // side must not run the whole corpus on one scan task when the input
+    // file plans to a single split; no-op on real multi-split layouts
+    graft.sources.Tables.spreadScan(docs, "doc_id")
+      .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\u001F\\u001E]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
@@ -214,7 +218,7 @@ object Bpe {
   def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     val name = registerFitted(spark, merges)
-    docs
+    graft.sources.Tables.spreadScan(docs, "doc_id")
       .withColumn("st", call_function(name, col("text")))
       .select(col("doc_id"),
         element_at(col("st"), 1).as("n_words"),
@@ -238,7 +242,7 @@ object Bpe {
     val name = s"graft_bpe_segments_${fitIds.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => graft.functions.BpeSegments(exprs.head, merges), "built-in")
-    docs
+    graft.sources.Tables.spreadScan(docs, "doc_id")
       .withColumn("segments", call_function(name, col("text")))
       .filter(col("segments").isNotNull)
       .select(col("doc_id"),

@@ -34,9 +34,18 @@ object Dedup {
     * input of every text near-dup operator. One narrow projection, no
     * shuffle; computed per-partition at scan time.
     */
-  def shingleHashes(docs: DataFrame): DataFrame = {
+  def shingleHashes(docs: DataFrame, spread: Boolean = true): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    docs.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("hs"))
+    // r17 opt (guide §2.5): the whole map side of every near-dup
+    // candidate stage (kernel + explode + band build + partial agg /
+    // broadcast build) runs straight above this projection, so a
+    // single-row-group corpus file must not serialize it on one scan
+    // task. spreadScan hash-repartitions the narrow (doc_id, text)
+    // rows only when the planned scan is narrower than the session —
+    // a no-op on any real multi-split layout (the 100-TB case) and a
+    // pass-through for streaming frames.
+    (if (spread) graft.sources.Tables.spreadScan(docs, "doc_id") else docs)
+      .select(col("doc_id"), expr("graft_shingle_hashes(text)").as("hs"))
       .withColumn("n_sh", size(col("hs")).cast("long"))
   }
 
@@ -54,7 +63,15 @@ object Dedup {
     * is the exact baseline the LSH variants are verified against.
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val ex = shingleHashes(docs).select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    // r17 opt: explode_outer + null filter, not explode — plain explode
+    // lets InferFiltersFromGenerate inline the shingle kernel into a
+    // size()>0 filter below the projection, evaluating the kernel twice
+    // per row (the documented GENERATE landmine, filter form; measured
+    // ~45% of the scan stage at sf0.1). Row set identical: elements are
+    // never null, and empty/null arrays drop either way.
+    val ex = shingleHashes(docs)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -78,7 +95,10 @@ object Dedup {
     * Jaccard-τ pass would have kept or lost.
     */
   def containmentPairs(docs: DataFrame, tau: Double = 0.8): DataFrame = {
-    val ex = shingleHashes(docs).select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    // explode_outer + null filter: see ngramJaccardPairs (kernel-in-filter)
+    val ex = shingleHashes(docs)
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -134,7 +154,10 @@ object Dedup {
     */
   private[graft] def prefixIndex(hashes: DataFrame,
                                  tauNum: Int, tauDen: Int): DataFrame = {
-    val ex = hashes.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    // explode_outer + null filter: see ngramJaccardPairs (kernel-in-filter)
+    val ex = hashes
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
@@ -166,7 +189,19 @@ object Dedup {
     */
   def minhashBands(hashes: DataFrame, bands: Int = 4): DataFrame = {
     val rows = MinhashK / bands
-    val sig = hashes.filter(size(col("hs")) > 0).select(
+    // r17 opt: the shingle-less-doc guard moved from a pre-sig
+    // filter(size(hs) > 0) — whose pushdown inlined the shingle kernel
+    // into the filter condition, one extra kernel eval per row — to a
+    // post-explode filter on band_val: an empty hs makes every minhash
+    // NULL (array_min over empty), and concat_ws skips nulls, so
+    // band_val = "" EXACTLY for the shingle-less docs the old filter
+    // dropped (a real band value is `rows` longs joined by commas,
+    // never empty). band_val is a stored post-Generate attribute, so
+    // nothing can inline through it. Row set identical; the quadratic
+    // ""-bucket blow-up the old comment feared stays impossible. The
+    // hs→sig projection boundary is safe from CollapseProject (hs is
+    // referenced 16×, too expensive to duplicate by that rule).
+    val sig = hashes.select(
       col("doc_id") +: col("hs") +: col("n_sh") +:
         (0 until MinhashK).map(j => minhash(col("hs"), minhashA(j), minhashB(j)).as(s"s$j")): _*)
     sig.select(col("doc_id"), col("hs"), col("n_sh"),
@@ -176,6 +211,7 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("hs"), col("n_sh"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+      .filter(col("band_val") =!= "")
   }
 
   /** Corpus-sized estimator length for the MinHash candidate pre-filter
@@ -224,7 +260,14 @@ object Dedup {
             lit(tau) * greatest(col("a.n_sh"), col("b.n_sh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sig = hashes.filter(size(col("hs")) > 0)
+    // r17 opt: the size(hs) > 0 pre-filter dropped — its pushdown
+    // inlined the shingle kernel into the filter condition (one extra
+    // kernel eval per row), and it was redundant: sig is consumed
+    // through INNER joins against band-derived candidates, whose docs
+    // all banded (non-empty hs). A shingle-less doc's sg is the all-P
+    // sentinel (MinhashSigImpl on an empty array), cheap and never
+    // joined.
+    val sig = hashes
       .select(col("doc_id"), expr(s"graft_minhash_sig(hs, $kEst)").as("sg"))
     val sa = sig.select(col("doc_id").as("doc_a"), col("sg").as("sga"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sg").as("sgb"))
@@ -307,7 +350,9 @@ object Dedup {
   def minhashEstimate(docs: DataFrame, bands: Int = 4): DataFrame = {
     val hashes = shingleHashes(docs)
     val cand = minhashCandidates(hashes, bands)
-    val sig = hashes.filter(size(col("hs")) > 0).select(col("doc_id"), col("hs"),
+    // size(hs) > 0 pre-filter dropped — see minhashCandidatesSized
+    // (inner joins against banded candidates absorb shingle-less docs)
+    val sig = hashes.select(col("doc_id"), col("hs"),
       array((0 until MinhashK).map(j =>
         minhash(col("hs"), minhashA(j), minhashB(j))): _*).as("sig"))
     val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sig").as("sa"))
@@ -445,7 +490,14 @@ object Dedup {
       .filter(least(col("n_sh"), col("base_n_sh")).cast("double") >=
         lit(tau) * greatest(col("n_sh"), col("base_n_sh")))
       .select(col("doc_id"), col("base_id")).distinct()
-    val sig = hashes.filter(size(col("hs")) > 0)
+    // r17 opt: the size(hs) > 0 pre-filter dropped — its pushdown
+    // inlined the shingle kernel into the filter condition (one extra
+    // kernel eval per row), and it was redundant: sig is consumed
+    // through INNER joins against band-derived candidates, whose docs
+    // all banded (non-empty hs). A shingle-less doc's sg is the all-P
+    // sentinel (MinhashSigImpl on an empty array), cheap and never
+    // joined.
+    val sig = hashes
       .select(col("doc_id"), expr(s"graft_minhash_sig(hs, $kEst)").as("sg"))
     val candEst = cand
       .join(sig.select(col("doc_id"), col("sg").as("sga")), "doc_id")
@@ -607,8 +659,18 @@ object Dedup {
     *         wrong with no signal (round-7 ADVICE).
     */
   private[graft] def propagateMinLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    // r17 opt (guide §1.2): symmetrize with a map-side explode, not a
+    // self-union — the union's two branches each re-ran the whole pair
+    // generation (MinHash banding + verify join) before the persist
+    // caught the result; the explode computes pairs ONCE (the
+    // coPurchaseEdges idiom). Row set identical: explode(array(a→b,
+    // b→a)) emits exactly the union's rows.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .persist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component_id"), lit(true).as("__changed"))
       .localCheckpoint(true)
@@ -676,6 +738,14 @@ object Dedup {
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NOTE (r17 opt, measured): `large` is read twice (minsS and the
+      // small-star join) but BOTH readers re-shuffle it by `u` over the
+      // same distinct subtree — canonically identical exchanges that
+      // AQE's stage reuse already dedupes at runtime. An explicit
+      // persist here was tried and REGRESSED the starContract consumers
+      // (dedup_embedding_cc +34%, knn_consumer_card +16% at sf0.1):
+      // it replaced free stage reuse with a per-round cache
+      // materialization. Left as-is deliberately.
       val large = sym.join(minsL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()

@@ -240,9 +240,22 @@ object Graph {
     */
   def knnPageRank(emb: DataFrame, k: Int = 5, probes: Int = 2,
                   rounds: Int = 5, topK: Int = 20,
-                  scale: Long = DefaultRankScale): DataFrame =
-    rankCard(pageRankAdjacency(knnEdges(emb, k, probes), rounds, scale,
-      symmetric = true), topK)
+                  scale: Long = DefaultRankScale): DataFrame = {
+    // r17 opt (guide §1.2/§2.4 — don't compute things twice): the kNN
+    // build is the expensive frame here and pageRankAdjacency consumes
+    // its edge argument twice (degree aggregate + adjacency build);
+    // unpersisted, the whole O(probes·N^1.5) candidate join ran twice
+    // per invocation (measured: knn_pagerank 3.35 s vs
+    // knn_pagerank_indexed 2.16 s at sf0.1 — the INDEXED form was
+    // cheaper because its table write materialized the edges once).
+    // The persist is an edge-sized intermediate (≤ 2·k·N narrow rows)
+    // INSIDE the timed computation; ranks come back as an eager
+    // checkpoint, so the cache frees before the card is even read.
+    val e = knnEdges(emb, k, probes).persist()
+    val ranks = pageRankAdjacency(e, rounds, scale, symmetric = true)
+    e.unpersist(false)
+    rankCard(ranks, topK)
+  }
 
   /** The symmetrized, deduplicated kNN edge list ([[knnPageRank]]'s
     * graph): nlist derived from the corpus (sizedNlist) — the graph
@@ -470,12 +483,19 @@ object Graph {
         s"Graph.misLoop: no fixed point after $maxRounds rounds " +
           s"($nAlive nodes alive) — raise maxRounds AND the oracle unroll")
       val aliveP = alive.select(col("id"), col("r"), misPriority(t).as("pri"))
-      // live edges: both endpoints still alive; the src side carries its
-      // priority so the per-dst "best neighbor" needs no second join
+      // alive-SRC edges, the src side carrying its priority so the
+      // per-dst "best neighbor" needs no second join. r17 opt (guide
+      // §2.4 — remove shuffles outright): the old form ALSO joined the
+      // alive set on dst, and was then consumed twice unpersisted (once
+      // under selT, once under the removal set) — per round that cost
+      // 2×2 edge-sized hash joins plus an edge-sized exchange by dst.
+      // The dst-alive restriction is redundant: dead-dst groups in
+      // `best` are dropped by the aliveP⋈best join below (aliveP is
+      // alive-only), and dead ids in `removed` are no-ops to the
+      // anti-join. The `best` aggregate's map-side partial min keeps
+      // the post-filter exchange node-sized.
       val liveE = e
         .join(aliveP.select(col("id").as("src"), col("pri").as("spri")), "src")
-        .join(aliveP.select(col("id").as("dst")), "dst")
-        .select(col("src"), col("dst"), col("spri"))
       // negate the PRIORITY (algorithm-domain, bounded), never the id
       val best = liveE.groupBy(col("dst").as("id"))
         .agg(min(struct((-col("spri")).as("np"), col("src").as("nid"))).as("best"))
@@ -484,10 +504,18 @@ object Graph {
           !(-col("best.np") > col("pri") ||
             (-col("best.np") === col("pri") && col("best.nid") < col("id"))))
         .select(col("id"), col("r"))
-        .localCheckpoint(true) // eager: later rounds must not recompute it
+        // EAGER checkpoint, deliberately (r17 re-measured): a lazy one
+        // is read CONCURRENTLY by both removal-set branches in the
+        // count job, and racing tasks duplicate the whole
+        // liveE→best→selT chain per partition (mis rows +0.7-1.2 s at
+        // sf0.1); the eager job computes it exactly once.
+        .localCheckpoint(true)
       selected += selT.withColumn("sel_round", lit(t)) -> selT
+      // closed neighborhoods straight off the PERSISTED edge list (not
+      // liveE — that re-ran both of its joins): dead/duplicate dsts are
+      // absorbed by the distinct + anti-join exactly as before
       val removed = selT.select(col("id"))
-        .union(liveE.join(selT.select(col("id").as("src")), "src")
+        .union(e.join(selT.select(col("id").as("src")), "src")
           .select(col("dst").as("id")))
         .distinct()
       val aliveNext = alive.join(removed, Seq("id"), "left_anti")
@@ -960,8 +988,18 @@ object Graph {
     // beyond (the 100-TB arm). The co-purchase graph is symmetrized by
     // construction, so the symmetric fast path applies (bit-identity of
     // all choices spec'd in GraphSpec).
-    pageRankAdjacency(coPurchaseEdges(lineitem), rounds, scale,
-        symmetric = true, broadcastMaxNodes = Some(BroadcastRanksMaxNodes))
+    // r17 opt (guide §1.2): the co-purchase build (collect_set + pair
+    // explode + global distinct) is the expensive frame and
+    // pageRankAdjacency consumes its edge argument twice (degree
+    // aggregate + adjacency build) — persist so it runs once. The
+    // cache is the narrow symmetrized pair list (bounded by
+    // 21·|orders| rows); ranks come back as an eager checkpoint, so
+    // it frees before the card is read.
+    val e = coPurchaseEdges(lineitem).persist()
+    val ranks = pageRankAdjacency(e, rounds, scale,
+      symmetric = true, broadcastMaxNodes = Some(BroadcastRanksMaxNodes))
+    e.unpersist(false)
+    ranks
       .orderBy(col("r").desc, col("id"))
       .limit(k)
       .select(col("id").as("part_id"), col("r").as("rank_fp"),

@@ -544,6 +544,12 @@ object Multimodal {
       .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"),
         w.cast("int").as("w"), h.cast("int").as("h"))
+      // r17 opt (guide §2.5): the codec cost is per-ROW (ms-scale DCT/
+      // inflate), so a single-row-group input file must not serialize
+      // the whole corpus on one scan task — spreadScan repartitions the
+      // narrow pre-codec rows only when the planned scan is narrower
+      // than the session (no-op on any real multi-split layout)
+      .transform(graft.sources.Tables.spreadScan(_, "doc_id"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         // per-IMAGE codec calls (javax.imageio has no batch API) — the
@@ -586,6 +592,10 @@ object Multimodal {
       .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"),
         w.cast("int").as("w"), h.cast("int").as("h"))
+      // spreadScan: see pngDecode — per-row JPEG roundtrips must not
+      // serialize on a one-split scan (measured 4.2 s -> the corpus on
+      // one core at sf0.1)
+      .transform(graft.sources.Tables.spreadScan(_, "doc_id"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.map { case (docId, raw, pw, ph) =>
@@ -631,6 +641,8 @@ object Multimodal {
       .withColumn("__cs", TextFunctions.polyhashNative(col("text")))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"),
         tw.cast("int").as("w"), th.cast("int").as("h"), nf.cast("int").as("n"))
+      // spreadScan: see pngDecode — n per-frame JPEG roundtrips per row
+      .transform(graft.sources.Tables.spreadScan(_, "doc_id"))
       .as[(Long, Array[Byte], Int, Int, Int)]
       .mapPartitions { it =>
         it.map { case (docId, raw, w, h, n) =>
@@ -688,8 +700,9 @@ object Multimodal {
     */
   def decodeFeatures(spark: SparkSession, blobs: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
-    blobs.as[MediaBlob].mapPartitions { it =>
-      it.grouped(batchSize).flatMap(decodeBatch)
-    }
+    graft.sources.Tables.spreadScan(blobs, "doc_id").as[MediaBlob]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(decodeBatch)
+      }
   }
 }

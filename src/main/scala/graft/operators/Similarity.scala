@@ -66,6 +66,12 @@ object Similarity {
   /** (vec_id, e: array<double>, nrm) — shared normalized-view projection. */
   def vectors(emb: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(emb.sparkSession)
+    // NOTE (r17, measured): a spreadScan here was tried and REVERTED —
+    // the FIT paths re-evaluate this projection once per k-means round,
+    // so the repair exchange re-shipped the fat embedding column every
+    // round and the fitted serving rows regressed (+0.25..0.74 s at
+    // sf0.1) while the serving-only rows were neutral. The single-split
+    // scan cost is fit-bound, not serving-bound; left as-is.
     emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
       .withColumn("nrm", expr("graft_norm(e)"))
   }

@@ -55,6 +55,11 @@ object TextOps {
     */
   def qualityCols(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
+    // NOTE (r17, measured): spreadScan here was tried and REVERTED —
+    // the text-stats kernel is light (~0.2 s single-core at sf0.1) and
+    // quality consumers aggregate immediately, so the repair exchange
+    // cost more than the parallelism bought (+0.18..0.55 s on the
+    // quality-family rows).
     docs
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("st", expr("graft_text_stats(text)"))
@@ -240,8 +245,13 @@ object TextOps {
     */
   def mirrorPairs(docs: DataFrame, maxSources: Int = 10, k: Int = 20): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val sh = docs
-      .select(col("source"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+    // explode_outer + null filter (r17): plain explode lets
+    // InferFiltersFromGenerate inline the shingle kernel into a
+    // size()>0 filter — two kernel evals per row (the GENERATE
+    // landmine, filter form). Row set identical.
+    val sh = graft.sources.Tables.spreadScan(docs, "doc_id")
+      .select(col("source"), explode_outer(expr("graft_shingle_hashes(text)")).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     val d = sh.groupBy(col("h")).agg(count(lit(1)).as("nsrc"))
     val keep = sh.join(d.filter(col("nsrc").between(2, maxSources)), "h")
@@ -518,8 +528,13 @@ object TextOps {
     * linear in corpus shingles and never pairs documents.
     */
   def decontaminate(docs: DataFrame, isBench: Column, minShared: Long = 2): DataFrame = {
-    val hashes = Dedup.shingleHashes(docs)
-    val benchSh = hashes.filter(isBench).select(explode(col("hs")).as("h")).distinct()
+    // spread=false (r17, measured): this consumer's corpus pass is one
+    // light explode + broadcast semi-join — the parallelism repair's
+    // exchange cost more than it bought here (+0.32 s at sf0.1)
+    val hashes = Dedup.shingleHashes(docs, spread = false)
+    val benchSh = hashes.filter(isBench)
+      .select(explode_outer(col("hs")).as("h")).filter(col("h").isNotNull)
+      .distinct()
       .withColumn("hit", lit(1))
     // ONE corpus pass: explode_outer keeps sub-3-word docs (n_sh = 0),
     // the left join marks benchmark shingles, and since hs is a distinct
@@ -544,10 +559,13 @@ object TextOps {
   def decontaminateSpans(docs: DataFrame, isBench: Column, span: Int = 8,
                          minShared: Long = 1): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val hashes = docs.select(col("doc_id"),
-      expr(s"graft_span_hashes(text, $span)").as("hs"))
+    val hashes = graft.sources.Tables.spreadScan(docs, "doc_id")
+      .select(col("doc_id"),
+        expr(s"graft_span_hashes(text, $span)").as("hs"))
       .withColumn("n_spans", size(col("hs")).cast("long"))
-    val benchSp = hashes.filter(isBench).select(explode(col("hs")).as("h")).distinct()
+    val benchSp = hashes.filter(isBench)
+      .select(explode_outer(col("hs")).as("h")).filter(col("h").isNotNull)
+      .distinct()
       .withColumn("hit", lit(1))
     hashes.filter(!isBench)
       .select(col("doc_id"), explode_outer(col("hs")).as("h"))
@@ -581,9 +599,14 @@ object TextOps {
     */
   def spanDupes(docs: DataFrame, span: Int = 8): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val hashes = docs.select(col("doc_id"),
-      expr(s"graft_span_hashes(text, $span)").as("hs"))
-    val occ = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hashes = graft.sources.Tables.spreadScan(docs, "doc_id")
+      .select(col("doc_id"),
+        expr(s"graft_span_hashes(text, $span)").as("hs"))
+    // explode_outer + null filter (r17): see mirrorPairs — stops the
+    // span-hash kernel from re-evaluating inside an inferred filter
+    val occ = hashes
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val repeated = occ.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("h")
     val dup = occ.join(repeated, "h")
@@ -626,7 +649,8 @@ object TextOps {
   def spanVocab(docs: DataFrame, span: Int = 8): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
     docs.select(col("doc_id"), expr(s"graft_span_hashes(text, $span)").as("hs"))
-      .select(explode(col("hs")).as("h"))
+      .select(explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("h")
   }
@@ -639,9 +663,10 @@ object TextOps {
   def spanDedupWithVocab(docs: DataFrame, vocab: DataFrame,
                          span: Int = 8): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
-    val occ = docs
+    val occ = graft.sources.Tables.spreadScan(docs, "doc_id")
       .select(col("doc_id"), expr(s"graft_span_hashes(text, $span)").as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val docDup = occ.join(vocab.select(col("h")), Seq("h"))
       .groupBy("doc_id").agg(collect_list(col("h")).as("dup_hs"))
     docs.join(docDup, Seq("doc_id"), "left")
@@ -798,6 +823,9 @@ object TextOps {
     */
   def importanceHashes(docs: DataFrame): DataFrame = {
     graft.functions.NativeHash.register(docs.sparkSession)
+    // NOTE (r17, measured): spreadScan tried and REVERTED — the weight
+    // table is consumed through small aggregates and the repair
+    // exchange cost more than it bought (pipeline_importance +0.45 s).
     docs.select(col("doc_id"), expr("graft_shingle_hashes(text)").as("hs"))
       .withColumn("n_sh", size(col("hs")).cast("long"))
   }
@@ -812,7 +840,8 @@ object TextOps {
   def importanceWeightTable(docs: DataFrame, isTarget: Column,
                             scale: Long = 10000L): DataFrame = {
     val occ = importanceHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val tgt = occ.filter(isTarget).groupBy("h").agg(count(lit(1)).as("t"))
     val raw = occ.filter(!isTarget).groupBy("h").agg(count(lit(1)).as("r"))
     raw.join(broadcast(tgt), Seq("h"), "left")
@@ -1081,8 +1110,10 @@ object TextOps {
     * (a left join back to the corpus), not silently dropped.
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
+    // explode_outer + null filter (r17): see mirrorPairs (kernel-in-filter)
     val ex = Dedup.shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val perDoc = ex.join(dfreq, "h")
       .groupBy(col("doc_id"))

@@ -84,7 +84,14 @@ object TopicOps {
       .groupBy(col("topic"), col("partition"), col("offset"))
       .agg(min(col("action")).as("action"))
     val d = if (broadcastDecisions) broadcast(oneDecision) else oneDecision
-    val withAction = src.join(d, Seq("topic", "partition", "offset"), "left")
+    // spreadScan on the record side BEFORE the broadcast join (r17): the
+    // decision probe + produce explosion is per-record map work that a
+    // one-split scan would serialize. ONLY in the broadcast form — the
+    // co-bucketed form's whole point is the zero-exchange bucket join,
+    // which a repartition would destroy (BucketingSpec pins it).
+    val srcSide =
+      if (broadcastDecisions) graft.sources.Tables.spreadScan(src, "offset") else src
+    val withAction = srcSide.join(d, Seq("topic", "partition", "offset"), "left")
     route(withAction, coalesce(col("action"), lit("skip")), dest, mergeTombstones)
   }
 
@@ -351,6 +358,15 @@ object TopicOps {
     * records.
     */
   private def produced(src: DataFrame, mergeRow: Column, purgeRow: Column): DataFrame =
-    src.select(explode(filter(array(mergeRow, purgeRow), _.isNotNull)).as("rec"))
+    // spreadScan (r17, guide §2.5): the per-record produce explosion
+    // (struct build + header arrays, then usually a serde or display
+    // projection above) is the map-heavy half of the producer verbs —
+    // a single-row-group topic file must not serialize it on one scan
+    // task. No-op on multi-split layouts; the window/aggregate verbs
+    // (compact/retain/scd2) deliberately do NOT spread — their map
+    // side is light and the repair exchange measured as pure cost
+    // there (+0.4 s at sf0.1).
+    graft.sources.Tables.spreadScan(src, "offset")
+      .select(explode(filter(array(mergeRow, purgeRow), _.isNotNull)).as("rec"))
       .select(col("rec.*"))
 }

@@ -36,6 +36,47 @@ object Tables {
     * TIMESTAMP_NTZ) are cast in place. Sessions run in UTC, so both casts
     * are value-identical to DuckDB's naive read of the same parquet.
     */
+  /** Scale-adaptive parallelism repair for per-row-HEAVY downstream work
+    * (r17, guide §2.5 "input skew — one huge unsplittable file"): parquet
+    * splits align to row groups, so a single-row-group file scans as ONE
+    * task no matter what maxPartitionBytes says — and a codec/kernel
+    * seam above it then runs the whole corpus on one core (measured:
+    * mm_decode_jpeg 4.2 s at sf0.1 on the driver's single-row-group
+    * documents.parquet — 1,667 JPEG roundtrips serialized on 1 of 32
+    * cores). When the planned scan width is below the session's
+    * parallelism, hash-repartition the NARROW pre-kernel rows by `key`
+    * (deterministic routing — no round-robin retry hazard, no
+    * sort-before-repartition); when the input already splits to session
+    * width (any real multi-file / multi-row-group layout — the 100-TB
+    * case), this is a NO-OP and the plan is unchanged. Every caller's
+    * per-row computation is partitioning-invariant by the engine-exact
+    * discipline (DeterminismSpec), so results are bit-identical either
+    * way. Streaming frames pass through untouched (no RDD to inspect;
+    * micro-batch parallelism is the trigger's own dial).
+    */
+  def spreadScan(df: DataFrame, key: String): DataFrame = {
+    if (df.isStreaming || !df.columns.contains(key)) return df
+    // Probe ONLY scan-shaped frames (projection/filter/generate/limit
+    // chains over a relation): anything with a shuffle-producing node
+    // (join, aggregate, window, sort, repartition, union) already runs
+    // at session width — and, decisively, materializing `.rdd` on such
+    // an AQE plan EXECUTES its shuffle stages eagerly in a throwaway
+    // query execution (measured: +0.6-0.8 s on the clean-corpus rows
+    // whose near-dup stage sits over a join output). For a scan-shaped
+    // plan `.rdd` is pure planning — it just exposes the file-split
+    // count.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scanShaped = df.queryExecution.analyzed.collect {
+      case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
+                _: GlobalLimit | _: LocalLimit | _: Deduplicate) => n
+      case l: LeafNode => l
+    }.size == df.queryExecution.analyzed.collect { case n => n }.size
+    if (!scanShaped) return df
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= width) df
+    else df.repartition(width, col(key))
+  }
+
   def normalize(df: DataFrame): DataFrame = {
     val nanosFixed =
       if (df.columns.contains("ts") && df.schema("ts").dataType == LongType)

@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
 object Topics {
   val NumPartitions = 8
 
-  /** Batch view of the `events` table as a topic record log. */
+  /** Batch view of the `events` table as a topic record log.
+    *
+    * NOT spread here (r17, measured): the producer verbs spread inside
+    * TopicOps.produced (their per-record explosion is map-heavy —
+    * merge_all 1.95→1.07 s at sf0.1), but a blanket spread at the view
+    * regressed the window/aggregate verbs whose map side is light
+    * (topic_compact +0.41 s, topic_scd2 +0.38 s).
+    */
   def events(spark: SparkSession, dir: String): DataFrame =
     asTopic(Tables.load(spark, dir, "events"))
 

@@ -187,7 +187,9 @@ object DedupStream {
     val shingleTable = s"${tablePrefix}_shingles"
     Bucketing.writeBucketed(
       Dedup.shingleHashes(afterExact)
-        .select(col("doc_id").as("corpus_id"), col("n_sh").as("na"), explode(col("hs")).as("h")),
+        .select(col("doc_id").as("corpus_id"), col("n_sh").as("na"),
+          explode_outer(col("hs")).as("h"))
+        .filter(col("h").isNotNull),
       shingleTable, IndexBuckets, "h")
     // (content_hash → keeper doc_id): afterExact holds exactly the min-id
     // copy of every content-hash group, so this index is unique per hash
@@ -245,7 +247,8 @@ object DedupStream {
                         tau: Double = 0.5): DataFrame =
     exactJaccardProbeIndexed(
       corpusHashes.select(col("doc_id").as("corpus_id"),
-        col("n_sh").as("na"), explode(col("hs")).as("h")),
+          col("n_sh").as("na"), explode_outer(col("hs")).as("h"))
+        .filter(col("h").isNotNull),
       incomingHashes, tau)
 
   /** Exact Jaccard pairs of an incoming (doc_id, hs, n_sh) frame against
@@ -257,8 +260,12 @@ object DedupStream {
     */
   def exactJaccardProbeIndexed(corpusEx: DataFrame, incomingHashes: DataFrame,
                                tau: Double = 0.5): DataFrame = {
+    // explode_outer + null filter (r17): the kernel-in-inferred-filter
+    // landmine — identical row set, one kernel eval per row
     val newEx = incomingHashes
-      .select(col("doc_id").as("new_id"), col("n_sh").as("nb"), explode(col("hs")).as("h"))
+      .select(col("doc_id").as("new_id"), col("n_sh").as("nb"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     newEx.join(corpusEx, "h")
       .filter(col("corpus_id") < col("new_id"))
       .groupBy(col("corpus_id").as("doc_a"), col("new_id").as("doc_b"))

@@ -51,7 +51,16 @@ class PlanSpec extends SparkSpec {
     val merge = graft.operators.TopicOps
       .mergeAll(graft.sources.Topics.events(spark, sf), "d")
       .queryExecution.executedPlan.toString
-    assert(!merge.contains("Exchange"), s"merge-all must not shuffle:\n$merge")
+    // r17: the ONE allowed exchange is spreadScan's scale-adaptive
+    // parallelism repair (fires in this tiny session because the
+    // one-split scan is narrower than the session's width; a no-op on
+    // any real multi-split layout). Beyond it, merge-all must not
+    // shuffle — in particular nothing keyed (no aggregation/join).
+    val mergeEx = merge.sliding("Exchange".length).count(_ == "Exchange")
+    assert(mergeEx <= 1, s"merge-all must not shuffle beyond spreadScan:\n$merge")
+    if (mergeEx == 1)
+      assert(merge.contains("REPARTITION_BY_NUM"),
+        s"merge-all's only exchange must be the spreadScan repartition:\n$merge")
   }
 
   test("compaction is one aggregate with map-side partial agg and a single shuffle") {

@@ -883,8 +883,16 @@ class StreamingSpec extends SparkSpec {
         graft.operators.Dedup.shingleHashes(batchLike))
       val probePlan = probe.queryExecution.executedPlan.toString
       assert(probePlan.contains("graft_clean_shingles"))
-      assert(exchanges(probePlan) === 2,
-        s"indexed probe = batch-side h shuffle + pair aggregate only:\n$probePlan")
+      // 3 = spreadScan's batch-side parallelism repair (fires here
+      // because the spec's 50-row batch frame plans narrower than the
+      // session — r17; a STREAMING micro-batch passes through untouched)
+      // + the batch-side h shuffle + the pair aggregate. The static
+      // index still never exchanges (asserted by the count: all three
+      // sit on batch-derived sides).
+      assert(exchanges(probePlan) === 3,
+        s"indexed probe = batch spread + h shuffle + pair aggregate only:\n$probePlan")
+      assert(probePlan.contains("REPARTITION_BY_NUM"),
+        s"the third exchange must be the spreadScan repartition:\n$probePlan")
     }
   }
 
