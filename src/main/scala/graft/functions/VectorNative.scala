@@ -436,8 +436,11 @@ case class PqCode(child: Expression,
   * subspace exactly as [[PqCode]] assigns it, and the error is
   * Σ_m min_k ‖r_m − pq_m[k]‖² folded in ascending m — the identical
   * double arithmetic the oracle's sdists CTEs replay — then
-  * trunc-toward-zero at scale 10¹² (Double.toLong == DuckDB
-  * trunc()::BIGINT, the PcaWhiten precedent). Per-vector errors are
+  * trunc-toward-zero at scale 10⁶ (Double.toLong == DuckDB
+  * trunc()::BIGINT, the PcaWhiten precedent; the scale is COARSE so an
+  * ulp-level engine divergence cannot reach a trunc boundary — r18,
+  * the fp-10¹² card flipped its hash on the driver box). Per-vector
+  * errors are
   * bounded (unit-space residuals), but corpus SUMS are not — callers
   * aggregate in DECIMAL(38,0). Codebooks pluggable as in [[PqCode]].
   */
@@ -714,10 +717,14 @@ object VectorNativeImpl {
     * coarse term folded over all Dim coordinates first, then one
     * subspace fold per code — index order throughout.
     */
-  /** See [[PqError]]: Σ_m min_k ‖r_m − pq_m[k]‖², trunc'd at fp 10¹².
+  /** See [[PqError]]: Σ_m min_k ‖r_m − pq_m[k]‖², trunc'd at fp 10⁶.
     * The per-(m, k) fold and the ascending-m accumulation run in index
     * order so the oracle's sdists/errs CTEs replay the identical IEEE
-    * doubles. */
+    * doubles. The COARSE fp grid is deliberate (r18): at fp 10¹² a
+    * single-ulp divergence anywhere in the chain sat ~1e-5 fp units
+    * from a trunc boundary and flipped the BIGINT on the driver box;
+    * at 10⁶ the same divergence is ~1e-11 grid units — the card is
+    * divergence-robust by construction, not by luck. */
   def pqError(e: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
               centsHat: Array[Array[Double]],
               pq: Array[Array[Array[Double]]]): Long = {
@@ -750,7 +757,7 @@ object VectorNativeImpl {
       total += best
       m += 1
     }
-    (total * 1000000000000.0).toLong
+    (total * 1000000.0).toLong
   }
 
   def pqScore(eq: ArrayData, bucket: Int, codes: ArrayData,

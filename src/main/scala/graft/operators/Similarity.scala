@@ -1069,8 +1069,11 @@ object Similarity {
     * serving book), every vector's total squared reconstruction error
     * Σ_m min_k ‖r_m − pq_m[k]‖² against the SHARED laddered coarse fit,
     * reduced to one row per book — vector count, the exact error sum
-    * (fixed-point 10¹² per vector, aggregated in DECIMAL(38,0) so 10⁹⁺
-    * vectors cannot overflow), the max, and a three-band error
+    * (fixed-point 10⁶ per vector, aggregated in DECIMAL(38,0) so 10⁹⁺
+    * vectors cannot overflow; the fp grid is COARSE by design so an
+    * ulp-level engine divergence cannot flip a trunc boundary — r18,
+    * the 10¹² card broke hash on the driver box), the max, and a
+    * three-band error
     * histogram (err < 0.1 / < 0.5 / ≥ 0.5 — integer counts, order-free).
     * The r16/r17 lesson made measurable in-engine: MSE and recall can
     * DISAGREE (the resfit book halved MSE and halved recall), so the
@@ -1095,10 +1098,10 @@ object Similarity {
           sum(col("err_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("sum_err_fp"),
           max(col("err_fp")).as("max_err_fp"),
-          sum(when(col("err_fp") < 100000000000L, 1L).otherwise(0L)).as("n_err_lo"),
-          sum(when(col("err_fp") >= 100000000000L && col("err_fp") < 500000000000L, 1L)
+          sum(when(col("err_fp") < 100000L, 1L).otherwise(0L)).as("n_err_lo"),
+          sum(when(col("err_fp") >= 100000L && col("err_fp") < 500000L, 1L)
             .otherwise(0L)).as("n_err_mid"),
-          sum(when(col("err_fp") >= 500000000000L, 1L).otherwise(0L)).as("n_err_hi"))
+          sum(when(col("err_fp") >= 500000L, 1L).otherwise(0L)).as("n_err_hi"))
         .select(lit(label).as("book"), col("n_vecs"), col("sum_err_fp"),
           col("max_err_fp"), col("n_err_lo"), col("n_err_mid"), col("n_err_hi"))
     }

@@ -1582,7 +1582,9 @@ object PipelineQueries {
     * and the prefixed 16×64 m16 book), then every vector's serving-space
     * reconstruction error Σ_m min_k ‖r_m − pq_m[k]‖² folded exactly as
     * the graft_pq_error kernel does (per-k left fold, ascending-m left
-    * fold, trunc at fp 10¹²), reduced to one row per book. Sums
+    * fold, trunc at the COARSE fp 10⁶ — r18: at 10¹² a 1-ulp chain
+    * divergence reached a trunc boundary and flipped the driver-box
+    * hash), reduced to one row per book. Sums
     * aggregate in DECIMAL(38,0) (BIGINT per-vector values, HUGEINT sum
     * cast — 10⁹⁺ vectors cannot overflow).
     */
@@ -1601,15 +1603,15 @@ object PipelineQueries {
          |errs$suffix AS (
          |  SELECT vec_id,
          |         CAST(trunc(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |           list(emin ORDER BY m)), (s,x) -> s+x) * 1000000000000.0) AS BIGINT) AS err_fp
+         |           list(emin ORDER BY m)), (s,x) -> s+x) * 1000000.0) AS BIGINT) AS err_fp
          |  FROM dm$suffix GROUP BY vec_id),
          |card$suffix AS (
          |  SELECT COUNT(*) AS n_vecs,
          |         CAST(SUM(err_fp) AS DECIMAL(38,0)) AS sum_err_fp,
          |         MAX(err_fp) AS max_err_fp,
-         |         CAST(SUM(CASE WHEN err_fp < 100000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_lo,
-         |         CAST(SUM(CASE WHEN err_fp >= 100000000000 AND err_fp < 500000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_mid,
-         |         CAST(SUM(CASE WHEN err_fp >= 500000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_hi
+         |         CAST(SUM(CASE WHEN err_fp < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_lo,
+         |         CAST(SUM(CASE WHEN err_fp >= 100000 AND err_fp < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_mid,
+         |         CAST(SUM(CASE WHEN err_fp >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_hi
          |  FROM errs$suffix)""".stripMargin
     }
     NormCte +

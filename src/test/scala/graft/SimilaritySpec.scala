@@ -504,6 +504,12 @@ class SimilaritySpec extends SparkSpec {
       assert(sum.compareTo(java.math.BigDecimal.valueOf(mx).multiply(
         java.math.BigDecimal.valueOf(n))) <= 0,
         "total error must be at most n * max")
+      // r18 divergence-robust construction pin: per-vector errors are
+      // fixed-point at the COARSE 10^6 grid (unit-space residual sums are
+      // O(1), so max_err_fp ~ 1e5..1e6; at the old brittle 10^12 grid it
+      // sat near 1e11 and a 1-ulp engine divergence flipped the trunc).
+      assert(mx > 0L && mx < 100000000L,
+        s"max_err_fp=$mx must sit on the coarse fp-1e6 grid (O(1e5..1e6))")
     }
     // the corpus-level property the card exists to surface: the 16-
     // subspace book quantizes strictly better than the narrow default
