@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 /** First LOSSY codec seam (round-10 VERDICT #2) — the tiled fixture
@@ -30,13 +29,12 @@ object JpegCodec {
   ImageIO.setUseCache(false)
 
   /** The tiled raster ([[PngCodec.tiledImage]]) encoded as a real JPEG
-    * at the writer's default quality.
+    * at the writer's default quality. Per-thread writer reuse (r18,
+    * [[ImageIoPool]]): identical bytes to `ImageIO.write`, minus the
+    * per-image registry scan + writer disposal.
     */
-  def encodeTiled(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(64 + w * h)
-    ImageIO.write(PngCodec.tiledImage(data, w, h), "jpg", bos)
-    bos.toByteArray
-  }
+  def encodeTiled(data: Array[Byte], w: Int, h: Int): Array[Byte] =
+    ImageIoPool.encode(PngCodec.tiledImage(data, w, h), "jpg", 64 + w * h)
 
   /** Declared (width, height) from the first SOF marker segment, or None
     * when the marker stream is malformed, truncated, reaches SOS/EOI
@@ -88,8 +86,10 @@ object JpegCodec {
     */
   def decodeRaster(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
+      // declaredDims gates BEFORE the reader (bounds-check contract), so
+      // the pooled reader only ever sees SOI+SOF-validated bytes
       if (declaredDims(bytes).isEmpty) return None
-      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      Option(ImageIoPool.read(bytes, "jpg"))
     } catch {
       case _: java.io.IOException | _: RuntimeException => None
     }

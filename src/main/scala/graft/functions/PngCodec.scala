@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 /** REAL PNG codec seam (round-9 VERDICT #4) — the first multimodal path
@@ -57,12 +56,12 @@ object PngCodec {
     img
   }
 
-  /** The tiled raster encoded as a real PNG. */
-  def encodeTiled(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(64 + w * h)
-    ImageIO.write(tiledImage(data, w, h), "png", bos)
-    bos.toByteArray
-  }
+  /** The tiled raster encoded as a real PNG. Per-thread writer reuse
+    * (r18, [[ImageIoPool]]): identical bytes to `ImageIO.write`, minus
+    * the per-image registry scan + writer disposal.
+    */
+  def encodeTiled(data: Array[Byte], w: Int, h: Int): Array[Byte] =
+    ImageIoPool.encode(tiledImage(data, w, h), "png", 64 + w * h)
 
   private val MaxDim = 16384
 
@@ -109,8 +108,10 @@ object PngCodec {
   def decodeHash(bytes: Array[Byte]): Option[(Int, Int, Long)] =
     try {
       if (bytes == null) return None
+      // declaredDims gates BEFORE the reader (bounds-check contract), so
+      // the pooled reader only ever sees IHDR-validated bytes
       if (declaredDims(bytes).isEmpty) return None
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = ImageIoPool.read(bytes, "png")
       if (img == null) None
       else {
         val w = img.getWidth

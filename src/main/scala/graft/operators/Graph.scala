@@ -319,10 +319,25 @@ object Graph {
     * satisfies — plan-pinned in GraphSpec).
     */
   def writeKnnEdgeIndex(emb: DataFrame, table: String, k: Int = 5,
-                        probes: Int = 2, buckets: Int = 8,
+                        probes: Int = 2, buckets: Int = -1,
                         fittedBook: Boolean = false): Unit =
     graft.sources.Bucketing.writeBucketed(knnEdges(emb, k, probes, fittedBook),
-      table, buckets, "src")
+      table,
+      if (buckets > 0) buckets else sizedIndexBuckets(emb.sparkSession),
+      "src")
+
+  /** N-adaptive edge-index bucket count (r18, r17 headroom #2 / guide
+    * §6): the index write previously laid out a FIXED 8 buckets, so the
+    * write's bucket-clustering exchange ran 8 tasks and every consumer
+    * scan opened at most 8 splits regardless of session width. Session
+    * shuffle width (floored at the historical 8) keeps the write and
+    * the from-index consumer scans at cluster parallelism; bucket count
+    * is pure LAYOUT — the co-bucketed zero-Exchange probe plans
+    * (GraphSpec/BucketingSpec pins) hold for any count, and results are
+    * layout-invariant by the engine-exact discipline.
+    */
+  def sizedIndexBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(8, spark.sessionState.conf.numShufflePartitions)
 
   /** RANK-MANY half: PageRank straight off the materialized edge index —
     * the identical fixed-point iteration as [[knnPageRank]] (layout must

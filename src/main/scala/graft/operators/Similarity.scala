@@ -475,25 +475,111 @@ object Similarity {
     require(k >= 1 && k <= 2048,
       s"k=$k out of range: the LCG seed ladder provides 1..2048 centroids")
     require(m >= 1L, s"fit modulus must be >= 1, got $m")
+    // NOTE (r18, measured): spreading/repartitioning this fit frame was
+    // tried and REJECTED — the per-round cost is ~0.3 s of JOB overhead
+    // at any partition count (1/2/4/8/32 all ~0.3 s/round warm,
+    // ProfFit2), not assign compute, so a width repair buys nothing and
+    // the raw-row exchange adds cost. The fix that works is below:
+    // the sample is ≤ KmFitCap rows BY DESIGN, so the recurrence runs
+    // DRIVER-LOCAL on one collected sample (the tokenizer_fit
+    // fitLocal / fitPqCodebooks precedent) — 1 job instead of 1+iters.
     val base = vectors(emb)
-    // x̂ computed ONCE and materialized (persist) — the loop's 64
-    // element_at references then read a stored array, never re-evaluate
+    // x̂ computed ONCE — the loop's 64 element_at references (in the
+    // distributed spec twin) read a stored array, never re-evaluate
     // the kernel (the HOF-inlining landmine, SURVEY §5)
     val v = (if (m > 1L) base.filter(kmFitFilter(m)) else base)
       .withColumn("xh", expr("graft_fp_unit(e)"))
       .filter(col("xh").isNotNull)
-      .select(col("xh")).persist()
-    try fitLoop(emb, v, Codebooks.fpCentroidsFor(k), Dim, iters,
-      "graft_ivf_fit_assign")
-    finally { v.unpersist(); () }
+      .select(col("xh"))
+    fitLoopLocal(v, Codebooks.fpCentroidsFor(k), Dim, iters)
   }
 
-  /** The shared fixed-point k-means recurrence over a persisted `xh`
-    * frame — [[fitCentroids]]'s loop, dimension- and seed-parameterized
-    * so the augmented-space MIPS fit ([[fitMipsCentroids]], r15) reuses
-    * the identical engine-exact arithmetic instead of forking it.
+  /** DRIVER-LOCAL twin of [[fitLoopDistributed]] (r18, guide §1.2 —
+    * fewer passes/jobs): the fit sample is ≤ [[KmFitCap]] rows BY
+    * CONSTRUCTION (the N-adaptive modulus), i.e. model-sized at every
+    * corpus scale, so the recurrence collects it ONCE (~32 MB ceiling:
+    * KmFitCap × 65 fp doubles) and iterates locally — 1 Spark job
+    * instead of 1 + iters (measured: each distributed round cost ~0.3 s
+    * of pure job overhead at ANY partition count, ProfFit2; the whole
+    * local fit runs in the time one round took). The tokenizer_fit
+    * fitLocal / fitPqCodebooks precedent: fit OFFLINE on the bounded
+    * sample, keep corpus-wide ENCODING distributed.
+    *
+    * Bit-equality with the distributed form (spec'd in SimilaritySpec):
+    * assignment calls the IDENTICAL [[graft.functions.VectorNativeImpl.ivfBucket]]
+    * kernel over UnsafeArrayData-wrapped rows; per-bucket count/sum are
+    * exact longs (order-free under any threading), and the truncating
+    * division + fpNormalize are shared verbatim. Thread partials merge
+    * in fixed (thread, bucket, dim) order — determinism does not depend
+    * on scheduling.
     */
-  private def fitLoop(emb: DataFrame, v: DataFrame,
+  private[graft] def fitLoopLocal(v: DataFrame, seeds: Array[Array[Double]],
+                                  dim: Int, iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val rows: Array[org.apache.spark.sql.catalyst.util.ArrayData] =
+      v.collect().map(r =>
+        UnsafeArrayData.fromPrimitiveArray(r.getSeq[Double](0).toArray))
+    var cents = seeds
+    val k = seeds.length
+    val ones = Array.fill(k)(1.0)
+    val nThreads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), rows.length / 2048 + 1))
+    for (_ <- 0 until iters) {
+      val cur = cents
+      val partCnt = Array.ofDim[Long](nThreads, k)
+      val partSum = Array.ofDim[Long](nThreads, k, dim)
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          val cnt = partCnt(t); val sm = partSum(t)
+          var i = t // strided split — balanced, no chunk arithmetic
+          while (i < rows.length) {
+            val row = rows(i)
+            val b = graft.functions.VectorNativeImpl.ivfBucket(row, cur, ones) - 1
+            if (b >= 0 && b < k) {
+              cnt(b) += 1
+              val s = sm(b)
+              var d = 0
+              // fixed-point doubles hold exact integer values; toLong
+              // truncates exactly like the distributed cast("long")
+              while (d < dim) { s(d) += row.getDouble(d).toLong; d += 1 }
+            }
+            i += nThreads
+          }
+        })
+        th.setDaemon(true); th.start(); th
+      }
+      threads.foreach(_.join())
+      val next = cur.map(_.clone())
+      var b = 0
+      while (b < k) {
+        var c = 0L
+        var t = 0
+        while (t < nThreads) { c += partCnt(t)(b); t += 1 }
+        if (c > 0L) {
+          val m = Array.tabulate(dim) { d =>
+            var s = 0L
+            var t2 = 0
+            while (t2 < nThreads) { s += partSum(t2)(b)(d); t2 += 1 }
+            // truncating long division — DuckDB's `//` semantics
+            (s / c).toDouble
+          }
+          val norm = Codebooks.fpNormalize(m)
+          if (norm != null) next(b) = norm
+        }
+        b += 1
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** The DISTRIBUTED fixed-point k-means recurrence over an `xh` frame —
+    * the spec twin [[fitLoopLocal]] is pinned bit-equal against
+    * (SimilaritySpec); kept as the shape a beyond-driver-memory sample
+    * would need, and as the executable documentation of the arithmetic
+    * the oracles' unrolled fit CTEs replay.
+    */
+  private[graft] def fitLoopDistributed(emb: DataFrame, v: DataFrame,
                       seeds: Array[Array[Double]], dim: Int, iters: Int,
                       registerBase: String): Array[Array[Double]] = {
     var cents = seeds
@@ -560,13 +646,11 @@ object Similarity {
             array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm"))))))
       .withColumn("xh", expr("graft_fp_unit(ea)"))
       .filter(col("xh").isNotNull)
-      .select(col("xh")).persist()
+      .select(col("xh"))
     // seeds from the LADDERED MIPS regions (r16): fpMipsCentroidsFor ==
     // seedMipsCentroidsFp bit-for-bit at k <= 64, the fresh 20000..
     // region beyond — laddered fits without touching gated small fits
-    try fitLoop(emb, va, Codebooks.fpMipsCentroidsFor(k), Dim + 1, iters,
-      "graft_mips_fit_assign")
-    finally { va.unpersist(); () }
+    fitLoopLocal(va, Codebooks.fpMipsCentroidsFor(k), Dim + 1, iters)
   }
 
   /** MIPS-IVF over the DATA-FITTED augmented codebook — the
@@ -882,6 +966,9 @@ object Similarity {
     val ref = if (fpRef == null) cents else fpRef
     val bucketName = registerFitFunction(emb, "graft_pqfit_assign")(
       exprs => graft.functions.IvfBucket(exprs.head, cents, cnorms))
+    // NOTE (r18, measured): a spread here was tried and REJECTED with
+    // the fitCentroids layout variants (ProfFit2: the sample stage is
+    // job-overhead-bound at these row counts — an exchange only adds)
     val sample = vectors(emb)
       .withColumn("xh", expr("graft_fp_unit(e)"))
       .filter(col("xh").isNotNull)

@@ -51,8 +51,15 @@ object Tables {
     * case), this is a NO-OP and the plan is unchanged. Every caller's
     * per-row computation is partitioning-invariant by the engine-exact
     * discipline (DeterminismSpec), so results are bit-identical either
-    * way. Streaming frames pass through untouched (no RDD to inspect;
-    * micro-batch parallelism is the trigger's own dial).
+    * way. UNBOUNDED streaming frames pass through untouched (no RDD to
+    * inspect; micro-batch parallelism is the trigger's own dial) — but
+    * a foreachBatch micro-batch frame has isStreaming=false and a
+    * LogicalRDD leaf, i.e. it IS scan-shaped and DOES get spread when
+    * it arrives narrower than the session (r18, ADVICE: the r17 comment
+    * claimed otherwise). That is intentional: a file-stream batch reads
+    * as one split exactly like the batch corpus, so per-row-heavy
+    * ingest probes would serialize per batch; StreamingSpec pins the
+    * resulting (bounded, batch-side) exchange count.
     */
   def spreadScan(df: DataFrame, key: String): DataFrame = {
     if (df.isStreaming || !df.columns.contains(key)) return df
@@ -65,10 +72,15 @@ object Tables {
     // whose near-dup stage sits over a join output). For a scan-shaped
     // plan `.rdd` is pure planning — it just exposes the file-split
     // count.
+    // Deduplicate is deliberately NOT whitelisted (r18, ADVICE):
+    // distinct/dropDuplicates plans a shuffle, so the .rdd probe below
+    // would eagerly execute it (the +0.6-0.8 s throwaway-execution cost
+    // this guard exists to avoid) — and its output already runs at
+    // session width, so the spread would buy nothing.
     import org.apache.spark.sql.catalyst.plans.logical._
     val scanShaped = df.queryExecution.analyzed.collect {
       case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
-                _: GlobalLimit | _: LocalLimit | _: Deduplicate) => n
+                _: GlobalLimit | _: LocalLimit) => n
       case l: LeafNode => l
     }.size == df.queryExecution.analyzed.collect { case n => n }.size
     if (!scanShaped) return df

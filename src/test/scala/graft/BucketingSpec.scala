@@ -106,4 +106,29 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_sk")
     }
   }
+
+  test("r18 N-adaptive edge-index buckets: writeKnnEdgeIndex lays out " +
+      "max(8, session shuffle width) buckets, and an explicit count still wins") {
+    import graft.operators.Graph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val width = spark.sessionState.conf.numShufflePartitions
+    assert(Graph.sizedIndexBuckets(spark) === math.max(8, width),
+      "the bucket ladder is session width floored at the historical 8")
+    def numBuckets(table: String): Int =
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(fail(s"$table lost its bucket spec"))
+    try {
+      Graph.writeKnnEdgeIndex(emb, "graft_knn_bkt_spec")
+      assert(numBuckets("graft_knn_bkt_spec") === Graph.sizedIndexBuckets(spark),
+        "default writes must follow the session-width ladder")
+      Graph.writeKnnEdgeIndex(emb, "graft_knn_bkt_spec8", buckets = 8)
+      assert(numBuckets("graft_knn_bkt_spec8") === 8,
+        "an explicit bucket count must be honored verbatim")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_knn_bkt_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_knn_bkt_spec8")
+    }
+  }
 }

@@ -39,6 +39,26 @@ class DedupSpec extends SparkSpec {
     assert(viaNative.except(viaHof).count() === 0)
   }
 
+  test("r18 sentinel contract: a 0-shingle doc (short or null text) produces ZERO " +
+      "minhashBands rows — the band_val != \"\" guard fires (ADVICE pin: the guard " +
+      "silently couples to array_min-NULL minhashes + concat_ws null-skipping; if " +
+      "either changes, shingle-less docs flood one \"\" bucket quadratically)") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "one two"), // < 3 words -> zero 3-gram shingles
+      (2L, null.asInstanceOf[String]), // null text -> zero shingles
+      (3L, "a normal document with plenty of words to shingle properly"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.minhashBands(Dedup.shingleHashes(tiny)).cache()
+    assert(banded.filter(col("doc_id").isin(1L, 2L)).count() === 0,
+      "shingle-less docs must produce no band rows at all")
+    assert(banded.filter(col("doc_id") === 3L).count() > 0,
+      "a shingled doc must still band (else this spec proves nothing)")
+    assert(banded.filter(col("band_val") === "").count() === 0,
+      "the \"\" sentinel band value must never survive into the index")
+    banded.unpersist()
+  }
+
   test("exact dedup partitions the corpus: keeper counts sum to corpus size") {
     val out = Dedup.exact(docs).cache()
     assert(out.agg(sum("n_copies")).head().getLong(0) === docs.count())

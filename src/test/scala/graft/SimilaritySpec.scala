@@ -394,6 +394,41 @@ class SimilaritySpec extends SparkSpec {
     assert(m4.length === 16 && m4.forall(_.length === Similarity.Dim))
   }
 
+  test("r18 driver-local fit loop == distributed fit loop bit-for-bit (cosine AND " +
+      "augmented-MIPS shapes) — the fitLocal/fitDistributed pin for the k-means fit") {
+    import graft.functions.Codebooks
+    graft.functions.NativeHash.register(spark)
+    val v = Similarity.vectors(emb)
+      .withColumn("xh", expr("graft_fp_unit(e)"))
+      .filter(col("xh").isNotNull)
+      .select(col("xh"))
+    val local = Similarity.fitLoopLocal(v, Codebooks.fpCentroidsFor(16),
+      Similarity.Dim, 3)
+    val dist = Similarity.fitLoopDistributed(emb, v.persist(),
+      Codebooks.fpCentroidsFor(16), Similarity.Dim, 3, "graft_spec_fit_assign")
+    v.unpersist()
+    assert(local.map(_.toSeq).toSeq === dist.map(_.toSeq).toSeq,
+      "driver-local k-means rounds must replay the distributed arithmetic exactly")
+    // the non-trivial-dimension twin (Dim+1 exercises the dim plumbing)
+    val m = Similarity.vectors(emb).filter(col("vec_id") % 100 =!= 0)
+      .agg(max(col("nrm"))).head().getDouble(0)
+    val va = Similarity.vectors(emb)
+      .withColumn("ea",
+        when(col("vec_id") % 100 === 0, concat(col("e"), array(lit(0.0))))
+          .otherwise(concat(col("e"),
+            array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm"))))))
+      .withColumn("xh", expr("graft_fp_unit(ea)"))
+      .filter(col("xh").isNotNull)
+      .select(col("xh"))
+    val localA = Similarity.fitLoopLocal(va, Codebooks.fpMipsCentroidsFor(16),
+      Similarity.Dim + 1, 2)
+    val distA = Similarity.fitLoopDistributed(emb, va.persist(),
+      Codebooks.fpMipsCentroidsFor(16), Similarity.Dim + 1, 2,
+      "graft_spec_mips_fit_assign")
+    va.unpersist()
+    assert(localA.map(_.toSeq).toSeq === distA.map(_.toSeq).toSeq)
+  }
+
   test("k-means IVF hits score identically to brute force (candidates are exact-ranked)") {
     val bf = Similarity.bruteForceTopK(emb, isQuery, k = 1000)
       .select(col("query_id"), col("corpus_id"), col("cos"))
