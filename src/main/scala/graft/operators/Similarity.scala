@@ -103,15 +103,42 @@ object Similarity {
     * query. A single-phase window would ship every query's FULL corpus
     * scores to one reducer — the round-1 scale-killer (VERDICT #4).
     * (cos, corpus_id) is a total order, so the result is byte-identical.
+    *
+    * `dedupInWindow` (r18, guide §2.3 — shuffle fewer bytes/passes):
+    * candidate generators whose only duplicates are EXACT row copies
+    * (the kNN bucket join: a pair meeting in two probed buckets scores
+    * to the same IEEE double both times) previously paid a full
+    * candidate-sized `.distinct()` exchange BEFORE this one. The salt
+    * key is a pure function of corpus_id, so every copy of a
+    * (query_id, corpus_id) row lands in the SAME local window, ordered
+    * adjacently by (cos, corpus_id) — one lag() pass drops the copies
+    * inside the exchange this rerank already pays, and the second
+    * window reuses the established sort (no re-exchange, no re-sort;
+    * plan: 2 candidate-sized Exchanges → 1). ONLY correct when
+    * duplicates are exact copies — a caller with same-(q,c)
+    * different-cos rows must keep its own semantics.
     */
   private[graft] def rerankTopKTwoPhase(scored: DataFrame, k: Int,
-                                        saltBuckets: Int = 32): DataFrame = {
+                                        saltBuckets: Int = 32,
+                                        dedupInWindow: Boolean = false): DataFrame = {
     val salted = scored.withColumn("salt", pmod(hash(col("corpus_id")), lit(saltBuckets)))
     val wLocal = Window.partitionBy(col("query_id"), col("salt"))
       .orderBy(col("cos").desc, col("corpus_id"))
     val wGlobal = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
-    salted.withColumn("lrnk", row_number().over(wLocal))
+    val local =
+      if (dedupInWindow) {
+        // copies are adjacent under (cos desc, corpus_id); every
+        // non-first copy sees an identical predecessor (lag reads the
+        // PRE-filter frame, so runs of 3+ copies drop all but the first)
+        salted
+          .withColumn("__pc", lag(col("corpus_id"), 1).over(wLocal))
+          .withColumn("__ps", lag(col("cos"), 1).over(wLocal))
+          .filter(col("__pc").isNull || col("__pc") =!= col("corpus_id") ||
+            !(col("__ps") <=> col("cos")))
+          .drop("__pc", "__ps")
+      } else salted
+    local.withColumn("lrnk", row_number().over(wLocal))
       .filter(col("lrnk") <= k)
       .withColumn("rnk", row_number().over(wGlobal))
       .filter(col("rnk") <= k)
@@ -192,8 +219,14 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         (expr("graft_dot(eq, ec)") / (col("nq") * col("nc"))).as("cos"))
-      .distinct()
-    rerankTopKTwoPhase(scored, k)
+    // dedup rides the rerank's salt exchange (r18, guide §2.3): the old
+    // standalone .distinct() was a SECOND candidate-sized exchange; a
+    // pair that meets in two probed buckets scores to the same IEEE
+    // double both times (identical inputs, same fold order), so the
+    // copies are exact and the in-window lag drop is set-identical to
+    // the distinct. Plan: 2 candidate-sized Exchanges → 1 (pinned in
+    // the r18 plan dumps; results bit-identical, oracle-gated).
+    rerankTopKTwoPhase(scored, k, dedupInWindow = true)
   }
 
   /** The kNN graph's N-ADAPTIVE coarse-quantizer size: nlist tracks √N
@@ -261,6 +294,13 @@ object Similarity {
     * bite (sf10 measurement: >580 s serialized on 2 tasks → pinned).
     * Pinning is pure partitioning — every downstream op is
     * partitioning-invariant by design, so answers never change.
+    * NOTE (r18, measured): lowering the crossover to 8,192 so the
+    * sf0.1 bench (20k vectors, ~6.3M candidates) gets the pin was
+    * tried and REJECTED — an in-session rep-major A/B (ProfCand) put
+    * pin0 AHEAD warm (join 0.91 vs 0.99 s min, pagerank chain 2.14 vs
+    * 2.38 s): at this scale the coalesced candidate stage is one
+    * task's worth of codegen'd work and the extra exchange only adds.
+    * The 65,536 step stands on its sf10 evidence.
     */
   /** Fit-sample cap for the k-means codebook fits (r17): past it the
     * fit passes scan only the deterministic minstd-id sample, m =
